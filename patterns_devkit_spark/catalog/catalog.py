@@ -1,0 +1,251 @@
+"""Catalog: the engine's metastore.
+
+The reference delegates storage to an opaque server-side SQL database
+(reference: patterns/node/node.py:96-99); the versioned-table
+semantics it specifies — "a Table may have many TableVersions, one or
+zero of which will be active at any given time" (node.py:84-114),
+``reset`` flipping to a fresh null version with old data kept until GC
+(node.py:399-405) — need a metastore Spark does not provide. This
+catalog is a JSON document + directory-of-Parquet layout:
+
+    warehouse/
+      catalog.json                  # all metadata, atomically replaced
+      tables/<table>/<version>/     # one Parquet dir per TableVersion
+      events.jsonl                  # append-only data-event log (§3.3)
+
+Writes go to new version dirs; the active-pointer flip is a single
+atomic ``os.replace`` of catalog.json, so readers never observe a
+half-written version. Node state and stream cursors live in the same
+document so a cursor commit is atomic with a state commit (the
+exactly-once contract of node.py:40-63, SURVEY.md §7.3-2).
+
+Scale note: metadata is O(tables+versions), not O(rows), so a JSON
+document suffices at any data scale; on a real cluster this file sits
+on shared storage (S3/HDFS via conditional put) or is swapped for a DB
+— the interface is the contract, not the file format.
+"""
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import shutil
+import tempfile
+import threading
+import time
+from typing import Any
+
+
+def _tag(v: Any) -> Any:
+    """JSON-encode values that JSON lacks (datetimes/dates) with a type tag
+    so stream cursors over timestamp orderings round-trip exactly."""
+    if isinstance(v, dt.datetime):
+        return {"__t": "datetime", "v": v.isoformat()}
+    if isinstance(v, dt.date):
+        return {"__t": "date", "v": v.isoformat()}
+    if isinstance(v, bytes):
+        return {"__t": "bytes", "v": v.hex()}
+    if isinstance(v, dict):
+        return {k: _tag(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_tag(x) for x in v]
+    return v
+
+
+def _untag(v: Any) -> Any:
+    if isinstance(v, dict):
+        t = v.get("__t")
+        if t == "datetime":
+            return dt.datetime.fromisoformat(v["v"])
+        if t == "date":
+            return dt.date.fromisoformat(v["v"])
+        if t == "bytes":
+            return bytes.fromhex(v["v"])
+        return {k: _untag(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_untag(x) for x in v]
+    return v
+
+
+_EMPTY_TABLE_META: dict[str, Any] = {
+    "versions": [],
+    "active_version": None,
+    "version_counter": 0,
+    "schema_ddl": None,
+    "schema_hints": None,
+    "unique_on": None,
+    "strictly_monotonic_ordering": None,
+    "created_ordering": None,
+    "add_created": None,
+    "add_monotonic_id": None,
+    "auto_indexes": True,
+    "monotonic_hwm": 0,
+    "record_counts": {},
+    "retention_keep": 3,
+}
+
+
+class Catalog:
+    def __init__(self, warehouse_dir: str):
+        self.root = os.path.abspath(warehouse_dir)
+        os.makedirs(os.path.join(self.root, "tables"), exist_ok=True)
+        self._path = os.path.join(self.root, "catalog.json")
+        self._events_path = os.path.join(self.root, "events.jsonl")
+        self._lock = threading.RLock()
+        if not os.path.exists(self._path):
+            self._doc = {"tables": {}, "cursors": {}, "state": {}}
+            self._persist()
+        else:
+            with open(self._path) as f:
+                self._doc = json.load(f)
+
+    # -- persistence ---------------------------------------------------
+    def _persist(self) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix=".catalog-", suffix=".json")
+        with os.fdopen(fd, "w") as f:
+            json.dump(self._doc, f, indent=1)
+        os.replace(tmp, self._path)  # atomic pointer flip
+
+    # -- tables & versions ----------------------------------------------
+    def ensure_table(self, name: str) -> dict:
+        with self._lock:
+            if name not in self._doc["tables"]:
+                self._doc["tables"][name] = json.loads(json.dumps(_EMPTY_TABLE_META))
+                self._persist()
+            return self._doc["tables"][name]
+
+    def table_meta(self, name: str) -> dict | None:
+        return self._doc["tables"].get(name)
+
+    def table_names(self) -> list[str]:
+        return sorted(self._doc["tables"])
+
+    def update_table_meta(self, name: str, **updates: Any) -> None:
+        with self._lock:
+            meta = self.ensure_table(name)
+            meta.update(_tag(updates))
+            self._persist()
+
+    def create_new_version(self, name: str) -> str:
+        """Allocate a new TableVersion id and its (empty) directory.
+        Reference: Table.create_new_version, node.py:375-379."""
+        with self._lock:
+            meta = self.ensure_table(name)
+            meta["version_counter"] += 1
+            vid = f"v{meta['version_counter']:07d}"
+            meta["versions"].append(vid)
+            os.makedirs(self.version_dir(name, vid), exist_ok=True)
+            self._persist()
+            return vid
+
+    def set_active_version(self, name: str, version: str | None) -> None:
+        """Atomic active-pointer flip (node.py:381-385)."""
+        with self._lock:
+            meta = self.ensure_table(name)
+            if version is not None and version not in meta["versions"]:
+                raise KeyError(f"unknown version {version!r} of table {name!r}")
+            meta["active_version"] = version
+            self._persist()
+
+    def get_active_version(self, name: str) -> str | None:
+        meta = self.table_meta(name)
+        return meta["active_version"] if meta else None
+
+    def version_dir(self, name: str, version: str) -> str:
+        return os.path.join(self.root, "tables", name, version)
+
+    def active_dir(self, name: str) -> str | None:
+        v = self.get_active_version(name)
+        return self.version_dir(name, v) if v else None
+
+    def version_has_data(self, name: str, version: str) -> bool:
+        d = self.version_dir(name, version)
+        return os.path.isdir(d) and any(fn.endswith(".parquet") for fn in os.listdir(d))
+
+    def set_record_count(self, name: str, version: str, count: int) -> None:
+        with self._lock:
+            self.ensure_table(name)["record_counts"][version] = count
+            self._persist()
+
+    def get_record_count(self, name: str, version: str) -> int | None:
+        meta = self.table_meta(name)
+        return (meta or {}).get("record_counts", {}).get(version)
+
+    def gc_versions(self, name: str) -> list[str]:
+        """Drop inactive versions beyond the table's retention policy
+        (node.py:403-404 'old data is kept ... according to the table's
+        retention policy, and is accessible until garbage collected')."""
+        with self._lock:
+            meta = self.ensure_table(name)
+            keep = meta.get("retention_keep", 3)
+            active = meta["active_version"]
+            inactive = [v for v in meta["versions"] if v != active]
+            doomed = inactive[:-keep] if keep else inactive
+            for v in doomed:
+                shutil.rmtree(self.version_dir(name, v), ignore_errors=True)
+                meta["versions"].remove(v)
+                meta["record_counts"].pop(v, None)
+            if doomed:
+                self._persist()
+            return doomed
+
+    def allocate_monotonic_block(self, name: str, n: int) -> int:
+        """Reserve n dense monotonic ids for a flush; returns the first.
+        Driver-side at flush time so task retries can't duplicate ids
+        (SURVEY.md §7.3-1)."""
+        with self._lock:
+            meta = self.ensure_table(name)
+            start = meta["monotonic_hwm"] + 1
+            meta["monotonic_hwm"] += n
+            self._persist()
+            return start
+
+    # -- stream cursors ---------------------------------------------------
+    @staticmethod
+    def _cursor_key(node_id: str, table: str, order_by: str) -> str:
+        return f"{node_id}|{table}|{order_by}"
+
+    def get_cursor(self, node_id: str, table: str, order_by: str) -> Any:
+        return _untag(self._doc["cursors"].get(self._cursor_key(node_id, table, order_by)))
+
+    def set_cursor(self, node_id: str, table: str, order_by: str, value: Any) -> None:
+        with self._lock:
+            self._doc["cursors"][self._cursor_key(node_id, table, order_by)] = _tag(value)
+            self._persist()
+
+    def commit_cursor_and_state(self, node_id: str, cursors: dict[tuple[str, str], Any], state: dict | None) -> None:
+        """Single atomic commit of a node's stream cursors together with
+        its state blob — the exactly-once guarantee of node.py:40-63."""
+        with self._lock:
+            for (table, order_by), value in cursors.items():
+                self._doc["cursors"][self._cursor_key(node_id, table, order_by)] = _tag(value)
+            if state is not None:
+                self._doc["state"][node_id] = _tag(state)
+            self._persist()
+
+    # -- node state ---------------------------------------------------
+    def get_state(self, node_id: str) -> dict:
+        return _untag(self._doc["state"].get(node_id, {})) or {}
+
+    def set_state(self, node_id: str, state: dict) -> None:
+        with self._lock:
+            self._doc["state"][node_id] = _tag(state)
+            self._persist()
+
+    # -- event log (drives downstream triggers, SURVEY.md §3.3) --------
+    def append_event(self, table: str, kind: str, node_id: str | None = None, **extra: Any) -> dict:
+        evt = {"ts": time.time(), "table": table, "kind": kind, "node_id": node_id, **extra}
+        with self._lock:
+            with open(self._events_path, "a") as f:
+                f.write(json.dumps(evt) + "\n")
+        return evt
+
+    def read_events(self, since_offset: int = 0) -> tuple[list[dict], int]:
+        """Return (events, next_offset); offset is a byte position so the
+        scheduler can tail the log incrementally."""
+        if not os.path.exists(self._events_path):
+            return [], 0
+        with open(self._events_path) as f:
+            f.seek(since_offset)
+            lines = f.readlines()
+            return [json.loads(ln) for ln in lines if ln.strip()], f.tell()

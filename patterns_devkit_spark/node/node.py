@@ -1,0 +1,962 @@
+"""The node SDK: Table / TableVersion / Stream / State / Parameter /
+Connection / respond_to_request.
+
+This implements, on Spark, the execution semantics the reference
+specifies in docstring-stub form (reference: patterns/node/node.py —
+the 554-line SDK contract; every semantic below cites its lines).
+Architecture is Spark-first (SURVEY.md §1-§4): rows-in/rows-out at the
+SDK boundary, columnar Parquet + Catalyst underneath.
+
+Key mappings:
+- Table.append/upsert are BUFFERED (node.py:305-307,329-331): records
+  accumulate driver-side and flush as ONE Spark job (amortized write).
+- upsert = anti-join rewrite into a new version + atomic pointer flip
+  (no Delta in this environment); see Table.flush.
+- Streams are ordered, checkpointed cursors with exactly-once-per-
+  record consumption (node.py:18-81); the cursor filter is a plain
+  predicate on the ordering column, so Parquet min/max + partition
+  pruning make incremental slices cheap at scale.
+- State is a per-node KV dict persisted in the catalog
+  (node.py:417-505).
+"""
+from __future__ import annotations
+
+import contextvars
+import datetime as dt
+import re
+import time
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ..catalog.catalog import Catalog
+from .ids import encode_base32
+from .schema import (
+    apply_schema_hints,
+    conform_to_schema,
+    merge_schemas,
+    records_to_dataframe,
+    schema_dict_to_struct,
+)
+
+_MISSING = object()
+
+_current_context: contextvars.ContextVar["NodeContext | None"] = contextvars.ContextVar(
+    "patterns_node_context", default=None
+)
+
+
+def _ctx() -> "NodeContext":
+    ctx = _current_context.get()
+    if ctx is None:
+        raise RuntimeError(
+            "no active NodeContext — SDK objects (Table/State/Parameter) must be "
+            "used inside a node execution (Engine.node_context(...) or the graph runner)"
+        )
+    return ctx
+
+
+class Connection(dict):
+    """Credentials bundle for an external system (node.py:508-510)."""
+
+    connection_type: str | None = None
+
+    def __init__(self, connection_type: str | None = None, **kwargs: Any):
+        super().__init__(**kwargs)
+        if connection_type is not None:
+            self.connection_type = connection_type
+
+
+class Parameter:
+    """Typed node input (node.py:513-542). Supported types: str, int,
+    float, bool, datetime, date, list, Connection; no default ⇒
+    required (missing value is a graph compile error, upload.py:78-81).
+
+    Instantiating returns the RESOLVED VALUE (cast), as in the
+    reference where ``p = Parameter("x", type=int)`` yields the value.
+    """
+
+    TYPES = (str, int, float, bool, dt.datetime, dt.date, list, Connection)
+
+    def __new__(cls, name: str, description: str | None = None, type: type = str, default: Any = _MISSING):
+        ctx = _current_context.get()
+        raw = _MISSING
+        if ctx is not None and name in ctx.parameters:
+            raw = ctx.parameters[name]
+        if raw is _MISSING:
+            if default is _MISSING:
+                raise ValueError(f"Parameter {name!r} has no default or value")
+            return default
+        return _cast_parameter(raw, type)
+
+
+def _cast_parameter(value: Any, typ: type) -> Any:
+    if typ is dt.datetime:
+        if isinstance(value, dt.datetime):
+            return value
+        return dt.datetime.fromisoformat(str(value))
+    if typ is dt.date:
+        if isinstance(value, dt.datetime):
+            return value.date()
+        if isinstance(value, dt.date):
+            return value
+        return dt.date.fromisoformat(str(value))
+    if typ is bool and isinstance(value, str):
+        return value.strip().lower() in ("1", "true", "t", "yes", "y")
+    if typ is Connection:
+        return Connection(**value) if isinstance(value, dict) else value
+    if typ is list and not isinstance(value, list):
+        return list(value)
+    try:
+        return typ(value)
+    except (TypeError, ValueError) as e:
+        raise ValueError(f"cannot cast parameter value {value!r} to {typ.__name__}") from e
+
+
+class TableVersion:
+    """A specific version of a Table — an actual dataset that may or may
+    not have data yet (node.py:84-114). Physically one Parquet dir."""
+
+    def __init__(self, engine: "Engine", table_name: str, version_id: str):
+        self._engine = engine
+        self.table_name = table_name
+        self.version_id = version_id
+
+    @property
+    def name(self) -> str:
+        return f"{self.table_name}__{self.version_id}"
+
+    @property
+    def storage(self) -> str:
+        """Physical location (the reference exposes a dcp Storage object,
+        node.py:96-99; ours is the Parquet directory path)."""
+        return self._engine.catalog.version_dir(self.table_name, self.version_id)
+
+    @property
+    def exists(self) -> bool:
+        return self._engine.catalog.version_has_data(self.table_name, self.version_id)
+
+    @property
+    def record_count(self) -> int | None:
+        cached = self._engine.catalog.get_record_count(self.table_name, self.version_id)
+        if cached is not None:
+            return cached
+        if not self.exists:
+            return None
+        n = self._engine.spark.read.parquet(self.storage).count()
+        self._engine.catalog.set_record_count(self.table_name, self.version_id, n)
+        return n
+
+    @property
+    def schema(self) -> T.StructType | None:
+        if not self.exists:
+            ddl = (self._engine.catalog.table_meta(self.table_name) or {}).get("schema_ddl")
+            return T.StructType.fromDDL(ddl) if ddl else None
+        return self._engine.spark.read.parquet(self.storage).schema
+
+    @property
+    def sql_name(self) -> str:
+        """Quoted name resolvable in SQL — a temp view pinned to this
+        version (node.py:240-246 maps fully-qualified DB names to this)."""
+        view = f"{self.table_name}__{self.version_id}"
+        df = self._engine.spark.read.parquet(self.storage)
+        df.createOrReplaceTempView(view)
+        return f"`{view}`"
+
+    def as_dataframe(self) -> DataFrame:
+        return self._engine.spark.read.parquet(self.storage)
+
+
+class Table:
+    """Stable reference across versions of a stored table
+    (node.py:117-139). Read ops hit the active TableVersion; write ops
+    buffer and flush as Spark jobs."""
+
+    def __init__(
+        self,
+        name: str,
+        mode: str = "r",
+        description: str | None = None,
+        schema: Any = None,
+        required: bool = True,
+    ):
+        ctx = _current_context.get()
+        self.port_name = name
+        self.mode = mode.lower()
+        if self.mode not in ("r", "w"):
+            raise ValueError(f"invalid table mode {mode!r} (use 'r' or 'w')")
+        self.description = description
+        self.required = required
+        self._declared_schema = schema
+        self._buffer: list[Any] = []
+        self._buffered_rows = 0
+        # resolve port -> store through the node's bindings (edit.py:101-126);
+        # an unbound port means every op is a safe no-op (node.py:232-238)
+        if ctx is None:
+            raise RuntimeError("Table must be created inside a node execution context")
+        self._ctx = ctx
+        bindings = ctx.inputs if self.mode == "r" else ctx.outputs
+        self.store_name = bindings.get(name)
+        self._engine = ctx.engine
+        ctx.register_table(self)
+        if self.is_connected and schema is not None:
+            self.init(schema=schema)
+
+    # -- connection / metadata -----------------------------------------
+    @property
+    def is_connected(self) -> bool:
+        """False when the port has no bound store; then all methods are
+        no-ops returning dummy objects (node.py:232-238)."""
+        return self.store_name is not None
+
+    @property
+    def exists(self) -> bool:
+        if not self.is_connected:
+            return False
+        v = self._engine.catalog.get_active_version(self.store_name)
+        return v is not None and self._engine.catalog.version_has_data(self.store_name, v)
+
+    @property
+    def schema(self) -> T.StructType | None:
+        if not self.is_connected:
+            return None
+        av = self.get_active_version()
+        return av.schema if av else None
+
+    @property
+    def record_count(self) -> int | None:
+        if not self.is_connected:
+            return None
+        av = self.get_active_version()
+        return av.record_count if av else None
+
+    @property
+    def sql_name(self) -> str | None:
+        """Fully qualified, quoted SQL name of the active version, for
+        interpolating into read_sql / SQL nodes (node.py:240-246)."""
+        if not self.is_connected:
+            return None
+        av = self.get_active_version()
+        if av is None or not av.exists:
+            # pin an empty view with the declared schema if any
+            view = f"{self.store_name}__empty"
+            ddl_schema = self.schema or T.StructType([])
+            self._engine.spark.createDataFrame([], ddl_schema).createOrReplaceTempView(view)
+            return f"`{view}`"
+        return av.sql_name
+
+    def __str__(self) -> str:  # str(table) interpolates like sql_name (node.py:176-181)
+        return self.sql_name or ""
+
+    # -- version lifecycle ----------------------------------------------
+    def get_active_version(self) -> TableVersion | None:
+        if not self.is_connected:
+            return None
+        vid = self._engine.catalog.get_active_version(self.store_name)
+        return TableVersion(self._engine, self.store_name, vid) if vid else None
+
+    def has_active_version(self) -> bool:
+        return self.get_active_version() is not None
+
+    def create_new_version(self) -> TableVersion | None:
+        if not self.is_connected:
+            return None
+        vid = self._engine.catalog.create_new_version(self.store_name)
+        return TableVersion(self._engine, self.store_name, vid)
+
+    def set_active_version(self, version: TableVersion) -> None:
+        if not self.is_connected:
+            return
+        self._engine.catalog.set_active_version(self.store_name, version.version_id)
+
+    # -- init -----------------------------------------------------------
+    def init(
+        self,
+        schema: Any = None,
+        schema_hints: dict[str, str] | None = None,
+        unique_on: str | list[str] | None = None,
+        add_created: str | None = None,
+        add_monotonic_id: str | None = None,
+        auto_indexes: bool = True,
+        strictly_monotonic_ordering: str | None = None,
+        created_ordering: str | None = None,
+    ) -> None:
+        """Declare creation-time table properties (node.py:269-297)."""
+        if not self.is_connected:
+            return
+        updates: dict[str, Any] = {"auto_indexes": auto_indexes}
+        if schema is not None:
+            struct = schema if isinstance(schema, T.StructType) else schema_dict_to_struct(schema)
+            updates["schema_ddl"] = ",".join(f"{f.name} {f.dataType.simpleString()}" for f in struct.fields)
+            self._declared_schema = struct
+        if schema_hints is not None:
+            updates["schema_hints"] = dict(schema_hints)
+        if unique_on is not None:
+            updates["unique_on"] = [unique_on] if isinstance(unique_on, str) else list(unique_on)
+        if add_created is not None:
+            updates["add_created"] = add_created
+            updates.setdefault("created_ordering", add_created)
+        if add_monotonic_id is not None:
+            # the generated id is a strictly monotonic ordering (node.py:286-294)
+            updates["add_monotonic_id"] = add_monotonic_id
+            updates.setdefault("strictly_monotonic_ordering", add_monotonic_id)
+        if strictly_monotonic_ordering is not None:
+            updates["strictly_monotonic_ordering"] = strictly_monotonic_ordering
+        if created_ordering is not None:
+            updates["created_ordering"] = created_ordering
+        self._engine.catalog.update_table_meta(self.store_name, **updates)
+
+    # -- reads ------------------------------------------------------------
+    def _active_df(self) -> DataFrame | None:
+        av = self.get_active_version()
+        if av is None or not av.exists:
+            return None
+        return av.as_dataframe()
+
+    def read(self, as_format: str = "records", chunksize: int | None = None):
+        """Full scan of the active version (node.py:141-154). 'records'
+        → list of dicts; 'dataframe' → pandas; chunksize → iterator."""
+        if not self.is_connected:
+            return iter(()) if chunksize else ([] if as_format == "records" else pd.DataFrame())
+        df = self._active_df()
+        if df is None:
+            return iter(()) if chunksize else ([] if as_format == "records" else pd.DataFrame())
+        if chunksize:
+            return _chunked(df, as_format, chunksize)
+        pdf = df.toPandas()
+        return pdf.to_dict("records") if as_format == "records" else pdf
+
+    def read_dataframe(self, chunksize: int | None = None):
+        return self.read(as_format="dataframe", chunksize=chunksize)
+
+    def read_spark(self) -> DataFrame:
+        """Engine extension: the active version as a (lazy) Spark
+        DataFrame — the scale-preferred read path (SURVEY.md §7.3-4)."""
+        df = self._active_df()
+        if df is None:
+            schema = self.schema or T.StructType([])
+            return self._engine.spark.createDataFrame([], schema)
+        return df
+
+    def read_sql(self, sql: str, as_format: str = "records", chunksize: int | None = None):
+        """Arbitrary SQL over storage; caller interpolates sql_name
+        (node.py:168-189). Full Spark SQL / Catalyst surface."""
+        if not self.is_connected:
+            return [] if as_format == "records" else pd.DataFrame()
+        df = self._engine.spark.sql(sql)
+        if chunksize:
+            return _chunked(df, as_format, chunksize)
+        pdf = df.toPandas()
+        return pdf.to_dict("records") if as_format == "records" else pdf
+
+    def as_stream(self, order_by: str | None = None, starting_value: Any = None) -> "Stream":
+        """Ordered exactly-once cursor over this table (node.py:191-214).
+        order_by defaults to the schema's strictly_monotonic_ordering,
+        else its created_ordering, else error."""
+        if not self.is_connected:
+            return Stream(self, None, None)  # inert stream
+        meta = self._engine.catalog.table_meta(self.store_name) or {}
+        ob = order_by or meta.get("strictly_monotonic_ordering") or meta.get("created_ordering")
+        if ob is None:
+            raise ValueError(
+                f"table {self.store_name!r} has no default ordering; pass order_by= "
+                "(node.py:197-204: requires strictly_monotonic_ordering or created_ordering)"
+            )
+        return Stream(self, ob, starting_value)
+
+    # -- writes ------------------------------------------------------------
+    def append(self, records: Any) -> None:
+        """Append records; BUFFERED, flushed in batches and at execution
+        end (node.py:299-316). First write creates the table (declared
+        schema wins, else inferred)."""
+        if not self.is_connected:
+            return
+        self._buffer.append(("append", records))
+        self._buffered_rows += _estimate_rows(records)
+        self._maybe_autoflush()
+
+    def upsert(self, records: Any) -> None:
+        """Insert-or-update on the unique_on key (node.py:318-334);
+        buffered like append."""
+        if not self.is_connected:
+            return
+        meta = self._engine.catalog.table_meta(self.store_name) or {}
+        if not meta.get("unique_on"):
+            raise ValueError(f"upsert on table {self.store_name!r} requires unique_on (Table.init)")
+        self._buffer.append(("upsert", records))
+        self._buffered_rows += _estimate_rows(records)
+        self._maybe_autoflush()
+
+    def replace(self, records: Any) -> None:
+        """Reset to a fresh version containing exactly `records`
+        (node.py:336-345: 'table.reset(); table.append(records)')."""
+        if not self.is_connected:
+            return
+        self._buffer.clear()
+        self._buffered_rows = 0
+        self.reset()
+        self.append(records)
+        self.flush()
+
+    def truncate(self) -> None:
+        """Delete all rows keeping table + schema; destructive, no
+        version flip (node.py:347-354)."""
+        if not self.is_connected:
+            return
+        av = self.get_active_version()
+        if av is None or not av.exists:
+            return
+        schema = av.schema
+        empty = self._engine.spark.createDataFrame([], schema)
+        empty.write.mode("overwrite").parquet(av.storage)
+        self._engine.catalog.set_record_count(self.store_name, av.version_id, 0)
+        self.signal_update()
+
+    def reset(self) -> None:
+        """Point at a new null TableVersion; old data kept until GC
+        (node.py:399-405,216-222)."""
+        if not self.is_connected:
+            return
+        vid = self._engine.catalog.create_new_version(self.store_name)
+        self._engine.catalog.set_active_version(self.store_name, vid)
+        self._engine.catalog.gc_versions(self.store_name)
+        self.signal_reset()
+
+    def flush(self) -> None:
+        """Flush buffered append/upsert records to disk as one Spark job
+        (node.py:407-414; auto at execution end)."""
+        if not self.is_connected or not self._buffer:
+            return
+        appends = [r for kind, r in self._buffer if kind == "append"]
+        upserts = [r for kind, r in self._buffer if kind == "upsert"]
+        self._buffer.clear()
+        self._buffered_rows = 0
+        if appends:
+            self._flush_batch(appends, upsert=False)
+        if upserts:
+            self._flush_batch(upserts, upsert=True)
+
+    def _maybe_autoflush(self, threshold: int = 100_000) -> None:
+        # periodic batch flush (node.py:305-307): bound driver memory
+        if self._buffered_rows >= threshold:
+            self.flush()
+
+    def _prepare_batch(self, batches: list[Any]) -> DataFrame:
+        spark = self._engine.spark
+        declared = None
+        if self._declared_schema is not None:
+            declared = (
+                self._declared_schema
+                if isinstance(self._declared_schema, T.StructType)
+                else schema_dict_to_struct(self._declared_schema)
+            )
+        dfs = [records_to_dataframe(spark, b, None) for b in batches]
+        df = dfs[0]
+        for other in dfs[1:]:
+            df = df.unionByName(other, allowMissingColumns=True)
+        meta = self._engine.catalog.table_meta(self.store_name) or {}
+        if declared is not None and not self.exists:
+            df = conform_to_schema(df, declared)
+        df = apply_schema_hints(df, meta.get("schema_hints"))
+        if meta.get("add_created"):
+            df = df.withColumn(meta["add_created"], F.current_timestamp())
+        if meta.get("add_monotonic_id"):
+            df = self._with_monotonic_id(df, meta["add_monotonic_id"])
+        existing_schema = self.schema
+        if existing_schema is not None and self.exists:
+            # schema evolution: cast to existing field types, null-fill
+            # missing, keep new fields (merge-schema append)
+            df = conform_to_schema(df, existing_schema)
+        return df
+
+    def _with_monotonic_id(self, df: DataFrame, col: str) -> DataFrame:
+        """Dense base32 ids from the catalog high-watermark; assigned at
+        flush on the driver-reserved block so Spark task retries can't
+        duplicate or skip ids (SURVEY.md §7.3-1). Buffered batches are
+        bounded (autoflush), so the single row_number sort is cheap."""
+        n = df.count()
+        start = self._engine.catalog.allocate_monotonic_block(self.store_name, n)
+        w = Window.orderBy(F.monotonically_increasing_id())
+        b32 = F.udf(lambda i: encode_base32(start + i - 1), T.StringType())
+        return df.withColumn(col, b32(F.row_number().over(w)))
+
+    def _flush_batch(self, batches: list[Any], upsert: bool) -> None:
+        catalog = self._engine.catalog
+        df = self._prepare_batch(batches)
+        meta = catalog.table_meta(self.store_name) or {}
+        av = self.get_active_version()
+        created = av is None
+        if upsert:
+            keys = meta["unique_on"]
+            # last-wins dedup of the batch itself on the key
+            order_col = meta.get("add_monotonic_id") or meta.get("add_created")
+            if order_col and order_col in df.columns:
+                w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+            else:
+                w = Window.partitionBy(*keys).orderBy(F.monotonically_increasing_id().desc())
+            df = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+            if av is not None and av.exists:
+                old = av.as_dataframe()
+                old = conform_to_schema(old, merge_schemas(old.schema, df.schema))
+                df = conform_to_schema(df, old.schema)
+                # MERGE rewrite: untouched old rows (anti-join on key) + new
+                # batch → new version. Scale note: this rewrites the table;
+                # on a cluster, key-partitioned versions bound the rewrite
+                # to matching partitions (SURVEY.md §7.3-3). Small batches
+                # broadcast automatically under AQE.
+                survivors = old.join(df.select(*keys), on=keys, how="left_anti")
+                df = survivors.unionByName(df)
+            new_version = catalog.create_new_version(self.store_name)
+            out_dir = catalog.version_dir(self.store_name, new_version)
+            df = self._sorted_for_write(df, meta)
+            df.write.mode("overwrite").parquet(out_dir)
+            n = self._engine.spark.read.parquet(out_dir).count()
+            catalog.set_record_count(self.store_name, new_version, n)
+            catalog.set_active_version(self.store_name, new_version)
+            catalog.gc_versions(self.store_name)
+        else:
+            if created:
+                vid = catalog.create_new_version(self.store_name)
+                catalog.set_active_version(self.store_name, vid)
+                av = TableVersion(self._engine, self.store_name, vid)
+            df = self._sorted_for_write(df, meta)
+            existed = av.exists
+            df.write.mode("append").parquet(av.storage)
+            prev = catalog.get_record_count(self.store_name, av.version_id) or 0 if existed else 0
+            batch_n = df.count()
+            catalog.set_record_count(self.store_name, av.version_id, prev + batch_n)
+        # persist observed schema for empty-read / declared-schema cases
+        out_schema = self.schema
+        if out_schema is not None:
+            catalog.update_table_meta(
+                self.store_name,
+                schema_ddl=",".join(f"{f.name} {f.dataType.simpleString()}" for f in out_schema.fields),
+            )
+        if created:
+            self.signal_create()
+        else:
+            self.signal_update()
+
+    def _sorted_for_write(self, df: DataFrame, meta: dict) -> DataFrame:
+        """Write versions sorted by the declared ordering so Parquet
+        min/max stats prune incremental stream slices (SURVEY.md §4
+        'incremental stream slice pruning'); auto_indexes≈sort-on-key."""
+        ob = meta.get("strictly_monotonic_ordering") or meta.get("created_ordering")
+        if ob and ob in df.columns:
+            return df.sortWithinPartitions(ob)
+        if meta.get("auto_indexes") and meta.get("unique_on"):
+            keys = [k for k in meta["unique_on"] if k in df.columns]
+            if keys:
+                return df.sortWithinPartitions(*keys)
+        return df
+
+    # -- sql ------------------------------------------------------------
+    def execute_sql(self, sql: str) -> None:
+        """Run DDL/DML that creates or updates THIS table
+        (node.py:356-373). The engine classifies the statement to emit
+        create-vs-update events (node.py:358-363): CREATE TABLE ... AS
+        → new version + create; INSERT INTO ... → append + update."""
+        if not self.is_connected:
+            return
+        rendered = self._engine.render_sql(sql, this=self)
+        m_ctas = re.match(r"\s*create\s+(?:or\s+replace\s+)?table\s+(\S+)\s+as\s+(.*)", rendered, re.I | re.S)
+        m_ins = re.match(r"\s*insert\s+into\s+(\S+)\s+(.*)", rendered, re.I | re.S)
+        if m_ctas:
+            result = self._engine.spark.sql(m_ctas.group(2))
+            self.write_dataframe_as_new_version(result)
+        elif m_ins:
+            result = self._engine.spark.sql(m_ins.group(2))
+            self.append(result)
+            self.flush()
+        else:
+            self._engine.spark.sql(rendered)
+            self.signal_update()
+
+    def write_dataframe_as_new_version(self, df: DataFrame) -> TableVersion:
+        """Engine extension (used by SQL nodes / CTAS): write df as a
+        fresh version and flip the active pointer atomically."""
+        catalog = self._engine.catalog
+        created = self.get_active_version() is None
+        vid = catalog.create_new_version(self.store_name)
+        out = catalog.version_dir(self.store_name, vid)
+        meta = catalog.table_meta(self.store_name) or {}
+        self._sorted_for_write(df, meta).write.mode("overwrite").parquet(out)
+        catalog.set_active_version(self.store_name, vid)
+        catalog.update_table_meta(
+            self.store_name,
+            schema_ddl=",".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in self._engine.spark.read.parquet(out).schema.fields
+            ),
+        )
+        catalog.gc_versions(self.store_name)
+        if created:
+            self.signal_create()
+        else:
+            self.signal_update()
+        return TableVersion(self._engine, self.store_name, vid)
+
+    # -- events -----------------------------------------------------------
+    def signal_create(self) -> None:
+        """Manually emit a create data event (node.py:387-390)."""
+        if self.is_connected:
+            self._ctx.emit_event(self.store_name, "create")
+
+    def signal_update(self) -> None:
+        if self.is_connected:
+            self._ctx.emit_event(self.store_name, "update")
+
+    def signal_reset(self) -> None:
+        if self.is_connected:
+            self._ctx.emit_event(self.store_name, "reset")
+
+
+def _estimate_rows(records: Any) -> int:
+    if isinstance(records, pd.DataFrame):
+        return len(records)
+    if isinstance(records, DataFrame):
+        return 10_000  # lazy; force autoflush consideration without a count job
+    if isinstance(records, dict):
+        return 1
+    try:
+        return len(records)
+    except TypeError:
+        return 1
+
+
+def _chunked(df: DataFrame, as_format: str, chunksize: int) -> Iterator[Any]:
+    """Chunked reads (node.py:146,152-166) without collecting the whole
+    table: toLocalIterator streams partitions through the driver."""
+    buf: list[dict] = []
+    for row in df.toLocalIterator():
+        buf.append(row.asDict(recursive=True))
+        if len(buf) >= chunksize:
+            yield buf if as_format == "records" else pd.DataFrame(buf)
+            buf = []
+    if buf:
+        yield buf if as_format == "records" else pd.DataFrame(buf)
+
+
+class Stream:
+    """Stateful ordered view of a Table: consume one-record-at-a-time
+    with progress preserved across executions (node.py:18-81).
+
+    Consumption is strictly-greater-than the cursor (node.py:70-76).
+    A yielded record is consumed regardless of downstream errors,
+    UNLESS checkpoint/rollback are used (node.py:40-52): the in-memory
+    cursor advances per yield and persists at checkpoint() or at
+    successful execution end; a crash replays from the last persisted
+    cursor (at-least-once, exactly-once when the consumer checkpoints
+    after side effects)."""
+
+    def __init__(self, table: Table, order_by: str | None, starting_value: Any):
+        self.table = table
+        self._order_by = order_by
+        self._inert = not table.is_connected or order_by is None
+        if self._inert:
+            self._cursor = None
+            self._persisted = None
+            return
+        ctx = table._ctx
+        engine = table._engine
+        persisted = engine.catalog.get_cursor(ctx.node_id, table.store_name, order_by)
+        if starting_value is not None and persisted is None:
+            persisted = starting_value
+        self._cursor = persisted
+        self._persisted = persisted
+        ctx.register_stream(self)
+
+    @property
+    def order_by_field(self) -> str | None:
+        return self._order_by
+
+    def _slice(self) -> DataFrame | None:
+        df = self.table._active_df()
+        if df is None:
+            return None
+        ob = self._order_by
+        if self._cursor is not None:
+            df = df.filter(F.col(ob) > F.lit(self._cursor))
+        return df.orderBy(ob)
+
+    def consume_records(self, with_metadata: bool = False) -> Iterator[dict]:
+        if self._inert:
+            return
+        df = self._slice()
+        if df is None:
+            return
+        ob = self._order_by
+        for row in df.toLocalIterator():
+            rec = row.asDict(recursive=True)
+            self._cursor = rec[ob]
+            if with_metadata:
+                yield {"record": rec, "order_by_value": rec[ob], "table": self.table.store_name}
+            else:
+                yield rec
+
+    def __iter__(self) -> Iterator[dict]:
+        return self.consume_records()
+
+    def consume_spark(self, max_records: int | None = None) -> DataFrame | None:
+        """Engine extension: the unconsumed slice as one Spark DataFrame,
+        advancing the cursor to the slice max — the distributed-scale
+        alternative to record-at-a-time iteration (SURVEY.md §7.3-4)."""
+        if self._inert:
+            return None
+        df = self._slice()
+        if df is None:
+            return None
+        if max_records is not None:
+            df = df.limit(max_records)
+        agg = df.agg(F.max(self._order_by).alias("m"), F.count(F.lit(1)).alias("n")).collect()[0]
+        if agg["n"] == 0:
+            return None
+        self._cursor = agg["m"]
+        return df
+
+    def checkpoint(self) -> None:
+        """Persist consumed position mid-execution (node.py:54-58),
+        atomically with node state (exactly-once, SURVEY.md §7.3-2)."""
+        if self._inert:
+            return
+        ctx = self.table._ctx
+        ctx.commit_progress()
+        self._persisted = self._cursor
+
+    def rollback(self) -> None:
+        """Revert to start-of-execution or last checkpoint (node.py:60-63)."""
+        if self._inert:
+            return
+        self._cursor = self._persisted
+
+    def rewind(self) -> None:
+        """Reset to the beginning of the table (node.py:65-68)."""
+        if self._inert:
+            return
+        self._cursor = None
+        self._persisted = None
+
+    def seek(self, value: Any) -> None:
+        """Position so consumption resumes strictly AFTER value
+        (node.py:70-76)."""
+        if self._inert:
+            return
+        self._cursor = value
+
+
+class State:
+    """Per-node key-value store (node.py:417-505)."""
+
+    def __init__(self):
+        ctx = _ctx()
+        self._ctx = ctx
+        self._engine = ctx.engine
+        self._state: dict = self._engine.catalog.get_state(ctx.node_id)
+        ctx.register_state(self)
+
+    def set(self, state: dict) -> None:
+        self._state = dict(state)
+        self._persist()
+
+    def get(self) -> dict:
+        return dict(self._state)
+
+    def set_value(self, key: str, value: Any) -> None:
+        self._state[key] = value
+        self._persist()
+
+    def get_value(self, key: str, default: Any = None) -> Any:
+        return self._state.get(key, default)
+
+    def get_datetime(self, key: str, default: dt.datetime | None = None) -> dt.datetime | None:
+        v = self._state.get(key)
+        if v is None:
+            return default
+        if isinstance(v, dt.datetime):
+            return v
+        return dt.datetime.fromisoformat(str(v))
+
+    def reset(self) -> None:
+        self._state = {}
+        self._persist()
+
+    def _persist(self) -> None:
+        self._engine.catalog.set_state(self._ctx.node_id, self._state)
+
+    def should_continue(self) -> bool:
+        """False when the execution nears its hard time limit: trips at
+        80% of the limit or 120 s before it, whichever is GREATER
+        remaining headroom (node.py:465-480; limit 'typically 10
+        minutes')."""
+        ctx = self._ctx
+        elapsed = time.monotonic() - ctx.start_monotonic
+        limit = ctx.execution_time_limit
+        trip_at = min(0.8 * limit, limit - 120)
+        return elapsed < max(trip_at, 0)
+
+    def request_new_run(self, trigger_downstream: bool = True, wait_atleast_seconds: int | None = None) -> None:
+        """Ask the orchestrator for a follow-up run of this node after
+        this execution finishes (node.py:482-500)."""
+        self._ctx.requested_new_run = {
+            "trigger_downstream": trigger_downstream,
+            "wait_atleast_seconds": wait_atleast_seconds,
+        }
+
+
+def respond_to_request(request_key: str, payload: Any) -> None:
+    """Send a JSON response to the webhook request identified by
+    request_key (node.py:544-553). The runner holds the response
+    registry keyed by patterns_request_key."""
+    _ctx().engine.respond(request_key, payload)
+
+
+class NodeContext:
+    """Everything bound to one node execution: engine, port bindings,
+    parameters, state, streams, wall-clock budget (SURVEY.md §3.2)."""
+
+    def __init__(
+        self,
+        engine: "Engine",
+        node_id: str,
+        inputs: dict[str, str] | None = None,
+        outputs: dict[str, str] | None = None,
+        parameters: dict[str, Any] | None = None,
+        execution_time_limit: float = 600.0,
+    ):
+        self.engine = engine
+        self.node_id = node_id
+        self.inputs = dict(inputs or {})
+        self.outputs = dict(outputs or {})
+        self.parameters = dict(parameters or {})
+        self.execution_time_limit = execution_time_limit
+        self.start_monotonic = time.monotonic()
+        self.tables: list[Table] = []
+        self.streams: list[Stream] = []
+        self.states: list[State] = []
+        self.requested_new_run: dict | None = None
+        self.events: list[dict] = []
+        self._token: contextvars.Token | None = None
+
+    def register_table(self, t: Table) -> None:
+        self.tables.append(t)
+
+    def register_stream(self, s: Stream) -> None:
+        self.streams.append(s)
+
+    def register_state(self, s: State) -> None:
+        self.states.append(s)
+
+    def emit_event(self, table: str, kind: str) -> None:
+        evt = self.engine.catalog.append_event(table, kind, node_id=self.node_id)
+        self.events.append(evt)
+
+    def commit_progress(self) -> None:
+        """Atomic cursor+state commit (exactly-once contract)."""
+        cursors = {(s.table.store_name, s.order_by_field): s._cursor for s in self.streams if not s._inert}
+        state = self.states[-1]._state if self.states else None
+        self.engine.catalog.commit_cursor_and_state(self.node_id, cursors, state)
+        for s in self.streams:
+            s._persisted = s._cursor
+
+    def finish(self) -> None:
+        """Execution-end protocol: flush writes, persist cursors+state
+        (node.py:19-22,410-413)."""
+        for t in self.tables:
+            t.flush()
+        self.commit_progress()
+
+    def __enter__(self) -> "NodeContext":
+        self._token = _current_context.set(self)
+        self.start_monotonic = time.monotonic()
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        try:
+            if exc_type is None:
+                self.finish()
+        finally:
+            _current_context.reset(self._token)
+
+
+class Engine:
+    """Catalog + SparkSession + the node-execution entry point."""
+
+    def __init__(self, warehouse_dir: str, spark: SparkSession | None = None):
+        from ..session import get_spark
+
+        self.catalog = Catalog(warehouse_dir)
+        self.spark = spark or get_spark()
+        self._responses: dict[str, Any] = {}
+
+    def node_context(self, node_id: str = "adhoc", **kwargs: Any) -> NodeContext:
+        return NodeContext(self, node_id, **kwargs)
+
+    def table(self, store: str, mode: str = "r", **kwargs: Any) -> Table:
+        """Standalone (outside-graph) bound table: implicit one-port
+        context. Intended for tests/notebooks."""
+        ctx = _current_context.get()
+        if ctx is None:
+            raise RuntimeError("use `with engine.node_context(...):` before engine.table()")
+        return Table(store, mode, **kwargs)
+
+    def register_views(self, names: list[str] | None = None) -> dict[str, str]:
+        """Register each table's active version as a temp view under its
+        plain store name; returns {store: view_name}. Used by SQL nodes."""
+        out = {}
+        for name in names or self.catalog.table_names():
+            d = self.catalog.active_dir(name)
+            if d and self.catalog.version_has_data(name, self.catalog.get_active_version(name)):
+                self.spark.read.parquet(d).createOrReplaceTempView(name)
+                out[name] = name
+        return out
+
+    def render_sql(self, sql: str, this: Table | None = None, parameters: dict[str, Any] | None = None) -> str:
+        """Render ``{{ ref }}`` templates: a ref that names a store → its
+        active version's sql_name; a parameter → typed SQL literal; the
+        literal 'table'/'this' → the executing table (node.py:364-368,
+        create.py:239-244)."""
+        params = parameters or {}
+
+        def sub(m: re.Match) -> str:
+            ref = m.group(1).strip()
+            if this is not None and ref in ("table", "this", this.store_name or ""):
+                return this.sql_name or (this.store_name or ref)
+            if ref in params:
+                return _sql_literal(params[ref])
+            meta = self.catalog.table_meta(ref)
+            if meta is not None:
+                av = self.catalog.get_active_version(ref)
+                if av and self.catalog.version_has_data(ref, av):
+                    view = f"{ref}__{av}"
+                    self.spark.read.parquet(self.catalog.version_dir(ref, av)).createOrReplaceTempView(view)
+                    return f"`{view}`"
+                return ref
+            raise KeyError(f"unresolved template reference {{{{ {ref} }}}}")
+
+        return re.sub(r"\{\{\s*([^}]+?)\s*\}\}", sub, sql)
+
+    def respond(self, request_key: str, payload: Any) -> None:
+        self._responses[request_key] = payload
+
+    def get_response(self, request_key: str) -> Any:
+        return self._responses.get(request_key)
+
+
+def _sql_literal(v: Any) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, dt.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, dt.date):
+        return f"DATE '{v.isoformat()}'"
+    if isinstance(v, (list, tuple)):
+        return "(" + ", ".join(_sql_literal(x) for x in v) + ")"
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
