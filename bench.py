@@ -1,0 +1,81 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized (count + collect of the final result)
+so the number reflects scan+shuffle+compute, not lazy plan building.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from patterns_devkit_spark.queries import QUERIES  # noqa: E402
+from patterns_devkit_spark.session import get_spark  # noqa: E402
+
+# Headline set: the scan/join/agg/window/topk core + the north-star
+# operators that matter at scale. (SDK ops are covered by tests; the
+# bench measures query throughput.)
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_region_volume",
+    "q06_forecast_revenue",
+    "q08_outer_join_agg",
+    "q11_count_distinct",
+    "q13_cube",
+    "q15_window_rank",
+    "q17_window_frames",
+    "q18_topk",
+    "q22_datetime_funcs",
+    "q29_tumbling_window",
+    "q31_sessionize",
+    "q32_asof_join",
+    "q33_dedup_exact",
+    "q34_ngram_jaccard",
+    "q37_cosine_topk",
+    "q40_text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so timings measure the
+    # queries, not first-touch JIT
+    QUERIES["q18_topk"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        df.limit(10).collect()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

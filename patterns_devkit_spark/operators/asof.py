@@ -1,0 +1,65 @@
+"""As-of join: for each left row, the most recent right row with
+right_ts <= left_ts (optionally per key).
+
+Spark has no native as-of join; this is the union-tag-window
+formulation (SURVEY.md §2 custom operators, pyspark_guide 'As-of /
+range join'): union both sides tagged, sort within key by
+(ts, side-tag), and carry the last-seen right row forward with
+last_value(ignorenulls). ONE shuffle on the key — same cost as a
+regular join — versus the range-join nested loop; this is the shape
+that survives 100 TB. Ties (right_ts == left_ts) resolve to the right
+row, i.e. '<=' semantics; among equal right_ts the largest tiebreak
+column wins (deterministic).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tiebreak: str | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Returns left columns + prefixed right_cols of the as-of match
+    (nulls when no right row precedes)."""
+    lcols = left.columns
+    rkeep = [c for c in right_cols]
+    tb = tiebreak if tiebreak is not None else (rkeep[0] if rkeep else right_ts)
+
+    l_tagged = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("double").alias("__tb"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in rkeep],
+    )
+    r_tagged = right.select(
+        # key columns come from the right side under the left's names;
+        # all other left columns are typed nulls
+        *[F.col(c).alias(c) if c in on else F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.col(tb).cast("double").alias("__tb"),
+        *[F.col(c).alias(f"__r_{c}") for c in rkeep],
+    )
+    u = l_tagged.unionByName(r_tagged)
+    # right rows sort before left rows at equal ts (__side 0 < 1) => '<='
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"{prefix}{c}") for c in rkeep]
+    return (
+        u.select(*lcols, F.col("__side"), *carried)
+        .filter(F.col("__side") == 1)
+        .drop("__side")
+    )

@@ -1,0 +1,168 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design notes (the point of each variant):
+- exact_dedup: one hash-aggregate shuffle on a fingerprint — the
+  cheapest possible dedup at any scale; keeps min(id) per group so the
+  result is deterministic.
+- ngram_jaccard_best_match: exact pairwise Jaccard restricted by an
+  inverted shingle index (explode -> equi-join on shingle), so the
+  shuffle is O(shared-shingle pairs), not O(n²). Fully verifiable in
+  SQL.
+- minhash_lsh_dedup: Spark ML MinHashLSH banding — the 100 TB path:
+  candidate pairs come from equi-joins on band buckets; per-pair work
+  only on candidates. Approximate, so it gets a rows-only driver check.
+- simhash: 64-bit fingerprint whose Hamming distance approximates
+  cosine on token sets; computed with xxhash64 + bit ops, all JVM-side.
+- embedding near-dup: cosine over normalized vectors; exact for
+  verification, LSH-bucketed variant in operators/similarity.py.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint, word_shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate removal by md5 fingerprint: one row per distinct
+    normalized text, keeping the smallest id (deterministic winner).
+    Plan: partial hash-agg -> shuffle on fingerprint -> final agg."""
+    fp = fingerprint(df, text_col)
+    return fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram (word-shingle) Jaccard for every candidate pair that
+    shares >=1 shingle. Inverted-index join: explode distinct shingles,
+    self-equi-join on shingle (shuffle co-partitions by shingle — no
+    cross join anywhere), count intersections, then |A∪B| from per-doc
+    distinct-shingle counts. Returns (id_a, id_b, jaccard), id_a<id_b."""
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(word_shingles(text_col, n))).alias("sh"))
+        .filter(F.col("sh") != "")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_best_match(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """For each document, its best Jaccard match among docs sharing a
+    shingle (the 'which doc is this nearest-duplicate of?' primitive).
+    Deterministic: ties broken toward the smaller partner id."""
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, n)
+    sym = pairs.select(F.col("id_a").alias("id"), F.col("id_b").alias("other"), "jaccard").unionAll(
+        pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("other"), "jaccard")
+    )
+    best = sym.groupBy("id").agg(
+        F.max(F.struct(F.col("jaccard"), (-F.col("other")).alias("neg_other"))).alias("b")
+    )
+    return best.select(
+        F.col("id").alias(id_col),
+        (-F.col("b.neg_other")).cast("long").alias("best_match_id"),
+        F.col("b.jaccard").alias("best_jaccard"),
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 64, out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash over whitespace tokens using xxhash64 (JVM-side):
+    per bit, sign(sum over tokens of ±1) — vectorized as an aggregate
+    over exploded tokens. Near-dups have small Hamming distance.
+    Deterministic but engine-specific (xxhash64), so driver checks are
+    rows-only; cross-engine parity is covered by the md5 fingerprint op."""
+    toks = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    id_cols = [c for c in df.columns]
+    exploded = df.select(*id_cols, toks).withColumn("h", F.xxhash64("tok"))
+    bit_sums = exploded.groupBy(*id_cols).agg(
+        *[
+            F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig.bitwiseOR(F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0))
+    return bit_sums.select(*id_cols, sig.alias(out_col))
+
+
+def hamming64(a, b):
+    return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs via Spark ML: shingle ->
+    HashingTF sparse vectors -> MinHashLSH.approxSimilarityJoin. The
+    banding join is the 100 TB-scale path (no pairwise blow-up).
+    Output: (id_a, id_b, jaccard_dist) for candidates under threshold
+    distance. Approximate -> rows-only driver check."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = df.select(F.col(id_col).alias("id"), F.array_distinct(word_shingles(text_col, n)).alias("shingles"))
+    docs = docs.filter(F.size("shingles") > 0)
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
+    feat = tf.transform(docs)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=42)
+    model = mh.fit(feat)
+    joined = model.approxSimilarityJoin(feat, feat, 1.0 - threshold, distCol="jaccard_dist")
+    return (
+        joined.filter(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (cos >= threshold).
+    Self-join is bounded by block-wise broadcast; for 100 TB use the
+    LSH-bucketed variant (similarity.ann_lsh) — this exact form is the
+    verification baseline."""
+    from .similarity import with_norm, cosine
+
+    a = with_norm(df, vec_col).select(F.col(id_col).alias("id_a"), F.col("__vec").alias("va"), F.col("__norm").alias("na"))
+    b = with_norm(df, vec_col).select(F.col(id_col).alias("id_b"), F.col("__vec").alias("vb"), F.col("__norm").alias("nb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = cosine("va", "vb", "na", "nb")
+    return pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).filter(F.col("cosine") >= threshold)

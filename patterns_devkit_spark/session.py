@@ -28,6 +28,10 @@ def get_spark(app_name: str = "patterns-devkit-spark", shuffle_partitions: int |
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # fixture events.parquet stores TIMESTAMP(NANOS); Spark has no ns
+        # timestamp type — read as long and convert (see queries.t)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     return builder.getOrCreate()
