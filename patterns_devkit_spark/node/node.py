@@ -153,10 +153,12 @@ class TableVersion:
 
     @property
     def schema(self) -> T.StructType | None:
+        ddl = (self._engine.catalog.table_meta(self.table_name) or {}).get("schema_ddl")
+        if ddl:
+            return T.StructType.fromDDL(ddl)
         if not self.exists:
-            ddl = (self._engine.catalog.table_meta(self.table_name) or {}).get("schema_ddl")
-            return T.StructType.fromDDL(ddl) if ddl else None
-        return self._engine.spark.read.parquet(self.storage).schema
+            return None
+        return self.as_dataframe().schema
 
     @property
     def sql_name(self) -> str:
@@ -168,7 +170,18 @@ class TableVersion:
         return f"`{view}`"
 
     def as_dataframe(self) -> DataFrame:
-        return self._engine.spark.read.parquet(self.storage)
+        """Read pinned to the catalog's merged schema: a version dir may
+        hold appended files with EVOLVED schemas, and a bare parquet
+        read would sample one file's schema nondeterministically.
+        Explicit schema also skips footer merging at scale."""
+        ddl = (self._engine.catalog.table_meta(self.table_name) or {}).get("schema_ddl")
+        reader = self._engine.spark.read
+        if ddl:
+            try:
+                return reader.schema(T.StructType.fromDDL(ddl)).parquet(self.storage)
+            except Exception:
+                pass
+        return reader.option("mergeSchema", "true").parquet(self.storage)
 
 
 class Table:
@@ -486,6 +499,7 @@ class Table:
 
     def _flush_batch(self, batches: list[Any], upsert: bool) -> None:
         catalog = self._engine.catalog
+        existing_schema = self.schema if self.exists else None
         df = self._prepare_batch(batches)
         meta = catalog.table_meta(self.store_name) or {}
         av = self.get_active_version()
@@ -529,13 +543,14 @@ class Table:
             prev = catalog.get_record_count(self.store_name, av.version_id) or 0 if existed else 0
             batch_n = df.count()
             catalog.set_record_count(self.store_name, av.version_id, prev + batch_n)
-        # persist observed schema for empty-read / declared-schema cases
-        out_schema = self.schema
-        if out_schema is not None:
-            catalog.update_table_meta(
-                self.store_name,
-                schema_ddl=",".join(f"{f.name} {f.dataType.simpleString()}" for f in out_schema.fields),
-            )
+        # persist the MERGED schema (driver-side union of existing +
+        # batch): the version dir may hold files with different column
+        # sets, and reads pin to this schema (TableVersion.as_dataframe)
+        out_schema = df.schema if existing_schema is None else merge_schemas(existing_schema, df.schema)
+        catalog.update_table_meta(
+            self.store_name,
+            schema_ddl=",".join(f"{f.name} {f.dataType.simpleString()}" for f in out_schema.fields),
+        )
         if created:
             self.signal_create()
         else:

@@ -1,0 +1,240 @@
+"""Graph spec parsing, validation errors, node execution, event
+propagation, webhooks, subgraphs, cron (SURVEY.md §2.6, §3.1-§3.3)."""
+import datetime as dt
+import os
+import textwrap
+
+import pytest
+
+from patterns_devkit_spark import Table
+from patterns_devkit_spark.graph.runner import GraphCompileError, GraphRunner
+from patterns_devkit_spark.graph.scheduler import Scheduler, cron_matches
+from patterns_devkit_spark.graph.spec import parse_graph, validate
+
+
+def write(tmp_path, rel, content):
+    p = tmp_path / rel
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(textwrap.dedent(content))
+    return str(p)
+
+
+def make_app(tmp_path):
+    write(
+        tmp_path,
+        "graph.yml",
+        """
+        title: Test app
+        functions:
+          - node_file: gen.py
+            id: gen00001
+            outputs: {out: raw}
+          - node_file: agg.sql
+            id: agg00001
+            inputs: {src: raw}
+            outputs: {result: agg}
+            parameters: {min_v: 2}
+          - webhook: hooks
+        stores:
+          - table: raw
+          - table: agg
+        """,
+    )
+    write(
+        tmp_path,
+        "gen.py",
+        """
+        from patterns import Table
+        out = Table("out", "w")
+        out.init(unique_on=["id"])
+        out.append([{"id": i, "v": i * 10} for i in range(5)])
+        """,
+    )
+    write(
+        tmp_path,
+        "agg.sql",
+        """
+        SELECT count(*) AS n, sum(v) AS total FROM {{ src }} WHERE v >= {{ min_v }}
+        """,
+    )
+    return str(tmp_path)
+
+
+def test_parse_and_validate_ok(tmp_path):
+    app = make_app(tmp_path)
+    spec = parse_graph(app)
+    assert spec.title == "Test app"
+    assert [n.kind for n in spec.functions] == ["python", "sql", "webhook"]
+    assert spec.store_names() == {"raw", "agg", "hooks"}
+    assert validate(spec) == []
+
+
+def test_validation_errors(engine, tmp_path):
+    write(
+        tmp_path,
+        "graph.yml",
+        """
+        functions:
+          - node_file: missing.py
+            id: dup00001
+            outputs: {out: nope}
+          - node_file: bad.sql
+            id: dup00001
+            outputs: {result: agg}
+        stores:
+          - table: agg
+        """,
+    )
+    write(tmp_path, "bad.sql", "SELECT * FROM {{ unknown_store }}")
+    spec = parse_graph(str(tmp_path))
+    msgs = [e["message"] for e in validate(spec)]
+    assert any("duplicate node id" in m for m in msgs)
+    assert any("undeclared store" in m for m in msgs)
+    assert any("missing node file" in m for m in msgs)
+    assert any("unresolved template reference" in m for m in msgs)
+    with pytest.raises(GraphCompileError) as exc:
+        GraphRunner(engine, str(tmp_path))
+    assert len(exc.value.errors) >= 4
+
+
+def test_python_then_sql_node_end_to_end(engine, tmp_path):
+    runner = GraphRunner(engine, make_app(tmp_path))
+    runner.run_node("gen00001")
+    runner.run_node("agg00001")
+    with engine.node_context("check", inputs={"in": "agg"}):
+        rows = Table("in", "r").read()
+        assert rows == [{"n": 4, "total": 100}]  # v in {10,20,30,40}
+
+
+def test_run_all_event_propagation(engine, tmp_path):
+    runner = GraphRunner(engine, make_app(tmp_path))
+    executed = runner.run_all()
+    # gen runs as source; its create event triggers the sql node
+    assert executed[0] == "gen00001" and "agg00001" in executed
+    with engine.node_context("check", inputs={"in": "agg"}):
+        assert Table("in", "r").read()[0]["n"] == 4
+
+
+def test_webhook_post_and_respond(engine, tmp_path):
+    app = make_app(tmp_path)
+    runner = GraphRunner(engine, app)
+    key = runner.webhook_post("hooks", {"msg": "hi"})
+    with engine.node_context("check", inputs={"in": "hooks"}):
+        rows = Table("in", "r").read()
+        assert rows[0]["msg"] == "hi"
+        assert rows[0]["patterns_request_key"] == key
+    # respond_to_request flows through the engine registry
+    from patterns_devkit_spark import respond_to_request
+
+    with engine.node_context("responder"):
+        respond_to_request(key, {"ok": True})
+    assert engine.get_response(key) == {"ok": True}
+
+
+def test_subgraph_exposes(engine, tmp_path):
+    write(
+        tmp_path,
+        "graph.yml",
+        """
+        functions:
+          - node_file: feed.py
+            id: feed0001
+            outputs: {out: base}
+          - node_file: sub/graph.yml
+            id: subg0001
+            inputs: {sub_in: base}
+            outputs: {sub_out: final}
+        stores:
+          - table: base
+          - table: final
+        """,
+    )
+    write(tmp_path, "feed.py", "from patterns import Table\nTable('out','w').append([{'x': 5}])\n")
+    write(
+        tmp_path,
+        "sub/graph.yml",
+        """
+        functions:
+          - node_file: double.sql
+            id: dbl00001
+            inputs: {src: sub_in}
+            outputs: {result: sub_out}
+        stores:
+          - table: sub_in
+          - table: sub_out
+        exposes:
+          inputs: [sub_in]
+          outputs: [sub_out]
+        """,
+    )
+    write(tmp_path, "sub/double.sql", "SELECT x * 2 AS y FROM {{ src }}")
+    runner = GraphRunner(engine, str(tmp_path))
+    runner.run_all()
+    with engine.node_context("check", inputs={"in": "final"}):
+        assert Table("in", "r").read() == [{"y": 10}]
+
+
+def test_cron_matcher():
+    t = dt.datetime(2024, 5, 6, 14, 30)  # Monday
+    assert cron_matches("30 14 * * *", t)
+    assert cron_matches("*/15 * * * *", t)
+    assert cron_matches("* * * * 1", t)
+    assert not cron_matches("31 14 * * *", t)
+    assert not cron_matches("* * * * 0", t)
+    assert cron_matches("0-45/15 14 6 5 *", t)
+    with pytest.raises(ValueError):
+        cron_matches("* * *", t)
+
+
+def test_scheduler_runs_due_nodes(engine, tmp_path):
+    write(
+        tmp_path,
+        "graph.yml",
+        """
+        functions:
+          - node_file: tick.py
+            id: tick0001
+            trigger: "30 * * * *"
+            outputs: {out: ticks}
+        stores:
+          - table: ticks
+        """,
+    )
+    write(tmp_path, "tick.py", "from patterns import Table\nTable('out','w').append([{'t': 1}])\n")
+    runner = GraphRunner(engine, str(tmp_path))
+    sched = Scheduler(runner)
+    assert sched.run_pending(dt.datetime(2024, 1, 1, 10, 29)) == []
+    assert sched.run_pending(dt.datetime(2024, 1, 1, 10, 30)) == ["tick0001"]
+    # same tick twice -> no rerun
+    assert sched.run_pending(dt.datetime(2024, 1, 1, 10, 30)) == []
+
+
+def test_request_new_run_requeues(engine, tmp_path):
+    write(
+        tmp_path,
+        "graph.yml",
+        """
+        functions:
+          - node_file: chunked.py
+            id: chunk001
+            outputs: {out: progress}
+        stores:
+          - table: progress
+        """,
+    )
+    write(
+        tmp_path,
+        "chunked.py",
+        """
+        from patterns import Table, State
+        st = State()
+        n = st.get_value("runs", 0)
+        Table("out", "w").append([{"run": n}])
+        st.set_value("runs", n + 1)
+        if n < 2:
+            st.request_new_run()
+        """,
+    )
+    runner = GraphRunner(engine, str(tmp_path))
+    executed = runner.run_all()
+    assert executed.count("chunk001") == 3  # initial + 2 requeues

@@ -1,0 +1,105 @@
+"""Operator-library unit tests on small deterministic data (the fixture
+parity suite covers cross-engine equivalence; these cover semantics)."""
+from pyspark.sql import functions as F
+
+from patterns_devkit_spark.operators import asof as asof_ops
+from patterns_devkit_spark.operators import dedup as dedup_ops
+from patterns_devkit_spark.operators import multimodal as mm_ops
+from patterns_devkit_spark.operators import similarity as sim_ops
+from patterns_devkit_spark.operators import text as text_ops
+from patterns_devkit_spark.operators import windows as win_ops
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello  world"), (3, "different")], ["doc_id", "text"]
+    )
+    out = {r["keep_id"]: r["dup_count"] for r in dedup_ops.exact_dedup(df).collect()}
+    # whitespace-normalized: docs 1+2 are the same fingerprint
+    assert out == {1: 2, 3: 1}
+
+
+def test_ngram_jaccard_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x"), (3, "z z z z z")], ["doc_id", "text"]
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dedup_ops.ngram_jaccard_pairs(df, n=3).collect()}
+    # doc1 shingles {abc,bcd,cde}, doc2 {abc,bcd,cdx}: J = 2/4
+    assert pairs == {(1, 2): 0.5}
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [(1, "spark table join merge sort"), (2, "spark table join merge batch"), (3, "completely unrelated words here now")],
+        ["doc_id", "text"],
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in dedup_ops.simhash(df).collect()}
+    mask = (1 << 64) - 1  # signed->unsigned before popcount
+
+    def ham(a, b):
+        return bin((a ^ b) & mask).count("1")
+
+    assert ham(sh[1], sh[2]) < ham(sh[1], sh[3])  # near-dup is closer
+
+
+def test_cosine_topk_exact(spark):
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [0.5, 0.5])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = sim_ops.cosine_topk(df, df.filter(F.col("vec_id") == 1), k=2)
+    got = [(r["neighbor_id"], r["rank"]) for r in out.collect()]
+    assert got == [(2, 1), (4, 2)]
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame([(1, 10, 100.0), (1, 20, 200.0), (2, 15, 150.0)], ["k", "lts", "lv"])
+    right = spark.createDataFrame([(1, 5, "a"), (1, 10, "b"), (1, 18, "c"), (2, 99, "z")], ["k", "rts", "tag"])
+    out = asof_ops.asof_join(left, right, on=["k"], left_ts="lts", right_ts="rts", right_cols=["tag"], tiebreak="rts")
+    got = {(r["k"], r["lts"]): r["asof_tag"] for r in out.collect()}
+    # <= semantics: lts=10 matches rts=10; k=2 has no preceding right row
+    assert got == {(1, 10): "b", (1, 20): "c", (2, 15): None}
+
+
+def test_sessionize_gap(spark):
+    base = 1700000000
+    rows = [(1, i, base + off) for i, off in enumerate([0, 60, 120, 4000, 4060])]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "epoch"]).select(
+        "user_id", "event_id", F.col("epoch").cast("timestamp").alias("ts"), F.lit(1.0).alias("value")
+    )
+    out = win_ops.sessionize(df, "ts", "user_id", gap_minutes=30)
+    sizes = sorted(r["n_events"] for r in out.collect())
+    assert sizes == [2, 3]  # 4000s gap splits the sessions
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of a house"), (2, "der hund und die katze ist da"), (3, "xyzzy plugh")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in text_ops.lang_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "one two")], ["doc_id", "text"])
+    out = df.select(text_ops.word_shingles("text", 3).alias("sh")).collect()[0]["sh"]
+    assert out == []  # shorter than n -> empty, not a descending-sequence bug
+
+
+def test_multimodal_binarize_extract(spark):
+    df = spark.createDataFrame([(1, "abc", "s1"), (2, "", "s2")], ["doc_id", "text", "source"])
+    media = mm_ops.binarize(df, "doc_id", "text", "source", mime="text/plain")
+    assert dict(media.dtypes)["payload"] == "binary"
+    feats = {r["media_id"]: r for r in mm_ops.extract_features(media).collect()}
+    assert feats[1]["n_bytes"] == 3
+    assert feats[1]["feat_head"] == [97, 98, 99]
+    assert abs(feats[1]["feat_mean"] - 98.0) < 1e-9
+    assert feats[2]["feat_mean"] == 0.0
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(1, base), (2, base.replace("today", "tomorrow")), (3, "completely different content with other words entirely for testing purposes")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup_ops.minhash_lsh_dedup(df, threshold=0.5, n=2)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) not in got

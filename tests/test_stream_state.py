@@ -1,0 +1,126 @@
+"""Stream cursor laws (node.py:18-81) + State semantics
+(node.py:417-505): consume -> checkpoint -> rollback -> rewind -> seek,
+exactly-once across executions."""
+import datetime as dt
+
+import pytest
+
+from patterns_devkit_spark import State, Table
+
+
+def _seed(engine, n=10):
+    with engine.node_context("seed", outputs={"out": "s_t"}):
+        t = Table("out", "w")
+        t.init(strictly_monotonic_ordering="id")
+        t.append([{"id": i, "v": f"r{i}"} for i in range(n)])
+
+
+def test_stream_exactly_once_across_executions(engine):
+    _seed(engine)
+    with engine.node_context("c", inputs={"in": "s_t"}):
+        s = Table("in", "r").as_stream()
+        assert [r["id"] for r in s] == list(range(10))
+    with engine.node_context("c", inputs={"in": "s_t"}):
+        s = Table("in", "r").as_stream()
+        assert list(s) == []  # all consumed
+
+
+def test_stream_crash_replays_from_checkpoint(engine):
+    _seed(engine)
+    with pytest.raises(RuntimeError, match="boom"):
+        with engine.node_context("c", inputs={"in": "s_t"}):
+            s = Table("in", "r").as_stream()
+            it = s.consume_records()
+            for _ in range(3):
+                next(it)
+            s.checkpoint()  # persist at id=2
+            for _ in range(4):
+                next(it)
+            raise RuntimeError("boom")  # crash: no exec-end commit
+    with engine.node_context("c", inputs={"in": "s_t"}):
+        s = Table("in", "r").as_stream()
+        # replays from the checkpoint, not from the crash position
+        assert [r["id"] for r in s] == list(range(3, 10))
+
+
+def test_stream_rollback_and_rewind_and_seek(engine):
+    _seed(engine)
+    with engine.node_context("c2", inputs={"in": "s_t"}):
+        s = Table("in", "r").as_stream()
+        it = s.consume_records()
+        next(it), next(it)
+        s.rollback()
+        assert next(s.consume_records())["id"] == 0
+        s.seek(6)  # strictly greater (node.py:70-76)
+        assert [r["id"] for r in s.consume_records()] == [7, 8, 9]
+        s.rewind()
+        assert len(list(s.consume_records())) == 10
+
+
+def test_stream_default_ordering_and_missing(engine):
+    _seed(engine)  # declared strictly_monotonic_ordering="id"
+    with engine.node_context("c3", inputs={"in": "s_t"}):
+        s = Table("in", "r").as_stream()
+        assert s.order_by_field == "id"
+    with engine.node_context("w", outputs={"out": "no_ord"}):
+        Table("out", "w").append([{"x": 1}])
+    with engine.node_context("c4", inputs={"in": "no_ord"}):
+        with pytest.raises(ValueError, match="no default ordering"):
+            Table("in", "r").as_stream()
+
+
+def test_stream_starting_value_and_metadata(engine):
+    _seed(engine)
+    with engine.node_context("c5", inputs={"in": "s_t"}):
+        s = Table("in", "r").as_stream(order_by="id", starting_value=7)
+        recs = list(s.consume_records(with_metadata=True))
+        assert [r["record"]["id"] for r in recs] == [8, 9]
+        assert recs[0]["order_by_value"] == 8
+
+
+def test_multiple_streams_different_orderings(engine):
+    """node.py:196-197: multiple simultaneous streams, one cursor per
+    (node, table, order_by)."""
+    with engine.node_context("seed", outputs={"out": "m_t"}):
+        t = Table("out", "w")
+        t.append([{"id": i, "neg": -i} for i in range(5)])
+    with engine.node_context("c6", inputs={"in": "m_t"}):
+        t = Table("in", "r")
+        s1 = t.as_stream(order_by="id")
+        list(s1)
+    with engine.node_context("c6", inputs={"in": "m_t"}):
+        t = Table("in", "r")
+        s2 = t.as_stream(order_by="neg")
+        assert len(list(s2)) == 5  # independent cursor
+
+
+def test_state_roundtrip_and_reset(engine):
+    with engine.node_context("n1"):
+        st = State()
+        st.set_value("k", 42)
+        st.set_value("when", dt.datetime(2024, 5, 1, 12))
+    with engine.node_context("n1"):
+        st = State()
+        assert st.get_value("k") == 42
+        assert st.get_datetime("when") == dt.datetime(2024, 5, 1, 12)
+        assert st.get_value("missing", "d") == "d"
+        st.reset()
+        assert st.get() == {}
+
+
+def test_state_should_continue_budget(engine):
+    with engine.node_context("n2", execution_time_limit=1000):
+        st = State()
+        assert st.should_continue() is True
+    ctx = engine.node_context("n3", execution_time_limit=0.1)
+    with ctx:
+        st = State()
+        assert st.should_continue() is False
+
+
+def test_request_new_run_recorded(engine):
+    ctx = engine.node_context("n4")
+    with ctx:
+        st = State()
+        st.request_new_run(trigger_downstream=False, wait_atleast_seconds=5)
+    assert ctx.requested_new_run == {"trigger_downstream": False, "wait_atleast_seconds": 5}

@@ -1,0 +1,175 @@
+"""Table SDK semantics per the reference contract
+(reference: patterns/node/node.py §2.1-§2.2 of SURVEY.md)."""
+import pandas as pd
+import pytest
+
+from patterns_devkit_spark import Table
+
+
+def test_append_buffered_and_flush_on_exit(engine):
+    with engine.node_context("w", outputs={"out": "t1"}):
+        t = Table("out", "w")
+        t.append([{"a": 1}, {"a": 2}])
+        assert not t.exists  # buffered (node.py:305-307)
+    with engine.node_context("r", inputs={"in": "t1"}):
+        assert sorted(r["a"] for r in Table("in", "r").read()) == [1, 2]
+
+
+def test_append_forms(engine):
+    """records: list-of-dicts, single dict, pandas DataFrame
+    (node.py:300-315)."""
+    with engine.node_context("w", outputs={"out": "t2"}):
+        t = Table("out", "w")
+        t.append({"a": 1})
+        t.append([{"a": 2}])
+        t.append(pd.DataFrame({"a": [3]}))
+    with engine.node_context("r", inputs={"in": "t2"}):
+        assert sorted(r["a"] for r in Table("in", "r").read()) == [1, 2, 3]
+
+
+def test_schema_evolution_union_of_fields(engine):
+    with engine.node_context("w", outputs={"out": "t3"}):
+        t = Table("out", "w")
+        t.append([{"a": 1}])
+        t.flush()
+        t.append([{"a": 2, "b": "x"}])
+        t.flush()
+    with engine.node_context("r", inputs={"in": "t3"}):
+        rows = sorted(Table("in", "r").read(), key=lambda r: r["a"])
+        assert rows[0]["b"] is None and rows[1]["b"] == "x"
+
+
+def test_schema_hints_cast(engine):
+    with engine.node_context("w", outputs={"out": "t4"}):
+        t = Table("out", "w")
+        t.init(schema_hints={"a": "Text", "b": "Float"})
+        t.append([{"a": 1, "b": 2}])
+    with engine.node_context("r", inputs={"in": "t4"}):
+        t = Table("in", "r")
+        kinds = {f.name: f.dataType.simpleString() for f in t.schema.fields}
+        assert kinds == {"a": "string", "b": "double"}
+
+
+def test_declared_schema_wins(engine):
+    with engine.node_context("w", outputs={"out": "t5"}):
+        t = Table("out", "w")
+        t.init(schema={"a": "Integer", "b": "Text", "c": "DateTime"})
+        t.append([{"a": 1, "b": "x"}])  # c missing -> typed null
+    with engine.node_context("r", inputs={"in": "t5"}):
+        t = Table("in", "r")
+        kinds = {f.name: f.dataType.simpleString() for f in t.schema.fields}
+        assert kinds == {"a": "bigint", "b": "string", "c": "timestamp"}
+
+
+def test_upsert_idempotent_and_updates(engine):
+    with engine.node_context("w", outputs={"out": "t6"}):
+        t = Table("out", "w")
+        t.init(unique_on=["k"])
+        t.upsert([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}])
+        t.flush()
+        t.upsert([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}])  # idempotent
+        t.flush()
+        t.upsert([{"k": 2, "v": "B"}, {"k": 3, "v": "c"}])
+    with engine.node_context("r", inputs={"in": "t6"}):
+        rows = {r["k"]: r["v"] for r in Table("in", "r").read()}
+        assert rows == {1: "a", 2: "B", 3: "c"}
+
+
+def test_upsert_last_wins_within_batch(engine):
+    with engine.node_context("w", outputs={"out": "t7"}):
+        t = Table("out", "w")
+        t.init(unique_on=["k"])
+        t.upsert([{"k": 1, "v": "old"}])
+        t.upsert([{"k": 1, "v": "new"}])
+    with engine.node_context("r", inputs={"in": "t7"}):
+        rows = Table("in", "r").read()
+        assert len(rows) == 1
+
+
+def test_replace_and_truncate_and_reset(engine):
+    with engine.node_context("w", outputs={"out": "t8"}):
+        t = Table("out", "w")
+        t.append([{"a": 1}])
+        t.flush()
+        v1 = t.get_active_version().version_id
+        t.replace([{"a": 9}])
+        assert t.get_active_version().version_id != v1  # new version
+        assert [r["a"] for r in t.read()] == [9] if t.mode == "r" else True
+        t.truncate()
+        assert t.record_count == 0
+        assert t.schema is not None  # schema kept (node.py:347-354)
+        t.reset()
+        assert t.get_active_version().exists is False
+
+
+def test_versions_gc_retention(engine):
+    with engine.node_context("w", outputs={"out": "t9"}):
+        t = Table("out", "w")
+        for i in range(6):
+            t.replace([{"a": i}])
+        meta = engine.catalog.table_meta("t9")
+        # retention_keep=3 inactive + 1 active
+        assert len(meta["versions"]) <= 5
+
+
+def test_add_monotonic_id_dense_ordered(engine):
+    with engine.node_context("w", outputs={"out": "t10"}):
+        t = Table("out", "w")
+        t.init(add_monotonic_id="mid")
+        t.append([{"a": i} for i in range(5)])
+        t.flush()
+        t.append([{"a": i} for i in range(5, 8)])
+    with engine.node_context("r", inputs={"in": "t10"}):
+        rows = Table("in", "r").read()
+        mids = sorted(r["mid"] for r in rows)
+        assert len(set(mids)) == 8  # unique
+        # lexical order == insertion order (base32 zero-padded)
+        by_mid = sorted(rows, key=lambda r: r["mid"])
+        assert [r["a"] for r in by_mid] == list(range(8))
+
+
+def test_read_sql_and_sql_name(engine):
+    with engine.node_context("w", outputs={"out": "t11"}):
+        Table("out", "w").append([{"a": i} for i in range(10)])
+    with engine.node_context("r", inputs={"in": "t11"}):
+        t = Table("in", "r")
+        rows = t.read_sql(f"select sum(a) as s from {t.sql_name}")
+        assert rows[0]["s"] == 45
+        # chunked read
+        chunks = list(t.read(chunksize=3))
+        assert sum(len(c) for c in chunks) == 10
+
+
+def test_unconnected_port_noops(engine):
+    with engine.node_context("n"):
+        t = Table("nope", "r", required=False)
+        assert t.is_connected is False
+        assert t.read() == []
+        assert t.record_count is None and t.schema is None
+        tw = Table("nope_w", "w", required=False)
+        tw.append([{"a": 1}])
+        tw.flush()  # no error
+        tw.truncate()
+        tw.reset()
+
+
+def test_execute_sql_insert_into(engine):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    with engine.node_context("w", outputs={"out": "t12"}):
+        t = Table("out", "w")
+        t.execute_sql("CREATE TABLE {{ table }} AS SELECT 1 AS a")
+        t.execute_sql("INSERT INTO {{ table }} SELECT 2 AS a")
+    with engine.node_context("r", inputs={"in": "t12"}):
+        assert sorted(r["a"] for r in Table("in", "r").read()) == [1, 2]
+
+
+def test_record_count_and_table_version_metadata(engine):
+    with engine.node_context("w", outputs={"out": "t13"}):
+        t = Table("out", "w")
+        t.append([{"a": 1}, {"a": 2}])
+        t.flush()
+        av = t.get_active_version()
+        assert av.record_count == 2
+        assert av.exists is True
+        assert "t13" in av.storage
