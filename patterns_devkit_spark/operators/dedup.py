@@ -21,8 +21,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-from .text import fingerprint, word_shingles
+from .text import fingerprint, tokens, word_shingles
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -47,28 +48,48 @@ def ngram_jaccard_pairs(
     self-equi-join on shingle (shuffle co-partitions by shingle — no
     cross join anywhere), count intersections, then |A∪B| from per-doc
     distinct-shingle counts. Returns (id_a, id_b, jaccard), id_a<id_b."""
-    sh = (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(word_shingles(text_col, n))).alias("sh"))
-        .filter(F.col("sh") != "")
+    # carry each doc's distinct-shingle count THROUGH the explode so the
+    # sizes need no extra joins (which would recompute the explode
+    # subtree); the whole op is one equi-join + one aggregate.
+    spark = df.sparkSession
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    # a small doc corpus often arrives as ONE scan partition (one file);
+    # spread the shingling across cores first
+    target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if src.rdd.getNumPartitions() < max(2, target // 2):
+        src = src.repartition(target, "id")
+    # explode POSITIONS, then build each shingle with slice+concat_ws:
+    # everything stays in whole-stage codegen. (The transform-then-
+    # explode form runs the interpreted higher-order path, and the
+    # optimizer's generate-filter inference re-evaluates it per row —
+    # measured 10x slower.)
+    toks = src.select("id", tokens("__text").alias("toks")).filter(F.size("toks") >= n)
+    positions = toks.select(
+        "id", "toks", F.explode(F.sequence(F.lit(1), F.size("toks") - F.lit(n - 1))).alias("i")
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    sh_rows = positions.select("id", F.concat_ws(" ", F.slice("toks", F.col("i"), n)).alias("sh"))
+    distinct_sh = sh_rows.distinct()
+    w_id = Window.partitionBy("id")
+    shingled = distinct_sh.withColumn("n_sh", F.count(F.lit(1)).over(w_id))
+    # the self-join references this subtree on both sides; persist so
+    # the distinct+window run once (same pattern Spark ML uses inside
+    # approxSimilarityJoin)
+    shingled = shingled.persist()
+    a = shingled.alias("a")
+    b = shingled.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6).alias("jaccard"),
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.first(F.col("a.n_sh")).alias("n_a"),
+            F.first(F.col("b.n_sh")).alias("n_b"),
         )
+    )
+    return inter.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6).alias("jaccard"),
     )
 
 
@@ -79,9 +100,16 @@ def ngram_jaccard_best_match(
     shingle (the 'which doc is this nearest-duplicate of?' primitive).
     Deterministic: ties broken toward the smaller partner id."""
     pairs = ngram_jaccard_pairs(df, id_col, text_col, n)
-    sym = pairs.select(F.col("id_a").alias("id"), F.col("id_b").alias("other"), "jaccard").unionAll(
-        pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("other"), "jaccard")
-    )
+    # symmetrize with ONE explode instead of union-of-swapped-pairs —
+    # a union would recompute the (expensive) pair join for each branch
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("id"), F.col("id_b").alias("other"), F.col("jaccard")),
+                F.struct(F.col("id_b").alias("id"), F.col("id_a").alias("other"), F.col("jaccard")),
+            )
+        ).alias("p")
+    ).select("p.id", "p.other", "p.jaccard")
     best = sym.groupBy("id").agg(
         F.max(F.struct(F.col("jaccard"), (-F.col("other")).alias("neg_other"))).alias("b")
     )
