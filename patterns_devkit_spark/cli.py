@@ -1,0 +1,247 @@
+"""patterns-compatible CLI over the local Spark engine.
+
+Mirrors the reference's command surface (reference:
+patterns/cli/main.py:79-95 — create, upload, download, trigger,
+delete, list, config) but the "server" is the local engine: upload is
+a graph compile + registration, trigger executes the node on Spark,
+list reads the catalog. Graph discovery walks up from the CWD like
+the reference's IdLookup (services/lookup.py:213-250).
+
+Usage: python -m patterns_devkit_spark.cli <command> ...
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import textwrap
+
+GRAPH_TEMPLATE = """title: {title}
+functions: []
+stores: []
+"""
+
+PY_NODE_TEMPLATE = '''from patterns import Parameter, State, Table
+
+# input_table = Table("input_port", "r")
+# output_table = Table("output_port", "w")
+# my_param = Parameter("my_param", type=str, default="x")
+'''
+
+SQL_NODE_TEMPLATE = """-- Type '{{ store_or_parameter }}' to reference Tables and Parameters
+SELECT 1 AS one
+"""
+
+
+def find_graph_root(start: str | None = None) -> str | None:
+    """Walk up from start dir to the nearest graph.yml (reference
+    services/lookup.py:213-250)."""
+    d = os.path.abspath(start or os.getcwd())
+    while True:
+        if os.path.exists(os.path.join(d, "graph.yml")):
+            return d
+        parent = os.path.dirname(d)
+        if parent == d:
+            return None
+        d = parent
+
+
+def _warehouse(args) -> str:
+    return args.warehouse or os.environ.get("PATTERNS_WAREHOUSE", os.path.expanduser("~/.patterns-spark/warehouse"))
+
+
+def _engine(args):
+    from .node.node import Engine
+
+    return Engine(_warehouse(args))
+
+
+def cmd_create(args) -> int:
+    if args.what == "app":
+        os.makedirs(args.name, exist_ok=False)
+        with open(os.path.join(args.name, "graph.yml"), "w") as f:
+            f.write(GRAPH_TEMPLATE.format(title=args.name))
+        print(f"Created app {args.name}/ with graph.yml")
+        return 0
+    if args.what == "node":
+        root = find_graph_root()
+        if root is None:
+            print("error: no graph.yml found (run inside an app)", file=sys.stderr)
+            return 1
+        import yaml
+
+        gpath = os.path.join(root, "graph.yml")
+        with open(gpath) as f:
+            doc = yaml.safe_load(f) or {}
+        doc.setdefault("functions", [])
+        name = args.name
+        if args.webhook:
+            doc["functions"].append({"webhook": name})
+        else:
+            path = os.path.join(root, name)
+            if not os.path.exists(path):
+                with open(path, "w") as f:
+                    f.write(SQL_NODE_TEMPLATE if name.endswith(".sql") else PY_NODE_TEMPLATE)
+            doc["functions"].append({"node_file": name})
+        with open(gpath, "w") as f:
+            yaml.safe_dump(doc, f, sort_keys=False)
+        print(f"Added {'webhook' if args.webhook else 'node'} {name}")
+        return 0
+    print(f"error: cannot create {args.what!r}", file=sys.stderr)
+    return 1
+
+
+def cmd_upload(args) -> int:
+    """Compile + register the graph (the reference zips to the server;
+    ours validates and assigns missing node ids in place)."""
+    from .graph.spec import parse_graph, validate
+    from .node.ids import random_node_id
+
+    root = find_graph_root(args.path)
+    if root is None:
+        print("error: no graph.yml found", file=sys.stderr)
+        return 1
+    import yaml
+
+    gpath = os.path.join(root, "graph.yml")
+    with open(gpath) as f:
+        doc = yaml.safe_load(f) or {}
+    changed = False
+    for fn in doc.get("functions") or []:
+        if isinstance(fn, dict) and "id" not in fn:
+            fn["id"] = random_node_id()
+            changed = True
+    if changed:
+        with open(gpath, "w") as f:
+            yaml.safe_dump(doc, f, sort_keys=False)
+    spec = parse_graph(root)
+    errors = validate(spec)
+    if errors:
+        print("Graph errored with the following messages:")
+        for e in errors:
+            print(f"  node {e['node_id']}: {e['message']}")
+        return 1
+    print(f"Uploaded graph {spec.title or os.path.basename(root)!r}: {len(spec.functions)} nodes OK")
+    return 0
+
+
+def cmd_trigger(args) -> int:
+    from .graph.runner import GraphRunner
+
+    root = find_graph_root(args.node and os.path.dirname(os.path.abspath(args.node)) or None)
+    if root is None:
+        print("error: no graph.yml found", file=sys.stderr)
+        return 1
+    engine = _engine(args)
+    runner = GraphRunner(engine, root)
+    target = os.path.basename(args.node) if args.node.endswith((".py", ".sql")) else args.node
+    node = next((n for n in runner.nodes if n.id == target or (n.node_file or "").endswith(target)), None)
+    if node is None:
+        print(f"error: no node {args.node!r}", file=sys.stderr)
+        return 1
+    runner.run_node(node.id)
+    if args.downstream:
+        runner.run_all()
+    print(f"Triggered node {node.id}")
+    return 0
+
+
+def cmd_run(args) -> int:
+    from .graph.runner import GraphRunner
+
+    root = find_graph_root(args.path)
+    if root is None:
+        print("error: no graph.yml found", file=sys.stderr)
+        return 1
+    runner = GraphRunner(_engine(args), root)
+    executed = runner.run_all()
+    print(f"Executed {len(executed)} node runs: {executed}")
+    return 0
+
+
+def cmd_list(args) -> int:
+    engine = _engine(args)
+    if args.what == "tables":
+        for name in engine.catalog.table_names():
+            meta = engine.catalog.table_meta(name)
+            av = meta.get("active_version")
+            n = meta.get("record_counts", {}).get(av)
+            print(f"{name}\tactive={av}\trows={n}\tversions={len(meta.get('versions', []))}")
+    elif args.what == "nodes":
+        root = find_graph_root()
+        if root is None:
+            print("error: no graph.yml found", file=sys.stderr)
+            return 1
+        from .graph.spec import parse_graph
+
+        for n in parse_graph(root).functions:
+            print(f"{n.id}\t{n.kind}\t{n.name}")
+    return 0
+
+
+def cmd_delete(args) -> int:
+    engine = _engine(args)
+    import shutil
+
+    meta = engine.catalog.table_meta(args.table)
+    if meta is None:
+        print(f"error: no table {args.table!r}", file=sys.stderr)
+        return 1
+    for v in list(meta.get("versions", [])):
+        shutil.rmtree(engine.catalog.version_dir(args.table, v), ignore_errors=True)
+    engine.catalog._doc["tables"].pop(args.table, None)
+    engine.catalog._persist()
+    print(f"Deleted table {args.table}")
+    return 0
+
+
+def cmd_config(args) -> int:
+    print(json.dumps({"warehouse": _warehouse(args)}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="patterns-spark",
+        description=textwrap.dedent("Local Spark engine CLI with the patterns-devkit command surface."),
+    )
+    p.add_argument("--warehouse", help="warehouse dir (default $PATTERNS_WAREHOUSE or ~/.patterns-spark/warehouse)")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    c = sub.add_parser("create", help="create an app or node")
+    c.add_argument("what", choices=["app", "node"])
+    c.add_argument("name")
+    c.add_argument("--webhook", action="store_true")
+    c.set_defaults(fn=cmd_create)
+
+    u = sub.add_parser("upload", help="compile + register the graph")
+    u.add_argument("path", nargs="?", default=None)
+    u.set_defaults(fn=cmd_upload)
+
+    tr = sub.add_parser("trigger", help="run one node")
+    tr.add_argument("node")
+    tr.add_argument("--downstream", action="store_true")
+    tr.set_defaults(fn=cmd_trigger)
+
+    r = sub.add_parser("run", help="run the whole graph to quiescence")
+    r.add_argument("path", nargs="?", default=None)
+    r.set_defaults(fn=cmd_run)
+
+    ls = sub.add_parser("list", help="list tables or nodes")
+    ls.add_argument("what", choices=["tables", "nodes"])
+    ls.set_defaults(fn=cmd_list)
+
+    d = sub.add_parser("delete", help="delete a table")
+    d.add_argument("table")
+    d.set_defaults(fn=cmd_delete)
+
+    cfg = sub.add_parser("config", help="show configuration")
+    cfg.set_defaults(fn=cmd_config)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

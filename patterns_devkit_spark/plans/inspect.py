@@ -1,0 +1,66 @@
+"""Physical-plan inspection: assert the plans we WANT, not just plans
+that pass — predicate pushdown reached the parquet scan, column
+pruning shrank ReadSchema, small dims broadcast, no accidental
+cartesian products (SURVEY.md §4; the scale contract of every
+operator)."""
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All PushedFilters entries across the plan's parquet scans."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", explain_str(df)):
+        out.extend(s.strip() for s in m.group(1).split(",") if s.strip())
+    return out
+
+
+def read_schemas(df: DataFrame) -> list[list[str]]:
+    """Column lists each parquet scan actually reads (pruning check)."""
+    schemas = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", explain_str(df)):
+        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
+        schemas.append(cols)
+    return schemas
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in explain_str(df) or "BroadcastNestedLoopJoin" in explain_str(df)
+
+
+def has_cartesian(df: DataFrame) -> bool:
+    return "CartesianProduct" in explain_str(df)
+
+
+def wholestage_codegen_ids(df: DataFrame) -> int:
+    """Number of WholeStageCodegen spans (wider = more fused)."""
+    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", explain_str(df))))
+
+
+def assert_pushed(df: DataFrame, *fragments: str) -> None:
+    plan = explain_str(df)
+    m = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    joined = ";".join(m)
+    for frag in fragments:
+        assert frag in joined, f"expected pushed filter {frag!r}, got {joined!r}"
+
+
+def assert_pruned(df: DataFrame, table_cols: dict[str, int]) -> None:
+    """Assert each scan reads at most the given column counts."""
+    schemas = read_schemas(df)
+    assert schemas, "no parquet scans found"
+    for cols in schemas:
+        limit = max(table_cols.values())
+        assert len(cols) <= limit, f"scan reads {cols} (> {limit} columns; pruning failed)"

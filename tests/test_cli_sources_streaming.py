@@ -1,0 +1,144 @@
+"""CLI command surface (§2.7), file sources, Structured Streaming mode."""
+import json
+import os
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(args, cwd):
+    env = {**os.environ, "PYTHONPATH": REPO}
+    return subprocess.run(
+        [sys.executable, "-m", "patterns_devkit_spark.cli", *args],
+        cwd=cwd, env=env, capture_output=True, text=True, timeout=60,
+    )
+
+
+def test_cli_create_upload_flow(tmp_path):
+    r = run_cli(["create", "app", "myapp"], str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    app = tmp_path / "myapp"
+    r = run_cli(["create", "node", "step1.py"], str(app))
+    assert r.returncode == 0, r.stderr
+    r = run_cli(["create", "node", "agg.sql"], str(app))
+    assert r.returncode == 0, r.stderr
+    assert (app / "step1.py").exists() and (app / "agg.sql").exists()
+    # fresh sql node has no output binding -> upload reports the error
+    r = run_cli(["upload"], str(app))
+    assert r.returncode == 1
+    assert "sql node requires an output store" in r.stdout
+    # fix the graph: bind the sql node
+    import yaml
+
+    doc = yaml.safe_load((app / "graph.yml").read_text())
+    for fn in doc["functions"]:
+        if fn.get("node_file") == "agg.sql":
+            fn["outputs"] = {"result": "out_t"}
+    doc["stores"] = [{"table": "out_t"}]
+    (app / "graph.yml").write_text(yaml.safe_dump(doc, sort_keys=False))
+    (app / "agg.sql").write_text("SELECT 1 AS one")
+    r = run_cli(["upload"], str(app))
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "2 nodes OK" in r.stdout
+    # upload assigned ids in place (reference id round-trip behavior)
+    doc = yaml.safe_load((app / "graph.yml").read_text())
+    assert all("id" in fn for fn in doc["functions"])
+    r = run_cli(["list", "nodes"], str(app))
+    assert r.returncode == 0 and "agg.sql" in r.stdout
+
+
+def test_cli_config(tmp_path):
+    r = run_cli(["--warehouse", str(tmp_path / "wh"), "config"], str(tmp_path))
+    assert json.loads(r.stdout)["warehouse"].endswith("wh")
+
+
+def test_import_files_csv_and_append(engine, tmp_path):
+    from patterns_devkit_spark.sources.files import import_files
+
+    csv = tmp_path / "data.csv"
+    csv.write_text("id,name\n1,a\n2,b\n")
+    n = import_files(engine, "imported", str(csv), format="csv", mode="replace")
+    assert n == 2
+    csv2 = tmp_path / "more.csv"
+    csv2.write_text("id,name\n3,c\n")
+    n = import_files(engine, "imported", str(csv2), format="csv", mode="append")
+    assert n == 3
+    with engine.node_context("r", inputs={"in": "imported"}):
+        from patterns_devkit_spark import Table
+
+        assert sorted(r["id"] for r in Table("in", "r").read()) == [1, 2, 3]
+
+
+def test_import_media_binary(engine, tmp_path):
+    from patterns_devkit_spark.sources.files import import_media_dir
+
+    (tmp_path / "m").mkdir()
+    (tmp_path / "m" / "a.bin").write_bytes(b"\x01\x02\x03")
+    n = import_media_dir(engine, "media", str(tmp_path / "m"))
+    assert n == 1
+    with engine.node_context("r", inputs={"in": "media"}):
+        from patterns_devkit_spark import Table
+
+        row = Table("in", "r").read()[0]
+        assert row["length"] == 3 and bytes(row["content"]) == b"\x01\x02\x03"
+
+
+def test_streaming_spool_to_engine_table(engine, tmp_path):
+    """readStream json spool -> watermarked window agg -> foreachBatch
+    into an engine table (versioned, evented)."""
+    from patterns_devkit_spark.streaming.streams import spool_stream, windowed_counts, write_stream_to_table
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    rows = [
+        {"ts": "2024-01-01T00:01:00", "user_id": 1, "kind": "a"},
+        {"ts": "2024-01-01T00:02:00", "user_id": 1, "kind": "b"},
+        {"ts": "2024-01-01T00:07:00", "user_id": 2, "kind": "a"},
+    ]
+    (spool / "batch1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+        ]
+    )
+    stream = spool_stream(engine, str(spool), schema)
+    assert stream.isStreaming
+    agg = windowed_counts(stream, "ts", "5 minutes", "10 minutes")
+    q = write_stream_to_table(engine, agg, "win_counts", str(tmp_path / "ckpt"), output_mode="complete")
+    q.awaitTermination(120)
+    with engine.node_context("r", inputs={"in": "win_counts"}):
+        from patterns_devkit_spark import Table
+
+        got = {(str(r["window_start"]), r["n_events"]) for r in Table("in", "r").read()}
+        assert got == {("2024-01-01 00:00:00", 2), ("2024-01-01 00:05:00", 1)}
+
+
+def test_streaming_session_window(engine, tmp_path):
+    from patterns_devkit_spark.streaming.streams import session_counts, spool_stream, write_stream_to_table
+
+    spool = tmp_path / "spool2"
+    spool.mkdir()
+    rows = [
+        {"ts": "2024-01-01T00:00:00", "user_id": 1},
+        {"ts": "2024-01-01T00:10:00", "user_id": 1},
+        {"ts": "2024-01-01T02:00:00", "user_id": 1},
+    ]
+    (spool / "b.json").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("user_id", T.LongType())]
+    )
+    stream = spool_stream(engine, str(spool), schema)
+    agg = session_counts(stream, "ts", "30 minutes", "user_id")
+    q = write_stream_to_table(engine, agg, "sessions", str(tmp_path / "ckpt2"), output_mode="complete")
+    q.awaitTermination(120)
+    with engine.node_context("r", inputs={"in": "sessions"}):
+        from patterns_devkit_spark import Table
+
+        sizes = sorted(r["n_events"] for r in Table("in", "r").read())
+        assert sizes == [1, 2]  # 2h gap splits sessions

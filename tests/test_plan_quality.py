@@ -1,0 +1,81 @@
+"""Plan-quality gates: the physical plans we ship, not just correct
+answers. Pushdown reaches the scan, pruning shrinks ReadSchema, dims
+broadcast, stream cursors prune, no cartesian products (SURVEY.md §4)."""
+import pytest
+from pyspark.sql import functions as F
+
+from patterns_devkit_spark.plans.inspect import (
+    explain_str,
+    has_broadcast_join,
+    has_cartesian,
+    pushed_filters,
+    read_schemas,
+)
+from patterns_devkit_spark.queries import QUERIES, t
+
+
+def test_q01_pushdown_and_pruning(spark, sf_dir):
+    df = QUERIES["q01_pricing_summary"](spark, sf_dir)
+    pushed = ";".join(pushed_filters(df))
+    assert "l_shipdate" in pushed  # predicate reached the parquet scan
+    (cols,) = read_schemas(df)
+    # 7 of 11 lineitem columns needed; shipdate pruned after pushdown
+    assert set(cols) <= {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_shipdate",
+    }
+
+
+def test_q06_all_filters_pushed(spark, sf_dir):
+    df = QUERIES["q06_forecast_revenue"](spark, sf_dir)
+    pushed = ";".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_q03_broadcasts_filtered_dim(spark, sf_dir):
+    df = QUERIES["q03_shipping_priority"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
+
+
+def test_q05_star_join_no_cartesian(spark, sf_dir):
+    df = QUERIES["q05_region_volume"](spark, sf_dir)
+    assert has_broadcast_join(df)  # nation/region broadcast
+    assert not has_cartesian(df)
+
+
+def test_stream_cursor_pushes_to_scan(engine, sf_dir):
+    """The incremental stream slice must prune via parquet min/max:
+    cursor filter appears in PushedFilters of the versioned read."""
+    from patterns_devkit_spark import Table
+
+    with engine.node_context("w", outputs={"out": "ev"}):
+        tb = Table("out", "w")
+        tb.init(strictly_monotonic_ordering="event_id")
+        tb.append(t(engine.spark, sf_dir, "events").select("event_id", "value"))
+    with engine.node_context("c", inputs={"in": "ev"}):
+        tb = Table("in", "r")
+        s = tb.as_stream()
+        s.seek(500)
+        sl = s._slice()
+        pushed = ";".join(pushed_filters(sl))
+        assert "event_id" in pushed and "GreaterThan" in pushed
+
+
+def test_no_query_has_cartesian(spark, sf_dir):
+    """Theta/cross-style queries must not degenerate to CartesianProduct."""
+    for name in ("q09_theta_join", "q34_ngram_jaccard", "q37_cosine_topk"):
+        df = QUERIES[name](spark, sf_dir)
+        assert not has_cartesian(df), f"{name} plan has a cartesian product"
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = explain_str(QUERIES["q18_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT k
+
+
+def test_projection_pruning_generic(spark, sf_dir):
+    """A 2-column projection reads 2 columns, not 11."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    (cols,) = read_schemas(li)
+    assert cols == ["l_orderkey", "l_quantity"]

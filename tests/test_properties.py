@@ -1,0 +1,112 @@
+"""Property-based tests (SURVEY.md §5.2-3): stream exactly-once under
+random crash points, upsert algebraic laws. Example counts are small —
+every example runs real Spark jobs."""
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from patterns_devkit_spark import Engine, Table
+
+SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@pytest.fixture()
+def mk_engine(spark, tmp_path_factory):
+    def make():
+        return Engine(str(tmp_path_factory.mktemp("wh")), spark=spark)
+
+    return make
+
+
+@given(
+    crash_after=st.integers(min_value=0, max_value=9),
+    checkpoint_at=st.integers(min_value=0, max_value=9),
+)
+@settings(**SETTINGS)
+def test_stream_no_loss_dups_only_past_checkpoint(mk_engine, crash_after, checkpoint_at):
+    """Crash at a random point: records up to the last checkpoint are
+    never redelivered; records after it are redelivered (at-least-once
+    between checkpoints, exactly-once up to the checkpoint) —
+    node.py:40-63."""
+    engine = mk_engine()
+    with engine.node_context("seed", outputs={"out": "t"}):
+        tb = Table("out", "w")
+        tb.init(strictly_monotonic_ordering="id")
+        tb.append([{"id": i} for i in range(10)])
+
+    first_run: list[int] = []
+    try:
+        with engine.node_context("c", inputs={"in": "t"}):
+            s = Table("in", "r").as_stream()
+            for rec in s.consume_records():
+                first_run.append(rec["id"])
+                if rec["id"] == checkpoint_at:
+                    s.checkpoint()
+                if rec["id"] == crash_after:
+                    raise RuntimeError("crash")
+    except RuntimeError:
+        crashed = True
+    else:
+        crashed = False
+
+    second_run: list[int] = []
+    with engine.node_context("c", inputs={"in": "t"}):
+        s = Table("in", "r").as_stream()
+        second_run = [r["id"] for r in s.consume_records()]
+
+    if crashed:
+        persisted = checkpoint_at if checkpoint_at <= crash_after else None
+        expected = list(range((persisted + 1) if persisted is not None else 0, 10))
+    else:
+        expected = []  # clean exit commits the full position
+    assert second_run == expected
+    # no record lost overall
+    assert sorted(set(first_run) | set(second_run)) == list(range(10))
+
+
+@given(
+    batch1=st.dictionaries(st.integers(0, 5), st.integers(0, 100), min_size=1, max_size=5),
+    batch2=st.dictionaries(st.integers(0, 5), st.integers(0, 100), min_size=1, max_size=5),
+)
+@settings(**SETTINGS)
+def test_upsert_laws(mk_engine, batch1, batch2):
+    """upsert(b1); upsert(b2) == dict-merge(b1, b2); upsert(x); upsert(x)
+    == upsert(x) (idempotence) — node.py:318-334."""
+    engine = mk_engine()
+    with engine.node_context("w", outputs={"out": "u"}):
+        tb = Table("out", "w")
+        tb.init(unique_on=["k"])
+        tb.upsert([{"k": k, "v": v} for k, v in batch1.items()])
+        tb.flush()
+        tb.upsert([{"k": k, "v": v} for k, v in batch2.items()])
+        tb.flush()
+        tb.upsert([{"k": k, "v": v} for k, v in batch2.items()])  # idempotent re-apply
+    with engine.node_context("r", inputs={"in": "u"}):
+        got = {r["k"]: r["v"] for r in Table("in", "r").read()}
+    assert got == {**batch1, **batch2}
+
+
+@given(sizes=st.lists(st.integers(1, 7), min_size=1, max_size=4))
+@settings(**SETTINGS)
+def test_monotonic_ids_dense_across_flushes(mk_engine, sizes):
+    """ids stay unique, dense, and lexically ordered across any flush
+    pattern (SURVEY.md §7.3-1)."""
+    engine = mk_engine()
+    with engine.node_context("w", outputs={"out": "m"}):
+        tb = Table("out", "w")
+        tb.init(add_monotonic_id="mid")
+        seq = 0
+        for sz in sizes:
+            tb.append([{"i": seq + j} for j in range(sz)])
+            tb.flush()
+            seq += sz
+    with engine.node_context("r", inputs={"in": "m"}):
+        rows = Table("in", "r").read()
+    total = sum(sizes)
+    assert len({r["mid"] for r in rows}) == total
+    by_mid = sorted(rows, key=lambda r: r["mid"])
+    assert [r["i"] for r in by_mid] == list(range(total))
