@@ -1120,6 +1120,10 @@ def sdk05(spark, sf_dir):
         return Table("in", "r").read_spark()
 
 
+# extended coverage registers additional QUERIES/ORACLES on import
+from . import queries_ext  # noqa: E402,F401  (registration side effect)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H-Q1-style pricing summary executed THROUGH the
     engine (SURVEY.md §7.1 M2 minimum slice) — fixture parquet ->

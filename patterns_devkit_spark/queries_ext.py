@@ -1,0 +1,248 @@
+"""Extended relational coverage (registered into the same QUERIES/
+ORACLES battery): range frames, percentiles, array aggregation, null
+semantics, multiset set-ops, regexp_extract_all, ntile/percent_rank/
+cume_dist, native pivot, date arithmetic, scalar subqueries, approx
+aggregates. Same determinism rules as queries.py."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .queries import ORACLES, QUERIES, cents_sum, query, t
+
+
+@query(
+    "q44_range_between",
+    """
+    SELECT o_orderkey, o_totalprice,
+           count(*) OVER (ORDER BY o_totalprice RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_within_1000
+    FROM orders
+    """,
+)
+def q44(spark, sf_dir):
+    """RANGE frame (peer/value-based, no tie-break needed): for each
+    order, how many orders cost within $1000 less."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice").rangeBetween(-1000, 0)
+    return o.select(
+        "o_orderkey", "o_totalprice", F.count(F.lit(1)).over(w).alias("n_within_1000")
+    )
+
+
+@query(
+    "q45_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q45(spark, sf_dir):
+    """Exact interpolated percentiles (Spark percentile == DuckDB
+    quantile_cont)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25_price"),
+    )
+
+
+@query(
+    "q46_array_agg",
+    """
+    SELECT n_regionkey,
+           list_sort(list(n_name)) AS nations,
+           len(list(n_name)) AS n_nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q46(spark, sf_dir):
+    """Array aggregation: collect_list + sort (canonical order)."""
+    n = t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_sort(F.collect_list("n_name")).alias("nations"),
+        F.size(F.collect_list("n_name")).cast("long").alias("n_nations"),
+    )
+
+
+@query(
+    "q47_null_semantics",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           count(nullif(o_orderpriority, '1-URGENT')) AS n_not_urgent,
+           cast(sum(CASE WHEN nullif(o_orderpriority, '1-URGENT') IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_urgent,
+           coalesce(max(nullif(o_orderpriority, o_orderpriority)), 'all-null') AS coalesced
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q47(spark, sf_dir):
+    """NULL semantics: count(col) skips nulls, nullif, coalesce over an
+    all-null aggregate."""
+    o = t(spark, sf_dir, "orders")
+    not_urgent = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(not_urgent).alias("n_not_urgent"),
+        F.sum(F.when(not_urgent.isNull(), 1).otherwise(0)).alias("n_urgent"),
+        F.coalesce(F.max(F.nullif(F.col("o_orderpriority"), F.col("o_orderpriority"))), F.lit("all-null")).alias(
+            "coalesced"
+        ),
+    )
+
+
+@query(
+    "q48_except_all",
+    """
+    SELECT l_returnflag FROM lineitem WHERE l_quantity < 25
+    EXCEPT ALL
+    SELECT l_returnflag FROM lineitem WHERE l_quantity < 10
+    """,
+)
+def q48(spark, sf_dir):
+    """Multiset EXCEPT ALL (duplicate-preserving difference)."""
+    li = t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") < 25).select("l_returnflag")
+    b = li.filter(F.col("l_quantity") < 10).select("l_returnflag")
+    return a.exceptAll(b)
+
+
+@query(
+    "q49_regexp_extract_all",
+    """
+    SELECT c_custkey,
+           regexp_extract_all(c_name, '[0-9]+') AS digit_runs,
+           cast(len(regexp_extract_all(c_name, '[0-9]+')) AS bigint) AS n_runs
+    FROM customer
+    """,
+)
+def q49(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    runs = F.regexp_extract_all("c_name", F.lit("[0-9]+"), 0)
+    return c.select(
+        "c_custkey", runs.alias("digit_runs"), F.size(runs).cast("long").alias("n_runs")
+    )
+
+
+@query(
+    "q50_ntile_dist",
+    """
+    SELECT o_orderkey,
+           cast(ntile(4) OVER w AS bigint) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cum_dist
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def q50(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+
+
+@query(
+    "q51_pivot_native",
+    f"""
+    SELECT l_linestatus,
+           {', '.join(f"sum(CASE WHEN l_returnflag = '{f}' THEN l_quantity END) AS {f}" for f in 'ANR')}
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def q51(spark, sf_dir):
+    """DataFrame-native pivot with an explicit value list (the scale-
+    safe form: no distinct-scan to discover columns)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum("l_quantity"))
+    )
+
+
+@query(
+    "q52_date_arithmetic",
+    """
+    SELECT cast(date_diff('day', o_orderdate, l_shipdate) AS bigint) AS ship_delay_days,
+           count(*) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY ship_delay_days
+    """,
+)
+def q52(spark, sf_dir):
+    """Date arithmetic across a join: shipping delay distribution."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).cast("long").alias("ship_delay_days"))
+        .groupBy("ship_delay_days")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q53_scalar_subquery",
+    """
+    SELECT o_orderpriority, count(*) AS n_big
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    GROUP BY o_orderpriority
+    """,
+)
+def q53(spark, sf_dir):
+    """Uncorrelated scalar subquery in a predicate (via Spark SQL so
+    Catalyst plans the subquery as a broadcast scalar)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("q53_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_big
+        FROM q53_orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM q53_orders)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query("q54_approx_aggs")  # engine-specific sketches -> rows-only check
+def q54(spark, sf_dir):
+    """Approximate aggregates (HLL++ / GK quantiles): deterministic per
+    engine but not across engines."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+    )
+
+
+@query(
+    "q55_map_struct",
+    """
+    SELECT o_orderstatus AS status,
+           round(cast(sum(cast(round(o_totalprice*100) as bigint)) as double)/100.0, 2) AS total,
+           count(*) AS n,
+           to_json({'status': o_orderstatus, 'n': count(*)}) AS info_json
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q55(spark, sf_dir):
+    """Struct construction serialized to JSON text (nested types kept
+    cross-engine comparable)."""
+    o = t(spark, sf_dir, "orders")
+    agg = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        cents_sum(F.col("o_totalprice"), "total"), F.count(F.lit(1)).alias("n")
+    )
+    return agg.select(
+        "status",
+        F.round("total", 2).alias("total"),
+        "n",
+        F.to_json(F.struct(F.col("status").alias("status"), F.col("n").alias("n"))).alias("info_json"),
+    )
