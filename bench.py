@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "q33_dedup_exact",
     "q34_ngram_jaccard",
     "q37_cosine_topk",
+    "q56_cosine_topk_np",
     "q40_text_stats",
 ]
 

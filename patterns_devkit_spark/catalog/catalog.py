@@ -160,7 +160,13 @@ class Catalog:
 
     def version_has_data(self, name: str, version: str) -> bool:
         d = self.version_dir(name, version)
-        return os.path.isdir(d) and any(fn.endswith(".parquet") for fn in os.listdir(d))
+        if not os.path.isdir(d):
+            return False
+        # walk: hive-partitioned versions nest parquet under key=value dirs
+        for _root, _dirs, files in os.walk(d):
+            if any(fn.endswith(".parquet") for fn in files):
+                return True
+        return False
 
     def set_record_count(self, name: str, version: str, count: int) -> None:
         with self._lock:

@@ -41,7 +41,20 @@ class GraphRunner:
         self._expanded = self._expand(self.spec, prefix="")
         for store in self._stores_flat:
             self.engine.catalog.ensure_table(store)
+        # webhook backing tables get a default monotonic ordering so
+        # handlers can consume them as streams out of the box
+        for node in self._expanded:
+            if node.kind == "webhook" and node.webhook:
+                self.engine.catalog.update_table_meta(
+                    node.webhook,
+                    add_monotonic_id="patterns_id",
+                    strictly_monotonic_ordering="patterns_id",
+                )
         self._run_queue: deque[tuple[str, dict | None]] = deque()
+        # event-log offset persists across run_all calls: events emitted
+        # between calls (e.g. webhook posts) trigger downstream nodes on
+        # the next call instead of being skipped
+        _, self._event_offset = self.engine.catalog.read_events(0)
 
     # -- graph expansion -------------------------------------------------
     def _expand(self, spec: GraphSpec, prefix: str) -> list[NodeSpec]:
@@ -188,20 +201,21 @@ class GraphRunner:
     def downstream_of(self, stores: set[str]) -> list[NodeSpec]:
         return [n for n in self._expanded if any(s in stores for s in n.inputs.values())]
 
-    def run_all(self, max_steps: int = 100) -> list[str]:
+    def run_all(self, max_steps: int = 100, include_sources: bool = True) -> list[str]:
         """Run the DAG to quiescence: start with source nodes (no
-        inputs), then propagate data events to downstream nodes
-        (SURVEY.md §3.3 event loop). Returns the executed node ids."""
+        inputs) unless include_sources=False (event-driven mode, e.g.
+        the webhook server), then propagate data events to downstream
+        nodes (SURVEY.md §3.3 event loop). Returns executed node ids."""
         executed: list[str] = []
-        _, offset = self.engine.catalog.read_events(0)
-        for node in self._expanded:
-            if node.kind in ("python", "sql") and not node.inputs:
-                self._run_queue.append((node.id, None))
+        if include_sources:
+            for node in self._expanded:
+                if node.kind in ("python", "sql") and not node.inputs:
+                    self._run_queue.append((node.id, None))
         steps = 0
         ran_with_inputs: set[str] = set()
         while steps < max_steps:
             if not self._run_queue:
-                events, offset = self.engine.catalog.read_events(offset)
+                events, self._event_offset = self.engine.catalog.read_events(self._event_offset)
                 touched = {e["table"] for e in events if e["kind"] in ("create", "update")}
                 if not touched:
                     break

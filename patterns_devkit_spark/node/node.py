@@ -297,11 +297,19 @@ class Table:
         auto_indexes: bool = True,
         strictly_monotonic_ordering: str | None = None,
         created_ordering: str | None = None,
+        partition_by: str | list[str] | None = None,
     ) -> None:
-        """Declare creation-time table properties (node.py:269-297)."""
+        """Declare creation-time table properties (node.py:269-297).
+
+        partition_by is an engine extension: versions are written as
+        hive-partitioned directories on the given columns, so filters
+        on them become partition PRUNING at scan time (the unit of
+        scale-out for date/tenant-keyed tables)."""
         if not self.is_connected:
             return
         updates: dict[str, Any] = {"auto_indexes": auto_indexes}
+        if partition_by is not None:
+            updates["partition_by"] = [partition_by] if isinstance(partition_by, str) else list(partition_by)
         if schema is not None:
             struct = schema if isinstance(schema, T.StructType) else schema_dict_to_struct(schema)
             updates["schema_ddl"] = ",".join(f"{f.name} {f.dataType.simpleString()}" for f in struct.fields)
@@ -527,7 +535,7 @@ class Table:
             new_version = catalog.create_new_version(self.store_name)
             out_dir = catalog.version_dir(self.store_name, new_version)
             df = self._sorted_for_write(df, meta)
-            df.write.mode("overwrite").parquet(out_dir)
+            self._writer(df, meta).mode("overwrite").parquet(out_dir)
             n = self._engine.spark.read.parquet(out_dir).count()
             catalog.set_record_count(self.store_name, new_version, n)
             catalog.set_active_version(self.store_name, new_version)
@@ -539,7 +547,7 @@ class Table:
                 av = TableVersion(self._engine, self.store_name, vid)
             df = self._sorted_for_write(df, meta)
             existed = av.exists
-            df.write.mode("append").parquet(av.storage)
+            self._writer(df, meta).mode("append").parquet(av.storage)
             prev = catalog.get_record_count(self.store_name, av.version_id) or 0 if existed else 0
             batch_n = df.count()
             catalog.set_record_count(self.store_name, av.version_id, prev + batch_n)
@@ -568,6 +576,16 @@ class Table:
             if keys:
                 return df.sortWithinPartitions(*keys)
         return df
+
+    @staticmethod
+    def _writer(df: DataFrame, meta: dict):
+        """DataFrameWriter honoring the table's partition_by (hive-style
+        partition dirs -> partition pruning on partition-key filters)."""
+        cols = [c for c in (meta.get("partition_by") or []) if c in df.columns]
+        w = df.write
+        if cols:
+            w = w.partitionBy(*cols)
+        return w
 
     # -- sql ------------------------------------------------------------
     def execute_sql(self, sql: str) -> None:
@@ -599,7 +617,7 @@ class Table:
         vid = catalog.create_new_version(self.store_name)
         out = catalog.version_dir(self.store_name, vid)
         meta = catalog.table_meta(self.store_name) or {}
-        self._sorted_for_write(df, meta).write.mode("overwrite").parquet(out)
+        self._writer(self._sorted_for_write(df, meta), meta).mode("overwrite").parquet(out)
         catalog.set_active_version(self.store_name, vid)
         catalog.update_table_meta(
             self.store_name,

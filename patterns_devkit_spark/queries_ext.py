@@ -246,3 +246,19 @@ def q55(spark, sf_dir):
         "n",
         F.to_json(F.struct(F.col("status").alias("status"), F.col("n").alias("n"))).alias("info_json"),
     )
+
+
+@query(
+    "q56_cosine_topk_np",
+    ORACLES["q37_cosine_topk"],
+)
+def q56(spark, sf_dir):
+    """Same exact top-k cosine as q37, via the Arrow/numpy GEMM path
+    (operators/similarity.cosine_topk_np) — the 100 TB throughput
+    variant, held to the same DuckDB oracle."""
+    from .operators.similarity import cosine_topk_np
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    out = cosine_topk_np(emb, queries_df, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))

@@ -1,0 +1,184 @@
+"""Partitioned writes + pruning, SQL function registry, webhook HTTP
+server, component expansion, stateful streaming."""
+import json
+import textwrap
+import urllib.request
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from patterns_devkit_spark import Table
+from patterns_devkit_spark.plans.inspect import explain_str
+
+
+def test_partitioned_write_and_pruning(engine, sf_dir):
+    ev = engine.spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    with engine.node_context("w", outputs={"out": "ev_part"}):
+        t = Table("out", "w")
+        t.init(partition_by="event_type")
+        t.append(ev.select("event_id", "event_type", "value"))
+    import os
+
+    with engine.node_context("r", inputs={"in": "ev_part"}):
+        t = Table("in", "r")
+        av = t.get_active_version()
+        # hive-style partition dirs on disk
+        assert any(d.startswith("event_type=") for d in os.listdir(av.storage))
+        df = t.read_spark().filter(F.col("event_type") == "click")
+        plan = explain_str(df)
+        # partition filter prunes at scan, not post-scan
+        assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:200]
+        n_click = df.count()
+        assert 0 < n_click < ev.count()
+
+
+def test_register_function_used_from_sql(engine):
+    from patterns_devkit_spark.functions.registry import register_builtin_library
+
+    names = register_builtin_library(engine)
+    assert names == ["norm_text", "token_count_py"]
+    with engine.node_context("w", outputs={"out": "txt"}):
+        Table("out", "w").append([{"s": "  Hello   World "}, {"s": "a b c"}])
+    with engine.node_context("r", inputs={"in": "txt"}):
+        t = Table("in", "r")
+        rows = t.read_sql(
+            f"select norm_text(s) as ns, token_count_py(s) as tc from {t.sql_name} order by tc"
+        )
+        assert rows == [{"ns": "hello world", "tc": 2}, {"ns": "a b c", "tc": 3}]
+
+
+def test_webhook_http_roundtrip(engine, tmp_path):
+    """Live HTTP POST -> backing table append -> handler node responds
+    via respond_to_request -> HTTP body carries the response."""
+    from patterns_devkit_spark.graph.runner import GraphRunner
+    from patterns_devkit_spark.sources.webhook_server import serve_background
+
+    (tmp_path / "graph.yml").write_text(
+        textwrap.dedent(
+            """
+            functions:
+              - webhook: intake
+              - node_file: handler.py
+                id: handler1
+                inputs: {req: intake}
+            stores: []
+            """
+        )
+    )
+    (tmp_path / "handler.py").write_text(
+        textwrap.dedent(
+            """
+            from patterns import Table, respond_to_request
+            reqs = Table("req", "r")
+            for rec in reqs.as_stream():  # webhook tables default to patterns_id ordering
+                respond_to_request(rec["patterns_request_key"], {"echo": rec["msg"], "ok": True})
+            """
+        )
+    )
+    runner = GraphRunner(engine, str(tmp_path))
+    import random
+
+    port = random.randint(20000, 40000)
+    th, base = serve_background(runner, port=port)
+    import time
+
+    for _ in range(50):
+        try:
+            urllib.request.urlopen(f"{base}/health", timeout=1)
+            break
+        except Exception:
+            time.sleep(0.2)
+    req = urllib.request.Request(
+        f"{base}/webhooks/intake",
+        data=json.dumps({"msg": "hi"}).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        body = json.loads(resp.read())
+        assert resp.status == 200
+        assert body == {"echo": "hi", "ok": True}
+    # unknown webhook -> 404
+    req = urllib.request.Request(
+        f"{base}/webhooks/nope", data=b"{}", headers={"Content-Type": "application/json"}, method="POST"
+    )
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+
+def test_component_uses_expansion(engine, tmp_path):
+    """uses: org/component@v1 expands from the local components
+    registry like a subgraph (reference edit.py:175-200)."""
+    (tmp_path / "graph.yml").write_text(
+        textwrap.dedent(
+            """
+            functions:
+              - node_file: feed.py
+                id: feed0001
+                outputs: {out: src}
+              - uses: acme/doubler@v1
+                id: comp0001
+                inputs: {cin: src}
+                outputs: {cout: result}
+            stores:
+              - table: src
+              - table: result
+            """
+        )
+    )
+    (tmp_path / "feed.py").write_text("from patterns import Table\nTable('out','w').append([{'x': 21}])\n")
+    comp = tmp_path / "components" / "acme_doubler_v1"
+    comp.mkdir(parents=True)
+    (comp / "graph.yml").write_text(
+        textwrap.dedent(
+            """
+            functions:
+              - node_file: double.sql
+                id: dbl00001
+                inputs: {a: cin}
+                outputs: {result: cout}
+            stores:
+              - table: cin
+              - table: cout
+            exposes:
+              inputs: [cin]
+              outputs: [cout]
+            """
+        )
+    )
+    (comp / "double.sql").write_text("SELECT x * 2 AS y FROM {{ a }}")
+    from patterns_devkit_spark.graph.runner import GraphRunner
+
+    runner = GraphRunner(engine, str(tmp_path))
+    runner.run_all()
+    with engine.node_context("check", inputs={"in": "result"}):
+        assert Table("in", "r").read() == [{"y": 42}]
+
+
+def test_stateful_running_totals(engine, tmp_path):
+    from patterns_devkit_spark.streaming.stateful import running_totals
+    from patterns_devkit_spark.streaming.streams import spool_stream, write_stream_to_table
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    rows = [
+        {"user_id": 1, "value": 10.0},
+        {"user_id": 1, "value": 5.0},
+        {"user_id": 2, "value": 1.0},
+    ]
+    (spool / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("value", T.DoubleType())]
+    )
+    stream = spool_stream(engine, str(spool), schema)
+    agg = running_totals(stream, "user_id", "value")
+    q = write_stream_to_table(engine, agg, "running", str(tmp_path / "ck"), output_mode="update")
+    q.awaitTermination(180)
+    with engine.node_context("r", inputs={"in": "running"}):
+        got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in Table("in", "r").read()}
+    assert got == {1: (2, 15.0), 2: (1, 1.0)}
