@@ -34,7 +34,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """The driver may call us with ITS OWN SparkSession: enforce the
+    runtime confs correctness depends on — UTC session timezone (or
+    timestamp values drift vs the DuckDB oracle) and nanosAsLong (or
+    reading events.parquet's TIMESTAMP(NANOS) raises)."""
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf locked down: proceed with session defaults
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # events.ts is parquet TIMESTAMP(NANOS): with nanosAsLong it arrives
     # as epoch-nanos long; restore a (µs-precision) timestamp. The
