@@ -103,3 +103,34 @@ def test_minhash_lsh_finds_near_dups(spark):
     pairs = dedup_ops.minhash_lsh_dedup(df, threshold=0.5, n=2)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (1, 2) in got and (1, 3) not in got
+
+
+def test_salted_join_equals_plain_join(spark):
+    from patterns_devkit_spark.operators import skew
+
+    fact = spark.createDataFrame([(k, i) for i in range(50) for k in ([1] * 5 + [2])], ["k", "v"])
+    dim = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "unused")], ["k", "name"])
+    plain = fact.join(dim, ["k"]).groupBy("k", "name").count()
+    salted = skew.salted_join(fact, dim, ["k"], salt=4).groupBy("k", "name").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_two_phase_agg_equals_direct(spark):
+    from pyspark.sql import functions as F
+
+    from patterns_devkit_spark.operators import skew
+
+    df = spark.createDataFrame([(i % 3, float(i)) for i in range(300)], ["k", "v"])
+    direct = {
+        (r["k"]): (r["n"], r["s"], r["mn"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"), F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .collect()
+    }
+    two = {
+        (r["k"]): (r["n"], r["s"], r["mn"], r["mx"])
+        for r in skew.salted_two_phase_agg(
+            df, ["k"], {"n": "count", "s": "sum:v", "mn": "min:v", "mx": "max:v"}, salt=8
+        ).collect()
+    }
+    assert direct == two
