@@ -238,6 +238,16 @@ class Catalog:
             self._doc["state"][node_id] = _tag(state)
             self._persist()
 
+    # -- secrets ---------------------------------------------------------
+    def set_secret(self, name: str, values: dict) -> None:
+        with self._lock:
+            self._doc.setdefault("secrets", {})[name] = _tag(dict(values))
+            self._persist()
+
+    def get_secret(self, name: str) -> dict | None:
+        v = self._doc.get("secrets", {}).get(name)
+        return _untag(v) if v is not None else None
+
     # -- event log (drives downstream triggers, SURVEY.md §3.3) --------
     def append_event(self, table: str, kind: str, node_id: str | None = None, **extra: Any) -> dict:
         evt = {"ts": time.time(), "table": table, "kind": kind, "node_id": node_id, **extra}

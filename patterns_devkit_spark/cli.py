@@ -196,6 +196,30 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_secret(args) -> int:
+    engine = _engine(args)
+    if args.action == "set":
+        values = dict(kv.split("=", 1) for kv in args.values)
+        engine.set_secret(args.name, values)
+        print(f"Stored secret {args.name}")
+    else:
+        v = engine.get_secret(args.name)
+        print(json.dumps(v) if v is not None else f"no secret {args.name!r}", file=sys.stdout)
+    return 0
+
+
+def cmd_vacuum(args) -> int:
+    """Retention GC: drop inactive table versions beyond each table's
+    retention policy (reference node.py:403-404)."""
+    engine = _engine(args)
+    for name in engine.catalog.table_names():
+        dropped = engine.catalog.gc_versions(name)
+        if dropped:
+            print(f"{name}: dropped {dropped}")
+    print("vacuum complete")
+    return 0
+
+
 def cmd_config(args) -> int:
     print(json.dumps({"warehouse": _warehouse(args)}))
     return 0
@@ -235,6 +259,15 @@ def main(argv: list[str] | None = None) -> int:
     d = sub.add_parser("delete", help="delete a table")
     d.add_argument("table")
     d.set_defaults(fn=cmd_delete)
+
+    sec = sub.add_parser("secret", help="store or read a named secret")
+    sec.add_argument("action", choices=["set", "get"])
+    sec.add_argument("name")
+    sec.add_argument("values", nargs="*", help="key=value pairs (for set)")
+    sec.set_defaults(fn=cmd_secret)
+
+    v = sub.add_parser("vacuum", help="garbage-collect inactive table versions")
+    v.set_defaults(fn=cmd_vacuum)
 
     cfg = sub.add_parser("config", help="show configuration")
     cfg.set_defaults(fn=cmd_config)

@@ -121,6 +121,31 @@ def parse_graph(path: str, rng: random.Random | None = None) -> GraphSpec:
     return spec
 
 
+def _required_parameters(py_path: str) -> list[str]:
+    """Static scan of a Python node file for Parameter(...) calls with
+    no default — those must be bound in graph.yml (the reference
+    validates this at upload; SURVEY.md §3.1)."""
+    import ast
+
+    try:
+        tree = ast.parse(open(py_path).read())
+    except SyntaxError:
+        return []
+    required = []
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Name)
+            and node.func.id == "Parameter"
+            and node.args
+            and isinstance(node.args[0], ast.Constant)
+        ):
+            has_default = any(kw.arg == "default" for kw in node.keywords) or len(node.args) >= 4
+            if not has_default:
+                required.append(str(node.args[0].value))
+    return required
+
+
 _TEMPLATE_REF = re.compile(r"\{\{\s*([^}|]+?)\s*\}\}")
 
 
@@ -157,8 +182,16 @@ def validate(spec: GraphSpec) -> list[dict]:
             else:
                 errors.append({"node_id": node.id, "message": f"missing node file {node.node_file!r}"})
         if node.kind == "python" and node.node_file:
-            if not os.path.exists(os.path.join(spec.root_dir, node.node_file)):
+            py_path = os.path.join(spec.root_dir, node.node_file)
+            if not os.path.exists(py_path):
                 errors.append({"node_id": node.id, "message": f"missing node file {node.node_file!r}"})
+            else:
+                for pname in _required_parameters(py_path):
+                    if pname not in node.parameters:
+                        # reference server error text (upload.py:78-81)
+                        errors.append(
+                            {"node_id": node.id, "message": f"Parameter {pname!r} has no default or value"}
+                        )
         if node.kind == "sql" and not node.outputs:
             errors.append({"node_id": node.id, "message": "sql node requires an output store"})
     return errors

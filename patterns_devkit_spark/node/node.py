@@ -91,6 +91,13 @@ class Parameter:
             if default is _MISSING:
                 raise ValueError(f"Parameter {name!r} has no default or value")
             return default
+        if type is Connection and isinstance(raw, str) and ctx is not None:
+            # a string-valued Connection parameter names a stored secret
+            # (reference: `patterns create secret`, create.py:210-226)
+            secret = ctx.engine.get_secret(raw)
+            if secret is None:
+                raise ValueError(f"no secret named {raw!r} for Connection parameter {name!r}")
+            return Connection(**secret)
         return _cast_parameter(raw, type)
 
 
@@ -497,13 +504,28 @@ class Table:
     def _with_monotonic_id(self, df: DataFrame, col: str) -> DataFrame:
         """Dense base32 ids from the catalog high-watermark; assigned at
         flush on the driver-reserved block so Spark task retries can't
-        duplicate or skip ids (SURVEY.md §7.3-1). Buffered batches are
-        bounded (autoflush), so the single row_number sort is cheap."""
-        n = df.count()
+        duplicate or skip ids (SURVEY.md §7.3-1).
+
+        Two-pass partition-offset assignment (no global single-partition
+        sort): pass 1 counts rows per partition (tiny job), pass 2
+        numbers rows within each partition in parallel and adds the
+        partition's cumulative offset — ids stay dense and their lexical
+        order follows (partition, row) order."""
+        df = df.withColumn("__pid", F.spark_partition_id())
+        counts = {r["__pid"]: r["n"] for r in df.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+        if not counts:  # empty batch: typed null id column, no block burn
+            return df.withColumn(col, F.lit(None).cast(T.StringType())).drop("__pid")
+        n = sum(counts.values())
         start = self._engine.catalog.allocate_monotonic_block(self.store_name, n)
-        w = Window.orderBy(F.monotonically_increasing_id())
-        b32 = F.udf(lambda i: encode_base32(start + i - 1), T.StringType())
-        return df.withColumn(col, b32(F.row_number().over(w)))
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        offset_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        w = Window.partitionBy("__pid").orderBy(F.monotonically_increasing_id())
+        b32 = F.udf(lambda i: encode_base32(i), T.StringType())
+        seq = F.lit(start) + offset_map[F.col("__pid")] + F.row_number().over(w) - F.lit(1)
+        return df.withColumn(col, b32(seq)).drop("__pid")
 
     def _flush_batch(self, batches: list[Any], upsert: bool) -> None:
         catalog = self._engine.catalog
@@ -970,6 +992,15 @@ class Engine:
             raise KeyError(f"unresolved template reference {{{{ {ref} }}}}")
 
         return re.sub(r"\{\{\s*([^}]+?)\s*\}\}", sub, sql)
+
+    def set_secret(self, name: str, values: dict) -> None:
+        """Store a named credentials bundle (reference `patterns create
+        secret`, create.py:210-226). Local warehouse = local secrets;
+        swap for a real secrets provider on a cluster."""
+        self.catalog.set_secret(name, values)
+
+    def get_secret(self, name: str) -> dict | None:
+        return self.catalog.get_secret(name)
 
     def respond(self, request_key: str, payload: Any) -> None:
         self._responses[request_key] = payload

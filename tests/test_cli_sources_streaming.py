@@ -142,3 +142,13 @@ def test_streaming_session_window(engine, tmp_path):
 
         sizes = sorted(r["n_events"] for r in Table("in", "r").read())
         assert sizes == [1, 2]  # 2h gap splits sessions
+
+
+def test_cli_secret_and_vacuum(tmp_path):
+    wh = str(tmp_path / "wh")
+    r = run_cli(["--warehouse", wh, "secret", "set", "db", "host=h", "user=u"], str(tmp_path))
+    assert r.returncode == 0
+    r = run_cli(["--warehouse", wh, "secret", "get", "db"], str(tmp_path))
+    assert json.loads(r.stdout) == {"host": "h", "user": "u"}
+    r = run_cli(["--warehouse", wh, "vacuum"], str(tmp_path))
+    assert r.returncode == 0 and "vacuum complete" in r.stdout

@@ -238,3 +238,46 @@ def test_request_new_run_requeues(engine, tmp_path):
     runner = GraphRunner(engine, str(tmp_path))
     executed = runner.run_all()
     assert executed.count("chunk001") == 3  # initial + 2 requeues
+
+
+def test_missing_required_parameter_compile_error(engine, tmp_path):
+    """Reference error class: 'Parameter X has no default or value'
+    surfaces at graph compile, not at node runtime."""
+    write(
+        tmp_path,
+        "graph.yml",
+        """
+        functions:
+          - node_file: needs_param.py
+            id: needy001
+        stores: []
+        """,
+    )
+    write(
+        tmp_path,
+        "needs_param.py",
+        """
+        from patterns import Parameter
+        x = Parameter("api_key", type=str)
+        y = Parameter("optional", type=int, default=3)
+        """,
+    )
+    spec = parse_graph(str(tmp_path))
+    msgs = [e["message"] for e in validate(spec)]
+    assert "Parameter 'api_key' has no default or value" in msgs
+    assert not any("optional" in m for m in msgs)
+
+
+def test_connection_parameter_resolves_secret(engine):
+    from patterns_devkit_spark import Connection, Parameter
+
+    engine.set_secret("warehouse_db", {"host": "db.internal", "user": "svc", "password": "hunter2"})
+    with engine.node_context("n", parameters={"db": "warehouse_db"}):
+        conn = Parameter("db", type=Connection)
+        assert conn["host"] == "db.internal"
+        assert isinstance(conn, Connection)
+    with engine.node_context("n2", parameters={"db": "nope"}):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="no secret named"):
+            Parameter("db", type=Connection)
