@@ -1,0 +1,83 @@
+"""Iterative DataFrame algorithms: connected components for dedup
+clustering.
+
+Near-dup detection (exact/Jaccard/MinHash/embedding) yields PAIRS; the
+pipeline-usable artifact is CLUSTERS (each doc -> canonical id, so one
+representative survives). Connected components via iterative min-label
+propagation: each node adopts the smallest label among itself and its
+neighbors until fixpoint. O(diameter) joins — near-dup graphs have
+tiny diameters (dup groups are near-cliques), so 2-4 iterations
+typically converge; every iteration is one shuffle on node id.
+
+This is the alternating-large-star/small-star family simplified to
+label propagation — iterative algorithms on DataFrames, no GraphX
+dependency (GraphX is Scala-only and RDD-based)."""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Returns (id, component) where component = min node id reachable.
+    Nodes appearing only as isolated points must be unioned by the
+    caller if they need rows."""
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    sym = sym.filter(F.col("a") != F.col("b")).distinct()
+    sym = sym.persist()
+    labels = sym.select(F.col("a").alias("id")).distinct().withColumn("component", F.col("id"))
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.b == labels.id)
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("component").alias("neigh_min"))
+        )
+        updated = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("neigh_min"), F.col("component"))).alias(
+                    "component"
+                ),
+            )
+        )
+        # fixpoint check: any label still shrinking?
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        # materialize the new labels to cut lineage growth across
+        # iterations (each loop otherwise doubles the plan depth)
+        labels = updated.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Every doc -> (id, cluster_id, is_canonical): connected components
+    over the near-dup pair graph; docs without any pair are their own
+    cluster. Downstream keeps `is_canonical` rows only."""
+    comps = connected_components(pairs, src, dst)
+    all_ids = df.select(F.col(id_col).alias("id"))
+    labeled = all_ids.join(comps, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce(F.col("component"), F.col("id")).alias("cluster_id"),
+    )
+    return labeled.withColumn("is_canonical", (F.col(id_col) == F.col("cluster_id")).cast("boolean"))

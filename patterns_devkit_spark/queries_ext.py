@@ -262,3 +262,47 @@ def q56(spark, sf_dir):
     queries_df = emb.filter(F.col("vec_id") < 20)
     out = cosine_topk_np(emb, queries_df, k=5)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "q57_time_rollup",
+    """
+    SELECT cast(extract(year FROM ts) AS bigint) AS y,
+           cast(extract(month FROM ts) AS bigint) AS m,
+           cast(extract(day FROM ts) AS bigint) AS d,
+           count(*) AS n, round(sum(value), 6) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((y), (y, m), (y, m, d))
+    """,
+)
+def q57(spark, sf_dir):
+    """Hypertable-style time-hierarchy rollup: one pass produces
+    year / year-month / year-month-day aggregates (grouping sets —
+    single shuffle, no three separate scans)."""
+    ev = t(spark, sf_dir, "events")
+    ev.select(
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        "value",
+    ).createOrReplaceTempView("q57_events")
+    return spark.sql(
+        """
+        SELECT y, m, d, count(*) AS n, round(sum(value), 6) AS sum_value
+        FROM q57_events
+        GROUP BY GROUPING SETS ((y), (y, m), (y, m, d))
+        """
+    )
+
+
+@query("q58_dedup_clusters")  # iterative algorithm -> rows-only check
+def q58(spark, sf_dir):
+    """Fuzzy-dedup clustering: n-gram Jaccard pairs (>=0.35) ->
+    connected components -> every doc labeled with its cluster and
+    whether it is the canonical survivor."""
+    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.graph_algo import dedup_clusters
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", 3).filter(F.col("jaccard") >= 0.35)
+    return dedup_clusters(docs, pairs, "doc_id")

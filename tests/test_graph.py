@@ -281,3 +281,77 @@ def test_connection_parameter_resolves_secret(engine):
 
         with _pytest.raises(ValueError, match="no secret named"):
             Parameter("db", type=Connection)
+
+
+def test_incremental_aggregation_pipeline(engine, tmp_path):
+    """The engine's flagship incremental pattern: a consumer node
+    stream-reads new rows (exactly-once cursor), upserts running
+    per-key aggregates — run 1 processes the backlog, run 2 only the
+    delta. (SURVEY.md §1.4 incremental micro-batch model.)"""
+    write(
+        tmp_path,
+        "graph.yml",
+        """
+        functions:
+          - node_file: rollup.py
+            id: rollup01
+            inputs: {src: events_t}
+            outputs: {out: totals}
+        stores:
+          - table: events_t
+          - table: totals
+        """,
+    )
+    write(
+        tmp_path,
+        "rollup.py",
+        """
+        from pyspark.sql import functions as F
+        from patterns import Table
+
+        src = Table("src", "r")
+        out = Table("out", "w")
+        out.init(unique_on=["k"])
+        stream = src.as_stream(order_by="event_id")
+        batch = stream.consume_spark()
+        if batch is not None:
+            delta = batch.groupBy("k").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+            )
+            prev = out.read_spark()
+            if "k" in prev.columns:
+                merged = (
+                    delta.alias("d")
+                    .join(prev.alias("p"), "k", "left")
+                    .select(
+                        "k",
+                        (F.col("d.n") + F.coalesce(F.col("p.n"), F.lit(0))).alias("n"),
+                        (F.col("d.s") + F.coalesce(F.col("p.s"), F.lit(0.0))).alias("s"),
+                    )
+                )
+            else:
+                merged = delta
+            out.upsert(merged)
+        """,
+    )
+    from patterns_devkit_spark.graph.runner import GraphRunner
+
+    runner = GraphRunner(engine, str(tmp_path))
+    with engine.node_context("feed", outputs={"o": "events_t"}):
+        Table("o", "w").append([{"event_id": i, "k": i % 2, "v": 1.0} for i in range(10)])
+    runner.run_node("rollup01")
+    with engine.node_context("chk", inputs={"i": "totals"}):
+        got = {r["k"]: (r["n"], r["s"]) for r in Table("i", "r").read()}
+        assert got == {0: (5, 5.0), 1: (5, 5.0)}
+    # second batch: only the delta is consumed (cursor advanced)
+    with engine.node_context("feed", outputs={"o": "events_t"}):
+        Table("o", "w").append([{"event_id": i, "k": 0, "v": 2.0} for i in range(10, 13)])
+    runner.run_node("rollup01")
+    with engine.node_context("chk", inputs={"i": "totals"}):
+        got = {r["k"]: (r["n"], r["s"]) for r in Table("i", "r").read()}
+        assert got == {0: (8, 11.0), 1: (5, 5.0)}
+    # third run with no new data: no-op
+    runner.run_node("rollup01")
+    with engine.node_context("chk", inputs={"i": "totals"}):
+        got = {r["k"]: (r["n"], r["s"]) for r in Table("i", "r").read()}
+        assert got == {0: (8, 11.0), 1: (5, 5.0)}

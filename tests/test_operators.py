@@ -134,3 +134,18 @@ def test_salted_two_phase_agg_equals_direct(spark):
         ).collect()
     }
     assert direct == two
+
+
+def test_connected_components_clusters(spark):
+    from patterns_devkit_spark.operators.graph_algo import connected_components, dedup_clusters
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 1)], ["id_a", "id_b"]
+    )
+    comps = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 6, 9, 42]], ["doc_id"])
+    labeled = {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in dedup_clusters(docs, edges).collect()}
+    assert labeled[42] == (42, True)  # isolated doc is its own cluster
+    assert labeled[2] == (1, False) and labeled[1] == (1, True)
+    assert sum(1 for c, canon in labeled.values() if canon) == 3  # clusters {1..},{5,6},{42}
