@@ -306,3 +306,39 @@ def q58(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", 3).filter(F.col("jaccard") >= 0.35)
     return dedup_clusters(docs, pairs, "doc_id")
+
+
+@query(
+    "q59_first_last_value",
+    """
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+)
+def q59(spark, sf_dir):
+    """first_value / last_value analytic windows (full-frame last)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(wfull).alias("last_price"),
+    )
+
+
+@query("q60_tablesample")  # engine-specific RNG -> rows-only check
+def q60(spark, sf_dir):
+    """Bernoulli sampling with a fixed seed (deterministic within
+    Spark; cross-engine RNGs differ, so rows-only — the deterministic
+    cross-engine variant is q28's hash-mod sample)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_sampled")
+    )

@@ -110,3 +110,28 @@ def test_monotonic_ids_dense_across_flushes(mk_engine, sizes):
     assert len({r["mid"] for r in rows}) == total
     by_mid = sorted(rows, key=lambda r: r["mid"])
     assert [r["i"] for r in by_mid] == list(range(total))
+
+
+@given(
+    lefts=st.lists(st.tuples(st.integers(1, 3), st.integers(0, 30)), min_size=1, max_size=8),
+    rights=st.lists(st.tuples(st.integers(1, 3), st.integers(0, 30)), min_size=1, max_size=8),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_naive(spark, lefts, rights):
+    """asof_join(union-window formulation) == the O(n*m) naive
+    definition: latest right with rts <= lts per key, ties -> larger
+    tiebreak."""
+    from patterns_devkit_spark.operators.asof import asof_join
+
+    lefts = list({(k, ts) for k, ts in lefts})
+    rights = list({(k, ts) for k, ts in rights})
+    left = spark.createDataFrame([(k, ts, i) for i, (k, ts) in enumerate(lefts)], ["k", "lts", "lid"])
+    right = spark.createDataFrame([(k, ts, 100 + i) for i, (k, ts) in enumerate(rights)], ["k", "rts", "rid"])
+    out = asof_join(left, right, on=["k"], left_ts="lts", right_ts="rts", right_cols=["rid"], tiebreak="rid")
+    got = {(r["k"], r["lts"]): r["asof_rid"] for r in out.collect()}
+
+    expected = {}
+    for k, lts in lefts:
+        cands = [(ts, 100 + i) for i, (rk, ts) in enumerate(rights) if rk == k and ts <= lts]
+        expected[(k, lts)] = max(cands)[1] if cands else None
+    assert got == expected
