@@ -69,23 +69,21 @@ def cmd_create(args) -> int:
         if root is None:
             print("error: no graph.yml found (run inside an app)", file=sys.stderr)
             return 1
-        import yaml
+        from .graph.edit import append_function_entry
 
         gpath = os.path.join(root, "graph.yml")
-        with open(gpath) as f:
-            doc = yaml.safe_load(f) or {}
-        doc.setdefault("functions", [])
+        text = open(gpath).read()
         name = args.name
         if args.webhook:
-            doc["functions"].append({"webhook": name})
+            text = append_function_entry(text, [f"- webhook: {name}"])
         else:
             path = os.path.join(root, name)
             if not os.path.exists(path):
                 with open(path, "w") as f:
                     f.write(SQL_NODE_TEMPLATE if name.endswith(".sql") else PY_NODE_TEMPLATE)
-            doc["functions"].append({"node_file": name})
+            text = append_function_entry(text, [f"- node_file: {name}"])
         with open(gpath, "w") as f:
-            yaml.safe_dump(doc, f, sort_keys=False)
+            f.write(text)
         print(f"Added {'webhook' if args.webhook else 'node'} {name}")
         return 0
     print(f"error: cannot create {args.what!r}", file=sys.stderr)
@@ -96,25 +94,19 @@ def cmd_upload(args) -> int:
     """Compile + register the graph (the reference zips to the server;
     ours validates and assigns missing node ids in place)."""
     from .graph.spec import parse_graph, validate
-    from .node.ids import random_node_id
+
+    from .graph.edit import assign_missing_ids
 
     root = find_graph_root(args.path)
     if root is None:
         print("error: no graph.yml found", file=sys.stderr)
         return 1
-    import yaml
-
     gpath = os.path.join(root, "graph.yml")
-    with open(gpath) as f:
-        doc = yaml.safe_load(f) or {}
-    changed = False
-    for fn in doc.get("functions") or []:
-        if isinstance(fn, dict) and "id" not in fn:
-            fn["id"] = random_node_id()
-            changed = True
-    if changed:
+    text = open(gpath).read()
+    new_text, n_assigned = assign_missing_ids(text)
+    if n_assigned:
         with open(gpath, "w") as f:
-            yaml.safe_dump(doc, f, sort_keys=False)
+            f.write(new_text)  # comment/format-preserving id insertion
     spec = parse_graph(root)
     errors = validate(spec)
     if errors:
@@ -122,7 +114,16 @@ def cmd_upload(args) -> int:
         for e in errors:
             print(f"  node {e['node_id']}: {e['message']}")
         return 1
-    print(f"Uploaded graph {spec.title or os.path.basename(root)!r}: {len(spec.functions)} nodes OK")
+    # register: snapshot the app dir into the warehouse (the reference
+    # zips to the server; ours is the local registry for download/diff)
+    import shutil
+
+    slug = spec.slug or os.path.basename(root)
+    dest = os.path.join(_warehouse(args), "apps", slug)
+    if os.path.isdir(dest):
+        shutil.rmtree(dest)
+    shutil.copytree(root, dest, ignore=shutil.ignore_patterns(".git", "__pycache__", "*.pyc"))
+    print(f"Uploaded graph {spec.title or slug!r}: {len(spec.functions)} nodes OK")
     return 0
 
 
@@ -196,6 +197,78 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_download(args) -> int:
+    """Copy a registered app out of the warehouse (reference download;
+    refuses to overwrite existing files without --force, mirroring the
+    directory editor's overwrite protection)."""
+    import shutil
+
+    src = os.path.join(_warehouse(args), "apps", args.slug)
+    if not os.path.isdir(src):
+        print(f"error: no registered app {args.slug!r}", file=sys.stderr)
+        return 1
+    dest = args.dest or args.slug
+    if os.path.exists(dest) and not args.force:
+        print(f"error: {dest!r} exists (use --force to overwrite)", file=sys.stderr)
+        return 1
+    if os.path.exists(dest):
+        shutil.rmtree(dest)
+    shutil.copytree(src, dest)
+    print(f"Downloaded {args.slug} -> {dest}")
+    return 0
+
+
+def cmd_diff(args) -> int:
+    """Diff the working app dir against its registered copy (reference
+    upload conflict check, services/diffs.py)."""
+    import difflib
+
+    root = find_graph_root(args.path)
+    if root is None:
+        print("error: no graph.yml found", file=sys.stderr)
+        return 1
+    from .graph.spec import parse_graph
+
+    slug = parse_graph(root).slug or os.path.basename(root)
+    reg = os.path.join(_warehouse(args), "apps", slug)
+    if not os.path.isdir(reg):
+        print(f"no registered copy of {slug!r} (nothing uploaded yet)")
+        return 1
+    changed = False
+    local_files = {
+        os.path.relpath(os.path.join(dp, f), root)
+        for dp, _, fs in os.walk(root)
+        for f in fs
+        if "__pycache__" not in dp
+    }
+    reg_files = {
+        os.path.relpath(os.path.join(dp, f), reg) for dp, _, fs in os.walk(reg) for f in fs
+    }
+    for rel in sorted(local_files | reg_files):
+        lp, rp = os.path.join(root, rel), os.path.join(reg, rel)
+        if not os.path.exists(rp):
+            print(f"added: {rel}")
+            changed = True
+        elif not os.path.exists(lp):
+            print(f"removed: {rel}")
+            changed = True
+        else:
+            try:
+                a, b = open(rp).read().splitlines(), open(lp).read().splitlines()
+            except UnicodeDecodeError:
+                if open(rp, "rb").read() != open(lp, "rb").read():
+                    print(f"changed (binary): {rel}")
+                    changed = True
+                continue
+            diff = list(difflib.unified_diff(a, b, fromfile=f"registered/{rel}", tofile=f"local/{rel}", lineterm=""))
+            if diff:
+                print("\n".join(diff))
+                changed = True
+    if not changed:
+        print("no changes")
+    return 0
+
+
 def cmd_secret(args) -> int:
     engine = _engine(args)
     if args.action == "set":
@@ -259,6 +332,16 @@ def main(argv: list[str] | None = None) -> int:
     d = sub.add_parser("delete", help="delete a table")
     d.add_argument("table")
     d.set_defaults(fn=cmd_delete)
+
+    dl = sub.add_parser("download", help="copy a registered app out of the warehouse")
+    dl.add_argument("slug")
+    dl.add_argument("dest", nargs="?", default=None)
+    dl.add_argument("--force", action="store_true")
+    dl.set_defaults(fn=cmd_download)
+
+    df = sub.add_parser("diff", help="diff working dir vs registered copy")
+    df.add_argument("path", nargs="?", default=None)
+    df.set_defaults(fn=cmd_diff)
 
     sec = sub.add_parser("secret", help="store or read a named secret")
     sec.add_argument("action", choices=["set", "get"])

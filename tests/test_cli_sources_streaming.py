@@ -152,3 +152,32 @@ def test_cli_secret_and_vacuum(tmp_path):
     assert json.loads(r.stdout) == {"host": "h", "user": "u"}
     r = run_cli(["--warehouse", wh, "vacuum"], str(tmp_path))
     assert r.returncode == 0 and "vacuum complete" in r.stdout
+
+
+def test_cli_upload_download_diff_cycle(tmp_path):
+    wh = str(tmp_path / "wh")
+    run_cli(["create", "app", "cycleapp"], str(tmp_path))
+    app = tmp_path / "cycleapp"
+    (app / "graph.yml").write_text(
+        "title: Cycle\nslug: cycleapp\n# a comment that must survive\nfunctions:\n  - node_file: n1.py\nstores: []\n"
+    )
+    (app / "n1.py").write_text("from patterns import Table\n")
+    r = run_cli(["--warehouse", wh, "upload"], str(app))
+    assert r.returncode == 0, r.stdout + r.stderr
+    # comment survived the id-assignment rewrite
+    text = (app / "graph.yml").read_text()
+    assert "# a comment that must survive" in text and "id: " in text
+    # no local changes yet
+    r = run_cli(["--warehouse", wh, "diff"], str(app))
+    assert "no changes" in r.stdout
+    # mutate and diff
+    (app / "n1.py").write_text("from patterns import Table, State\n")
+    r = run_cli(["--warehouse", wh, "diff"], str(app))
+    assert "local/n1.py" in r.stdout and "+from patterns import Table, State" in r.stdout
+    # download the registered (pre-mutation) copy elsewhere
+    r = run_cli(["--warehouse", wh, "download", "cycleapp", "restored"], str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    assert (tmp_path / "restored" / "n1.py").read_text() == "from patterns import Table\n"
+    # overwrite protection
+    r = run_cli(["--warehouse", wh, "download", "cycleapp", "restored"], str(tmp_path))
+    assert r.returncode == 1 and "use --force" in r.stderr
