@@ -42,6 +42,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram (word-shingle) Jaccard for every candidate pair that
     shares >=1 shingle. Inverted-index join: explode distinct shingles,
@@ -75,6 +76,16 @@ def ngram_jaccard_pairs(
     # the distinct+window run once (same pattern Spark ML uses inside
     # approxSimilarityJoin)
     shingled = shingled.persist()
+    if max_df is not None:
+        # stop-shingle removal: a shingle shared by > max_df docs
+        # contributes pairs quadratically while carrying almost no
+        # near-dup signal. On dup-heavy corpora ALSO run exact_dedup
+        # first — identical docs make pairwise growth genuinely
+        # quadratic (measured: 10x replicated corpus -> 100x pairs;
+        # see SCALE.md). NOTE: dropped shingles leave n_sh unchanged,
+        # so jaccard becomes a lower bound for affected pairs.
+        hot = shingled.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > max_df)
+        shingled = shingled.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
     a = shingled.alias("a")
     b = shingled.alias("b")
     inter = (

@@ -149,3 +149,16 @@ def test_connected_components_clusters(spark):
     assert labeled[42] == (42, True)  # isolated doc is its own cluster
     assert labeled[2] == (1, False) and labeled[1] == (1, True)
     assert sum(1 for c, canon in labeled.values() if canon) == 3  # clusters {1..},{5,6},{42}
+
+
+def test_ngram_jaccard_max_df_drops_hot_shingles(spark):
+    from patterns_devkit_spark.operators.dedup import ngram_jaccard_pairs
+
+    # 6 docs sharing one hot shingle; only docs 1,2 truly near-dup
+    rows = [(1, "a b c d e"), (2, "a b c d f")] + [(i, f"a b c x{i} y{i}") for i in range(3, 7)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    full = ngram_jaccard_pairs(df, n=3).count()
+    capped = ngram_jaccard_pairs(df, n=3, max_df=3).count()
+    assert capped < full  # hot shingle 'a b c' (df=6) no longer pairs everyone
+    kept = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(df, n=3, max_df=3).collect()}
+    assert (1, 2) in kept  # the real near-dup pair survives via 'b c d'
