@@ -5,6 +5,7 @@ cume_dist, native pivot, date arithmetic, scalar subqueries, approx
 aggregates. Same determinism rules as queries.py."""
 from __future__ import annotations
 
+import pandas as pd  # module-scope: pandas_udf resolves 'pd.Series' hints here
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -342,3 +343,66 @@ def q60(spark, sf_dir):
     return li.sample(fraction=0.1, seed=42).groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_sampled")
     )
+
+
+@query(
+    "q61_grouped_pandas",
+    """
+    SELECT event_id, event_type,
+           round(value - avg(value) OVER (PARTITION BY event_type), 6) AS centered
+    FROM events
+    """,
+)
+def q61(spark, sf_dir):
+    """Grouped-map pandas (applyInPandas): per-group mean-centering —
+    arbitrary per-group pandas logic under the oracle gate (the
+    reference's 'Python node over pandas' §2.8 pattern, distributed
+    per group instead of driver-side)."""
+    from pyspark.sql import types as TT
+
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    schema = TT.StructType(
+        [
+            TT.StructField("event_id", TT.LongType()),
+            TT.StructField("event_type", TT.StringType()),
+            TT.StructField("centered", TT.DoubleType()),
+        ]
+    )
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        # sum/len rather than .mean() to match SQL avg exactly
+        mean = float(pdf["value"].sum()) / len(pdf)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "centered": (pdf["value"] - mean).round(6),
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(center, schema)
+
+
+@query(
+    "q62_pandas_udf",
+    """
+    SELECT doc_id,
+           cast(len(string_split_regex(trim(text), '\\s+')) AS bigint) AS n_tokens,
+           upper(substr(trim(text), 1, 10)) AS head
+    FROM documents
+    """,
+)
+def q62(spark, sf_dir):
+    """Scalar pandas UDF (Arrow-vectorized) under the oracle gate."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def n_tokens(s: pd.Series) -> pd.Series:
+        return s.str.strip().str.split(r"\s+").map(len).astype("int64")
+
+    @pandas_udf("string")
+    def head10(s: pd.Series) -> pd.Series:
+        return s.str.strip().str.slice(0, 10).str.upper()
+
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", n_tokens("text").alias("n_tokens"), head10("text").alias("head"))
