@@ -55,16 +55,17 @@ def q45(spark, sf_dir):
     "q46_array_agg",
     """
     SELECT n_regionkey,
-           list_sort(list(n_name)) AS nations,
+           to_json(list_sort(list(n_name))) AS nations_json,
            len(list(n_name)) AS n_nations
     FROM nation GROUP BY n_regionkey
     """,
 )
 def q46(spark, sf_dir):
-    """Array aggregation: collect_list + sort (canonical order)."""
+    """Array aggregation: collect_list + sort, serialized to JSON so
+    the oracle compare never sorts raw array cells (driver-safe)."""
     n = t(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.array_sort(F.collect_list("n_name")).alias("nations"),
+        F.to_json(F.array_sort(F.collect_list("n_name"))).alias("nations_json"),
         F.size(F.collect_list("n_name")).cast("long").alias("n_nations"),
     )
 
@@ -115,7 +116,7 @@ def q48(spark, sf_dir):
     "q49_regexp_extract_all",
     """
     SELECT c_custkey,
-           regexp_extract_all(c_name, '[0-9]+') AS digit_runs,
+           to_json(regexp_extract_all(c_name, '[0-9]+')) AS digit_runs_json,
            cast(len(regexp_extract_all(c_name, '[0-9]+')) AS bigint) AS n_runs
     FROM customer
     """,
@@ -124,7 +125,7 @@ def q49(spark, sf_dir):
     c = t(spark, sf_dir, "customer")
     runs = F.regexp_extract_all("c_name", F.lit("[0-9]+"), 0)
     return c.select(
-        "c_custkey", runs.alias("digit_runs"), F.size(runs).cast("long").alias("n_runs")
+        "c_custkey", F.to_json(runs).alias("digit_runs_json"), F.size(runs).cast("long").alias("n_runs")
     )
 
 
