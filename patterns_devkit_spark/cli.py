@@ -122,7 +122,16 @@ def cmd_upload(args) -> int:
     dest = os.path.join(_warehouse(args), "apps", slug)
     if os.path.isdir(dest):
         shutil.rmtree(dest)
-    shutil.copytree(root, dest, ignore=shutil.ignore_patterns(".git", "__pycache__", "*.pyc"))
+    # packaging respects .gitignore globs like the reference's zip
+    # upload (reference helpers.py:110-125)
+    patterns = [".git", "__pycache__", "*.pyc"]
+    gitignore = os.path.join(root, ".gitignore")
+    if os.path.exists(gitignore):
+        for line in open(gitignore):
+            line = line.strip().rstrip("/")
+            if line and not line.startswith("#"):
+                patterns.append(line)
+    shutil.copytree(root, dest, ignore=shutil.ignore_patterns(*patterns))
     print(f"Uploaded graph {spec.title or slug!r}: {len(spec.functions)} nodes OK")
     return 0
 

@@ -181,3 +181,39 @@ def test_cli_upload_download_diff_cycle(tmp_path):
     # overwrite protection
     r = run_cli(["--warehouse", wh, "download", "cycleapp", "restored"], str(tmp_path))
     assert r.returncode == 1 and "use --force" in r.stderr
+
+
+def test_cli_trigger_runs_node_on_spark(tmp_path):
+    """Manual trigger (reference `patterns trigger NODE`): CLI executes
+    the node against the warehouse; `list tables` shows the write."""
+    wh = str(tmp_path / "wh")
+    app = tmp_path / "trigapp"
+    app.mkdir()
+    (app / "graph.yml").write_text(
+        "functions:\n  - node_file: gen.py\n    id: gen00001\n    outputs: {out: nums}\nstores:\n  - table: nums\n"
+    )
+    (app / "gen.py").write_text(
+        "from patterns import Table\nTable('out', 'w').append([{'n': i} for i in range(7)])\n"
+    )
+    r = run_cli(["--warehouse", wh, "trigger", "gen00001"], str(app))
+    assert r.returncode == 0 and "Triggered node gen00001" in r.stdout, r.stdout + r.stderr
+    r = run_cli(["--warehouse", wh, "list", "tables"], str(app))
+    assert "nums" in r.stdout and "rows=7" in r.stdout
+
+
+def test_cli_upload_respects_gitignore(tmp_path):
+    wh = str(tmp_path / "wh")
+    app = tmp_path / "ignapp"
+    app.mkdir()
+    (app / "graph.yml").write_text("slug: ignapp\nfunctions: []\nstores: []\n")
+    (app / ".gitignore").write_text("secrets.txt\n*.log\n")
+    (app / "secrets.txt").write_text("do-not-upload")
+    (app / "debug.log").write_text("noise")
+    (app / "keep.py").write_text("# kept")
+    r = run_cli(["--warehouse", wh, "upload"], str(app))
+    assert r.returncode == 0, r.stdout + r.stderr
+    import os
+    reg = os.path.join(wh, "apps", "ignapp")
+    assert os.path.exists(os.path.join(reg, "keep.py"))
+    assert not os.path.exists(os.path.join(reg, "secrets.txt"))
+    assert not os.path.exists(os.path.join(reg, "debug.log"))
