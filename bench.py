@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "q37_cosine_topk",
     "q56_cosine_topk_np",
     "q40_text_stats",
+    "sdk02_upsert",  # engine write path: append + MERGE-upsert + version flip
 ]
 
 

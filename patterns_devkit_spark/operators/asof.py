@@ -63,3 +63,50 @@ def asof_join(
         .filter(F.col("__side") == 1)
         .drop("__side")
     )
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Alternative implementation: cogrouped pandas `merge_asof` per
+    key (pyspark_guide's 'applyInPandas with pd.merge_asof per group').
+    Same '<=' semantics as asof_join; among equal right_ts the
+    LAST-sorted row wins (sort by (ts, right_cols) mirrors the
+    union-window tie-break). Useful when per-group data fits in memory
+    and the pandas path is preferred; the union-window form is the
+    default at scale."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_fields = [f for f in left.schema.fields] + [
+        T.StructField(f"{prefix}{c}", right.schema[c].dataType, True) for c in right_cols
+    ]
+    out_schema = T.StructType(out_fields)
+    lcols = left.columns
+
+    def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        l_sorted = l_pdf.sort_values(left_ts, kind="mergesort")
+        if r_pdf.empty:
+            out = l_sorted.copy()
+            for c in right_cols:
+                out[f"{prefix}{c}"] = None
+            return out[list(l_pdf.columns) + [f"{prefix}{c}" for c in right_cols]]
+        r_sorted = r_pdf.sort_values([right_ts, *right_cols], kind="mergesort")[[right_ts, *right_cols]]
+        r_renamed = r_sorted.rename(columns={c: f"{prefix}{c}" for c in right_cols})
+        merged = pd.merge_asof(
+            l_sorted, r_renamed, left_on=left_ts, right_on=right_ts,
+            direction="backward", allow_exact_matches=True, suffixes=("", "__r"),
+        )
+        return merged[list(l_pdf.columns) + [f"{prefix}{c}" for c in right_cols]]
+
+    return (
+        left.groupBy(*on)
+        .cogroup(right.groupBy(*on))
+        .applyInPandas(merge, out_schema)
+    )

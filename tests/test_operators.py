@@ -162,3 +162,34 @@ def test_ngram_jaccard_max_df_drops_hot_shingles(spark):
     assert capped < full  # hot shingle 'a b c' (df=6) no longer pairs everyone
     kept = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(df, n=3, max_df=3).collect()}
     assert (1, 2) in kept  # the real near-dup pair survives via 'b c d'
+
+
+def test_asof_join_pandas_equals_window_form(spark, sf_dir):
+    from patterns_devkit_spark.operators.asof import asof_join, asof_join_pandas
+    from patterns_devkit_spark.queries import t
+
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    a = asof_join(purchases, views, ["user_id"], "ts", "ts", ["event_id"], tiebreak="event_id")
+    b = asof_join_pandas(purchases, views, ["user_id"], "ts", "ts", ["event_id"])
+    ra = {(r["event_id"], r["asof_event_id"]) for r in a.collect()}
+    rb = {(r["event_id"], r["asof_event_id"]) for r in b.collect()}
+    assert ra == rb and len(ra) > 0
+
+
+def test_ann_lsh_recall_against_exact(spark, sf_dir):
+    """Approximation quality gate: LSH ANN recall@5 vs exact cosine
+    top-5 on the fixture must clear a floor (documents approximation
+    honestly instead of hiding it)."""
+    from patterns_devkit_spark.operators.similarity import ann_lsh, cosine_topk
+    from patterns_devkit_spark.queries import t
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries_df, k=5)
+    approx = ann_lsh(emb, queries_df, k=5)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.5, f"ANN recall@5 too low: {recall:.2f}"
