@@ -543,21 +543,44 @@ class Table:
             else:
                 w = Window.partitionBy(*keys).orderBy(F.monotonically_increasing_id().desc())
             df = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
-            if av is not None and av.exists:
+            part_cols = meta.get("partition_by") or []
+            scoped = (
+                av is not None
+                and av.exists
+                and len(part_cols) == 1
+                and part_cols[0] in df.columns
+            )
+            if av is not None and av.exists and not scoped:
                 old = av.as_dataframe()
                 old = conform_to_schema(old, merge_schemas(old.schema, df.schema))
                 df = conform_to_schema(df, old.schema)
                 # MERGE rewrite: untouched old rows (anti-join on key) + new
-                # batch → new version. Scale note: this rewrites the table;
-                # on a cluster, key-partitioned versions bound the rewrite
-                # to matching partitions (SURVEY.md §7.3-3). Small batches
-                # broadcast automatically under AQE.
+                # batch → new version. This rewrites the whole table; the
+                # partition-scoped path below bounds it when partition_by
+                # is declared (SURVEY.md §7.3-3). Small batches broadcast
+                # automatically under AQE.
                 survivors = old.join(df.select(*keys), on=keys, how="left_anti")
+                df = survivors.unionByName(df)
+            elif scoped:
+                # PARTITION-SCOPED MERGE: only partitions the batch
+                # touches are re-read and rewritten; untouched partition
+                # directories are hardlinked file-by-file into the new
+                # version (O(files) metadata ops, zero data movement) —
+                # the Spark-side analogue of partition-level MERGE.
+                pc = part_cols[0]
+                old = av.as_dataframe()
+                old = conform_to_schema(old, merge_schemas(old.schema, df.schema))
+                df = conform_to_schema(df, old.schema)
+                touched = [r[0] for r in df.select(pc).distinct().collect()]
+                old_touched = old.filter(F.col(pc).isin(touched))
+                survivors = old_touched.join(df.select(*keys), on=keys, how="left_anti")
                 df = survivors.unionByName(df)
             new_version = catalog.create_new_version(self.store_name)
             out_dir = catalog.version_dir(self.store_name, new_version)
             df = self._sorted_for_write(df, meta)
             self._writer(df, meta).mode("overwrite").parquet(out_dir)
+            if scoped:
+                self._link_untouched_partitions(av.storage, out_dir, part_cols[0], touched)
             n = self._engine.spark.read.parquet(out_dir).count()
             catalog.set_record_count(self.store_name, new_version, n)
             catalog.set_active_version(self.store_name, new_version)
@@ -585,6 +608,33 @@ class Table:
             self.signal_create()
         else:
             self.signal_update()
+
+    @staticmethod
+    def _link_untouched_partitions(old_dir: str, new_dir: str, part_col: str, touched: list) -> None:
+        """Hardlink every `col=value` partition dir the upsert batch did
+        NOT touch from the old version into the new one. Hardlinks make
+        version GC safe (inode refcounts) and cost no data movement; on
+        object storage this becomes a server-side copy/manifest entry."""
+        import os
+        from urllib.parse import unquote
+
+        touched_strs = {str(v) for v in touched}
+        prefix = f"{part_col}="
+        for entry in os.listdir(old_dir):
+            if not entry.startswith(prefix):
+                continue
+            if unquote(entry[len(prefix):]) in touched_strs:
+                continue
+            src, dst = os.path.join(old_dir, entry), os.path.join(new_dir, entry)
+            os.makedirs(dst, exist_ok=True)
+            for fn in os.listdir(src):
+                if fn.endswith(".parquet") or fn == "_SUCCESS":
+                    try:
+                        os.link(os.path.join(src, fn), os.path.join(dst, fn))
+                    except OSError:
+                        import shutil
+
+                        shutil.copy2(os.path.join(src, fn), os.path.join(dst, fn))
 
     def _sorted_for_write(self, df: DataFrame, meta: dict) -> DataFrame:
         """Write versions sorted by the declared ordering so Parquet

@@ -182,3 +182,39 @@ def test_stateful_running_totals(engine, tmp_path):
     with engine.node_context("r", inputs={"in": "running"}):
         got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in Table("in", "r").read()}
     assert got == {1: (2, 15.0), 2: (1, 1.0)}
+
+
+def test_partition_scoped_upsert(engine):
+    """Upsert on a partitioned table only rewrites touched partitions;
+    untouched partition files are HARDLINKED into the new version
+    (same inode), and results equal full-MERGE semantics."""
+    import os
+
+    rows = [{"k": i, "grp": f"g{i % 3}", "v": float(i)} for i in range(30)]
+    with engine.node_context("w", outputs={"out": "pt"}):
+        t = Table("out", "w")
+        t.init(unique_on=["k"], partition_by="grp")
+        t.append(rows)
+        t.flush()
+        v1_dir = t.get_active_version().storage
+        # upsert touches ONLY grp=g0 (update k=0, insert k=100)
+        t.upsert([{"k": 0, "grp": "g0", "v": 999.0}, {"k": 100, "grp": "g0", "v": 1.5}])
+        t.flush()
+        v2_dir = t.get_active_version().storage
+    assert v1_dir != v2_dir
+    # correctness: merge semantics hold
+    with engine.node_context("r", inputs={"in": "pt"}):
+        got = {r["k"]: r["v"] for r in Table("in", "r").read()}
+    expected = {i: float(i) for i in range(30)}
+    expected[0] = 999.0
+    expected[100] = 1.5
+    assert got == expected
+    # untouched partitions hardlinked (same inode), touched rewritten
+    def inodes(d, part):
+        p = os.path.join(d, part)
+        return {fn: os.stat(os.path.join(p, fn)).st_ino for fn in os.listdir(p) if fn.endswith(".parquet")}
+
+    for part in ("grp=g1", "grp=g2"):
+        i1, i2 = inodes(v1_dir, part), inodes(v2_dir, part)
+        assert i1 and set(i1.values()) == set(i2.values()), f"{part} was rewritten, not linked"
+    assert set(inodes(v1_dir, "grp=g0").values()) != set(inodes(v2_dir, "grp=g0").values())
