@@ -131,15 +131,20 @@ def ngram_jaccard_best_match(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", bits: int = 64, out_col: str = "simhash") -> DataFrame:
-    """64-bit SimHash over whitespace tokens using xxhash64 (JVM-side):
-    per bit, sign(sum over tokens of ±1) — vectorized as an aggregate
-    over exploded tokens. Near-dups have small Hamming distance.
-    Deterministic but engine-specific (xxhash64), so driver checks are
-    rows-only; cross-engine parity is covered by the md5 fingerprint op."""
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 64, out_col: str = "simhash", hash_fn=None) -> DataFrame:
+    """SimHash over whitespace tokens: per bit, sign(sum over tokens of
+    ±1) — vectorized as an aggregate over exploded tokens. Near-dups
+    have small Hamming distance.
+
+    hash_fn picks the token-hash family: default xxhash64 (fastest,
+    JVM-native — engine-specific, so not oracle-checkable); pass
+    det_hash.md5_long-based hashing (see queries q36) for a hash the
+    DuckDB oracle reproduces bit-identically."""
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     toks = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
     id_cols = [c for c in df.columns]
-    exploded = df.select(*id_cols, toks).withColumn("h", F.xxhash64("tok"))
+    exploded = df.select(*id_cols, toks).withColumn("h", hash_fn(F.col("tok")))
     bit_sums = exploded.groupBy(*id_cols).agg(
         *[
             F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")

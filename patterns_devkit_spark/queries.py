@@ -25,6 +25,7 @@ from pyspark.sql.window import Window
 
 from .operators import asof as asof_ops
 from .operators import dedup as dedup_ops
+from .operators import det_hash as det_ops
 from .operators import multimodal as mm_ops
 from .operators import similarity as sim_ops
 from .operators import text as text_ops
@@ -851,15 +852,27 @@ def q34(spark, sf_dir):
     )
 
 
-@query("q35_minhash_lsh")  # approximate -> rows-only driver check
+@query("q35_minhash_lsh", det_ops.minhash_oracle_sql())
 def q35(spark, sf_dir):
-    return dedup_ops.minhash_lsh_dedup(t(spark, sf_dir, "documents"), threshold=0.3)
+    """Deterministic MinHash+LSH banding: candidate pairs from band-key
+    equi-joins (the scale path — never all-pairs), scored by signature
+    agreement. Oracle recomputes the identical md5+LCG hash family in
+    SQL, so the driver hash-checks the whole LSH pipeline. The Spark-ML
+    MinHashLSH variant (engine-seeded RNG) remains in dedup.py with a
+    pytest recall gate."""
+    return det_ops.minhash_lsh_pairs_det(t(spark, sf_dir, "documents"))
 
 
-@query("q36_simhash")  # engine-specific hash -> rows-only driver check
+@query("q36_simhash", det_ops.simhash_oracle_sql())
 def q36(spark, sf_dir):
+    """SimHash with the cross-engine md5-derived 32-bit token hash:
+    bit-identical signatures in Spark and DuckDB. The xxhash64 family
+    (faster, engine-specific) stays the default in dedup.simhash."""
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = dedup_ops.simhash(d.select("doc_id", "text"), "text")
+    sh = dedup_ops.simhash(
+        d, "text", bits=32,
+        hash_fn=lambda c: det_ops.md5_long(c, hex_digits=8),
+    )
     return sh.select("doc_id", "simhash")
 
 
@@ -886,12 +899,18 @@ def q37(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-@query("q38_ann_lsh")  # approximate -> rows-only driver check
+@query("q38_ann_lsh", det_ops.ann_oracle_sql())
 def q38(spark, sf_dir):
+    """Deterministic sign-random-hyperplane ANN: integer-quantized
+    projections -> (table, signature) bucket equi-joins -> exact cosine
+    only on collisions -> per-query top-5. Every bucket decision is
+    integer-exact, so the DuckDB oracle reproduces the full ANN result
+    bit-for-bit (no 'approximate so unverifiable' carve-out). The
+    Spark-ML BucketedRandomProjectionLSH variant stays in similarity.py
+    with its pytest recall@5 gate."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    out = sim_ops.ann_lsh(emb, queries, k=5)
-    return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    return det_ops.ann_hyperplane(emb, queries, k=5)
 
 
 @query(
@@ -985,11 +1004,35 @@ def q42(spark, sf_dir):
     )
 
 
-@query("q43_multimodal_features")  # binary plumbing; byte-level stub decode -> rows-only
+@query(
+    "q43_multimodal_features",
+    # The stub decoder is byte-level stats over the UTF-8 payload; documents.text
+    # is pure ASCII in the fixtures, so DuckDB can recompute the same features
+    # from codepoints. Arrays serialized via to_json on BOTH sides (the driver
+    # comparator can't hash raw lists); mean quantized to micros-bigint for
+    # cross-engine float determinism.
+    """
+    SELECT doc_id AS media_id,
+           'text/plain' AS mime,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(round(list_sum(list_transform(range(1, length(text) + 1),
+                                              i -> ascii(text[i]))) * 1000000.0
+                      / length(text), 0) AS BIGINT) AS feat_mean_micros,
+           to_json(list_transform(range(1, 9), i -> ascii(text[i]))) AS feat_head
+    FROM documents
+    """,
+)
 def q43(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     media = mm_ops.binarize(d, "doc_id", "text", "source", mime="text/plain")
-    return mm_ops.extract_features(media, decode_stub=True)
+    feats = mm_ops.extract_features(media, decode_stub=True)
+    return feats.select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        F.round(F.col("feat_mean") * 1_000_000).cast("long").alias("feat_mean_micros"),
+        F.to_json(F.col("feat_head")).alias("feat_head"),
+    )
 
 
 # =====================================================================

@@ -193,3 +193,54 @@ def test_ann_lsh_recall_against_exact(spark, sf_dir):
     ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(ex & ap) / len(ex)
     assert recall >= 0.5, f"ANN recall@5 too low: {recall:.2f}"
+
+
+def test_ann_hyperplane_recall_against_exact(spark, sf_dir):
+    """Deterministic hyperplane-LSH ANN: recall@5 vs exact cosine top-5
+    must clear a floor (cross-engine correctness is covered by the q38
+    oracle; this gates that the buckets are actually *useful*)."""
+    from patterns_devkit_spark.operators.det_hash import ann_hyperplane
+    from patterns_devkit_spark.operators.similarity import cosine_topk
+    from patterns_devkit_spark.queries import t
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, queries_df, k=5).collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in ann_hyperplane(emb, queries_df, k=5).collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.6, f"hyperplane ANN recall@5 too low: {recall:.2f}"
+
+
+def test_minhash_det_agreement_tracks_jaccard(spark):
+    """Deterministic MinHash banding finds the true near-dup pair and
+    scores it higher than unrelated candidate pairs."""
+    from patterns_devkit_spark.operators.det_hash import minhash_lsh_pairs_det
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(1, base), (2, base.replace("today", "tomorrow")),
+            (3, "completely different content with other words entirely for testing purposes")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r["id_a"], r["id_b"]): r["n_sig_agree"] for r in minhash_lsh_pairs_det(df, n=2).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 16  # >=half the 32 hashes agree
+    assert all(v < got[(1, 2)] for k, v in got.items() if k != (1, 2))
+
+
+def test_simhash_md5_variant_orders_like_xxhash(spark):
+    """The cross-engine md5 hash family preserves SimHash's semantic:
+    near-dup docs land closer in Hamming space than unrelated docs."""
+    from patterns_devkit_spark.operators.det_hash import md5_long
+
+    df = spark.createDataFrame(
+        [(1, "spark table join merge sort"), (2, "spark table join merge batch"),
+         (3, "completely unrelated words here now")],
+        ["doc_id", "text"],
+    )
+    sh = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup_ops.simhash(df, bits=32, hash_fn=lambda c: md5_long(c, hex_digits=8)).collect()
+    }
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFF).count("1")
+
+    assert ham(sh[1], sh[2]) < ham(sh[1], sh[3])
