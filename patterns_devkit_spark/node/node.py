@@ -34,7 +34,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..catalog.catalog import Catalog
-from .ids import encode_base32
+from .ids import encode_base32, encode_base32_col
 from .schema import (
     apply_schema_hints,
     conform_to_schema,
@@ -523,9 +523,8 @@ class Table:
             acc += counts[pid]
         offset_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
         w = Window.partitionBy("__pid").orderBy(F.monotonically_increasing_id())
-        b32 = F.udf(lambda i: encode_base32(i), T.StringType())
         seq = F.lit(start) + offset_map[F.col("__pid")] + F.row_number().over(w) - F.lit(1)
-        return df.withColumn(col, b32(seq)).drop("__pid")
+        return df.withColumn(col, encode_base32_col(seq)).drop("__pid")
 
     def _flush_batch(self, batches: list[Any], upsert: bool) -> None:
         catalog = self._engine.catalog
@@ -549,7 +548,39 @@ class Table:
                 and av.exists
                 and len(part_cols) == 1
                 and part_cols[0] in df.columns
+                # a flat (pre-partition_by) version has no 'col=' dirs to
+                # hardlink: the scoped path would silently DROP all old
+                # rows outside touched partitions — full merge instead
+                and self._has_hive_layout(av.storage, part_cols[0])
             )
+            touched: list = []
+            if scoped:
+                pc = part_cols[0]
+                old = av.as_dataframe()
+                old = conform_to_schema(old, merge_schemas(old.schema, df.schema))
+                df = conform_to_schema(df, old.schema)
+                touched = [r[0] for r in df.select(pc).distinct().collect()]
+                if pc not in keys:
+                    # unique_on doesn't pin a key to its partition, so an
+                    # update may MOVE a key: the stale row could live in a
+                    # partition the batch doesn't write. Locate every old
+                    # partition holding a matching key (semi-join = one
+                    # scan, no rewrite) and rewrite those too — table-wide
+                    # key uniqueness holds (reference node.py upsert:
+                    # "updating if unique key conflicts"), while untouched
+                    # data is still hardlinked, never rewritten.
+                    hit = (
+                        old.join(df.select(*keys).distinct(), on=keys, how="left_semi")
+                        .select(pc)
+                        .distinct()
+                        .collect()
+                    )
+                    touched = list({*touched, *[r[0] for r in hit]})
+                # Null partition values break both the isin() filter and
+                # the __HIVE_DEFAULT_PARTITION__ dir-name comparison:
+                # full merge for correctness.
+                if any(v is None for v in touched):
+                    scoped = False
             if av is not None and av.exists and not scoped:
                 old = av.as_dataframe()
                 old = conform_to_schema(old, merge_schemas(old.schema, df.schema))
@@ -562,16 +593,12 @@ class Table:
                 survivors = old.join(df.select(*keys), on=keys, how="left_anti")
                 df = survivors.unionByName(df)
             elif scoped:
-                # PARTITION-SCOPED MERGE: only partitions the batch
-                # touches are re-read and rewritten; untouched partition
-                # directories are hardlinked file-by-file into the new
-                # version (O(files) metadata ops, zero data movement) —
-                # the Spark-side analogue of partition-level MERGE.
-                pc = part_cols[0]
-                old = av.as_dataframe()
-                old = conform_to_schema(old, merge_schemas(old.schema, df.schema))
-                df = conform_to_schema(df, old.schema)
-                touched = [r[0] for r in df.select(pc).distinct().collect()]
+                # PARTITION-SCOPED MERGE: only partitions the batch (or a
+                # key-move) touches are re-read and rewritten; untouched
+                # partition directories are hardlinked file-by-file into
+                # the new version (O(files) metadata ops, zero data
+                # movement) — the Spark-side analogue of partition-level
+                # MERGE.
                 old_touched = old.filter(F.col(pc).isin(touched))
                 survivors = old_touched.join(df.select(*keys), on=keys, how="left_anti")
                 df = survivors.unionByName(df)
@@ -592,8 +619,17 @@ class Table:
                 av = TableVersion(self._engine, self.store_name, vid)
             df = self._sorted_for_write(df, meta)
             existed = av.exists
+            if existed:
+                prev = catalog.get_record_count(self.store_name, av.version_id)
+                if prev is None:
+                    # cache miss (e.g. version written via
+                    # write_dataframe_as_new_version): count the stored
+                    # data BEFORE appending, or record_count would
+                    # silently underreport as just the batch size
+                    prev = self._engine.spark.read.parquet(av.storage).count()
+            else:
+                prev = 0
             self._writer(df, meta).mode("append").parquet(av.storage)
-            prev = catalog.get_record_count(self.store_name, av.version_id) or 0 if existed else 0
             batch_n = df.count()
             catalog.set_record_count(self.store_name, av.version_id, prev + batch_n)
         # persist the MERGED schema (driver-side union of existing +
@@ -610,6 +646,28 @@ class Table:
             self.signal_update()
 
     @staticmethod
+    def _has_hive_layout(version_dir: str, part_col: str) -> bool:
+        """True iff the stored version uses hive `col=value` dirs for
+        part_col — i.e. it was written after partition_by was declared.
+        A flat (pre-partition_by) layout has nothing to hardlink, so the
+        scoped upsert must fall back to the full merge."""
+        import os
+
+        try:
+            return any(e.startswith(f"{part_col}=") for e in os.listdir(version_dir))
+        except OSError:
+            return False
+
+    @staticmethod
+    def _hive_value_str(v) -> str:
+        """Python value -> the string Spark embeds in a hive partition
+        dir name (post-unquote). Matches Spark's cast-to-string forms
+        for the scalar types a unique_on partition column can hold."""
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+
+    @staticmethod
     def _link_untouched_partitions(old_dir: str, new_dir: str, part_col: str, touched: list) -> None:
         """Hardlink every `col=value` partition dir the upsert batch did
         NOT touch from the old version into the new one. Hardlinks make
@@ -618,7 +676,7 @@ class Table:
         import os
         from urllib.parse import unquote
 
-        touched_strs = {str(v) for v in touched}
+        touched_strs = {Table._hive_value_str(v) for v in touched}
         prefix = f"{part_col}="
         for entry in os.listdir(old_dir):
             if not entry.startswith(prefix):

@@ -38,7 +38,10 @@ def asof_join(
         *[F.col(c) for c in lcols],
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        F.lit(None).cast("double").alias("__tb"),
+        # typed null in the tiebreak's NATIVE type: casting to double
+        # would null out string tiebreaks and make equal-ts ordering
+        # nondeterministic (the pandas variant tie-breaks by native sort)
+        F.lit(None).cast(right.schema[tb].dataType).alias("__tb"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in rkeep],
     )
     r_tagged = right.select(
@@ -47,7 +50,7 @@ def asof_join(
         *[F.col(c).alias(c) if c in on else F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        F.col(tb).cast("double").alias("__tb"),
+        F.col(tb).alias("__tb"),
         *[F.col(c).alias(f"__r_{c}") for c in rkeep],
     )
     u = l_tagged.unionByName(r_tagged)

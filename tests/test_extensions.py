@@ -218,3 +218,71 @@ def test_partition_scoped_upsert(engine):
         i1, i2 = inodes(v1_dir, part), inodes(v2_dir, part)
         assert i1 and set(i1.values()) == set(i2.values()), f"{part} was rewritten, not linked"
     assert set(inodes(v1_dir, "grp=g0").values()) != set(inodes(v2_dir, "grp=g0").values())
+
+
+def test_upsert_key_move_across_partitions(engine):
+    """A key whose partition value CHANGES in the upsert batch must not
+    leave its stale row alive in the old (otherwise-untouched)
+    partition: table-wide unique_on holds (reference node.py upsert
+    contract), while genuinely untouched partitions stay hardlinked."""
+    import os
+
+    rows = [{"k": i, "grp": f"g{i % 3}", "v": float(i)} for i in range(30)]
+    with engine.node_context("w", outputs={"out": "pt_move"}):
+        t = Table("out", "w")
+        t.init(unique_on=["k"], partition_by="grp")
+        t.append(rows)
+        t.flush()
+        v1_dir = t.get_active_version().storage
+        # k=1 lived in grp=g1; the update MOVES it to g0
+        t.upsert([{"k": 1, "grp": "g0", "v": -1.0}])
+        t.flush()
+        v2_dir = t.get_active_version().storage
+    with engine.node_context("r", inputs={"in": "pt_move"}):
+        got = [(r["k"], r["grp"], r["v"]) for r in Table("in", "r").read()]
+    assert len(got) == 30 and len({k for k, _, _ in got}) == 30  # no dup keys
+    assert (1, "g0", -1.0) in got and not any(k == 1 and g == "g1" for k, g, _ in got)
+
+    def inodes(d, part):
+        p = os.path.join(d, part)
+        return {os.stat(os.path.join(p, fn)).st_ino for fn in os.listdir(p) if fn.endswith(".parquet")}
+
+    # g2 untouched -> hardlinked; g1 held the moved key -> rewritten
+    assert inodes(v1_dir, "grp=g2") == inodes(v2_dir, "grp=g2")
+    assert inodes(v1_dir, "grp=g1") != inodes(v2_dir, "grp=g1")
+
+
+def test_upsert_null_partition_value_full_merge(engine):
+    """Null partition values can't be scoped (isin(None) matches
+    nothing; dir-name compare breaks on __HIVE_DEFAULT_PARTITION__):
+    the upsert must fall back to the full merge and stay correct."""
+    with engine.node_context("w", outputs={"out": "pt_null"}):
+        t = Table("out", "w")
+        t.init(unique_on=["k"], partition_by="grp")
+        t.append([{"k": 1, "grp": "g0", "v": 1.0}, {"k": 2, "grp": None, "v": 2.0}])
+        t.flush()
+        t.upsert([{"k": 2, "grp": None, "v": 22.0}, {"k": 3, "grp": "g1", "v": 3.0}])
+        t.flush()
+    with engine.node_context("r", inputs={"in": "pt_null"}):
+        got = {r["k"]: (r["grp"], r["v"]) for r in Table("in", "r").read()}
+    assert got == {1: ("g0", 1.0), 2: (None, 22.0), 3: ("g1", 3.0)}
+
+
+def test_upsert_flat_old_layout_full_merge(engine):
+    """If the active version predates partition_by (flat dir, no
+    'col=' subdirs), the scoped path has nothing to hardlink and would
+    silently drop old rows — it must fall back to the full merge."""
+    rows = [{"k": i, "grp": f"g{i % 3}", "v": float(i)} for i in range(30)]
+    with engine.node_context("w", outputs={"out": "pt_flat"}):
+        t = Table("out", "w")
+        t.init(unique_on=["k"])  # no partition_by yet -> flat layout
+        t.append(rows)
+        t.flush()
+        t.init(partition_by="grp")  # declared AFTER the first version
+        t.upsert([{"k": 0, "grp": "g0", "v": 999.0}])
+        t.flush()
+    with engine.node_context("r", inputs={"in": "pt_flat"}):
+        got = {r["k"]: r["v"] for r in Table("in", "r").read()}
+    expected = {i: float(i) for i in range(30)}
+    expected[0] = 999.0
+    assert got == expected

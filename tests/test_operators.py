@@ -244,3 +244,13 @@ def test_simhash_md5_variant_orders_like_xxhash(spark):
         return bin((a ^ b) & 0xFFFFFFFF).count("1")
 
     assert ham(sh[1], sh[2]) < ham(sh[1], sh[3])
+
+
+def test_asof_join_string_tiebreak_deterministic(spark):
+    """Equal right_ts ties resolve by the tiebreak column in its NATIVE
+    type (a double cast would null out strings and leave the winner to
+    chance) — matching asof_join_pandas' lexical sort."""
+    left = spark.createDataFrame([(1, 10)], ["k", "lts"])
+    right = spark.createDataFrame([(1, 10, "a"), (1, 10, "b")], ["k", "rts", "tag"])
+    out = asof_ops.asof_join(left, right, ["k"], "lts", "rts", ["tag"], tiebreak="tag")
+    assert out.collect()[0]["asof_tag"] == "b"

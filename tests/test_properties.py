@@ -135,3 +135,17 @@ def test_asof_join_matches_naive(spark, lefts, rights):
         cands = [(ts, 100 + i) for i, (rk, ts) in enumerate(rights) if rk == k and ts <= lts]
         expected[(k, lts)] = max(cands)[1] if cands else None
     assert got == expected
+
+
+@given(st.lists(st.integers(0, 2**63 - 1), min_size=1, max_size=50))
+@settings(**SETTINGS)
+def test_jvm_base32_equals_python(spark, ns):
+    """encode_base32_col (conv+translate+lpad, zero-Python write path)
+    emits byte-identical strings to ids.encode_base32."""
+    from pyspark.sql import functions as F
+
+    from patterns_devkit_spark.node.ids import encode_base32, encode_base32_col
+
+    df = spark.createDataFrame([(n,) for n in ns], "n long")
+    got = {r["n"]: r["s"] for r in df.select("n", encode_base32_col(F.col("n")).alias("s")).collect()}
+    assert got == {n: encode_base32(n) for n in ns}
