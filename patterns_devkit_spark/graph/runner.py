@@ -38,9 +38,28 @@ class GraphRunner:
         errors = validate(self.spec)
         if errors:
             raise GraphCompileError(errors)
+        self._store_schemas: dict[str, Any] = {}
         self._expanded = self._expand(self.spec, prefix="")
         for store in self._stores_flat:
             self.engine.catalog.ensure_table(store)
+        # store-level `schema:` declarations reach the catalog BEFORE any
+        # node runs, so the declared schema wins over first-write
+        # inference — reference edit.py:128-141 (stores carry schemas in
+        # graph.yml) + the declared-schema-wins write contract.
+        from ..node.schema import schema_dict_to_struct
+
+        for store, schema in self._store_schemas.items():
+            if isinstance(schema, dict):
+                struct = schema_dict_to_struct(schema)
+                self.engine.catalog.update_table_meta(
+                    store,
+                    schema_ddl=",".join(f"{f.name} {f.dataType.simpleString()}" for f in struct.fields),
+                )
+            elif isinstance(schema, str):
+                # a named (marketplace) schema reference: recorded for
+                # visibility; resolution needs a schema registry the
+                # local engine intentionally doesn't fake
+                self.engine.catalog.update_table_meta(store, schema_name=schema)
         # webhook backing tables get a default monotonic ordering so
         # handlers can consume them as streams out of the box
         for node in self._expanded:
@@ -50,7 +69,12 @@ class GraphRunner:
                     add_monotonic_id="patterns_id",
                     strictly_monotonic_ordering="patterns_id",
                 )
-        self._run_queue: deque[tuple[str, dict | None]] = deque()
+        # queue entries: (node_id, request, not_before) — not_before is
+        # a monotonic-clock timestamp honoring wait_atleast_seconds.
+        # Clock and sleep are injectable so tests use a fake clock.
+        self._run_queue: deque[tuple[str, dict | None, float]] = deque()
+        self._clock = time.monotonic
+        self._sleep = time.sleep
         # event-log offset persists across run_all calls: events emitted
         # between calls (e.g. webhook posts) trigger downstream nodes on
         # the next call instead of being skipped
@@ -63,6 +87,9 @@ class GraphRunner:
         out: list[NodeSpec] = []
         self._stores_flat = getattr(self, "_stores_flat", set())
         self._stores_flat |= {prefix + s for s in spec.store_names()}
+        for st in spec.stores:
+            if st.schema is not None:
+                self._store_schemas[prefix + st.name] = st.schema
         for node in spec.functions:
             if node.kind in ("subgraph", "component"):
                 sub_path = node.node_file or ""
@@ -141,7 +168,11 @@ class GraphRunner:
             else:
                 raise ValueError(f"cannot execute node kind {node.kind!r}")
         if ctx.requested_new_run is not None:
-            self._run_queue.append((node.id, ctx.requested_new_run))
+            # wait_atleast_seconds schedules the requeue at now+N (a
+            # not-before timestamp, reference node.py:482-500) — NOT a
+            # blocking sleep: other ready nodes keep running meanwhile.
+            wait = ctx.requested_new_run.get("wait_atleast_seconds") or 0
+            self._run_queue.append((node.id, ctx.requested_new_run, self._clock() + wait))
         return ctx
 
     def _run_python(self, node: NodeSpec, ctx: NodeContext) -> None:
@@ -210,7 +241,7 @@ class GraphRunner:
         if include_sources:
             for node in self._expanded:
                 if node.kind in ("python", "sql") and not node.inputs:
-                    self._run_queue.append((node.id, None))
+                    self._run_queue.append((node.id, None, 0.0))
         steps = 0
         ran_with_inputs: set[str] = set()
         while steps < max_steps:
@@ -221,13 +252,22 @@ class GraphRunner:
                     break
                 for node in self.downstream_of(touched):
                     if node.kind in ("python", "sql") and node.id not in ran_with_inputs:
-                        self._run_queue.append((node.id, None))
+                        self._run_queue.append((node.id, None, 0.0))
                         ran_with_inputs.add(node.id)
                 if not self._run_queue:
                     break
-            node_id, request = self._run_queue.popleft()
-            if request and request.get("wait_atleast_seconds"):
-                time.sleep(min(request["wait_atleast_seconds"], 1))
+            # take the first READY entry; if every entry is still inside
+            # its wait_atleast window, sleep exactly to the earliest
+            # not-before (no 1 s cap — the full wait is honored)
+            now = self._clock()
+            ready_idx = next((i for i, (_, _, nb) in enumerate(self._run_queue) if nb <= now), None)
+            if ready_idx is None:
+                earliest = min(nb for _, _, nb in self._run_queue)
+                self._sleep(max(0.0, earliest - now))
+                continue
+            self._run_queue.rotate(-ready_idx)
+            node_id, request, _ = self._run_queue.popleft()
+            self._run_queue.rotate(ready_idx)
             node = next(n for n in self._expanded if n.id == node_id)
             self._execute(node)
             executed.append(node_id)

@@ -487,6 +487,11 @@ class Table:
         for other in dfs[1:]:
             df = df.unionByName(other, allowMissingColumns=True)
         meta = self._engine.catalog.table_meta(self.store_name) or {}
+        if declared is None and not self.exists and meta.get("schema_ddl"):
+            # a schema declared OUTSIDE this Table instance (store-level
+            # graph.yml `schema:`, or init() in an earlier execution)
+            # still wins over first-write inference
+            declared = T.StructType.fromDDL(meta["schema_ddl"])
         if declared is not None and not self.exists:
             df = conform_to_schema(df, declared)
         df = apply_schema_hints(df, meta.get("schema_hints"))
@@ -953,12 +958,13 @@ class State:
         """False when the execution nears its hard time limit: trips at
         80% of the limit or 120 s before it, whichever is GREATER
         remaining headroom (node.py:465-480; limit 'typically 10
-        minutes')."""
+        minutes'). Floored at 0.8*limit so sub-120 s limits still get
+        a useful work window instead of tripping at t=0."""
         ctx = self._ctx
         elapsed = time.monotonic() - ctx.start_monotonic
         limit = ctx.execution_time_limit
-        trip_at = min(0.8 * limit, limit - 120)
-        return elapsed < max(trip_at, 0)
+        trip_at = limit - 120 if limit >= 600 else 0.8 * limit
+        return elapsed < trip_at
 
     def request_new_run(self, trigger_downstream: bool = True, wait_atleast_seconds: int | None = None) -> None:
         """Ask the orchestrator for a follow-up run of this node after

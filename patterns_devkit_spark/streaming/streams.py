@@ -72,17 +72,54 @@ def write_stream_to_table(
     node_id: str = "stream_sink",
     output_mode: str = "update",
     available_now: bool = True,
+    unique_on: str | list[str] | None = None,
 ):
-    """foreachBatch sink into an engine table: each micro-batch appends
-    through the Table SDK, so streaming writes emit data events and
-    version like any other write (exactly-once per batch via the
-    checkpoint + idempotent-append pairing)."""
+    """foreachBatch sink into an engine table, so streaming writes emit
+    data events and version like any other write.
+
+    Semantics per output mode:
+    - ``update`` (aggregates): REQUIRES ``unique_on`` — update mode
+      re-emits a group's row every time a later batch changes it, so
+      the sink must upsert on the group keys or the table accumulates
+      stale duplicates. (raises if unique_on is missing.)
+    - ``complete``: the whole result is re-emitted every batch — the
+      sink REPLACES the table (versioned, so readers still flip
+      atomically).
+    - ``append`` (watermark-finalized or append-only streams): plain
+      appends.
+
+    Replay/retry: foreachBatch can re-run a batch after a failure; the
+    sink records the last committed batch_id in node state (committed
+    atomically with node cursors at context exit) and skips batches it
+    already committed. Upserts make replay additionally idempotent at
+    the row level; the pure-append path is at-least-once in the crash
+    window between table flush and state commit."""
+    if output_mode == "update" and unique_on is None:
+        raise ValueError(
+            "output_mode='update' re-emits updated aggregate rows; pass "
+            "unique_on=<group keys> so the sink upserts, or use "
+            "output_mode='append' with a watermark"
+        )
+    state_key = f"__stream_last_batch::{store}"
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..node.node import State
+
         with engine.node_context(node_id, outputs={"out": store}):
+            st = State()
+            committed = st.get_value(state_key)
+            if committed is not None and batch_id <= committed:
+                return  # replayed batch: already in the table
             tbl = Table("out", "w")
-            tbl.append(batch_df)
+            if output_mode == "complete":
+                tbl.replace(batch_df)
+            elif unique_on is not None:
+                tbl.init(unique_on=unique_on)
+                tbl.upsert(batch_df)
+            else:
+                tbl.append(batch_df)
             tbl.flush()
+            st.set_value(state_key, batch_id)
 
     writer = (
         stream.writeStream.foreachBatch(sink)

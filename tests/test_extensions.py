@@ -177,7 +177,9 @@ def test_stateful_running_totals(engine, tmp_path):
     )
     stream = spool_stream(engine, str(spool), schema)
     agg = running_totals(stream, "user_id", "value")
-    q = write_stream_to_table(engine, agg, "running", str(tmp_path / "ck"), output_mode="update")
+    q = write_stream_to_table(
+        engine, agg, "running", str(tmp_path / "ck"), output_mode="update", unique_on="user_id"
+    )
     q.awaitTermination(180)
     with engine.node_context("r", inputs={"in": "running"}):
         got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in Table("in", "r").read()}
@@ -286,3 +288,49 @@ def test_upsert_flat_old_layout_full_merge(engine):
     expected = {i: float(i) for i in range(30)}
     expected[0] = 999.0
     assert got == expected
+
+
+def test_update_mode_multibatch_upserts_not_appends(engine, tmp_path):
+    """Update-mode aggregates re-emit a key's row in later batches; the
+    sink must upsert so the table holds ONE current row per key, not a
+    history of stale re-emissions (two spool files forced into two
+    micro-batches via maxFilesPerTrigger=1)."""
+    from pyspark.sql import functions as F
+
+    from patterns_devkit_spark.streaming.streams import write_stream_to_table
+
+    spool = tmp_path / "spool2"
+    spool.mkdir()
+    (spool / "b1.json").write_text(json.dumps({"user_id": 1, "value": 10.0}))
+    (spool / "b2.json").write_text(json.dumps({"user_id": 1, "value": 5.0}))
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("value", T.DoubleType())]
+    )
+    stream = (
+        engine.spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(spool))
+    )
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")
+    )
+    q = write_stream_to_table(
+        engine, agg, "upd_multi", str(tmp_path / "ck2"), output_mode="update", unique_on="user_id"
+    )
+    q.awaitTermination(180)
+    with engine.node_context("r", inputs={"in": "upd_multi"}):
+        rows = Table("in", "r").read()
+    # one row per key, holding the LATEST running values
+    assert rows == [{"user_id": 1, "n_events": 2, "total_value": 15.0}]
+
+
+def test_update_mode_requires_unique_on(engine, tmp_path):
+    import pytest as _pytest
+
+    from patterns_devkit_spark.streaming.streams import write_stream_to_table
+
+    schema = T.StructType([T.StructField("user_id", T.LongType())])
+    stream = engine.spark.readStream.format("json").schema(schema).load(str(tmp_path))
+    with _pytest.raises(ValueError, match="unique_on"):
+        write_stream_to_table(engine, stream, "x", str(tmp_path / "ck3"), output_mode="update")

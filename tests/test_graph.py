@@ -355,3 +355,80 @@ def test_incremental_aggregation_pipeline(engine, tmp_path):
     with engine.node_context("chk", inputs={"i": "totals"}):
         got = {r["k"]: (r["n"], r["s"]) for r in Table("i", "r").read()}
         assert got == {0: (8, 11.0), 1: (5, 5.0)}
+
+
+def test_wait_atleast_seconds_scheduled_not_capped(engine, tmp_path):
+    """request_new_run(wait_atleast_seconds=N) schedules the requeue at
+    now+N (reference node.py:482-500). The old code slept min(N, 1) —
+    silently violating the contract. Fake clock: no real time passes."""
+    write(
+        tmp_path,
+        "graph.yml",
+        """
+        functions:
+          - node_file: waiter.py
+            id: waiter01
+            outputs: {out: wprog}
+        stores:
+          - table: wprog
+        """,
+    )
+    write(
+        tmp_path,
+        "waiter.py",
+        """
+        from patterns import Table, State
+        st = State()
+        n = st.get_value("runs", 0)
+        Table("out", "w").append([{"run": n}])
+        st.set_value("runs", n + 1)
+        if n < 1:
+            st.request_new_run(wait_atleast_seconds=30)
+        """,
+    )
+    runner = GraphRunner(engine, str(tmp_path))
+    fake = {"t": 100.0}
+    slept: list[float] = []
+
+    def fclock():
+        return fake["t"]
+
+    def fsleep(s):
+        slept.append(s)
+        fake["t"] += s
+
+    runner._clock = fclock
+    runner._sleep = fsleep
+    executed = runner.run_all()
+    assert executed.count("waiter01") == 2  # initial + requeued run
+    assert sum(slept) >= 30.0  # the FULL wait elapsed on the (fake) clock
+
+
+def test_store_schema_declaration_applied(engine, tmp_path):
+    """`stores: - table: t, schema: {...}` reaches the catalog at graph
+    load: the declared schema wins over first-write inference
+    (reference edit.py:128-141 — stores carry schemas in graph.yml)."""
+    write(
+        tmp_path,
+        "graph.yml",
+        """
+        functions:
+          - node_file: feed.py
+            id: feed0001
+            outputs: {out: typed}
+        stores:
+          - table: typed
+            schema:
+              k: Text
+              v: Float
+        """,
+    )
+    # the node writes ints for v; the declared Float schema must win
+    write(tmp_path, "feed.py", "from patterns import Table\nTable('out','w').append([{'k': 'a', 'v': 1}])\n")
+    runner = GraphRunner(engine, str(tmp_path))
+    runner.run_all()
+    with engine.node_context("r", inputs={"in": "typed"}):
+        tbl = Table("in", "r")
+        dtypes = dict(tbl.read_spark().dtypes)
+        assert dtypes["v"] == "double" and dtypes["k"] == "string"
+        assert tbl.read() == [{"k": "a", "v": 1.0}]

@@ -109,13 +109,18 @@ def test_state_roundtrip_and_reset(engine):
 
 
 def test_state_should_continue_budget(engine):
+    import time as _time
+
     with engine.node_context("n2", execution_time_limit=1000):
         st = State()
         assert st.should_continue() is True
-    ctx = engine.node_context("n3", execution_time_limit=0.1)
-    with ctx:
+    # sub-600s limits trip at 80% of the limit — NOT at t=0 (the old
+    # min(0.8L, L-120) went negative for L < 120 and starved the node)
+    with engine.node_context("n3", execution_time_limit=0.1):
         st = State()
-        assert st.should_continue() is False
+        assert st.should_continue() is True  # fresh execution has headroom
+        _time.sleep(0.12)
+        assert st.should_continue() is False  # past 80% of the budget
 
 
 def test_request_new_run_recorded(engine):
