@@ -37,11 +37,15 @@ BENCH_QUERIES = [
     "q31_sessionize",
     "q32_asof_join",
     "q33_dedup_exact",
-    "q34_ngram_jaccard",
+    # the SCALE-SAFE n-gram pipeline (exact-dedup pre-pass + stop-shingle
+    # cap + threshold) is the benched representative; q34's uncapped
+    # pairwise form stays registered for correctness only
+    "q63_dedup_pipeline",
     "q37_cosine_topk",
     "q56_cosine_topk_np",
     "q40_text_stats",
-    "sdk02_upsert",  # engine write path: append + MERGE-upsert + version flip
+    "sdk02_upsert",  # engine write path: full-table MERGE + version flip
+    "sdk06_upsert_partitioned",  # bounded rewrite: touched partition only, rest hardlinked
 ]
 
 

