@@ -307,6 +307,30 @@ def cmd_config(args) -> int:
     return 0
 
 
+def cmd_component(args) -> int:
+    """Versioned component registry (the local mapping of the
+    reference's marketplace download, services/download.py:9-20):
+    install copies a source dir into components/<org>_<name>_<ver>/ and
+    refuses to clobber an existing version without --overwrite."""
+    from .graph.components import ComponentError, install_component, list_components
+
+    root = args.dir or os.getcwd()
+    try:
+        if args.action == "install":
+            if not args.src:
+                print("component install requires: <uses> <src_dir>", file=sys.stderr)
+                return 2
+            dst = install_component(root, args.uses, args.src, overwrite=args.overwrite)
+            print(f"installed {args.uses} -> {dst}")
+        else:  # list
+            for ref in list_components(root):
+                print(ref)
+    except ComponentError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(
         prog="patterns-spark",
@@ -363,6 +387,14 @@ def main(argv: list[str] | None = None) -> int:
 
     cfg = sub.add_parser("config", help="show configuration")
     cfg.set_defaults(fn=cmd_config)
+
+    comp = sub.add_parser("component", help="install or list versioned components")
+    comp.add_argument("action", choices=["install", "list"])
+    comp.add_argument("uses", nargs="?", default=None, help="org/name@version")
+    comp.add_argument("src", nargs="?", default=None, help="source dir (install)")
+    comp.add_argument("--dir", default=None, help="graph dir (default cwd)")
+    comp.add_argument("--overwrite", action="store_true")
+    comp.set_defaults(fn=cmd_component)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -94,12 +94,17 @@ class GraphRunner:
             if node.kind in ("subgraph", "component"):
                 sub_path = node.node_file or ""
                 if node.kind == "component":
-                    # org/component@v1 resolves to a local registry dir
-                    # (download semantics of services/download.py mapped
-                    # to a filesystem registry)
-                    comp = (node.uses or "").replace("/", "_").replace("@", "_")
-                    sub_path = os.path.join("components", comp, "graph.yml")
-                sub_abs = os.path.join(spec.root_dir, sub_path)
+                    # org/component@v1 resolves through the versioned
+                    # local registry (download semantics of
+                    # services/download.py mapped to a filesystem
+                    # registry; see graph/components.py)
+                    from .components import resolve_component
+
+                    sub_abs = os.path.join(
+                        resolve_component(spec.root_dir, node.uses or ""), "graph.yml"
+                    )
+                else:
+                    sub_abs = os.path.join(spec.root_dir, sub_path)
                 sub_spec = parse_graph(sub_abs)
                 sub_prefix = f"{prefix}{node.id}."
                 port_map: dict[str, str] = {}

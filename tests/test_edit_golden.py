@@ -64,3 +64,64 @@ def test_append_into_empty_functions():
     out = append_function_entry(text, ["- node_file: a.py"])
     assert "functions:\n  - node_file: a.py\n" in out
     assert "stores: []" in out
+
+
+def test_editor_add_node_store_schema_round_trip():
+    """GraphConfigEditor surface (reference edit.py:84-232): chained
+    adds land in the right sections, the result is valid YAML the
+    runner can compile, and every ORIGINAL byte (comments included)
+    survives."""
+    from patterns_devkit_spark.graph.edit import GraphConfigEditor
+
+    out = (
+        GraphConfigEditor(GOLDEN)
+        .add_node(
+            "score.py",
+            id="score001",
+            inputs={"in": "clean"},
+            outputs={"out": "scored"},
+            parameters={"threshold": 0.5},
+            title="Scorer",
+        )
+        .add_webhook("intake", id="hook0001")
+        .add_component_uses("acme/enrich@v2", id="comp0002", inputs={"a": "scored"}, outputs={"b": "enriched"})
+        .add_store("scored", schema={"k": "Text", "v": "Float"})
+        .add_store("enriched")
+        .dump()
+    )
+    # original bytes intact (edits only insert)
+    for line in GOLDEN.splitlines():
+        assert line in out
+    assert "# pipeline functions" in out and "# downstream-facing table" in out
+    # valid YAML with everything in the right section
+    import yaml
+
+    doc = yaml.safe_load(out)
+    funcs = {e.get("id"): e for e in doc["functions"]}
+    assert funcs["score001"]["parameters"] == {"threshold": 0.5}
+    assert funcs["score001"]["inputs"] == {"in": "clean"}
+    assert funcs["hook0001"]["webhook"] == "intake"
+    assert funcs["comp0002"]["uses"] == "acme/enrich@v2"
+    stores = {e.get("table"): e for e in doc["stores"]}
+    assert stores["scored"]["schema"] == {"k": "Text", "v": "Float"}
+    assert "enriched" in stores
+
+
+def test_editor_add_exposed_ports():
+    from patterns_devkit_spark.graph.edit import GraphConfigEditor
+
+    import yaml
+
+    # no exposes section yet -> created
+    out = GraphConfigEditor(GOLDEN).add_exposed_port("inputs", "raw").dump()
+    assert yaml.safe_load(out)["exposes"] == {"inputs": ["raw"]}
+    # block-list and flow-list forms both extended in place
+    block = GOLDEN + "exposes:\n  outputs:\n    - clean\n"
+    out2 = GraphConfigEditor(block).add_exposed_port("outputs", "scored").dump()
+    assert yaml.safe_load(out2)["exposes"]["outputs"] == ["clean", "scored"]
+    flow = GOLDEN + "exposes:\n  outputs: [clean]\n"
+    out3 = GraphConfigEditor(flow).add_exposed_port("outputs", "scored").dump()
+    assert yaml.safe_load(out3)["exposes"]["outputs"] == ["clean", "scored"]
+    # section exists but target list missing
+    out4 = GraphConfigEditor(block).add_exposed_port("inputs", "raw").dump()
+    assert yaml.safe_load(out4)["exposes"] == {"inputs": ["raw"], "outputs": ["clean"]}

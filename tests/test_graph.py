@@ -432,3 +432,40 @@ def test_store_schema_declaration_applied(engine, tmp_path):
         dtypes = dict(tbl.read_spark().dtypes)
         assert dtypes["v"] == "double" and dtypes["k"] == "string"
         assert tbl.read() == [{"k": "a", "v": 1.0}]
+
+
+def test_component_install_and_overwrite_protection(tmp_path):
+    """Versioned component registry: install copies the source in,
+    re-install of the same version REFUSES without overwrite (versions
+    are immutable — reference services/download.py + directory-editor
+    overwrite protection), and resolve names the missing-install fix."""
+    import pytest as _pytest
+
+    from patterns_devkit_spark.graph.components import (
+        ComponentError,
+        install_component,
+        list_components,
+        resolve_component,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "graph.yml").write_text("functions: []\nstores: []\n")
+    gdir = tmp_path / "app"
+    gdir.mkdir()
+    dst = install_component(str(gdir), "acme/enrich@v1", str(src))
+    assert dst.endswith("components/acme_enrich_v1")
+    assert list_components(str(gdir)) == ["acme/enrich@v1"]
+    with _pytest.raises(ComponentError, match="immutable"):
+        install_component(str(gdir), "acme/enrich@v1", str(src))
+    (src / "extra.sql").write_text("SELECT 1 AS x")
+    install_component(str(gdir), "acme/enrich@v1", str(src), overwrite=True)
+    assert (gdir / "components" / "acme_enrich_v1" / "extra.sql").exists()
+    # a second version coexists
+    install_component(str(gdir), "acme/enrich@v2", str(src))
+    assert list_components(str(gdir)) == ["acme/enrich@v1", "acme/enrich@v2"]
+    assert resolve_component(str(gdir), "acme/enrich@v2").endswith("acme_enrich_v2")
+    with _pytest.raises(ComponentError, match="not installed"):
+        resolve_component(str(gdir), "acme/enrich@v9")
+    with _pytest.raises(ComponentError, match="invalid component ref"):
+        resolve_component(str(gdir), "not-a-ref")
