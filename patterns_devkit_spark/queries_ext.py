@@ -498,3 +498,77 @@ def sdk06(spark, sf_dir):
         tbl.upsert(updates.unionByName(inserts))
     with eng.node_context("r", inputs={"in": "o_part_upsert"}):
         return Table("in", "r").read_spark()
+
+
+@query(
+    "q64_salted_join",
+    """
+    SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+           sum(l_quantity) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def q64(spark, sf_dir):
+    """Skew machinery under the driver gate: salted_join's output must
+    equal the PLAIN join (the oracle states the unsalted semantics).
+    Deterministic xxhash64 salts spread a hot suppkey over 8 reducers;
+    the dim side replicates x8 (operators/skew.py)."""
+    from .operators import skew
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    sup = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    joined = skew.salted_join(li, sup, ["suppkey"], salt=8, salt_by=["l_orderkey", "l_linenumber"])
+    return joined.groupBy(F.col("s_nationkey").cast("long").alias("s_nationkey")).agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+@query(
+    "q65_salted_two_phase_agg",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(l_quantity) AS sum_qty,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q65(spark, sf_dir):
+    """Two-phase salted aggregation == plain aggregation (oracle states
+    the one-phase semantics). Money summed as cents-bigint so the
+    partial/final decomposition is order-free and cross-engine exact."""
+    from .operators import skew
+
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "cents", F.round(F.col("l_extendedprice") * 100).cast("long")
+    )
+    out = skew.salted_two_phase_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "n": "count",
+            "sum_qty": "sum:l_quantity",
+            "min_price": "min:l_extendedprice",
+            "max_price": "max:l_extendedprice",
+            "total_cents": "sum:cents",
+        },
+        salt=16,
+        salt_by=["l_orderkey", "l_linenumber"],
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        "sum_qty",
+        "min_price",
+        "max_price",
+        F.col("total_cents").cast("long").alias("total_cents"),
+    )
