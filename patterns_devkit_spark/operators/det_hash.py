@@ -391,3 +391,181 @@ def ann_oracle_sql(
       FROM scored
     ) WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------
+# IVF (inverted-file) ANN — deterministic coarse quantizer
+# ---------------------------------------------------------------------
+
+def _ivf_assign(e_pos: DataFrame, cent: DataFrame) -> DataFrame:
+    """(id, cid): nearest centroid by INTEGER squared L2 (ties to the
+    smaller cid). Join on dimension -> per-(id,cid) integer distance
+    aggregate -> min-struct argmin; every comparison is int64-exact, so
+    the SQL oracle reproduces membership bit-for-bit."""
+    j = e_pos.join(cent, "d")
+    dists = j.groupBy("id", "cid").agg(
+        F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("dist")
+    )
+    return dists.groupBy("id").agg(F.min(F.struct("dist", "cid")).alias("m")).select(
+        "id", F.col("m.cid").alias("cid")
+    )
+
+
+def ivf_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF ANN with a deterministic coarse quantizer: integer-quantized
+    vectors, seed centroids = the n_clusters smallest ids, ONE exact
+    integer Lloyd round (assign -> floor-mean update -> assign), then
+    per-query probing of the n_probe nearest centroids and exact cosine
+    only within probed clusters.
+
+    The 100 TB shape: candidate generation shuffles on cluster id (an
+    inverted file), exact scoring touches ~n_probe/n_clusters of the
+    corpus. Every quantizer decision is integer arithmetic, so
+    ivf_oracle_sql replays the identical clustering in DuckDB — like
+    q38's hyperplane LSH, the approximate path itself is hash-checked,
+    complementing it as the partition-based (vs hash-based) ANN family."""
+    e = candidates.select(F.col(id_col).alias("id"), quantized_embedding(vec_col).alias("ei"))
+    e_pos = e.select("id", F.posexplode("ei").alias("d", "v")).persist()
+    w_seed = Window.orderBy("id")
+    seeds = (
+        e.select("id").orderBy("id").limit(n_clusters)
+        .withColumn("cid", F.row_number().over(w_seed) - 1)
+    )
+    cent0 = seeds.join(e_pos, "id").select("cid", "d", F.col("v").alias("c"))
+    a1 = _ivf_assign(e_pos, cent0)
+    cent1 = (
+        e_pos.join(a1, "id")
+        .groupBy("cid", "d")
+        .agg(F.floor(F.sum("v") / F.count(F.lit(1))).cast("long").alias("c"))
+    )
+    a2 = _ivf_assign(e_pos, cent1)
+
+    q = queries.select(F.col(id_col).alias("id"), quantized_embedding(vec_col).alias("ei"))
+    q_pos = q.select("id", F.posexplode("ei").alias("d", "v"))
+    qd = (
+        q_pos.join(cent1, "d")
+        .groupBy("id", "cid")
+        .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("dist"))
+    )
+    w_probe = Window.partitionBy("id").orderBy(F.col("dist").asc(), F.col("cid").asc())
+    probe = (
+        qd.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= n_probe)
+        .select(F.col("id").alias("query_id"), "cid")
+    )
+    pairs = (
+        probe.join(a2.select(F.col("id").alias("neighbor_id"), "cid"), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    from .similarity import with_norm, cosine
+
+    qv = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("__vec").alias("qv"), F.col("__norm").alias("qn")
+    )
+    cv = with_norm(candidates, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("__vec").alias("cv"), F.col("__norm").alias("cn")
+    )
+    scored = pairs.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id").select(
+        "query_id", "neighbor_id", cosine("qv", "cv", "qn", "cn").alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cos", 6).alias("cosine"),
+        )
+    )
+
+
+def ivf_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: str = "vec_id < 20",
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+) -> str:
+    """DuckDB SQL replaying ivf_topk's quantizer exactly: same integer
+    quantization, seed choice, assignment/update/probe tie rules."""
+    return f"""
+    WITH e AS (
+      SELECT {id_col} AS id,
+             list_transform({vec_col}::DOUBLE[], x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS ei
+      FROM {table}
+    ),
+    ep AS (
+      SELECT id, CAST(i AS INT) AS d, ei[CAST(i AS INT)] AS v
+      FROM e, unnest(range(1, {dim + 1})) AS u(i)
+    ),
+    seeds AS (
+      SELECT id, CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid
+      FROM e ORDER BY id LIMIT {n_clusters}
+    ),
+    c0 AS (SELECT s.cid, ep.d, ep.v AS c FROM seeds s JOIN ep ON ep.id = s.id),
+    d1 AS (
+      SELECT ep.id, c0.cid, sum((ep.v - c0.c) * (ep.v - c0.c)) AS dist
+      FROM ep JOIN c0 ON ep.d = c0.d GROUP BY ep.id, c0.cid
+    ),
+    a1 AS (
+      SELECT id, cid FROM (
+        SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn FROM d1
+      ) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT a1.cid, ep.d, CAST(floor(CAST(sum(ep.v) AS DOUBLE) / count(*)) AS BIGINT) AS c
+      FROM ep JOIN a1 ON ep.id = a1.id GROUP BY a1.cid, ep.d
+    ),
+    d2 AS (
+      SELECT ep.id, c1.cid, sum((ep.v - c1.c) * (ep.v - c1.c)) AS dist
+      FROM ep JOIN c1 ON ep.d = c1.d GROUP BY ep.id, c1.cid
+    ),
+    a2 AS (
+      SELECT id, cid FROM (
+        SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn FROM d2
+      ) WHERE rn = 1
+    ),
+    qd AS (
+      SELECT ep.id, c1.cid, sum((ep.v - c1.c) * (ep.v - c1.c)) AS dist
+      FROM ep JOIN c1 ON ep.d = c1.d
+      WHERE ep.id IN (SELECT {id_col} FROM {table} WHERE {query_pred})
+      GROUP BY ep.id, c1.cid
+    ),
+    probe AS (
+      SELECT id AS query_id, cid FROM (
+        SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn FROM qd
+      ) WHERE rn <= {n_probe}
+    ),
+    pairs AS (
+      SELECT DISTINCT p.query_id, a2.id AS neighbor_id
+      FROM probe p JOIN a2 ON a2.cid = p.cid
+      WHERE a2.id <> p.query_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             list_cosine_similarity(qe.{vec_col}::DOUBLE[], ce.{vec_col}::DOUBLE[]) AS cos
+      FROM pairs
+      JOIN {table} qe ON qe.{id_col} = query_id
+      JOIN {table} ce ON ce.{id_col} = neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cosine
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """

@@ -9,6 +9,7 @@ import pandas as pd  # module-scope: pandas_udf resolves 'pd.Series' hints here
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .operators import det_hash
 from .queries import ORACLES, QUERIES, cents_sum, query, t
 
 
@@ -572,3 +573,60 @@ def q65(spark, sf_dir):
         "max_price",
         F.col("total_cents").cast("long").alias("total_cents"),
     )
+
+
+@query("q66_ivf_topk", det_hash.ivf_oracle_sql())
+def q66(spark, sf_dir):
+    """IVF ANN (partition-based scale path, complementing q38's
+    hash-based LSH): deterministic integer coarse quantizer, probed
+    clusters only — the full approximate pipeline replayed by the
+    DuckDB oracle."""
+    from .operators import det_hash as det_ops
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return det_ops.ivf_topk(emb, queries_df, k=5)
+
+
+@query(
+    "q67_token_counts",
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_pieces,
+           CAST(len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'),
+                                p -> regexp_matches(p, '^[^A-Za-z0-9]$'))) AS BIGINT) AS n_punct_pieces
+    FROM documents
+    """,
+)
+def q67(spark, sf_dir):
+    """Token budgeting: whitespace + BPE-ish piece counts (GPT-2-style
+    pre-tokenizer regex, kept to a Java/RE2-identical subset)."""
+    from .operators import text as text_ops
+
+    return text_ops.token_counts(t(spark, sf_dir, "documents").select("doc_id", "text")).select(
+        "doc_id", "n_ws_tokens", "n_bpe_pieces", "n_punct_pieces"
+    )
+
+
+@query(
+    "q68_bottomk_fingerprint",
+    """
+    WITH grams AS (
+      SELECT DISTINCT doc_id,
+             CAST('0x' || substr(md5(substr(text, CAST(i AS INT), 8)), 1, 15) AS BIGINT) AS h
+      FROM documents, unnest(range(1, greatest(length(text) - 6, 1))) AS u(i)
+      WHERE length(text) >= 8
+    )
+    SELECT doc_id, CAST(rk AS BIGINT) AS rk, h AS gram_hash FROM (
+      SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h ASC) AS rk FROM grams
+    ) WHERE rk <= 4
+    """,
+)
+def q68(spark, sf_dir):
+    """Winnowing-style bottom-k sketch over char 8-grams (rolling-hash
+    document fingerprinting, min-wise estimator) — all-integer, so the
+    oracle replays the sketch exactly."""
+    from .operators import text as text_ops
+
+    return text_ops.bottomk_fingerprint(t(spark, sf_dir, "documents").select("doc_id", "text"))

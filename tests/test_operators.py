@@ -254,3 +254,37 @@ def test_asof_join_string_tiebreak_deterministic(spark):
     right = spark.createDataFrame([(1, 10, "a"), (1, 10, "b")], ["k", "rts", "tag"])
     out = asof_ops.asof_join(left, right, ["k"], "lts", "rts", ["tag"], tiebreak="tag")
     assert out.collect()[0]["asof_tag"] == "b"
+
+
+def test_ivf_topk_recall_against_exact(spark, sf_dir):
+    """IVF probing must actually find near neighbors (cross-engine
+    correctness is covered by the q66 oracle; this gates usefulness)."""
+    from patterns_devkit_spark.operators.det_hash import ivf_topk
+    from patterns_devkit_spark.operators.similarity import cosine_topk
+    from patterns_devkit_spark.queries import t
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, queries_df, k=5).collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in ivf_topk(emb, queries_df, k=5).collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.4, f"IVF recall@5 too low: {recall:.2f}"
+
+
+def test_bottomk_fingerprint_identity_and_stability(spark):
+    """Identical texts share the exact sketch; different texts don't."""
+    from patterns_devkit_spark.operators.text import bottomk_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "an entirely different document body here")],
+        ["doc_id", "text"],
+    )
+    rows = bottomk_fingerprint(df).collect()
+    sk = {}
+    for r in rows:
+        sk.setdefault(r["doc_id"], []).append((r["rk"], r["gram_hash"]))
+    assert sorted(sk[1]) == sorted(sk[2])  # identical docs -> identical sketch
+    assert sorted(sk[1]) != sorted(sk[3])
+    assert len(sk[1]) == 4 and [rk for rk, _ in sorted(sk[1])] == [1, 2, 3, 4]
