@@ -215,14 +215,34 @@ def q53(spark, sf_dir):
     )
 
 
-@query("q54_approx_aggs")  # engine-specific sketches -> rows-only check
+@query(
+    "q54_approx_aggs",
+    # Sketch values are engine-specific (HLL++/GK), so the HASHED output
+    # is the error-bound CLAIM: the oracle states the bound must hold
+    # per group; the Spark side computes sketch AND exact and checks.
+    # A drifting sketch implementation turns a row FALSE -> hash mismatch.
+    """
+    SELECT l_returnflag,
+           TRUE AS parts_within_5pct,
+           TRUE AS median_within_1pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q54(spark, sf_dir):
-    """Approximate aggregates (HLL++ / GK quantiles): deterministic per
-    engine but not across engines."""
+    """Approximate aggregates (HLL++ count-distinct, GK quantiles)
+    under a driver-visible error-bound gate: emit whether each group's
+    sketch lands within the documented bound of the EXACT value."""
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("apx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("apx_med"),
+        F.countDistinct("l_partkey").alias("ex_parts"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("ex_med"),
+    )
+    return agg.select(
+        "l_returnflag",
+        (F.abs(F.col("apx_parts") - F.col("ex_parts")) / F.col("ex_parts") <= 0.05).alias("parts_within_5pct"),
+        (F.abs(F.col("apx_med") - F.col("ex_med")) / F.col("ex_med") <= 0.01).alias("median_within_1pct"),
     )
 
 
@@ -298,11 +318,46 @@ def q57(spark, sf_dir):
     )
 
 
-@query("q58_dedup_clusters")  # iterative algorithm -> rows-only check
+@query(
+    "q58_dedup_clusters",
+    # connected components ARE SQL-expressible: min reachable id via a
+    # recursive CTE (terminates — UNION dedups the reach set). The edge
+    # set is q34's inverted-index jaccard SQL thresholded at 0.35.
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[CAST(i AS BIGINT):CAST(i+2 AS BIGINT)], ' ') AS sh
+      FROM toks, unnest(range(1, greatest(len(w)-1, 1))) AS u(i)
+      WHERE sh <> ''
+    ), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b, round(cast(n_inter AS double)/(sa.n_sh + sb.n_sh - n_inter), 6) AS jac
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    ), thr AS (
+      SELECT id_a, id_b FROM pairs WHERE jac >= 0.35
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM thr UNION ALL SELECT id_b, id_a FROM thr
+    ), reach(n, m) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+    )
+    SELECT n AS doc_id, min(m) AS cluster_id,
+           CAST(min(m) = n AS BOOLEAN) AS is_canonical
+    FROM reach GROUP BY n
+    """,
+)
 def q58(spark, sf_dir):
     """Fuzzy-dedup clustering: n-gram Jaccard pairs (>=0.35) ->
     connected components -> every doc labeled with its cluster and
-    whether it is the canonical survivor."""
+    whether it is the canonical survivor. The oracle replays the
+    components as a recursive CTE (min reachable id), so even the
+    iterative algorithm is hash-checked."""
     from .operators.dedup import ngram_jaccard_pairs
     from .operators.graph_algo import dedup_clusters
 
