@@ -75,6 +75,55 @@ def _fake_decode(payload: bytes) -> dict:
     return {"feat_mean": round(mean, 6), "feat_head": arr}
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_hash", T.StringType()),
+        T.StructField("frame_bytes", T.LongType()),
+    ]
+)
+
+
+def frame_sample(
+    df: DataFrame, frame_size: int = 256, every_nth: int = 4, decode_stub: bool = True
+) -> DataFrame:
+    """Frame sampling over binary payloads (the video/audio keyframe
+    pattern): split each payload into fixed-size frames, keep every
+    Nth, emit per-frame metadata + content hash. The stub 'decoder' is
+    byte slicing — a real one swaps in ffmpeg keyframe extraction with
+    the SAME (id, frame_idx, ...) output contract.
+
+    Spark shape that survives 100 TB: one mapInPandas pass, payloads
+    never leave the executors, output is per-frame METADATA (small)
+    rather than frames themselves; downstream joins/dedup work on
+    hashes."""
+    import hashlib
+
+    if not decode_stub:
+        raise NotImplementedError(
+            "real frame extraction needs media codecs not present in this "
+            "environment; pass decode_stub=True or plug a decoder in"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_hash": [], "frame_bytes": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                n_frames = (len(payload) + frame_size - 1) // frame_size
+                for f in range(0, n_frames, every_nth):
+                    chunk = payload[f * frame_size : (f + 1) * frame_size]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(f)
+                    out["frame_hash"].append(hashlib.md5(chunk).hexdigest())
+                    out["frame_bytes"].append(len(chunk))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, FRAME_SCHEMA)
+
+
 def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     """Decode + feature-extract over mapInPandas: Arrow batches in,
     Arrow batches out; payload bytes never leave the executors."""

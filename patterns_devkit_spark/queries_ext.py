@@ -685,3 +685,32 @@ def q68(spark, sf_dir):
     from .operators import text as text_ops
 
     return text_ops.bottomk_fingerprint(t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+@query(
+    "q69_frame_sample",
+    # payloads are UTF-8 of ASCII text, so DuckDB replays the byte
+    # slicing with substr + md5 — frame boundaries, sampling stride,
+    # hashes and sizes all hash-checked
+    """
+    WITH frames AS (
+      SELECT doc_id AS media_id,
+             CAST(f AS BIGINT) AS frame_idx,
+             md5(substr(text, CAST(f * 256 + 1 AS INT), 256)) AS frame_hash,
+             CAST(least(256, length(text) - f * 256) AS BIGINT) AS frame_bytes
+      FROM documents,
+           unnest(range(0, CAST(ceil(length(text) / 256.0) AS BIGINT))) AS u(f)
+      WHERE f % 4 = 0
+    )
+    SELECT * FROM frames
+    """,
+)
+def q69(spark, sf_dir):
+    """Multimodal frame sampling: every 4th 256-byte frame per payload,
+    per-frame hash + size via one mapInPandas pass (keyframe-extraction
+    plumbing with a byte-slicing stub decoder)."""
+    from .operators import multimodal as mm_ops
+
+    d = t(spark, sf_dir, "documents")
+    media = mm_ops.binarize(d, "doc_id", "text", "source", mime="text/plain")
+    return mm_ops.frame_sample(media, frame_size=256, every_nth=4)

@@ -288,3 +288,19 @@ def test_bottomk_fingerprint_identity_and_stability(spark):
     assert sorted(sk[1]) == sorted(sk[2])  # identical docs -> identical sketch
     assert sorted(sk[1]) != sorted(sk[3])
     assert len(sk[1]) == 4 and [rk for rk, _ in sorted(sk[1])] == [1, 2, 3, 4]
+
+
+def test_frame_sample_boundaries(spark):
+    """Frame slicing: stride, last-partial-frame size, and per-frame
+    hashes are exact."""
+    import hashlib
+
+    df = spark.createDataFrame([(1, "a" * 600, "s")], ["doc_id", "text", "source"])
+    media = mm_ops.binarize(df, "doc_id", "text", "source")
+    rows = {r["frame_idx"]: r for r in mm_ops.frame_sample(media, frame_size=256, every_nth=2).collect()}
+    # frames 0,1,2 exist (600 bytes -> 3 frames); stride 2 keeps 0 and 2
+    assert sorted(rows) == [0, 2]
+    assert rows[0]["frame_bytes"] == 256
+    assert rows[2]["frame_bytes"] == 600 - 512
+    assert rows[0]["frame_hash"] == hashlib.md5(b"a" * 256).hexdigest()
+    assert rows[2]["frame_hash"] == hashlib.md5(b"a" * 88).hexdigest()
