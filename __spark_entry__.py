@@ -36,7 +36,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL equivalents; keys without an entry are
-    genuinely non-SQL-expressible (approximate LSH, engine-specific
-    hashes, binary feature extraction) and get rows-only checks."""
+    """DuckDB-runnable ANSI SQL equivalents. Every query is oracle-
+    paired except q60 (seeded TABLESAMPLE — sampling is engine-seeded
+    by design; q28 is its deterministic counterpart). The approximate
+    operators (MinHash/SimHash/LSH/IVF, q35/q36/q38/q66) use
+    cross-engine deterministic hash families (operators/det_hash.py),
+    so their oracles replay the full approximate pipeline."""
     return dict(_q.ORACLES)

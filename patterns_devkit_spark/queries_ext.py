@@ -714,3 +714,30 @@ def q69(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     media = mm_ops.binarize(d, "doc_id", "text", "source", mime="text/plain")
     return mm_ops.frame_sample(media, frame_size=256, every_nth=4)
+
+
+@query(
+    "q70_quality_score",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_words,
+             round(cast(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                       x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], lower(x)))) AS double)
+                   / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) AS stopword_ratio
+      FROM documents
+    )
+    SELECT doc_id,
+           round(0.7 * least(cast(n_words AS double) / 50.0, 1.0)
+               + 0.3 * least(stopword_ratio * 5.0, 1.0), 6) AS quality_score
+    FROM s
+    """,
+)
+def q70(spark, sf_dir):
+    """C4/Gopher-style rule-based quality score (closed form over the
+    text_stats signals) — the filter a training-data pipeline applies
+    before dedup."""
+    from .operators import text as text_ops
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text_ops.quality_score(d, "text").select("doc_id", "quality_score")
