@@ -741,3 +741,56 @@ def q70(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     return text_ops.quality_score(d, "text").select("doc_id", "quality_score")
+
+
+@query(
+    "q71_tfidf_top_terms",
+    # ranking keys are INTEGERS (tf desc, df asc, term) so ordering is
+    # cross-engine exact; the tf-idf score itself is a value column
+    # (ln over identical exact operands, rounded 6dp on both sides)
+    """
+    WITH toks AS (
+      SELECT doc_id, lower(t.tok) AS term FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+      ) t
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df, round(score, 6) AS tfidf
+    FROM (
+      SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf, CAST(d.df AS BIGINT) AS df,
+             tf.tf * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1.0) AS score,
+             row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, d.df ASC, tf.term ASC) AS rk
+      FROM tf JOIN dfreq d ON tf.term = d.term, n
+    ) WHERE rk <= 3
+    """,
+)
+def q71(spark, sf_dir):
+    """TF-IDF top-3 terms per document (smoothed idf): the relevance-
+    scoring primitive of the text-analysis family. Shape: two hash
+    aggregations + a term-keyed join + per-doc top-k; the corpus size
+    joins in as a broadcast scalar, never a driver constant."""
+    from .operators.text import tokens as tok_fn
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select("doc_id", F.explode(tok_fn("text")).alias("raw")).select(
+        "doc_id", F.lower(F.col("raw")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("df").asc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", F.col("rk").cast("long").alias("rk"), "term", "tf", "df", F.round("score", 6).alias("tfidf"))
+    )
