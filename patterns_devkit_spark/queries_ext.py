@@ -794,3 +794,7 @@ def q71(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("doc_id", F.col("rk").cast("long").alias("rk"), "term", "tf", "df", F.round("score", 6).alias("tfidf"))
     )
+
+
+# curation-stage battery (q72-q78) registers on import
+from . import queries_curation  # noqa: E402,F401  (registration side effect)
