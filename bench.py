@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "q37_cosine_topk",
     "q56_cosine_topk_np",
     "q40_text_stats",
+    # curation stage (LLM training-data pipeline representatives)
+    "q73_contamination",
+    "q76_int8_cosine",
+    "q78_curation_pipeline",
     "sdk02_upsert",  # engine write path: full-table MERGE + version flip
     "sdk06_upsert_partitioned",  # bounded rewrite: touched partition only, rest hardlinked
 ]
@@ -63,7 +67,7 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         best, n = None, 0
-        for _ in range(2):  # steady-state: best of 2 (JIT/codegen warm)
+        for _ in range(3):  # steady-state: best of 3 (JIT warm; robust to CPU-contention noise)
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()

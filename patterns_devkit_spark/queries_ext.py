@@ -798,3 +798,213 @@ def q71(spark, sf_dir):
 
 # curation-stage battery (q72-q78) registers on import
 from . import queries_curation  # noqa: E402,F401  (registration side effect)
+
+
+# =====================================================================
+# Relational surface, round-2 additions: statistical aggregates,
+# boolean/bitwise aggregates, deterministic mode, gaps-and-islands,
+# explicit-bucket histograms
+# =====================================================================
+
+@query(
+    "q79_regression_stats",
+    """
+    WITH b AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(CAST(sum(x) AS HUGEINT) AS DOUBLE) AS sx,
+             CAST(CAST(sum(y) AS HUGEINT) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM b GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n_rows,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_cents,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept_cents,
+           round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr,
+           round(((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+               * ((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))), 6) AS r2
+    FROM s
+    """,
+)
+def q79(spark, sf_dir):
+    """Least-squares regression / correlation of price-cents on
+    quantity per returnflag, via EXACT integer moment sums (decimal-38
+    accumulation in Spark == HUGEINT in DuckDB — overflow-proof at any
+    SF) cast to double only for the closed-form slope/intercept/corr/r2
+    (identical IEEE op sequence on both engines). The built-in
+    regr_*/corr aggregates compute running-variance doubles whose
+    summation order is engine-dependent — this formulation is the
+    cross-engine-deterministic equivalent. One hash aggregation."""
+    li = t(spark, sf_dir, "lineitem")
+    b = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    s = b.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).cast("double").alias("sxy"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    dxy = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = dxy / dxx
+    corr = dxy / F.sqrt(dxx * dyy)
+    return s.select(
+        "l_returnflag",
+        "n_rows",
+        F.round(slope, 6).alias("slope_cents"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept_cents"),
+        F.round(corr, 6).alias("corr"),
+        F.round(corr * corr, 6).alias("r2"),
+    )
+
+
+@query(
+    "q80_bool_aggs",
+    """
+    SELECT o_orderstatus,
+           CAST(bool_and(o_totalprice > 1000) AS BIGINT) AS all_over_1000,
+           CAST(bool_or(o_orderpriority = '1-URGENT') AS BIGINT) AS any_urgent,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+           CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS n_big
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q80(spark, sf_dir):
+    """Boolean aggregates (bool_and / bool_or) + filtered counts
+    (count_if) — cast to BIGINT on both sides so the comparator never
+    hashes raw booleans."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).cast("long").alias("all_over_1000"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").cast("long").alias("any_urgent"),
+        F.count_if(F.col("o_orderpriority") == "1-URGENT").cast("long").alias("n_urgent"),
+        F.count_if(F.col("o_totalprice") > 200000).cast("long").alias("n_big"),
+    )
+
+
+@query(
+    "q81_bitwise_aggs",
+    """
+    SELECT o_orderstatus,
+           CAST(bit_and(o_custkey) AS BIGINT) AS band,
+           CAST(bit_or(o_custkey) AS BIGINT) AS bor,
+           CAST(bit_xor(o_custkey) AS BIGINT) AS bxor
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q81(spark, sf_dir):
+    """Bitwise AND/OR/XOR aggregates over integer keys (set-membership
+    sketch primitives) — integer-exact by construction."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bit_and("o_custkey").cast("long").alias("band"),
+        F.bit_or("o_custkey").cast("long").alias("bor"),
+        F.bit_xor("o_custkey").cast("long").alias("bxor"),
+    )
+
+
+@query(
+    "q82_mode",
+    """
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, CAST(cnt AS BIGINT) AS mode_count
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_orderstatus ORDER BY cnt DESC, o_orderpriority ASC) AS rn
+      FROM c
+    ) WHERE rn = 1
+    """,
+)
+def q82(spark, sf_dir):
+    """Deterministic mode: most frequent value with an explicit
+    (count desc, value asc) tie-break — the built-in mode() returns an
+    arbitrary tie winner in both engines, so the deterministic
+    count+argmax form is the oracle-safe equivalent."""
+    o = t(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("cnt").desc(), F.col("o_orderpriority").asc())
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), F.col("cnt").cast("long").alias("mode_count"))
+    )
+
+
+@query(
+    "q83_gaps_islands",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    isl AS (
+      SELECT user_id, d,
+             CAST(d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT) AS DATE) AS island
+      FROM days
+    ),
+    runs AS (
+      SELECT user_id, island, count(*) AS run_len FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(sum(run_len) AS BIGINT) AS n_active_days,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(max(run_len) AS BIGINT) AS longest_streak
+    FROM runs GROUP BY user_id
+    """,
+)
+def q83(spark, sf_dir):
+    """Gaps-and-islands: consecutive-active-day runs per user via the
+    date-minus-row_number trick (retention/streak analytics). Two hash
+    aggregations + one window, all keyed on user_id — single shuffle."""
+    e = t(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn("island", F.date_sub(F.col("d"), F.row_number().over(w)))
+    runs = isl.groupBy("user_id", "island").agg(F.count(F.lit(1)).alias("run_len"))
+    return runs.groupBy("user_id").agg(
+        F.sum("run_len").cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.max("run_len").cast("long").alias("longest_streak"),
+    )
+
+
+@query(
+    "q84_histogram",
+    """
+    SELECT CAST(least(floor(o_totalprice / 60000.0), 9) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(round(o_totalprice * 100)) AS BIGINT) AS min_cents,
+           CAST(max(round(o_totalprice * 100)) AS BIGINT) AS max_cents
+    FROM orders GROUP BY bucket
+    """,
+)
+def q84(spark, sf_dir):
+    """Fixed-width histogram with an explicit bucket expression
+    (floor-divide + cap) — the same integer bucketing both engines
+    evaluate identically; min/max tracked in exact cents."""
+    o = t(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 60000.0), F.lit(9)).cast("long")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min(F.round(F.col("o_totalprice") * 100)).cast("long").alias("min_cents"),
+        F.max(F.round(F.col("o_totalprice") * 100)).cast("long").alias("max_cents"),
+    )
