@@ -149,3 +149,92 @@ def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
             yield out
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+THUMB_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("thumb", T.BinaryType()),
+        T.StructField("thumb_bytes", T.LongType()),
+        T.StructField("thumb_md5", T.StringType()),
+    ]
+)
+
+
+def thumbnail(df: DataFrame, stride: int = 7, decode_stub: bool = True) -> DataFrame:
+    """Resize/thumbnail plumbing (the image path): produce a reduced
+    payload per media row — the stub 'resampler' is byte decimation
+    (every `stride`-th byte), a real one swaps in PIL's resize with the
+    SAME (id, thumb, thumb_bytes, thumb_md5) output contract.
+
+    Scale shape: one mapInPandas pass; thumbnails (small) are the only
+    thing that moves downstream — e.g. into md5-keyed near-dup grouping
+    — while full payloads stay in the scan."""
+    import hashlib
+
+    if not decode_stub:
+        raise NotImplementedError(
+            "real image resizing needs PIL/libvips, absent in this "
+            "environment; pass decode_stub=True or plug a resizer in"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "thumb": [], "thumb_bytes": [], "thumb_md5": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                th = bytes(payload[::stride])
+                out["media_id"].append(mid)
+                out["thumb"].append(th)
+                out["thumb_bytes"].append(len(th))
+                out["thumb_md5"].append(hashlib.md5(th).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, THUMB_SCHEMA)
+
+
+ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("win_idx", T.LongType()),
+        T.StructField("win_bytes", T.LongType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+def windowed_energy(
+    df: DataFrame, win: int = 128, hop: int = 64, decode_stub: bool = True
+) -> DataFrame:
+    """Windowed-energy plumbing (the audio path): overlapping windows
+    of `win` bytes at `hop` spacing, each emitting an integer energy
+    (sum of byte values) — the stub for an RMS/spectrogram frontend; a
+    real one swaps in librosa/ffmpeg with the SAME (id, win_idx, ...)
+    contract. Integer energies make the whole pipeline oracle-checkable.
+
+    Same 100 TB shape as frame_sample: one mapInPandas pass, payloads
+    never collected, per-window METADATA is the output."""
+    if not decode_stub:
+        raise NotImplementedError(
+            "real audio decoding needs librosa/ffmpeg, absent in this "
+            "environment; pass decode_stub=True or plug a frontend in"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "win_idx": [], "win_bytes": [], "energy": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                # ceil tail coverage: every byte lands in >=1 window
+                n_wins = (max(len(payload) - win, 0) + hop - 1) // hop + 1 if len(payload) else 0
+                for k in range(n_wins):
+                    chunk = payload[k * hop : k * hop + win]
+                    out["media_id"].append(mid)
+                    out["win_idx"].append(k)
+                    out["win_bytes"].append(len(chunk))
+                    out["energy"].append(int(sum(chunk)))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, ENERGY_SCHEMA)

@@ -189,3 +189,61 @@ def q78(spark, sf_dir):
     signals in one plan — the decision a training-data pipeline
     materializes before writing the split."""
     return cur_ops.curation_verdict(t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+@query(
+    "q85_thumbnail",
+    """
+    WITH th AS (
+      SELECT doc_id,
+             array_to_string(list_transform(
+               range(0, CAST(ceil(length(text) / 7.0) AS BIGINT)),
+               i -> substr(text, CAST(i * 7 + 1 AS INT), 1)), '') AS thumb
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(length(thumb) AS BIGINT) AS thumb_bytes,
+           md5(thumb) AS thumb_md5
+    FROM th
+    """,
+)
+def q85(spark, sf_dir):
+    """Image-resize plumbing (stride-7 byte decimation as the stub
+    resampler) over mapInPandas: payloads stay executor-local, the
+    reduced thumbnail's size + content hash are the oracle-checked
+    output (payload bytes are ASCII text, so DuckDB replays the
+    decimation with substr)."""
+    from .operators import multimodal as mm_ops
+
+    d = t(spark, sf_dir, "documents")
+    media = mm_ops.binarize(d, "doc_id", "text", "source", mime="image/x-fake")
+    return mm_ops.thumbnail(media, stride=7).select("media_id", "thumb_bytes", "thumb_md5")
+
+
+@query(
+    "q86_audio_energy",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             CAST(k AS BIGINT) AS win_idx,
+             substr(text, CAST(k * 64 + 1 AS INT), 128) AS chunk
+      FROM documents,
+           unnest(range(0, (greatest(length(text) - 128, 0) + 63) // 64 + 1)) AS u(k)
+    )
+    SELECT doc_id AS media_id, win_idx,
+           CAST(length(chunk) AS BIGINT) AS win_bytes,
+           CAST(list_sum(list_transform(range(1, length(chunk) + 1),
+                                        i -> ord(substr(chunk, CAST(i AS INT), 1)))) AS BIGINT) AS energy
+    FROM w
+    """,
+)
+def q86(spark, sf_dir):
+    """Audio-frontend plumbing: overlapping 128-byte windows at hop 64,
+    integer energy per window (sum of byte values — the RMS stand-in)
+    via one mapInPandas pass; window boundaries, sizes, and energies
+    all replayed exactly by the oracle on the ASCII payloads."""
+    from .operators import multimodal as mm_ops
+
+    d = t(spark, sf_dir, "documents")
+    media = mm_ops.binarize(d, "doc_id", "text", "source", mime="audio/x-fake")
+    return mm_ops.windowed_energy(media, win=128, hop=64)

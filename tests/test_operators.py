@@ -304,3 +304,28 @@ def test_frame_sample_boundaries(spark):
     assert rows[2]["frame_bytes"] == 600 - 512
     assert rows[0]["frame_hash"] == hashlib.md5(b"a" * 256).hexdigest()
     assert rows[2]["frame_hash"] == hashlib.md5(b"a" * 88).hexdigest()
+
+
+def test_thumbnail_decimation_exact(spark):
+    """Stride decimation: exact byte selection + hash; null payloads
+    are skipped, not emitted."""
+    import hashlib
+
+    df = spark.createDataFrame([(1, "abcdefghij", "s"), (2, "xy", "s")], ["doc_id", "text", "source"])
+    media = mm_ops.binarize(df, "doc_id", "text", "source")
+    rows = {r["media_id"]: r for r in mm_ops.thumbnail(media, stride=3).collect()}
+    assert bytes(rows[1]["thumb"]) == b"adgj" and rows[1]["thumb_bytes"] == 4
+    assert rows[1]["thumb_md5"] == hashlib.md5(b"adgj").hexdigest()
+    assert bytes(rows[2]["thumb"]) == b"x"
+
+
+def test_windowed_energy_overlap(spark):
+    """Hop/window accounting: overlapping windows, short-tail window,
+    exact integer energies."""
+    df = spark.createDataFrame([(1, "a" * 10, "s")], ["doc_id", "text", "source"])
+    media = mm_ops.binarize(df, "doc_id", "text", "source")
+    rows = {r["win_idx"]: r for r in mm_ops.windowed_energy(media, win=8, hop=4).collect()}
+    # 10 bytes, win 8, hop 4 -> wins at 0 (8 bytes) and 1 (6 bytes)
+    assert sorted(rows) == [0, 1]
+    assert rows[0]["win_bytes"] == 8 and rows[0]["energy"] == 8 * 97
+    assert rows[1]["win_bytes"] == 6 and rows[1]["energy"] == 6 * 97
