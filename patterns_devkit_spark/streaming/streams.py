@@ -129,3 +129,43 @@ def write_stream_to_table(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each key wins;
+    duplicates arriving within the watermark horizon are dropped and
+    state for keys older than the watermark is evicted (bounded state —
+    the property plain dropDuplicates lacks in streaming mode). This is
+    the ingest-time half of the dedup family (operators/dedup.exact is
+    the batch half): at 100 TB you dedup the firehose before it ever
+    lands, then run batch near-dup on the survivors."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "10 minutes",
+    within: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join with a time-range bound
+    (the click-to-impression enrich pattern): both sides buffer only
+    `watermark + within` of state; the range predicate lets Spark
+    evict matched/expired rows instead of holding both streams forever
+    — the only join shape that survives unbounded inputs."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner")

@@ -217,3 +217,93 @@ def test_cli_upload_respects_gitignore(tmp_path):
     assert os.path.exists(os.path.join(reg, "keep.py"))
     assert not os.path.exists(os.path.join(reg, "secrets.txt"))
     assert not os.path.exists(os.path.join(reg, "debug.log"))
+
+
+def test_streaming_dedup_across_restarts(engine, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate keys are dropped within
+    a run AND across a checkpointed restart (state survives); first
+    occurrence wins."""
+    from patterns_devkit_spark.streaming.streams import dedup_stream, spool_stream, write_stream_to_table
+
+    spool = tmp_path / "spool3"
+    spool.mkdir()
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("k", T.LongType())]
+    )
+    (spool / "a.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"ts": "2024-01-01T00:01:00", "k": 1},
+                {"ts": "2024-01-01T00:01:30", "k": 1},  # dup in-batch
+                {"ts": "2024-01-01T00:02:00", "k": 2},
+            ]
+        )
+    )
+    ckpt = str(tmp_path / "ckpt3")
+
+    def run_once():
+        stream = spool_stream(engine, str(spool), schema)
+        deduped = dedup_stream(stream, ["k"], "ts", watermark="10 minutes")
+        q = write_stream_to_table(engine, deduped, "dedup_sink", ckpt, output_mode="append")
+        q.awaitTermination(120)
+
+    run_once()
+    # restart with a new file: k=1 again (within watermark) + fresh k=3
+    (spool / "b.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"ts": "2024-01-01T00:03:00", "k": 1},
+                {"ts": "2024-01-01T00:04:00", "k": 3},
+            ]
+        )
+    )
+    run_once()
+    with engine.node_context("r", inputs={"in": "dedup_sink"}):
+        from patterns_devkit_spark import Table
+
+        ks = sorted(r["k"] for r in Table("in", "r").read())
+        assert ks == [1, 2, 3]  # each key exactly once, dups dropped
+
+
+def test_stream_stream_join_time_bound(engine, tmp_path):
+    """Watermarked stream-stream join: impressions join clicks within
+    5 minutes; a click outside the bound produces no row."""
+    from patterns_devkit_spark.streaming.streams import spool_stream, stream_stream_join, write_stream_to_table
+
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    imp_dir.mkdir(), clk_dir.mkdir()
+    (imp_dir / "i.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"ts": "2024-01-01T00:00:00", "ad_id": 10},
+                {"ts": "2024-01-01T00:00:00", "ad_id": 20},
+            ]
+        )
+    )
+    (clk_dir / "c.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"ts": "2024-01-01T00:03:00", "ad_id": 10},  # within 5 min -> joins
+                {"ts": "2024-01-01T00:30:00", "ad_id": 20},  # too late -> no join
+            ]
+        )
+    )
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("ad_id", T.LongType())]
+    )
+    imps = spool_stream(engine, str(imp_dir), schema)
+    clks = spool_stream(engine, str(clk_dir), schema).withColumnRenamed("ts", "click_ts")
+    joined = stream_stream_join(
+        imps, clks, "ad_id", left_ts="ts", right_ts="click_ts", within="5 minutes"
+    ).select("l.ad_id", "l.ts", "r.click_ts")
+    q = write_stream_to_table(engine, joined, "attrib", str(tmp_path / "ckpt4"), output_mode="append")
+    q.awaitTermination(120)
+    with engine.node_context("r", inputs={"in": "attrib"}):
+        from patterns_devkit_spark import Table
+
+        rows = Table("in", "r").read()
+        assert [r["ad_id"] for r in rows] == [10]
