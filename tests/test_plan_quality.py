@@ -79,3 +79,32 @@ def test_projection_pruning_generic(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     (cols,) = read_schemas(li)
     assert cols == ["l_orderkey", "l_quantity"]
+
+
+def test_contamination_broadcasts_benchmark(spark, sf_dir):
+    """q73: the benchmark gram set is the broadcast side of the
+    inverted-index join; no cartesian."""
+    df = QUERIES["q73_contamination"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
+
+
+def test_regression_stats_single_shuffle(spark, sf_dir):
+    """q79: exact-moment regression is ONE hash aggregation — a single
+    exchange in the plan."""
+    plan = explain_str(QUERIES["q79_regression_stats"](spark, sf_dir))
+    assert plan.count("Exchange") <= 2  # partial+final agg pair, no joins
+
+
+def test_bigram_lm_broadcasts_model(spark, sf_dir):
+    """q77: the bigram frequency table (the 'model') broadcasts back
+    onto the gram stream — no shuffle join on the big side."""
+    df = QUERIES["q77_bigram_lm"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
+
+
+def test_stratified_sample_no_shuffle(spark, sf_dir):
+    """q75: hash-bucket sampling is map-side only — zero exchanges."""
+    plan = explain_str(QUERIES["q75_stratified_sample"](spark, sf_dir))
+    assert "Exchange" not in plan
