@@ -1008,3 +1008,116 @@ def q84(spark, sf_dir):
         F.min(F.round(F.col("o_totalprice") * 100)).cast("long").alias("min_cents"),
         F.max(F.round(F.col("o_totalprice") * 100)).cast("long").alias("max_cents"),
     )
+
+
+@query(
+    "q87_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           CAST(CASE WHEN p.t3 IS NOT NULL THEN 3 WHEN c.t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stage,
+           epoch_us(v.t1) AS t1_us,
+           epoch_us(c.t2) AS t2_us,
+           epoch_us(p.t3) AS t3_us
+    FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def q87(spark, sf_dir):
+    """Ordered funnel (view -> click -> purchase): earliest qualifying
+    event per stage, each stage strictly after the previous one — the
+    conversion-analysis primitive. Three key-local aggregations joined
+    on user_id (one shuffle key throughout; at scale the per-type
+    filters push to the scan). Timestamps emitted as epoch micros."""
+    e = t(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    out = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    stage = (
+        F.when(F.col("t3").isNotNull(), 3).when(F.col("t2").isNotNull(), 2).otherwise(1)
+    )
+    return out.select(
+        "user_id",
+        stage.cast("long").alias("stage"),
+        F.unix_micros("t1").alias("t1_us"),
+        F.unix_micros("t2").alias("t2_us"),
+        F.unix_micros("t3").alias("t3_us"),
+    )
+
+
+@query(
+    "q88_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+    ),
+    act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+    SELECT f.cohort_day, CAST(date_diff('day', f.cohort_day, a.d) AS BIGINT) AS day_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM act a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY f.cohort_day, day_offset
+    """,
+)
+def q88(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-active day,
+    counted per day-offset since their cohort day. Two aggregations
+    keyed on user_id then (cohort, offset) — the retention-analytics
+    primitive, all integer dates/counts."""
+    e = t(spark, sf_dir, "events")
+    act = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    firsts = act.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        act.join(firsts, "user_id")
+        .groupBy("cohort_day", F.datediff("d", "cohort_day").cast("long").alias("day_offset"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+@query(
+    "q89_event_transitions",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+    FROM ordered WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def q89(spark, sf_dir):
+    """First-order event-transition counts (the Markov/path-analysis
+    matrix): lead() over each user's (ts, event_id)-ordered stream —
+    the unique event_id tiebreak makes ordering cross-engine exact —
+    then one aggregation over (from, to). Single shuffle on user_id."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select("user_id", "event_type", F.lead("event_type").over(w).alias("next_type"))
+    return (
+        o.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
