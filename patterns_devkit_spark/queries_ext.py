@@ -1074,7 +1074,8 @@ def q87(spark, sf_dir):
       SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
     ),
     act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
-    SELECT f.cohort_day, CAST(date_diff('day', f.cohort_day, a.d) AS BIGINT) AS day_offset,
+    SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.d) AS BIGINT) AS day_offset,
            CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
     FROM act a JOIN firsts f ON a.user_id = f.user_id
     GROUP BY f.cohort_day, day_offset
@@ -1084,13 +1085,18 @@ def q88(spark, sf_dir):
     """Cohort retention triangle: users grouped by first-active day,
     counted per day-offset since their cohort day. Two aggregations
     keyed on user_id then (cohort, offset) — the retention-analytics
-    primitive, all integer dates/counts."""
+    primitive, all integer dates/counts. cohort_day is emitted as an
+    ISO string: raw DATE columns arrive as object dtype from Spark but
+    datetime64 from DuckDB, which some comparators hash differently."""
     e = t(spark, sf_dir, "events")
     act = e.select("user_id", F.to_date("ts").alias("d")).distinct()
     firsts = act.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
     return (
         act.join(firsts, "user_id")
-        .groupBy("cohort_day", F.datediff("d", "cohort_day").cast("long").alias("day_offset"))
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "cohort_day").cast("long").alias("day_offset"),
+        )
         .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
     )
 
