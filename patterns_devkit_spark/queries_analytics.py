@@ -1,0 +1,311 @@
+"""Analytics extensions round 2b: entity resolution, span-level dedup,
+feature hashing, integer-exact outlier detection, sequence mining, and
+native argmin/argmax — each oracle-paired under the driver gate.
+
+Reference parity: these extend the enrichment/curation surface of
+patterns-devkit (reference patterns/node.py documents the table/stream
+SDK; the analytics ops are SURVEY.md §2.10 north-star extensions a
+training-data pipeline needs on top of it).
+
+Cross-engine determinism rules (see queries.py docstring + det_hash.py):
+integer quantization before any comparison that picks winners, decimal/
+HUGEINT for products that exceed int64, md5-based hashing only, unique
+tie-break keys in every argmax.
+"""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators.det_hash import _SHINGLE_SQL, distinct_shingles, md5_long
+from .operators.text import tokens
+from .queries import query, t
+
+# =====================================================================
+# q90 — fuzzy entity matching (blocked Levenshtein self-join)
+# =====================================================================
+
+
+@query(
+    "q90_fuzzy_match",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_name, split_part(p_name, ' ', 2) AS noun FROM part
+    ),
+    pairs AS (
+      SELECT a.noun, levenshtein(a.p_name, b.p_name) AS dist
+      FROM p a JOIN p b ON a.noun = b.noun AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 3
+    )
+    SELECT noun,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(dist) AS BIGINT) AS sum_dist,
+           CAST(min(dist) AS BIGINT) AS min_dist
+    FROM pairs GROUP BY noun
+    """,
+)
+def q90(spark, sf_dir):
+    """Entity resolution: candidate pairs from a blocking key (the noun
+    token of the two-word part name), scored by Levenshtein distance on
+    the full name — the classic blocked fuzzy join. The 100 TB shape:
+    an equi-join on the block key (never a cartesian compare); skewed
+    blocks get the skew.salted_join treatment. Levenshtein is a
+    codegen'd JVM expression on both engines."""
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("noun")
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.noun") == F.col("b.noun")) & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+        .select(F.col("a.noun").alias("noun"), F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"))
+        .filter(F.col("dist") <= 3)
+    )
+    return pairs.groupBy("noun").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("dist").cast("long").alias("sum_dist"),
+        F.min("dist").cast("long").alias("min_dist"),
+    )
+
+
+# =====================================================================
+# q91 — span-level (k-word window) duplication profile
+# =====================================================================
+
+_SPAN_N = 8
+
+
+@query(
+    "q91_span_dedup",
+    f"""
+    WITH {_SHINGLE_SQL.format(id_col="doc_id", text_col="text", table="documents",
+                              n=_SPAN_N, n_minus_1=_SPAN_N - 1, n_minus_2=_SPAN_N - 2)},
+    shared AS (
+      SELECT sh FROM sh GROUP BY sh HAVING count(DISTINCT id) >= 2
+    ),
+    per_doc AS (
+      SELECT sh.id,
+             count(*) AS n_windows,
+             count(*) FILTER (WHERE shared.sh IS NOT NULL) AS n_dup
+      FROM sh LEFT JOIN shared ON sh.sh = shared.sh
+      GROUP BY sh.id
+    )
+    SELECT d.source,
+           CAST(sum(n_windows) AS BIGINT) AS n_windows,
+           CAST(sum(n_dup) AS BIGINT) AS n_dup_windows,
+           CAST((1000 * sum(n_dup)) // sum(n_windows) AS BIGINT) AS dup_permille
+    FROM per_doc JOIN documents d ON d.doc_id = per_doc.id
+    GROUP BY d.source
+    """,
+)
+def q91(spark, sf_dir):
+    """Span-level duplication profile: fraction of each source's
+    distinct {_SPAN_N}-word windows that also appear in another
+    document — the measurement pass behind substring-level corpus
+    dedup (windows shared across docs are the spans an exact-substring
+    deduper would cut). Built on the same explode-positions shingle
+    pattern as MinHash (det_hash.distinct_shingles); the only shuffles
+    are the window hash-agg and the per-doc rollup. At 100 TB the
+    window strings would be xxhash64'd before the agg (grouping 8-word
+    strings moves ~9x the bytes of a long) — here they stay strings so
+    the DuckDB oracle replays byte-identically; dup ratio is emitted as
+    integer permille (DIV) to avoid float division drift."""
+    docs = t(spark, sf_dir, "documents")
+    sh = distinct_shingles(docs, "doc_id", "text", _SPAN_N)
+    shared = sh.groupBy("sh").agg(F.countDistinct("id").alias("nd")).filter(F.col("nd") >= 2).select("sh")
+    per_doc = (
+        sh.join(shared.withColumn("__shared", F.lit(1)), "sh", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("__shared").isNotNull(), 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    return (
+        per_doc.join(docs.select(F.col("doc_id").alias("id"), "source"), "id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_windows").cast("long").alias("n_windows"),
+            F.sum("n_dup").cast("long").alias("n_dup_windows"),
+            F.expr("CAST((1000 * sum(n_dup)) DIV sum(n_windows) AS BIGINT)").alias("dup_permille"),
+        )
+    )
+
+
+# =====================================================================
+# q92 — feature hashing (hashing trick) over document tokens
+# =====================================================================
+
+_FH_BUCKETS = 64
+
+
+@query(
+    "q92_feature_hashing",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+    ),
+    b AS (
+      SELECT doc_id, tok,
+             CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % {_FH_BUCKETS} AS bucket
+      FROM toks
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM b GROUP BY bucket
+    """,
+)
+def q92(spark, sf_dir):
+    """Feature hashing (the hashing trick): token -> md5-derived bucket
+    in [0, {_FH_BUCKETS}), corpus-wide occurrence/vocabulary/document
+    counts per bucket — the fixed-width sparse featurization used for
+    hashed bag-of-words models. One explode + one hash-agg shuffle on
+    the bucket key; the md5 base hash is the det_hash.md5_long
+    cross-engine primitive, so bucket membership is bit-identical in
+    the oracle. At scale the same plan holds: bucket cardinality is
+    constant, so the final agg is tiny regardless of corpus size."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    b = toks.select("doc_id", "tok", (md5_long("tok") % _FH_BUCKETS).alias("bucket"))
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.countDistinct("tok").cast("long").alias("n_distinct_tokens"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+
+
+# =====================================================================
+# q93 — integer-exact z-score outlier detection
+# =====================================================================
+
+
+@query(
+    "q93_zscore_outliers",
+    """
+    WITH e AS (
+      SELECT event_type, event_id, CAST(round(value * 1000000) AS BIGINT) AS v FROM events
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(v) AS HUGEINT) AS s,
+             sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS q
+      FROM e GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(any_value(n) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN (n * v - s) * (n * v - s) > 9 * (n * q - s * s) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(sum(CASE WHEN (n * v - s) * (n * v - s) > 9 * (n * q - s * s) THEN event_id ELSE 0 END) AS BIGINT) AS outlier_id_sum
+    FROM e JOIN stats ON e.event_type = stats.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q93(spark, sf_dir):
+    """Outlier detection with an integer-exact z-score test: flag
+    events with |value - mean| > 3*stddev per event type, evaluated as
+    (n*v - S)^2 > 9*(n*Q - S^2) over micro-quantized values — the
+    float test multiplied through by n^2 so no IEEE division/sqrt can
+    flip a verdict across engines (Spark decimal(38,0) == DuckDB
+    HUGEINT; products stay < 1e27 at any plausible per-group n). Plan:
+    one stats aggregate, broadcast back onto the scan, one final
+    aggregate — two shuffles on event_type, scan-proportional work.
+    At extreme per-group cardinality (n*Q approaching 1e38) the same
+    pipeline degrades gracefully to the double-precision z-score; the
+    exact form is what the cross-engine gate requires."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.round(F.col("value") * 1000000).cast("long").alias("v")
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d("v")).cast("decimal(38,0)").alias("s"),
+        F.sum(d("v") * d("v")).cast("decimal(38,0)").alias("q"),
+    )
+    j = e.join(F.broadcast(stats), "event_type")
+    lhs = (F.col("n") * d("v") - F.col("s"))
+    outlier = (lhs * lhs) > (F.lit(9).cast("decimal(38,0)") * (F.col("n") * F.col("q") - F.col("s") * F.col("s")))
+    return j.groupBy("event_type").agg(
+        F.any_value(F.col("n")).cast("long").alias("n"),
+        F.sum(F.when(outlier, 1).otherwise(0)).cast("long").alias("n_outliers"),
+        F.sum(F.when(outlier, F.col("event_id")).otherwise(0)).cast("long").alias("outlier_id_sum"),
+    )
+
+
+# =====================================================================
+# q94 — per-user event-sequence mining (regex over ordered journeys)
+# =====================================================================
+
+
+@query(
+    "q94_sequence_mining",
+    """
+    WITH seqs AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST(CASE WHEN regexp_matches(seq, 'view.*click.*purchase') THEN 1 ELSE 0 END AS BIGINT) AS has_funnel,
+           CAST(len(regexp_extract_all(seq, 'click,purchase')) AS BIGINT) AS n_click_to_purchase
+    FROM seqs
+    """,
+)
+def q94(spark, sf_dir):
+    """Sequence mining: each user's journey as an ordered event-type
+    string, then regex features over it — ordered-funnel presence
+    (view -> click -> purchase with anything between) and the count of
+    immediate click->purchase transitions. The sequence is built from a
+    sort_array(collect_list(struct(ts, event_id, ...))) aggregate —
+    event_id makes the order total, so the string is deterministic; the
+    regex features are then embarrassingly parallel. Scale: one shuffle
+    on user_id; per-user sequences are bounded by per-user activity
+    (the same contract any session-analytics engine requires)."""
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    seqs = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ",",
+        ).alias("seq"),
+    )
+    return seqs.select(
+        "user_id",
+        "n_events",
+        F.when(F.col("seq").rlike("view.*click.*purchase"), 1).otherwise(0).cast("long").alias("has_funnel"),
+        F.size(F.regexp_extract_all(F.col("seq"), F.lit("click,purchase"), F.lit(0))).cast("long").alias("n_click_to_purchase"),
+    )
+
+
+# =====================================================================
+# q95 — native argmin/argmax aggregates with total-order keys
+# =====================================================================
+
+
+@query(
+    "q95_argmax",
+    """
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 1000000 + o_orderkey) AS most_expensive_order,
+           arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 1000000 + o_orderkey) AS cheapest_order,
+           CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q95(spark, sf_dir):
+    """Native argmin/argmax (Spark max_by/min_by == DuckDB arg_max/
+    arg_min) with a total-order key: cents * 1e6 + orderkey, so ties in
+    price can't make the winner engine-dependent (both engines document
+    arbitrary tie winners). Single hash aggregate, map-side partial —
+    the cheapest possible plan for a per-group winner, vs. the
+    window-row_number form (q82) which pays a sort."""
+    o = t(spark, sf_dir, "orders")
+    key = F.round(F.col("o_totalprice") * 100).cast("long") * 1000000 + F.col("o_orderkey")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", key).alias("most_expensive_order"),
+        F.min_by("o_orderkey", key).alias("cheapest_order"),
+        F.max(F.round(F.col("o_totalprice") * 100).cast("long")).alias("max_cents"),
+    )

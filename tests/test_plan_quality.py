@@ -108,3 +108,26 @@ def test_stratified_sample_no_shuffle(spark, sf_dir):
     """q75: hash-bucket sampling is map-side only — zero exchanges."""
     plan = explain_str(QUERIES["q75_stratified_sample"](spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_fuzzy_match_is_blocked_join(spark, sf_dir):
+    """q90: the Levenshtein compare runs over a blocking-key equi-join,
+    never a cartesian all-pairs name compare."""
+    df = QUERIES["q90_fuzzy_match"](spark, sf_dir)
+    assert not has_cartesian(df)
+
+
+def test_zscore_broadcasts_stats(spark, sf_dir):
+    """q93: the tiny per-type stats table broadcasts back onto the
+    event scan — the big side never shuffles for the join."""
+    df = QUERIES["q93_zscore_outliers"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
+
+
+def test_argmax_single_agg(spark, sf_dir):
+    """q95: native max_by/min_by is one partial+final hash aggregate —
+    no window sort, at most one exchange pair."""
+    plan = explain_str(QUERIES["q95_argmax"](spark, sf_dir))
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 2
