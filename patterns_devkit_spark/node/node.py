@@ -282,6 +282,37 @@ class Table:
     def has_active_version(self) -> bool:
         return self.get_active_version() is not None
 
+    def get_version(self, version_id: str) -> TableVersion | None:
+        """A specific (possibly inactive) TableVersion. Inactive
+        versions stay readable until garbage collected — the reference's
+        retention contract (node.py:399-405: 'old data is kept ...
+        and is accessible until garbage collected')."""
+        if not self.is_connected:
+            return None
+        meta = self._engine.catalog.table_meta(self.store_name) or {}
+        if version_id not in meta.get("versions", []):
+            raise KeyError(f"unknown version {version_id!r} of table {self.store_name!r}")
+        return TableVersion(self._engine, self.store_name, version_id)
+
+    def list_versions(self) -> list[dict]:
+        """All retained versions, oldest first: {version_id, is_active,
+        has_data, record_count}. The time-travel index over the
+        'many TableVersions' model (node.py:84-114)."""
+        if not self.is_connected:
+            return []
+        catalog = self._engine.catalog
+        meta = catalog.table_meta(self.store_name) or {}
+        active = meta.get("active_version")
+        return [
+            {
+                "version_id": v,
+                "is_active": v == active,
+                "has_data": catalog.version_has_data(self.store_name, v),
+                "record_count": catalog.get_record_count(self.store_name, v),
+            }
+            for v in meta.get("versions", [])
+        ]
+
     def create_new_version(self) -> TableVersion | None:
         if not self.is_connected:
             return None
@@ -361,10 +392,16 @@ class Table:
     def read_dataframe(self, chunksize: int | None = None):
         return self.read(as_format="dataframe", chunksize=chunksize)
 
-    def read_spark(self) -> DataFrame:
+    def read_spark(self, version: str | None = None) -> DataFrame:
         """Engine extension: the active version as a (lazy) Spark
-        DataFrame — the scale-preferred read path (SURVEY.md §7.3-4)."""
-        df = self._active_df()
+        DataFrame — the scale-preferred read path (SURVEY.md §7.3-4).
+        Pass version= for a time-travel read of any retained
+        (not-yet-GC'd) version — see list_versions()."""
+        if version is not None:
+            tv = self.get_version(version)
+            df = tv.as_dataframe() if tv is not None and tv.exists else None
+        else:
+            df = self._active_df()
         if df is None:
             schema = self.schema or T.StructType([])
             return self._engine.spark.createDataFrame([], schema)
@@ -765,6 +802,54 @@ class Table:
             self.signal_create()
         else:
             self.signal_update()
+        return TableVersion(self._engine, self.store_name, vid)
+
+    def compact(
+        self, target_files: int | None = None, file_bytes: int = 128 * 1024 * 1024
+    ) -> TableVersion | None:
+        """Merge the active version's small files into ~file_bytes-sized
+        outputs, written as a NEW version with an atomic pointer flip —
+        the engine's OPTIMIZE. Buffered appends flush one file each, so
+        a hot append table accretes small files; small files at scale
+        mean footer-per-file planning overhead and under-filled scan
+        partitions. Compaction uses coalesce (task-count shrink, no
+        shuffle — data never crosses the wire) and re-applies the
+        declared write sort, so min/max stream-slice pruning keeps
+        working. With partition_by, target_files applies per partition
+        directory. The previous version stays readable via
+        read_spark(version=...) until retention GC — compaction is
+        invisible to readers and to time travel. No-op (returns the
+        active version) when the layout is already at or under target."""
+        if not self.is_connected:
+            return None
+        av = self.get_active_version()
+        if av is None or not av.exists:
+            return av
+        import math
+        import os
+
+        nfiles, total = 0, 0
+        for root, _dirs, files in os.walk(av.storage):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    nfiles += 1
+                    total += os.path.getsize(os.path.join(root, fn))
+        if target_files is None:
+            target_files = max(1, math.ceil(total / file_bytes))
+        if nfiles <= target_files:
+            return av
+        n_before = self._engine.catalog.get_record_count(self.store_name, av.version_id)
+        df = av.as_dataframe().coalesce(target_files)
+        catalog = self._engine.catalog
+        vid = catalog.create_new_version(self.store_name)
+        out = catalog.version_dir(self.store_name, vid)
+        meta = catalog.table_meta(self.store_name) or {}
+        self._writer(self._sorted_for_write(df, meta), meta).mode("overwrite").parquet(out)
+        catalog.set_active_version(self.store_name, vid)
+        if n_before is not None:
+            catalog.set_record_count(self.store_name, vid, n_before)
+        catalog.gc_versions(self.store_name)
+        self.signal_update()
         return TableVersion(self._engine, self.store_name, vid)
 
     # -- events -----------------------------------------------------------

@@ -173,3 +173,51 @@ def test_record_count_and_table_version_metadata(engine):
         assert av.record_count == 2
         assert av.exists is True
         assert "t13" in av.storage
+
+
+def test_time_travel_read_and_list_versions(engine):
+    """Inactive versions stay readable until GC (node.py:399-405) —
+    read_spark(version=) is the reader of that retention guarantee."""
+    with engine.node_context("w", outputs={"out": "tt1"}):
+        t = Table("out", "w")
+        t.replace([{"a": 1}, {"a": 2}])
+        v1 = t.get_active_version().version_id
+        t.replace([{"a": 9}])
+        v2 = t.get_active_version().version_id
+        vs = t.list_versions()
+        assert [v["version_id"] for v in vs] == [v1, v2]
+        assert [v["is_active"] for v in vs] == [False, True]
+        old = sorted(r["a"] for r in t.read_spark(version=v1).collect())
+        assert old == [1, 2]
+        assert [r["a"] for r in t.read_spark().collect()] == [9]
+        with pytest.raises(KeyError):
+            t.get_version("v9999999")
+
+
+def test_compact_merges_files_preserves_data_and_history(engine):
+    """compact(): one coalesced file, identical rows, record_count
+    carried over, and the pre-compaction version still time-travels."""
+    import glob
+    import os
+
+    with engine.node_context("w", outputs={"out": "tt2"}):
+        t = Table("out", "w")
+        for i in range(5):
+            t.append([{"a": i, "b": f"x{i}"}])
+            t.flush()
+        v_before = t.get_active_version()
+        files_before = [
+            f for f in glob.glob(os.path.join(v_before.storage, "**", "*.parquet"), recursive=True)
+        ]
+        assert len(files_before) >= 5  # one file per flushed append
+        n_before = t.record_count
+        av = t.compact(target_files=1)
+        assert av.version_id != v_before.version_id
+        files_after = glob.glob(os.path.join(av.storage, "**", "*.parquet"), recursive=True)
+        assert len(files_after) == 1
+        assert t.record_count == n_before == 5
+        assert sorted(r["a"] for r in t.read_spark().collect()) == [0, 1, 2, 3, 4]
+        # old version still readable (time travel), until GC
+        assert t.read_spark(version=v_before.version_id).count() == 5
+        # idempotent: already at target -> no new version
+        assert t.compact(target_files=1).version_id == av.version_id
