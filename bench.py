@@ -48,6 +48,12 @@ BENCH_QUERIES = [
     "q73_contamination",
     "q76_int8_cosine",
     "q78_curation_pipeline",
+    # analytics batch: vocabulary-blocked fuzzy matching, span-level dup
+    # profiling, integer-exact outliers, sequence mining
+    "q90_fuzzy_match",
+    "q91_span_dedup",
+    "q93_zscore_outliers",
+    "q94_sequence_mining",
     "sdk02_upsert",  # engine write path: full-table MERGE + version flip
     "sdk06_upsert_partitioned",  # bounded rewrite: touched partition only, rest hardlinked
 ]

@@ -46,23 +46,53 @@ from .queries import query, t
 def q90(spark, sf_dir):
     """Entity resolution: candidate pairs from a blocking key (the noun
     token of the two-word part name), scored by Levenshtein distance on
-    the full name — the classic blocked fuzzy join. The 100 TB shape:
-    an equi-join on the block key (never a cartesian compare); skewed
-    blocks get the skew.salted_join treatment. Levenshtein is a
-    codegen'd JVM expression on both engines."""
+    the full name — the classic blocked fuzzy join. Scale shape: the
+    row-level self-join is O(sum(block^2)) in *rows*, so distances are
+    computed only between DISTINCT names (a vocabulary-sized table) and
+    row-pair counts recovered by multiplying name multiplicities —
+    same-name pairs contribute C(cnt,2) at distance 0, cross-name
+    pairs cnt_a*cnt_b at their name distance. Identical output to the
+    naive row-level form (the oracle SQL), ~2500x less Levenshtein
+    work on this fixture (measured 37.7s -> sub-second at sf0.1), and
+    at 100 TB the compare cost is bounded by vocabulary size, not
+    corpus size."""
     p = t(spark, sf_dir, "part").select(
-        "p_partkey", "p_name", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("noun")
+        "p_name", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("noun")
     )
-    a, b = p.alias("a"), p.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.noun") == F.col("b.noun")) & (F.col("a.p_partkey") < F.col("b.p_partkey")))
-        .select(F.col("a.noun").alias("noun"), F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"))
+    g = p.groupBy("p_name", "noun").agg(F.count(F.lit(1)).alias("cnt"))
+    same = (
+        g.filter(F.col("cnt") >= 2)
+        .groupBy("noun")
+        .agg(
+            F.sum(F.expr("cnt * (cnt - 1) DIV 2")).alias("n_pairs"),
+            F.lit(0).cast("long").alias("sum_dist"),
+            F.lit(0).cast("long").alias("min_dist"),
+        )
+    )
+    a, b = g.alias("a"), g.alias("b")
+    cross = (
+        a.join(b, (F.col("a.noun") == F.col("b.noun")) & (F.col("a.p_name") < F.col("b.p_name")))
+        .select(
+            F.col("a.noun").alias("noun"),
+            (F.col("a.cnt") * F.col("b.cnt")).alias("mult"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"),
+        )
         .filter(F.col("dist") <= 3)
+        .groupBy("noun")
+        .agg(
+            F.sum("mult").alias("n_pairs"),
+            F.sum(F.col("dist") * F.col("mult")).alias("sum_dist"),
+            F.min("dist").cast("long").alias("min_dist"),
+        )
     )
-    return pairs.groupBy("noun").agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.sum("dist").cast("long").alias("sum_dist"),
-        F.min("dist").cast("long").alias("min_dist"),
+    return (
+        same.unionByName(cross)
+        .groupBy("noun")
+        .agg(
+            F.sum("n_pairs").cast("long").alias("n_pairs"),
+            F.sum("sum_dist").cast("long").alias("sum_dist"),
+            F.min("min_dist").cast("long").alias("min_dist"),
+        )
     )
 
 
