@@ -15,6 +15,7 @@ tie-break keys in every argmax.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .operators.det_hash import _SHINGLE_SQL, distinct_shingles, md5_long
 from .operators.text import tokens
@@ -338,4 +339,117 @@ def q95(spark, sf_dir):
         F.max_by("o_orderkey", key).alias("most_expensive_order"),
         F.min_by("o_orderkey", key).alias("cheapest_order"),
         F.max(F.round(F.col("o_totalprice") * 100).cast("long")).alias("max_cents"),
+    )
+
+
+# =====================================================================
+# q96 — winnowing fingerprints (local-min k-gram selection)
+# =====================================================================
+
+_WN_K = 5   # k-gram width (words)
+_WN_W = 4   # winnowing window (consecutive k-grams)
+
+
+@query(
+    "q96_winnowing",
+    f"""
+    WITH toks AS (
+      SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ),
+    pos AS (
+      SELECT id, CAST(i AS BIGINT) AS i,
+             array_to_string(w[CAST(i AS BIGINT):CAST(i + {_WN_K - 1} AS BIGINT)], ' ') AS kg
+      FROM toks, unnest(range(1, greatest(len(w) - {_WN_K - 2}, 1))) AS u(i)
+      WHERE len(w) >= {_WN_K}
+    ),
+    h AS (
+      SELECT id, i, CAST('0x' || substr(md5(kg), 1, 15) AS BIGINT) % {1 << 40} AS h FROM pos
+    ),
+    mk AS (
+      SELECT id,
+             min(h * {1 << 20} + (i - 1)) OVER (
+               PARTITION BY id ORDER BY i
+               ROWS BETWEEN CURRENT ROW AND {_WN_W - 1} FOLLOWING) AS mk
+      FROM h
+    )
+    SELECT id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_kgrams,
+           CAST(count(DISTINCT mk) AS BIGINT) AS n_fingerprints,
+           CAST(sum(DISTINCT mk // {1 << 20}) AS BIGINT) AS fp_hash_sum
+    FROM mk GROUP BY id
+    """,
+)
+def q96(spark, sf_dir):
+    """Winnowing document fingerprints (the MOSS selection rule): hash
+    every {_WN_K}-word k-gram, then in each window of {_WN_W}
+    consecutive k-grams keep the minimum hash (position as tie-break),
+    dedup the selections — a guaranteed-coverage O(1/w)-density
+    fingerprint set for substring-level plagiarism/dup detection,
+    complementing q68's bottom-k (global sample) with positional
+    coverage. Plan: explode-positions k-grams (codegen'd slice+concat,
+    no interpreted higher-order fns), one window over (doc, position),
+    one aggregate — shuffles only on doc_id. Hash = det_hash md5 folded
+    to 40 bits, combined key h*2^20+pos stays < 2^60, so the DuckDB
+    oracle replays selection bit-identically; fp_hash_sum sums the
+    DISTINCT selected hash values (both engines dedup on the projected
+    expression)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(F.col("doc_id").alias("id"), tokens("text").alias("w")).filter(
+        F.size("w") >= _WN_K
+    )
+    pos = toks.select(
+        "id", "w", F.explode(F.sequence(F.lit(1), F.size("w") - F.lit(_WN_K - 1))).alias("i")
+    )
+    kg = pos.select(
+        "id", F.col("i").cast("long").alias("i"),
+        F.concat_ws(" ", F.slice("w", F.col("i"), _WN_K)).alias("kg"),
+    )
+    h = kg.select("id", "i", (md5_long("kg") % F.lit(1 << 40)).alias("h"))
+    win = Window.partitionBy("id").orderBy("i").rowsBetween(0, _WN_W - 1)
+    mk = h.select("id", F.min(F.col("h") * F.lit(1 << 20) + (F.col("i") - 1)).over(win).alias("mk"))
+    return mk.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kgrams"),
+        F.countDistinct("mk").cast("long").alias("n_fingerprints"),
+        F.expr(f"CAST(sum(DISTINCT mk DIV {1 << 20}) AS BIGINT)").alias("fp_hash_sum"),
+    )
+
+
+# =====================================================================
+# q97 — unpivot / melt (wide metrics -> long rows)
+# =====================================================================
+
+
+@query(
+    "q97_unpivot",
+    """
+    WITH agg AS (
+      SELECT o_orderpriority,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, 'sum_cents' AS metric, sum_cents AS metric_value FROM agg
+    UNION ALL
+    SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS metric_value FROM agg
+    UNION ALL
+    SELECT o_orderpriority, 'max_cents' AS metric, max_cents AS metric_value FROM agg
+    """,
+)
+def q97(spark, sf_dir):
+    """Unpivot/melt: wide per-group metric columns to long
+    (group, metric, value) rows via the native DataFrame unpivot
+    operator (Spark's UNPIVOT == the oracle's UNION ALL expansion —
+    the portable ANSI form). Metrics are exact cents-bigints so the
+    melted value column is a single comparable type. One aggregate
+    then a zero-shuffle generate — unpivot is map-side."""
+    o = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.sum(cents).alias("sum_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.max(cents).alias("max_cents"),
+    )
+    return agg.unpivot(
+        ["o_orderpriority"], ["sum_cents", "n_orders", "max_cents"], "metric", "metric_value"
     )

@@ -131,3 +131,12 @@ def test_argmax_single_agg(spark, sf_dir):
     plan = explain_str(QUERIES["q95_argmax"](spark, sf_dir))
     assert "Window" not in plan
     assert plan.count("Exchange") <= 2
+
+
+def test_winnowing_shuffles_only_on_doc(spark, sf_dir):
+    """q96: k-gram explode + window + agg all key on doc_id — no joins,
+    no cartesian, bounded exchange count."""
+    df = QUERIES["q96_winnowing"](spark, sf_dir)
+    assert not has_cartesian(df)
+    plan = explain_str(df, "simple")
+    assert plan.count("Exchange") <= 3
