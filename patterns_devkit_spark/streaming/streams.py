@@ -147,6 +147,29 @@ def dedup_stream(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against a
+    batch-side dimension table — the lookup-enrich half of streaming
+    ingest (the stream-stream variant above is for two live feeds).
+    Pass ``Table.read_spark()`` as ``dim`` to enrich against an ENGINE
+    table: the scan is planned against the table's active version DIR,
+    so a catalog version flip mid-stream does not tear a micro-batch
+    (each batch reads a consistent snapshot; restart the query to pick
+    up a new version). ``broadcast_dim`` (default) hints the dim to
+    every executor so the unbounded streaming side never shuffles —
+    the only stream-static shape that scales; disable it only for dims
+    too large to broadcast, which at 100 TB means the dim belongs in a
+    key-value store, not a join."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on=on, how=how)
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,

@@ -307,3 +307,41 @@ def test_stream_stream_join_time_bound(engine, tmp_path):
 
         rows = Table("in", "r").read()
         assert [r["ad_id"] for r in rows] == [10]
+
+
+def test_streaming_enrich_against_engine_table(engine, tmp_path):
+    """Stream-static join: spool events enriched per micro-batch from an
+    engine dim table, broadcast side = dim, sink back into the engine."""
+    from patterns_devkit_spark import Table
+    from patterns_devkit_spark.streaming.streams import enrich_stream, spool_stream, write_stream_to_table
+
+    with engine.node_context("dimload", outputs={"out": "users_dim"}):
+        Table("out", "w").replace([{"user_id": 1, "segment": "pro"}, {"user_id": 2, "segment": "free"}])
+
+    spool = tmp_path / "spool_e"
+    spool.mkdir()
+    rows = [
+        {"ts": "2024-01-01T00:01:00", "user_id": 1, "kind": "a"},
+        {"ts": "2024-01-01T00:02:00", "user_id": 2, "kind": "b"},
+        {"ts": "2024-01-01T00:03:00", "user_id": 3, "kind": "c"},  # no dim row -> null segment
+    ]
+    (spool / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+        ]
+    )
+    stream = spool_stream(engine, str(spool), schema)
+    with engine.node_context("dimread", inputs={"in": "users_dim"}):
+        dim = Table("in", "r").read_spark()
+    enriched = enrich_stream(stream, dim, on="user_id", how="left")
+    assert enriched.isStreaming
+    q = write_stream_to_table(
+        engine, enriched, "events_enriched", str(tmp_path / "ckpt_e"), output_mode="append"
+    )
+    q.awaitTermination(120)
+    with engine.node_context("r2", inputs={"in": "events_enriched"}):
+        got = {(r["user_id"], r["kind"], r["segment"]) for r in Table("in", "r").read()}
+        assert got == {(1, "a", "pro"), (2, "b", "free"), (3, "c", None)}
