@@ -453,3 +453,91 @@ def q97(spark, sf_dir):
     return agg.unpivot(
         ["o_orderpriority"], ["sum_cents", "n_orders", "max_cents"], "metric", "metric_value"
     )
+
+
+# =====================================================================
+# q98 — error-safe casts (try_cast) over semi-structured input
+# =====================================================================
+
+
+@query(
+    "q98_try_cast",
+    """
+    WITH raw AS (
+      SELECT event_type,
+             CASE WHEN event_type = 'error' THEN 'N/A'
+                  ELSE json_extract_string(props, '$.k') END AS k_raw
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE TRY_CAST(k_raw AS BIGINT) IS NULL) AS BIGINT) AS n_unparseable,
+           CAST(sum(coalesce(TRY_CAST(k_raw AS BIGINT), 0)) AS BIGINT) AS parsed_sum
+    FROM raw GROUP BY event_type
+    """,
+)
+def q98(spark, sf_dir):
+    """Error-safe casting (try_cast): parse a semi-structured string
+    field where some rows are garbage — malformed rows become NULL
+    instead of failing the job, the ingest-hardening idiom for dirty
+    corpora. The fixture's props are all clean, so the 'error' rows
+    are masked to a non-numeric sentinel to exercise the failure path
+    deterministically on both engines (only clean integer strings are
+    parsed: engines disagree on decimal strings, e.g. DuckDB rounds
+    '1.5' while Spark rejects it — a documented cross-engine trap).
+    Plan: single hash aggregate over a codegen'd projection."""
+    e = t(spark, sf_dir, "events")
+    raw = e.select(
+        "event_type",
+        F.when(F.col("event_type") == "error", F.lit("N/A"))
+        .otherwise(F.get_json_object("props", "$.k"))
+        .alias("k_raw"),
+    )
+    parsed = F.expr("try_cast(k_raw AS BIGINT)")
+    return raw.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(parsed.isNull(), 1).otherwise(0)).cast("long").alias("n_unparseable"),
+        F.sum(F.coalesce(parsed, F.lit(0))).cast("long").alias("parsed_sum"),
+    )
+
+
+# =====================================================================
+# q99 — quantified subqueries (ALL / ANY)
+# =====================================================================
+
+
+@query(
+    "q99_quantified_subquery",
+    """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(count(*) FILTER (
+             WHERE c_acctbal > ALL (SELECT c_acctbal FROM customer WHERE c_mktsegment = 'MACHINERY')
+           ) AS BIGINT) AS n_above_all_machinery,
+           CAST(count(*) FILTER (
+             WHERE c_acctbal > ANY (SELECT c_acctbal FROM customer WHERE c_mktsegment = 'MACHINERY')
+           ) AS BIGINT) AS n_above_some_machinery
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q99(spark, sf_dir):
+    """Quantified subqueries: `> ALL (...)` / `> ANY (...)` against a
+    reference population. Spark SQL has no quantified comparison
+    syntax, so the Spark plan uses the standard decorrelation — ALL
+    becomes > max(sub), ANY becomes > min(sub), each a 1-row aggregate
+    broadcast into the predicate (exactly what a SQL optimizer lowers
+    the quantifiers to when the subquery is non-null and non-empty;
+    acctbal comparisons are done in exact cents). Scale: the reference
+    population reduces to one row before it ever meets the big side."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_mktsegment", F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents")
+    )
+    m = c.filter(F.col("c_mktsegment") == "MACHINERY").agg(
+        F.max("bal_cents").alias("mx"), F.min("bal_cents").alias("mn")
+    )
+    j = c.join(F.broadcast(m))
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.when(F.col("bal_cents") > F.col("mx"), 1).otherwise(0)).cast("long").alias("n_above_all_machinery"),
+        F.sum(F.when(F.col("bal_cents") > F.col("mn"), 1).otherwise(0)).cast("long").alias("n_above_some_machinery"),
+    )
