@@ -541,3 +541,196 @@ def q99(spark, sf_dir):
         F.sum(F.when(F.col("bal_cents") > F.col("mx"), 1).otherwise(0)).cast("long").alias("n_above_all_machinery"),
         F.sum(F.when(F.col("bal_cents") > F.col("mn"), 1).otherwise(0)).cast("long").alias("n_above_some_machinery"),
     )
+
+
+# =====================================================================
+# q100 — robust outliers: median absolute deviation (integer-exact)
+# =====================================================================
+
+
+@query(
+    "q100_mad_outliers",
+    """
+    WITH e AS (
+      SELECT event_type, event_id, CAST(round(value * 1000000) AS BIGINT) AS v FROM events
+    ),
+    ranked AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM e
+    ),
+    med AS (
+      SELECT event_type, v AS med_v FROM ranked WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+      SELECT e.event_type, abs(e.v - med.med_v) AS d, med.med_v
+      FROM e JOIN med ON e.event_type = med.event_type
+    ),
+    dranked AS (
+      SELECT event_type, d, med_v,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM dev
+    ),
+    mad AS (
+      SELECT event_type, med_v, d AS mad_v FROM dranked WHERE rn = (n + 1) // 2
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(any_value(mad.med_v) AS BIGINT) AS median_micros,
+           CAST(any_value(mad.mad_v) AS BIGINT) AS mad_micros,
+           CAST(sum(CASE WHEN abs(e.v - mad.med_v) > 3 * mad.mad_v THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM e JOIN mad ON e.event_type = mad.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q100(spark, sf_dir):
+    """Robust outlier detection via median absolute deviation: flag
+    events with |v - median| > 3*MAD per type — the heavy-tail-safe
+    complement to q93's moment-based z-score (one wild value shifts a
+    mean, not a median). Median = the lower median (element at rank
+    (n+1) DIV 2), exact on micro-quantized integers, so both engines
+    select the identical element with no interpolation; MAD is the
+    same selection over absolute deviations. Plan: two window+filter
+    rounds (each one shuffle on event_type) + a broadcast of the 5-row
+    med/MAD table back onto the scan. At 100 TB exact per-group
+    medians are a sort per group — the documented scale relaxation is
+    approx_percentile, traded off in SCALE.md; the exact form is what
+    the cross-engine gate demands."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.round(F.col("value") * 1000000).cast("long").alias("v")
+    )
+
+    def lower_median(df, col, part="event_type"):
+        w = Window.partitionBy(part).orderBy(col)
+        wn = Window.partitionBy(part)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__n", F.count(F.lit(1)).over(wn))
+            .filter(F.col("__rn") == F.expr("(__n + 1) DIV 2"))
+        )
+
+    med = lower_median(e, "v").select("event_type", F.col("v").alias("med_v"))
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "med_v", F.abs(F.col("v") - F.col("med_v")).alias("d")
+    )
+    mad = lower_median(dev, "d").select("event_type", "med_v", F.col("d").alias("mad_v"))
+    j = e.join(F.broadcast(mad), "event_type")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.any_value(F.col("med_v")).cast("long").alias("median_micros"),
+        F.any_value(F.col("mad_v")).cast("long").alias("mad_micros"),
+        F.sum(F.when(F.abs(F.col("v") - F.col("med_v")) > 3 * F.col("mad_v"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_outliers"),
+    )
+
+
+# =====================================================================
+# q101 — k-anonymity audit over quasi-identifiers
+# =====================================================================
+
+_K_ANON = 10
+
+
+@query(
+    "q101_k_anonymity",
+    f"""
+    WITH g AS (
+      SELECT c_mktsegment, c_nationkey, count(*) AS grp_n
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(count(*) FILTER (WHERE grp_n < {_K_ANON}) AS BIGINT) AS n_small_groups,
+           CAST(coalesce(sum(grp_n) FILTER (WHERE grp_n < {_K_ANON}), 0) AS BIGINT) AS n_rows_at_risk
+    FROM g GROUP BY c_mktsegment
+    """,
+)
+def q101(spark, sf_dir):
+    """k-anonymity audit: group by the quasi-identifier tuple
+    (segment, nation) and count equivalence classes smaller than
+    k={_K_ANON} — rows in those classes are re-identifiable and must be
+    suppressed or generalized before a corpus ships (the structured
+    complement of q72's free-text PII scrub). Two nested hash
+    aggregates on progressively smaller keys — the 100 TB cost is one
+    shuffle of group counts, never of rows."""
+    c = t(spark, sf_dir, "customer")
+    g = c.groupBy("c_mktsegment", "c_nationkey").agg(F.count(F.lit(1)).alias("grp_n"))
+    small = F.col("grp_n") < _K_ANON
+    return g.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(small, 1).otherwise(0)).cast("long").alias("n_small_groups"),
+        F.coalesce(F.sum(F.when(small, F.col("grp_n"))), F.lit(0)).cast("long").alias("n_rows_at_risk"),
+    )
+
+
+# =====================================================================
+# q102 — column profiling (the ANALYZE primitive)
+# =====================================================================
+
+
+@query(
+    "q102_profile",
+    """
+    SELECT 'o_orderstatus' AS column_name,
+           CAST(count(*) - count(o_orderstatus) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderstatus) AS VARCHAR) AS min_value,
+           CAST(max(o_orderstatus) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(count(*) - count(o_orderpriority) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           CAST(count(*) - count(o_custkey) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice_cents',
+           CAST(count(*) - count(o_totalprice) AS BIGINT),
+           CAST(count(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+           CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR),
+           CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR)
+    FROM orders
+    """,
+)
+def q102(spark, sf_dir):
+    """Column profiling (the ANALYZE/data-quality primitive): null
+    count, exact distinct count, min/max per audited column, emitted
+    as one row per column — the first pass any ingest pipeline runs
+    over a new corpus. Numeric min/max are serialized as strings so
+    the melted profile is one uniform schema (floats profiled in exact
+    cents). Each column is an independent aggregate over the same
+    scan; Spark computes them in one pass per column group — at scale
+    you profile in one multi-aggregate pass and accept approximate
+    distincts (HLL), the exact form here is the oracle-checkable one."""
+    o = t(spark, sf_dir, "orders")
+
+    def prof(col, name, expr=None):
+        c = expr if expr is not None else F.col(col)
+        return o.agg(
+            F.lit(name).alias("column_name"),
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias("n_nulls"),
+            F.countDistinct(c).cast("long").alias("n_distinct"),
+            F.min(c).cast("string").alias("min_value"),
+            F.max(c).cast("string").alias("max_value"),
+        )
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    parts = [
+        prof("o_orderstatus", "o_orderstatus"),
+        prof("o_orderpriority", "o_orderpriority"),
+        prof("o_custkey", "o_custkey"),
+        prof(None, "o_totalprice_cents", cents),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
