@@ -734,3 +734,64 @@ def q102(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# =====================================================================
+# q103 — RFM segmentation (recency / frequency / monetary quintiles)
+# =====================================================================
+
+
+@query(
+    "q103_rfm",
+    """
+    WITH p AS (
+      SELECT user_id,
+             max(ts) AS last_ts,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id, freq, monetary_cents,
+             CAST(ntile(5) OVER (ORDER BY last_ts DESC, user_id) AS BIGINT) AS r,
+             CAST(ntile(5) OVER (ORDER BY freq DESC, user_id) AS BIGINT) AS f,
+             CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, user_id) AS BIGINT) AS m
+      FROM p
+    )
+    SELECT user_id, freq, monetary_cents, r, f, m,
+           CAST(r * 100 + f * 10 + m AS BIGINT) AS rfm_code
+    FROM scored
+    """,
+)
+def q103(spark, sf_dir):
+    """RFM segmentation: per-user recency/frequency/monetary quintiles
+    over purchase events, composed into the classic 3-digit RFM code —
+    the marketing-analytics workhorse. Every ntile rides a total order
+    (metric DESC, user_id ASC) so bucket assignment is engine-
+    independent; money in exact cents. Plan note: ntile over a global
+    ORDER BY is a single-partition sort — correct for the per-user
+    aggregate (rows = users, already reduced), and at extreme user
+    counts the scale form is percentile-bucketing via range
+    partitioning (q50's ntile note applies)."""
+    e = t(spark, sf_dir, "events")
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("monetary_cents"),
+        )
+    )
+    wr = Window.orderBy(F.col("last_ts").desc(), F.col("user_id").asc())
+    wf = Window.orderBy(F.col("freq").desc(), F.col("user_id").asc())
+    wm = Window.orderBy(F.col("monetary_cents").desc(), F.col("user_id").asc())
+    scored = p.select(
+        "user_id",
+        "freq",
+        "monetary_cents",
+        F.ntile(5).over(wr).cast("long").alias("r"),
+        F.ntile(5).over(wf).cast("long").alias("f"),
+        F.ntile(5).over(wm).cast("long").alias("m"),
+    )
+    return scored.withColumn("rfm_code", (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("long"))
