@@ -336,18 +336,28 @@ class Table:
         strictly_monotonic_ordering: str | None = None,
         created_ordering: str | None = None,
         partition_by: str | list[str] | None = None,
+        cluster_by: str | list[str] | None = None,
     ) -> None:
         """Declare creation-time table properties (node.py:269-297).
 
         partition_by is an engine extension: versions are written as
         hive-partitioned directories on the given columns, so filters
         on them become partition PRUNING at scan time (the unit of
-        scale-out for date/tenant-keyed tables)."""
+        scale-out for date/tenant-keyed tables).
+
+        cluster_by is an engine extension: writes are sorted by the
+        Z-order (Morton) interleave of the listed non-negative integer
+        columns, giving every listed column min/max-pruning locality
+        (operators/layout.zvalue) — declare it only on tables whose
+        reads filter on several columns; it takes precedence over the
+        implicit orderings in the write sort."""
         if not self.is_connected:
             return
         updates: dict[str, Any] = {"auto_indexes": auto_indexes}
         if partition_by is not None:
             updates["partition_by"] = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        if cluster_by is not None:
+            updates["cluster_by"] = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
         if schema is not None:
             struct = schema if isinstance(schema, T.StructType) else schema_dict_to_struct(schema)
             updates["schema_ddl"] = ",".join(f"{f.name} {f.dataType.simpleString()}" for f in struct.fields)
@@ -740,6 +750,11 @@ class Table:
         """Write versions sorted by the declared ordering so Parquet
         min/max stats prune incremental stream slices (SURVEY.md §4
         'incremental stream slice pruning'); auto_indexes≈sort-on-key."""
+        cb = [c for c in (meta.get("cluster_by") or []) if c in df.columns]
+        if cb:
+            from ..operators.layout import zvalue
+
+            return df.sortWithinPartitions(zvalue(cb))
         ob = meta.get("strictly_monotonic_ordering") or meta.get("created_ordering")
         if ob and ob in df.columns:
             return df.sortWithinPartitions(ob)

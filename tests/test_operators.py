@@ -329,3 +329,67 @@ def test_windowed_energy_overlap(spark):
     assert sorted(rows) == [0, 1]
     assert rows[0]["win_bytes"] == 8 and rows[0]["energy"] == 8 * 97
     assert rows[1]["win_bytes"] == 6 and rows[1]["energy"] == 6 * 97
+
+
+# ---------------------------------------------------------------------
+# Z-order clustering (operators/layout.py)
+# ---------------------------------------------------------------------
+
+
+def test_zvalue_morton_bit_layout(spark):
+    from patterns_devkit_spark.operators.layout import zvalue
+
+    df = spark.createDataFrame(
+        [(1, 0), (0, 1), (1, 1), (2, 0), (0, 2), (3, 3)], "x long, y long"
+    )
+    got = {(r["x"], r["y"]): r["z"] for r in df.select("x", "y", zvalue(["x", "y"]).alias("z")).collect()}
+    # classic Morton: x occupies even bit positions, y odd
+    assert got == {(1, 0): 1, (0, 1): 2, (1, 1): 3, (2, 0): 4, (0, 2): 8, (3, 3): 15}
+
+
+def test_zvalue_quadrant_ordering(spark):
+    """Every point with both coords < 2^k z-sorts before any point with
+    either coord >= 2^k — the prefix property that gives BOTH columns
+    min/max pruning locality."""
+    from patterns_devkit_spark.operators.layout import zvalue
+
+    pts = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(pts, "x long, y long").select("x", "y", zvalue(["x", "y"]).alias("z"))
+    rows = df.collect()
+    inner_max = max(r["z"] for r in rows if r["x"] < 4 and r["y"] < 4)
+    outer_min = min(r["z"] for r in rows if r["x"] >= 4 or r["y"] >= 4)
+    assert inner_max < outer_min
+
+
+def test_cluster_by_writes_z_sorted_files(engine):
+    """Table.init(cluster_by=...) -> version files are physically
+    z-ordered (checked via pyarrow, which preserves row order)."""
+    import glob
+    import random
+
+    import pyarrow.parquet as pq
+
+    from patterns_devkit_spark import Table
+
+    grid = [{"a": x, "b": y, "v": x * 100 + y} for x in range(32) for y in range(32)]
+    random.Random(7).shuffle(grid)
+    with engine.node_context("w", outputs={"out": "zt"}):
+        t = Table("out", "w")
+        t.init(cluster_by=["a", "b"])
+        t.replace(grid)
+        storage = t.get_active_version().storage
+        files = glob.glob(f"{storage}/**/*.parquet", recursive=True)
+        assert files
+
+        def z(a, b):
+            out = 0
+            for i in range(31):
+                out |= ((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+            return out
+
+        for f in files:
+            tb = pq.read_table(f, columns=["a", "b"])
+            zs = [z(a, b) for a, b in zip(tb.column("a").to_pylist(), tb.column("b").to_pylist())]
+            assert zs == sorted(zs), "rows within a clustered file must be z-ordered"
+        # data intact
+        assert sorted(r["v"] for r in t.read()) == sorted(g["v"] for g in grid)
