@@ -795,3 +795,85 @@ def q103(spark, sf_dir):
         F.ntile(5).over(wm).cast("long").alias("m"),
     )
     return scored.withColumn("rfm_code", (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("long"))
+
+
+# =====================================================================
+# q104 — CDC latest-snapshot-per-key (compaction of an append log)
+# =====================================================================
+
+
+@query(
+    "q104_latest_per_key",
+    """
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey AS latest_orderkey, cents AS latest_cents
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q104(spark, sf_dir):
+    """Latest-record-per-key: collapse an append log to each key's most
+    recent row (the CDC snapshot-compaction primitive behind upsert
+    materialization; order made total with the unique orderkey as
+    tie-break). One shuffle on the key; at scale this is the window
+    whose sort AQE handles per-partition — and when the log is the
+    engine's own append table, Table.upsert is the incremental form of
+    the same semantics."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", F.col("o_orderkey").alias("latest_orderkey"), F.col("cents").alias("latest_cents"))
+    )
+
+
+# =====================================================================
+# q105 — percent-of-total shares (integer permille, no float division)
+# =====================================================================
+
+
+@query(
+    "q105_share_of_total",
+    """
+    WITH seg AS (
+      SELECT c_mktsegment, CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents,
+             CAST(count(*) AS BIGINT) AS n_customers
+      FROM customer WHERE c_acctbal > 0 GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, bal_cents, n_customers,
+           CAST((1000 * bal_cents) // sum(bal_cents) OVER () AS BIGINT) AS bal_permille,
+           CAST((1000 * n_customers) // sum(n_customers) OVER () AS BIGINT) AS cust_permille
+    FROM seg
+    """,
+)
+def q105(spark, sf_dir):
+    """Percent-of-total (ratio_to_report): each segment's share of
+    positive balances and of customers, as integer permille — the
+    windowed-total pattern with DIV instead of float division so both
+    engines emit identical shares. The unpartitioned window sum runs
+    over the ALREADY-AGGREGATED 5-row table (a single-partition
+    exchange of 5 rows, not of the scan), which is the correct scale
+    shape for global-share reports."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    seg = c.groupBy("c_mktsegment").agg(
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias("bal_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+    )
+    w = Window.partitionBy()
+    return seg.select(
+        "c_mktsegment",
+        "bal_cents",
+        "n_customers",
+        F.expr("CAST((1000 * bal_cents) DIV (sum(bal_cents) OVER ()) AS BIGINT)").alias("bal_permille"),
+        F.expr("CAST((1000 * n_customers) DIV (sum(n_customers) OVER ()) AS BIGINT)").alias("cust_permille"),
+    )
