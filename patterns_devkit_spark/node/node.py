@@ -867,6 +867,51 @@ class Table:
         self.signal_update()
         return TableVersion(self._engine, self.store_name, vid)
 
+    def recluster(self, num_files: int | None = None) -> TableVersion | None:
+        """Full-table Z-order rewrite (the OPTIMIZE ZORDER analogue):
+        range-partition the active version on the declared cluster_by
+        z-value — ONE range shuffle, the cost of any global sort — then
+        z-sort within partitions and write as a new version. After
+        recluster, file-level z-ranges are DISJOINT, so min/max pruning
+        on any clustered column skips whole files, not just row groups
+        (compact() shrinks file count; recluster() fixes layout decay
+        after many unclustered/appended writes). Requires
+        init(cluster_by=...); no-op without data."""
+        if not self.is_connected:
+            return None
+        av = self.get_active_version()
+        if av is None or not av.exists:
+            return av
+        catalog = self._engine.catalog
+        meta = catalog.table_meta(self.store_name) or {}
+        cb = meta.get("cluster_by") or []
+        if not cb:
+            raise ValueError(
+                f"table {self.store_name!r} has no cluster_by declared; call "
+                "init(cluster_by=[...]) first"
+            )
+        from ..operators.layout import zvalue
+
+        df = av.as_dataframe()
+        cols = [c for c in cb if c in df.columns]
+        if not cols:
+            return av
+        if num_files is None:
+            num_files = max(1, df.rdd.getNumPartitions())
+        zv = zvalue(cols)
+        n_before = catalog.get_record_count(self.store_name, av.version_id)
+        out_df = df.repartitionByRange(num_files, zv).sortWithinPartitions(zv)
+        created_vid = catalog.create_new_version(self.store_name)
+        out = catalog.version_dir(self.store_name, created_vid)
+        # bypass _sorted_for_write: the layout IS the sort here
+        self._writer(out_df, meta).mode("overwrite").parquet(out)
+        catalog.set_active_version(self.store_name, created_vid)
+        if n_before is not None:
+            catalog.set_record_count(self.store_name, created_vid, n_before)
+        catalog.gc_versions(self.store_name)
+        self.signal_update()
+        return TableVersion(self._engine, self.store_name, created_vid)
+
     # -- events -----------------------------------------------------------
     def signal_create(self) -> None:
         """Manually emit a create data event (node.py:387-390)."""

@@ -393,3 +393,44 @@ def test_cluster_by_writes_z_sorted_files(engine):
             assert zs == sorted(zs), "rows within a clustered file must be z-ordered"
         # data intact
         assert sorted(r["v"] for r in t.read()) == sorted(g["v"] for g in grid)
+
+
+def test_recluster_produces_disjoint_z_ranges(engine):
+    """Table.recluster(): range shuffle on the z-key -> file-level
+    z-ranges are disjoint, so min/max stats prune whole files on any
+    clustered column."""
+    import glob
+    import random
+
+    import pyarrow.parquet as pq
+
+    from patterns_devkit_spark import Table
+
+    grid = [{"a": x, "b": y} for x in range(64) for y in range(64)]
+    random.Random(3).shuffle(grid)
+    with engine.node_context("w", outputs={"out": "zr"}):
+        t = Table("out", "w")
+        t.init(cluster_by=["a", "b"])
+        # write WITHOUT layout first (simulate decay: plain append path
+        # sorts within whatever partitions the buffer produced)
+        t.replace(grid)
+        av = t.recluster(num_files=4)
+        files = sorted(glob.glob(f"{av.storage}/**/*.parquet", recursive=True))
+        assert len(files) >= 2
+
+        def z(a, b):
+            out = 0
+            for i in range(31):
+                out |= ((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+            return out
+
+        ranges = []
+        for f in files:
+            tb = pq.read_table(f, columns=["a", "b"])
+            zs = [z(a, b) for a, b in zip(tb.column("a").to_pylist(), tb.column("b").to_pylist())]
+            assert zs == sorted(zs)
+            ranges.append((min(zs), max(zs)))
+        ranges.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 < lo2, "file z-ranges must be disjoint after recluster"
+        assert t.record_count == 64 * 64
