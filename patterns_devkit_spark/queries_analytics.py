@@ -877,3 +877,88 @@ def q105(spark, sf_dir):
         F.expr("CAST((1000 * bal_cents) DIV (sum(bal_cents) OVER ()) AS BIGINT)").alias("bal_permille"),
         F.expr("CAST((1000 * n_customers) DIV (sum(n_customers) OVER ()) AS BIGINT)").alias("cust_permille"),
     )
+
+
+# =====================================================================
+# q106 — near-dup candidate verification (LSH generate -> edit-distance check)
+# =====================================================================
+
+from .operators.det_hash import minhash_lsh_pairs_det, minhash_oracle_sql  # noqa: E402
+
+_VERIFY_MIN_AGREE = 8
+
+
+@query(
+    "q106_dedup_verify",
+    f"""
+    SELECT b.id_a, b.id_b, b.n_sig_agree,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev
+    FROM ({minhash_oracle_sql()}) b
+    JOIN documents da ON da.doc_id = b.id_a
+    JOIN documents db ON db.doc_id = b.id_b
+    WHERE b.n_sig_agree >= {_VERIFY_MIN_AGREE}
+    """,
+)
+def q106(spark, sf_dir):
+    """The generate-then-verify shape of production dedup: cheap LSH
+    candidates (deterministic MinHash banding, q35's operator) verified
+    by an expensive exact measure (Levenshtein on the full text) ONLY
+    on candidate pairs — never all-pairs. Signature agreement >=
+    {_VERIFY_MIN_AGREE}/32 gates which candidates pay the edit
+    distance. At 100 TB the verify stage touches O(candidates), and
+    the candidate count is controlled by the banding parameters — this
+    pipeline IS the scale contract, and the oracle replays both stages
+    (hash family + verification) bit-identically."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs_det(docs).filter(F.col("n_sig_agree") >= _VERIFY_MIN_AGREE)
+    ta = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("__ta"))
+    tb = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("__tb"))
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a", "id_b", "n_sig_agree",
+            F.levenshtein(F.col("__ta"), F.col("__tb")).cast("long").alias("lev"),
+        )
+    )
+
+
+# =====================================================================
+# q107 — rollup with GROUPING() labels (subtotal row identification)
+# =====================================================================
+
+
+@query(
+    "q107_grouping_id",
+    """
+    SELECT coalesce(o_orderstatus, '<all>') AS status,
+           coalesce(o_orderpriority, '<all>') AS priority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q107(spark, sf_dir):
+    """ROLLUP with GROUPING() labels: subtotal rows carry an explicit
+    flag per dimension, so '<all>' placeholders are distinguishable
+    from a genuine NULL group value — the piece of the grouping-sets
+    surface q12/q13/q27 didn't exercise. Same single-shuffle expand
+    plan as any rollup."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "n",
+        )
+    )
