@@ -962,3 +962,101 @@ def q107(spark, sf_dir):
             "n",
         )
     )
+
+
+# =====================================================================
+# q108 — document chunking (overlapping token windows for training/RAG)
+# =====================================================================
+
+_CH_SIZE = 32     # tokens per chunk
+_CH_STRIDE = 24   # stride (overlap = size - stride = 8)
+
+
+@query(
+    "q108_chunking",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST((i - 1) // {_CH_STRIDE} AS BIGINT) AS chunk_index,
+             array_to_string(w[CAST(i AS BIGINT):CAST(i + {_CH_SIZE - 1} AS BIGINT)], ' ') AS chunk_text,
+             CAST(least(len(w) - i + 1, {_CH_SIZE}) AS BIGINT) AS n_tokens
+      FROM toks, unnest(range(1, len(w) + 1, {_CH_STRIDE})) AS u(i)
+    )
+    SELECT doc_id, chunk_index, chunk_text, n_tokens FROM chunks
+    """,
+)
+def q108(spark, sf_dir):
+    """Document chunking: overlapping {_CH_SIZE}-token windows at
+    stride {_CH_STRIDE} (8-token overlap), the splitter every
+    training-data / retrieval pipeline runs before tokenization.
+    Explode-positions + slice/concat (codegen'd; same dataflow as the
+    shingle family) — map-side only, zero shuffles: chunking is
+    embarrassingly parallel and the plan shows it. Tail chunks carry
+    their true (shorter) token count."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("w"))
+    pos = toks.select(
+        "doc_id", "w",
+        F.explode(F.sequence(F.lit(1), F.size("w"), F.lit(_CH_STRIDE))).alias("i"),
+    )
+    return pos.select(
+        "doc_id",
+        F.expr(f"CAST((i - 1) DIV {_CH_STRIDE} AS BIGINT)").alias("chunk_index"),
+        F.concat_ws(" ", F.slice("w", F.col("i"), _CH_SIZE)).alias("chunk_text"),
+        F.least(F.size("w") - F.col("i") + 1, F.lit(_CH_SIZE)).cast("long").alias("n_tokens"),
+    )
+
+
+# =====================================================================
+# q109 — sequence packing (greedy doc -> fixed-token-budget packs)
+# =====================================================================
+
+_PACK_BUDGET = 256
+
+
+@query(
+    "q109_sequence_packing",
+    f"""
+    WITH lens AS (
+      SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_tok,
+             sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok AS prev_cum
+      FROM lens
+    )
+    SELECT CAST(prev_cum // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM cum GROUP BY pack_id
+    """,
+)
+def q109(spark, sf_dir):
+    """Sequence packing: assign docs (in doc_id order) to fixed
+    token-budget packs of {_PACK_BUDGET} by integer-dividing the
+    running token total — the deterministic offset-based packing that
+    turns short documents into dense training sequences (a doc
+    straddling a boundary spills into the earlier pack; no doc is
+    split). The global running sum is a single-partition window over
+    (doc_id, n_tok) PAIRS — bytes proportional to doc count, not
+    corpus size; at extreme doc counts the scale form is two-pass:
+    per-range-partition token subtotals broadcast back as offsets (the
+    same trick as operators/ids two-pass monotonic ids)."""
+    docs = t(spark, sf_dir, "documents")
+    lens = docs.select("doc_id", F.size(tokens("text")).cast("long").alias("n_tok"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = lens.select(
+        "doc_id", "n_tok", (F.sum("n_tok").over(w) - F.col("n_tok")).alias("prev_cum")
+    )
+    return cum.groupBy(F.expr(f"CAST(prev_cum DIV {_PACK_BUDGET} AS BIGINT)").alias("pack_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+    )
