@@ -54,6 +54,11 @@ BENCH_QUERIES = [
     "q91_span_dedup",
     "q93_zscore_outliers",
     "q94_sequence_mining",
+    # round-2b training-data representatives: positional fingerprints,
+    # LSH-generate -> edit-distance-verify dedup, chunking
+    "q96_winnowing",
+    "q106_dedup_verify",
+    "q108_chunking",
     "sdk02_upsert",  # engine write path: full-table MERGE + version flip
     "sdk06_upsert_partitioned",  # bounded rewrite: touched partition only, rest hardlinked
 ]
