@@ -1060,3 +1060,108 @@ def q109(spark, sf_dir):
         F.min("doc_id").cast("long").alias("first_doc"),
         F.max("doc_id").cast("long").alias("last_doc"),
     )
+
+
+# =====================================================================
+# q110 — contingency table with integer expected counts
+# =====================================================================
+
+
+@query(
+    "q110_contingency",
+    """
+    WITH cells AS (
+      SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, CAST(count(*) AS BIGINT) AS obs
+      FROM events GROUP BY event_type, dow
+    ),
+    tot AS (
+      SELECT event_type, dow, obs,
+             sum(obs) OVER (PARTITION BY event_type) AS row_tot,
+             sum(obs) OVER (PARTITION BY dow) AS col_tot,
+             sum(obs) OVER () AS n
+      FROM cells
+    )
+    SELECT event_type, dow, obs,
+           CAST((1000 * row_tot * col_tot) // (n * n) * n // 1000 AS BIGINT) AS exp_floor,
+           CAST((1000 * row_tot * col_tot) // n AS BIGINT) AS exp_milli,
+           CAST(abs(1000 * obs - (1000 * row_tot * col_tot) // n) AS BIGINT) AS dev_milli
+    FROM tot
+    """,
+)
+def q110(spark, sf_dir):
+    """Contingency audit (event type x weekday): observed vs expected-
+    under-independence cell counts, with expected values in exact
+    milli-units ((1000*row_tot*col_tot) DIV n) so the deviation that
+    feeds a chi-square decision is integer-deterministic across
+    engines. The window sums run over the ALREADY-AGGREGATED cell
+    table (35 rows), not the scan — the same reduced-then-window shape
+    as q105. Cross-engine trap handled: Spark dayofweek is 1-based
+    Sunday-first, DuckDB's is 0-based — the oracle adds 1."""
+    e = t(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type", F.dayofweek("ts").cast("long").alias("dow")
+    ).agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("dow")
+    wn = Window.partitionBy()
+    tot = cells.select(
+        "event_type", "dow", "obs",
+        F.sum("obs").over(wr).alias("row_tot"),
+        F.sum("obs").over(wc).alias("col_tot"),
+        F.sum("obs").over(wn).alias("n"),
+    )
+    return tot.select(
+        "event_type", "dow", "obs",
+        F.expr("CAST((1000 * row_tot * col_tot) DIV (n * n) * n DIV 1000 AS BIGINT)").alias("exp_floor"),
+        F.expr("CAST((1000 * row_tot * col_tot) DIV n AS BIGINT)").alias("exp_milli"),
+        F.expr("CAST(abs(1000 * obs - (1000 * row_tot * col_tot) DIV n) AS BIGINT)").alias("dev_milli"),
+    )
+
+
+# =====================================================================
+# q111 — normalization-collision dedup (canonicalize then re-fingerprint)
+# =====================================================================
+
+
+@query(
+    "q111_normalize_dedup",
+    """
+    WITH norm AS (
+      SELECT doc_id, source,
+             md5(text) AS raw_fp,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_fp
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT raw_fp) AS BIGINT) AS n_raw_distinct,
+           CAST(count(DISTINCT norm_fp) AS BIGINT) AS n_norm_distinct,
+           CAST(count(DISTINCT raw_fp) - count(DISTINCT norm_fp) AS BIGINT) AS n_norm_collisions
+    FROM norm GROUP BY source
+    """,
+)
+def q111(spark, sf_dir):
+    """Canonicalize-then-dedup: lowercase, strip non-alphanumerics,
+    collapse whitespace, re-fingerprint — the normalization pass that
+    catches near-identical docs exact dedup misses (case/punctuation
+    variants). Reports per-source distinct-fingerprint counts before
+    and after normalization; the difference is the normalization-only
+    duplicate mass. All regex stays in the Java-regex/RE2 common
+    subset (explicit character classes); one hash-aggregate shuffle.
+    Note Spark's regexp_replace is global by default == DuckDB's 'g'
+    flag."""
+    docs = t(spark, sf_dir, "documents")
+    norm_text = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " ")
+    )
+    n = docs.select(
+        "source",
+        F.md5("text").alias("raw_fp"),
+        F.md5(norm_text).alias("norm_fp"),
+    )
+    return n.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("raw_fp").cast("long").alias("n_raw_distinct"),
+        F.countDistinct("norm_fp").cast("long").alias("n_norm_distinct"),
+        (F.countDistinct("raw_fp") - F.countDistinct("norm_fp")).cast("long").alias("n_norm_collisions"),
+    )
