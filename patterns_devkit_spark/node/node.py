@@ -912,6 +912,37 @@ class Table:
         self.signal_update()
         return TableVersion(self._engine, self.store_name, created_vid)
 
+    def export(
+        self,
+        path: str,
+        format: str = "parquet",
+        mode: str = "overwrite",
+        single_file: bool = False,
+        **options: Any,
+    ) -> int:
+        """Export the active version to an external directory as
+        parquet / csv / json (JSON = JSONL shards, the training-data
+        handoff format tokenizer pipelines consume) — the sink
+        counterpart of sources/files.py's imports. Returns the exported
+        row count. Sharded by default (one file per partition — at
+        scale you hand off shards, never one file); single_file=True
+        coalesces for small dims. csv includes a header; extra options
+        pass through to the DataFrameWriter."""
+        if not self.is_connected:
+            return 0
+        df = self.read_spark()
+        n = self.record_count or 0
+        if single_file:
+            df = df.coalesce(1)
+        fmt = "json" if format in ("json", "jsonl") else format
+        w = df.write.mode(mode)
+        if fmt == "csv":
+            w = w.option("header", "true")
+        for k, v in options.items():
+            w = w.option(k, v)
+        w.format(fmt).save(path)
+        return n
+
     # -- events -----------------------------------------------------------
     def signal_create(self) -> None:
         """Manually emit a create data event (node.py:387-390)."""

@@ -221,3 +221,22 @@ def test_compact_merges_files_preserves_data_and_history(engine):
         assert t.read_spark(version=v_before.version_id).count() == 5
         # idempotent: already at target -> no new version
         assert t.compact(target_files=1).version_id == av.version_id
+
+
+def test_export_jsonl_and_csv(engine, tmp_path):
+    """Table.export: JSONL/CSV handoff shards round-trip the data."""
+    import glob
+    import json as _json
+
+    with engine.node_context("w", outputs={"out": "exp1"}):
+        t = Table("out", "w")
+        t.replace([{"a": 1, "s": "x"}, {"a": 2, "s": "y"}, {"a": 3, "s": "z"}])
+        n = t.export(str(tmp_path / "out_jsonl"), format="jsonl", single_file=True)
+        assert n == 3
+        (f,) = glob.glob(str(tmp_path / "out_jsonl" / "part-*"))
+        rows = [_json.loads(ln) for ln in open(f) if ln.strip()]
+        assert sorted(r["a"] for r in rows) == [1, 2, 3]
+        t.export(str(tmp_path / "out_csv"), format="csv", single_file=True)
+        (fc,) = glob.glob(str(tmp_path / "out_csv" / "part-*"))
+        lines = open(fc).read().strip().splitlines()
+        assert lines[0] == "a,s" and len(lines) == 4
