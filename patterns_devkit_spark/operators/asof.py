@@ -27,9 +27,16 @@ def asof_join(
     right_cols: list[str],
     tiebreak: str | None = None,
     prefix: str = "asof_",
+    tolerance: str | int | float | None = None,
 ) -> DataFrame:
     """Returns left columns + prefixed right_cols of the as-of match
-    (nulls when no right row precedes)."""
+    (nulls when no right row precedes).
+
+    tolerance bounds the lookback (pandas merge_asof semantics): a
+    match older than `tolerance` before left_ts yields nulls. Pass an
+    interval string ("5 minutes") for timestamp ts columns or a number
+    for numeric ts columns; evaluated as one more codegen'd predicate
+    on the carried match — no plan-shape change."""
     lcols = left.columns
     rkeep = [c for c in right_cols]
     tb = tiebreak if tiebreak is not None else (rkeep[0] if rkeep else right_ts)
@@ -61,10 +68,24 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = [F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"{prefix}{c}") for c in rkeep]
-    return (
-        u.select(*lcols, F.col("__side"), *carried)
+    if tolerance is None:
+        return (
+            u.select(*lcols, F.col("__side"), *carried)
+            .filter(F.col("__side") == 1)
+            .drop("__side")
+        )
+    matched_ts = F.last(
+        F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True
+    ).over(w).alias("__asof_ts")
+    bound = F.expr(f"INTERVAL {tolerance}") if isinstance(tolerance, str) else F.lit(tolerance)
+    sel = (
+        u.select(*lcols, F.col("__side"), F.col("__ts"), *carried, matched_ts)
         .filter(F.col("__side") == 1)
-        .drop("__side")
+    )
+    ok = F.col("__asof_ts").isNotNull() & (F.col("__ts") <= F.col("__asof_ts") + bound)
+    return sel.select(
+        *lcols,
+        *[F.when(ok, F.col(f"{prefix}{c}")).otherwise(F.lit(None)).alias(f"{prefix}{c}") for c in rkeep],
     )
 
 
@@ -76,6 +97,7 @@ def asof_join_pandas(
     right_ts: str,
     right_cols: list[str],
     prefix: str = "asof_",
+    tolerance=None,
 ) -> DataFrame:
     """Alternative implementation: cogrouped pandas `merge_asof` per
     key (pyspark_guide's 'applyInPandas with pd.merge_asof per group').
@@ -105,6 +127,7 @@ def asof_join_pandas(
         merged = pd.merge_asof(
             l_sorted, r_renamed, left_on=left_ts, right_on=right_ts,
             direction="backward", allow_exact_matches=True, suffixes=("", "__r"),
+            tolerance=tolerance,
         )
         return merged[list(l_pdf.columns) + [f"{prefix}{c}" for c in right_cols]]
 

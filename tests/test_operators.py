@@ -434,3 +434,53 @@ def test_recluster_produces_disjoint_z_ranges(engine):
         for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
             assert hi1 < lo2, "file z-ranges must be disjoint after recluster"
         assert t.record_count == 64 * 64
+
+
+def test_asof_join_tolerance_bounds_lookback(spark):
+    """tolerance: a match older than the bound nulls out (pandas
+    merge_asof semantics), both in the window form and the cogrouped
+    pandas form."""
+    import pandas as pd
+
+    from patterns_devkit_spark.operators.asof import asof_join, asof_join_pandas
+
+    left = spark.createDataFrame(
+        [("k", 100), ("k", 205), ("k", 500)], "key string, lts long"
+    )
+    right = spark.createDataFrame(
+        [("k", 90, "a"), ("k", 200, "b")], "key string, rts long, val string"
+    )
+    got = {
+        r["lts"]: r["asof_val"]
+        for r in asof_join(left, right, ["key"], "lts", "rts", ["val"], tolerance=50).collect()
+    }
+    # 100: match rts=90 (age 10 <= 50); 205: rts=200 (age 5); 500: rts=200 too old -> null
+    assert got == {100: "a", 205: "b", 500: None}
+
+    # timestamp + interval-string variant must agree with merge_asof
+    from datetime import datetime as _dt
+
+    lts = spark.createDataFrame(
+        [("k", _dt(2024, 1, 1, 0, 1, 40)), ("k", _dt(2024, 1, 1, 0, 3, 25)),
+         ("k", _dt(2024, 1, 1, 0, 8, 20))],
+        "key string, lts timestamp",
+    )
+    rts = spark.createDataFrame(
+        [("k", _dt(2024, 1, 1, 0, 1, 30), "a"), ("k", _dt(2024, 1, 1, 0, 3, 20), "b")],
+        "key string, rts timestamp, val string",
+    )
+    got_w = {
+        str(r["lts"]): r["asof_val"]
+        for r in asof_join(lts, rts, ["key"], "lts", "rts", ["val"], tolerance="50 seconds").collect()
+    }
+    got_p = {
+        str(r["lts"]): r["asof_val"]
+        for r in asof_join_pandas(
+            lts, rts, ["key"], "lts", "rts", ["val"], tolerance=pd.Timedelta(seconds=50)
+        ).collect()
+    }
+    assert got_w == got_p == {
+        "2024-01-01 00:01:40": "a",
+        "2024-01-01 00:03:25": "b",
+        "2024-01-01 00:08:20": None,
+    }
