@@ -1165,3 +1165,45 @@ def q111(spark, sf_dir):
         F.countDistinct("norm_fp").cast("long").alias("n_norm_distinct"),
         (F.countDistinct("raw_fp") - F.countDistinct("norm_fp")).cast("long").alias("n_norm_collisions"),
     )
+
+
+# =====================================================================
+# q112 — as-of join with a tolerance bound (bounded lookback)
+# =====================================================================
+
+from .operators import asof as asof_ops  # noqa: E402
+
+
+@query(
+    "q112_asof_tolerance",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT v.event_id FROM events v
+             WHERE v.user_id = p.user_id AND v.event_type = 'view'
+               AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+             ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS asof_event_id
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def q112(spark, sf_dir):
+    """As-of join with a 1-hour lookback bound: each purchase matched
+    to the user's most recent view AT MOST an hour older (stale
+    attributions null out — merge_asof's `tolerance`). Same
+    single-shuffle union-window plan as q32 plus one codegen'd
+    predicate; the oracle's correlated subquery carries the same range
+    bound. Matching semantics note: bounding the most-recent match is
+    equivalent to most-recent-within-window, since anything older than
+    the newest match is further outside the window."""
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    return asof_ops.asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id"],
+        tiebreak="event_id",
+        tolerance="1 hour",
+    )
