@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "q108_chunking",
     "sdk02_upsert",  # engine write path: full-table MERGE + version flip
     "sdk06_upsert_partitioned",  # bounded rewrite: touched partition only, rest hardlinked
+    "sdk07_compact",  # maintenance: 4-file hot append table -> 1 coalesced file
 ]
 
 

@@ -1207,3 +1207,36 @@ def q112(spark, sf_dir):
         tiebreak="event_id",
         tolerance="1 hour",
     )
+
+
+# =====================================================================
+# sdk07 — compaction maintenance op on the engine write path
+# =====================================================================
+
+from .queries import _temp_engine  # noqa: E402
+
+
+@query(
+    "sdk07_compact",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 100 < 40
+    """,
+)
+def sdk07(spark, sf_dir):
+    """Table.compact as a benched engine op: four buffered-append
+    flushes accrete four files; compact() rewrites them as one
+    coalesced version (no shuffle) and flips the pointer. The oracle
+    checks the data survives byte-identically; the bench number is the
+    cost of OPTIMIZE on a hot append table."""
+    from .node.node import Table
+
+    eng = _temp_engine(spark)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    with eng.node_context("w", outputs={"out": "o_compact"}):
+        tbl = Table("out", "w")
+        for lo, hi in ((0, 10), (10, 20), (20, 30), (30, 40)):
+            tbl.append(o.filter((F.col("o_orderkey") % 100 >= lo) & (F.col("o_orderkey") % 100 < hi)))
+            tbl.flush()
+        tbl.compact(target_files=1)
+    with eng.node_context("r", inputs={"in": "o_compact"}):
+        return Table("in", "r").read_spark()
