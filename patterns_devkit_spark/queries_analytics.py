@@ -1240,3 +1240,53 @@ def sdk07(spark, sf_dir):
         tbl.compact(target_files=1)
     with eng.node_context("r", inputs={"in": "o_compact"}):
         return Table("in", "r").read_spark()
+
+
+# =====================================================================
+# q113 — equal-weight touch attribution within a lookback window
+# =====================================================================
+
+
+@query(
+    "q113_attribution",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, event_type, CAST(epoch(ts) AS BIGINT) AS es FROM events
+    ),
+    w AS (
+      SELECT event_id, event_type,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY es
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_touches
+      FROM e
+    )
+    SELECT event_id,
+           CAST(n_touches AS BIGINT) AS n_touches,
+           CAST(CASE WHEN n_touches > 0 THEN 1000 // n_touches ELSE 0 END AS BIGINT) AS credit_permille
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def q113(spark, sf_dir):
+    """Multi-touch attribution: each purchase splits credit equally
+    (integer permille) across the user's views in the preceding hour —
+    a RANGE frame over epoch seconds, so simultaneous events are
+    handled by VALUE, not row order (tie-proof across engines). One
+    shuffle on user_id; the lookback horizon bounds per-row frame
+    state exactly like a stream watermark would."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_timestamp("ts").cast("long").alias("es")
+    )
+    w = Window.partitionBy("user_id").orderBy("es").rangeBetween(-3600, 0)
+    touched = e.select(
+        "event_id",
+        "event_type",
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).over(w).alias("n_touches"),
+    )
+    return touched.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.col("n_touches").cast("long").alias("n_touches"),
+        F.when(F.col("n_touches") > 0, F.expr("CAST(1000 DIV n_touches AS BIGINT)"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("credit_permille"),
+    )
