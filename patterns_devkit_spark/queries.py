@@ -1179,6 +1179,7 @@ def sdk05(spark, sf_dir):
 # extended coverage registers additional QUERIES/ORACLES on import
 from . import queries_ext  # noqa: E402,F401  (registration side effect)
 from . import queries_analytics  # noqa: E402,F401  (registration side effect)
+from . import queries_pipeline  # noqa: E402,F401  (registration side effect)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,416 @@
+"""Pipeline-depth battery (q114-q121): SCD Type-2 history, bucketed
+interval joins, forward fill, grid resampling with exact-rational
+interpolation, ordered list aggregation, lateral top-n, declarative
+constraint audits, and weighted medians.
+
+Every query is oracle-paired. Determinism rules are the repo-wide ones
+(queries.py docstring): integer decisions only (cents / milli units,
+rational num/den pairs instead of IEEE division), unique tiebreak
+columns in every ordering, identical aliases on both engines.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .operators import intervals as iv_ops
+from .operators import timeseries as ts_ops
+from .operators.quality import Check, constraint_audit
+from .queries import query, t
+
+# =====================================================================
+# q114 — SCD Type-2 compression of an event log
+# =====================================================================
+
+
+@query(
+    "q114_scd2",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_type, ts, event_id FROM o
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           CAST(lead(ts) OVER w IS NULL AS BIGINT) AS is_current
+    FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q114(spark, sf_dir):
+    """Slowly-changing-dimension type-2 build: collapse each user's
+    event_type runs into validity segments (valid_from/valid_to/
+    version/is_current). operators/timeseries.scd2_compress — one
+    shuffle, two stacked windows on the same key ordering."""
+    return ts_ops.scd2_compress(
+        t(spark, sf_dir, "events"), "user_id", "event_type", "ts", "event_id"
+    )
+
+
+# =====================================================================
+# q115 — incident windows x purchases: point-in-interval join
+# =====================================================================
+
+
+@query(
+    "q115_interval_join",
+    """
+    WITH e AS (SELECT ts, event_id FROM events WHERE event_type = 'error'),
+    f AS (
+      SELECT ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 600000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (ORDER BY ts, event_id)
+    ),
+    i AS (
+      SELECT ts, sum(is_new) OVER (ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid
+      FROM f
+    ),
+    inc AS (
+      SELECT CAST(iid AS BIGINT) AS incident_id, min(ts) AS start_ts, max(ts) AS end_ts,
+             CAST(count(*) AS BIGINT) AS n_errors
+      FROM i GROUP BY 1
+    ),
+    p AS (SELECT ts, CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase')
+    SELECT inc.incident_id, inc.start_ts, inc.end_ts, inc.n_errors,
+           CAST(count(p.ts) AS BIGINT) AS n_purchases,
+           CAST(coalesce(sum(p.cents), 0) AS BIGINT) AS purchase_cents
+    FROM inc LEFT JOIN p ON p.ts >= inc.start_ts AND p.ts <= inc.end_ts
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q115(spark, sf_dir):
+    """Error incidents (global 10-min-gap sessionization of error
+    events) joined to the purchases that happened during each. The
+    oracle's range join is a nested-loop; the Spark side goes through
+    operators/intervals.point_in_interval_join — hour-bucketed
+    equi-join, O(points + covered buckets), no BroadcastNestedLoop.
+    The global window is safe here because incidents derive from the
+    *filtered* error stream (a tiny fraction of events); at 100 TB
+    you'd shard incident detection by service/tenant key first."""
+    ev = t(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select("ts", "event_id")
+    w = Window.orderBy("ts", "event_id")
+    gap_ms = F.unix_micros("ts") / 1000 - F.unix_micros(F.lag("ts").over(w)) / 1000
+    flagged = err.withColumn(
+        "is_new",
+        F.when(F.lag("ts").over(w).isNull() | (gap_ms > 600000), 1).otherwise(0),
+    )
+    wsum = Window.orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, 0)
+    inc = (
+        flagged.withColumn("iid", F.sum("is_new").over(wsum))
+        .groupBy(F.col("iid").cast("long").alias("incident_id"))
+        .agg(
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            F.count(F.lit(1)).cast("long").alias("n_errors"),
+        )
+        .withColumn("start_ms", F.expr("unix_micros(start_ts) DIV 1000"))
+        .withColumn("end_ms", F.expr("unix_micros(end_ts) DIV 1000"))
+    )
+    pur = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.expr("unix_micros(ts) DIV 1000").alias("p_ms"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    hits = iv_ops.point_in_interval_join(inc, pur, "start_ms", "end_ms", "p_ms")
+    stats = hits.groupBy("incident_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum("cents").cast("long").alias("purchase_cents"),
+    )
+    return (
+        inc.join(stats, "incident_id", "left")
+        .select(
+            "incident_id",
+            "start_ts",
+            "end_ts",
+            "n_errors",
+            F.coalesce("n_purchases", F.lit(0)).cast("long").alias("n_purchases"),
+            F.coalesce("purchase_cents", F.lit(0)).cast("long").alias("purchase_cents"),
+        )
+    )
+
+
+# =====================================================================
+# q116 — forward fill (last observation carried forward)
+# =====================================================================
+
+
+@query(
+    "q116_forward_fill",
+    """
+    SELECT user_id, event_id,
+           last_value(CASE WHEN event_type = 'purchase'
+                           THEN CAST(round(value * 100) AS BIGINT) END IGNORE NULLS)
+             OVER w AS last_purchase_cents,
+           CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+             OVER w AS BIGINT) AS n_obs_so_far
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q116(spark, sf_dir):
+    """Forward fill: at every event, the user's most recent purchase
+    amount (cents) so far — IGNORE NULLS last_value vs Spark's
+    F.last(ignorenulls=True). operators/timeseries.forward_fill; one
+    shuffle."""
+    ev = t(spark, sf_dir, "events")
+    purchase_cents = F.when(
+        F.col("event_type") == "purchase", F.round(F.col("value") * 100).cast("long")
+    )
+    out = ts_ops.forward_fill(
+        ev, purchase_cents, "user_id", "ts", "event_id", out_col="last_purchase_cents"
+    )
+    return out.select("user_id", "event_id", "last_purchase_cents", "n_obs_so_far")
+
+
+# =====================================================================
+# q117 — grid resample with exact-rational linear interpolation
+# =====================================================================
+
+_GRID_MS = 21_600_000  # 6 hours
+
+
+@query(
+    "q117_resample_interp",
+    f"""
+    WITH p0 AS (
+      SELECT user_id, epoch_ms(ts) AS ms, CAST(round(value * 1000) AS BIGINT) AS vm
+      FROM events WHERE event_type = 'purchase'
+    ),
+    p AS (SELECT user_id, ms, max(vm) AS vm FROM p0 GROUP BY 1, 2),
+    seg AS (
+      SELECT user_id, ms, vm, lead(ms) OVER w AS ms1, lead(vm) OVER w AS vm1
+      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ms)
+    ),
+    segf AS (SELECT * FROM seg WHERE ms1 IS NOT NULL AND ms1 > ms),
+    grid AS (
+      SELECT user_id, ms, vm, ms1, vm1, g
+      FROM segf, unnest(generate_series((ms + {_GRID_MS - 1}) // {_GRID_MS},
+                                        (ms1 + {_GRID_MS - 1}) // {_GRID_MS} - 1)) AS u(g)
+    )
+    SELECT user_id,
+           make_timestamp(g * {_GRID_MS} * 1000) AS grid_ts,
+           CAST(vm * (ms1 - ms) + (vm1 - vm) * (g * {_GRID_MS} - ms) AS BIGINT) AS interp_num,
+           CAST(ms1 - ms AS BIGINT) AS interp_den
+    FROM grid
+    """,
+)
+def q117(spark, sf_dir):
+    """Resample each user's purchase-value series onto a 6-hour grid
+    with linear interpolation. The interpolated value is emitted as an
+    exact integer rational (num, den) — engine-independent, no IEEE
+    division. operators/timeseries.resample_linear; output scales with
+    grid coverage, not with pairwise combinations."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    pts = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) DIV 1000").alias("ms"),
+        F.round(F.col("value") * 1000).cast("long").alias("vm"),
+    )
+    return ts_ops.resample_linear(pts, "user_id", "ms", "vm", _GRID_MS)
+
+
+# =====================================================================
+# q118 — ordered list aggregation (listagg / string_agg)
+# =====================================================================
+
+
+@query(
+    "q118_listagg",
+    """
+    SELECT o_orderpriority,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS keys_csv,
+           CAST(count(*) AS BIGINT) AS n_keys
+    FROM orders WHERE o_orderkey % 97 = 0
+    GROUP BY o_orderpriority
+    """,
+)
+def q118(spark, sf_dir):
+    """Ordered string aggregation: collect_list gives no ordering
+    guarantee, so sort numerically post-collect (array_sort on the
+    bigint array) and only then stringify+join — matching the oracle's
+    ORDER BY inside string_agg."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("o_orderkey")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("keys_csv"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+
+
+# =====================================================================
+# q119 — lateral top-n per group
+# =====================================================================
+
+
+@query(
+    "q119_lateral_topn",
+    """
+    SELECT r.r_name AS region, x.c_custkey, x.acctbal_cents
+    FROM region r, LATERAL (
+      SELECT c.c_custkey, CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE n.n_regionkey = r.r_regionkey
+      ORDER BY c.c_acctbal DESC, c.c_custkey ASC
+      LIMIT 3
+    ) x
+    """,
+)
+def q119(spark, sf_dir):
+    """Top-3 customers by account balance per region. The oracle uses a
+    correlated LATERAL subquery; Spark expresses the same thing as a
+    rank-filter window after broadcast-joining the tiny dims — the
+    standard Spark rewrite of lateral top-n (one shuffle on the window
+    key instead of one subquery per outer row)."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    joined = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    w = Window.partitionBy("r_name").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        joined.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 3)
+        .select(
+            F.col("r_name").alias("region"),
+            "c_custkey",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+        )
+    )
+
+
+# =====================================================================
+# q120 — declarative constraint audit (Deequ-style check suite)
+# =====================================================================
+
+
+@query(
+    "q120_constraint_audit",
+    """
+    WITH rows AS (
+      SELECT 'orders_pk_unique' AS check_name,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem_line_unique', CAST(count(*) AS BIGINT),
+             CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem_fk_orders',
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      UNION ALL
+      SELECT 'quantity_in_1_50', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END), 0) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'status_in_set', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END), 0) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'custkey_not_null', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+      FROM orders
+    )
+    SELECT check_name, n_rows, n_violations,
+           CAST(n_violations = 0 AS BIGINT) AS passed
+    FROM rows
+    """,
+)
+def q120(spark, sf_dir):
+    """Constraint suite over the fixture warehouse: primary-key
+    uniqueness (lineitem's (l_orderkey, l_linenumber) is known
+    NON-unique in this fixture — the audit must report it, not assume
+    it), referential integrity, range and set membership, null checks.
+    operators/quality.constraint_audit — aggregate-only scans + one
+    anti-join; output is one row per constraint regardless of table
+    size."""
+    tables = {
+        "orders": t(spark, sf_dir, "orders"),
+        "lineitem": t(spark, sf_dir, "lineitem"),
+    }
+    checks = [
+        Check("orders_pk_unique", "orders", "unique", cols=["o_orderkey"]),
+        Check("lineitem_line_unique", "lineitem", "unique", cols=["l_orderkey", "l_linenumber"]),
+        Check("lineitem_fk_orders", "lineitem", "ref", cols=["l_orderkey"],
+              ref_table="orders", ref_col="o_orderkey"),
+        Check("quantity_in_1_50", "lineitem", "in_range", cols=["l_quantity"], lo=1, hi=50),
+        Check("status_in_set", "orders", "in_set", cols=["o_orderstatus"],
+              values=["O", "F", "P"]),
+        Check("custkey_not_null", "orders", "not_null", cols=["o_custkey"]),
+    ]
+    return constraint_audit(tables, checks)
+
+
+# =====================================================================
+# q121 — weighted median via cumulative-weight window
+# =====================================================================
+
+
+@query(
+    "q121_weighted_median",
+    """
+    WITH w AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(round(l_quantity) AS BIGINT) AS wt
+      FROM lineitem
+    ),
+    agg AS (SELECT l_returnflag, cents, sum(wt) AS wt FROM w GROUP BY 1, 2),
+    cum AS (
+      SELECT l_returnflag, cents,
+             sum(wt) OVER (PARTITION BY l_returnflag ORDER BY cents) AS cw,
+             sum(wt) OVER (PARTITION BY l_returnflag) AS tw
+      FROM agg
+    )
+    SELECT l_returnflag, CAST(min(cents) AS BIGINT) AS wmedian_cents
+    FROM cum WHERE 2 * cw >= tw GROUP BY l_returnflag
+    """,
+)
+def q121(spark, sf_dir):
+    """Weighted median of extended price (quantity-weighted) per return
+    flag: collapse to distinct values first (ties would make the
+    cumulative frame ambiguous), then one cumulative-weight window and
+    a min over the crossing point. Integer cents/weights end-to-end."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.round(F.col("l_quantity")).cast("long").alias("wt"),
+    )
+    agg = li.groupBy("l_returnflag", "cents").agg(F.sum("wt").alias("wt"))
+    wcum = Window.partitionBy("l_returnflag").orderBy("cents")
+    wtot = Window.partitionBy("l_returnflag")
+    cum = agg.select(
+        "l_returnflag",
+        "cents",
+        F.sum("wt").over(wcum).alias("cw"),
+        F.sum("wt").over(wtot).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(F.min("cents").cast("long").alias("wmedian_cents"))
+    )

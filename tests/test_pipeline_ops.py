@@ -1,0 +1,114 @@
+"""Unit semantics for the pipeline-depth operators (timeseries,
+intervals, quality) behind q114-q121. Each test builds a tiny crafted
+frame where the expected answer is hand-checkable, plus equivalence
+against a naive formulation where one exists."""
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from patterns_devkit_spark.operators import intervals as iv_ops  # noqa: E402
+from patterns_devkit_spark.operators import timeseries as ts_ops  # noqa: E402
+from patterns_devkit_spark.operators.quality import Check, constraint_audit  # noqa: E402
+
+
+def test_scd2_compress_segments(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10, 100),
+            (1, "a", 20, 101),
+            (1, "b", 30, 102),
+            (1, "a", 40, 103),
+            (2, "x", 10, 104),
+        ],
+        "k long, attr string, ts long, eid long",
+    )
+    out = ts_ops.scd2_compress(df, "k", "attr", "ts", "eid")
+    rows = {(r.k, r.version): r for r in out.collect()}
+    assert len(rows) == 4  # a(10-30), b(30-40), a(40-), x(10-)
+    assert rows[(1, 1)].attr == "a" and rows[(1, 1)].valid_from == 10
+    assert rows[(1, 1)].valid_to == 30 and rows[(1, 1)].is_current == 0
+    assert rows[(1, 2)].attr == "b" and rows[(1, 2)].valid_to == 40
+    assert rows[(1, 3)].attr == "a" and rows[(1, 3)].valid_to is None
+    assert rows[(1, 3)].is_current == 1
+    assert rows[(2, 1)].is_current == 1
+
+
+def test_forward_fill_carries_last_non_null(spark):
+    df = spark.createDataFrame(
+        [(1, 1, None), (1, 2, 10), (1, 3, None), (1, 4, 20), (1, 5, None), (2, 1, None)],
+        "k long, ts long, v long",
+    )
+    out = ts_ops.forward_fill(df, F.col("v"), "k", "ts", "ts", out_col="f")
+    got = {(r.k, r.ts): (r.f, r.n_obs_so_far) for r in out.collect()}
+    assert got[(1, 1)] == (None, 0)
+    assert got[(1, 3)] == (10, 1)
+    assert got[(1, 5)] == (20, 2)
+    assert got[(2, 1)] == (None, 0)
+
+
+def test_resample_linear_exact_rational(spark):
+    # one segment: t=0 ms v=100, t=4h v=500 -> hourly grid at 0,1,2,3h
+    h = 3_600_000
+    df = spark.createDataFrame(
+        [(1, 0, 100), (1, 4 * h, 500)], "k long, ms long, vm long"
+    )
+    out = ts_ops.resample_linear(df, "k", "ms", "vm", h).collect()
+    assert len(out) == 4
+    by_ts = {r.grid_ts.hour: (r.interp_num, r.interp_den) for r in out}
+    # v(g) = 100 + 400*(g/4h): num/den must reduce to 100,200,300,400
+    for hour, expect in [(0, 100), (1, 200), (2, 300), (3, 400)]:
+        num, den = by_ts[hour]
+        assert num == expect * den
+
+
+def test_resample_skips_degenerate_and_descending_sequence_trap(spark):
+    # duplicate timestamp (collapsed) + a segment shorter than the grid
+    # (no covered grid instant) must yield zero rows, not a descending
+    # sequence explosion (F.sequence(1, 0) == [1, 0]).
+    df = spark.createDataFrame(
+        [(1, 1000, 5), (1, 1000, 7), (1, 2000, 9)], "k long, ms long, vm long"
+    )
+    assert ts_ops.resample_linear(df, "k", "ms", "vm", 3_600_000).count() == 0
+
+
+def test_point_in_interval_join_matches_naive(spark):
+    iv = spark.createDataFrame(
+        [(1, 0, 10_000_000), (2, 5_000_000, 5_000_000), (3, 20_000_000, 30_000_000)],
+        "iid long, s long, e long",
+    )
+    pts = spark.createDataFrame(
+        [(i, i * 1_000_000) for i in range(35)], "pid long, p long"
+    )
+    fast = iv_ops.point_in_interval_join(iv, pts, "s", "e", "p", bucket_ms=3_600_000)
+    naive = iv.join(pts, (F.col("p") >= F.col("s")) & (F.col("p") <= F.col("e")))
+    a = {(r.iid, r.pid) for r in fast.collect()}
+    b = {(r.iid, r.pid) for r in naive.collect()}
+    assert a == b and len(a) > 0
+    # zero-width interval still matches its exact point
+    assert (2, 5) in a
+
+
+def test_constraint_audit_kinds(spark):
+    child = spark.createDataFrame(
+        [(1, 1, None), (1, 2, 5), (1, 2, 60), (9, 3, 7)], "fk long, ln long, q long"
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    out = constraint_audit(
+        {"c": child, "p": parent},
+        [
+            Check("uniq", "c", "unique", cols=["fk", "ln"]),
+            Check("nn", "c", "not_null", cols=["q"]),
+            Check("rng", "c", "in_range", cols=["q"], lo=1, hi=50),
+            Check("set", "c", "in_set", cols=["fk"], values=[1]),
+            Check("fk", "c", "ref", cols=["fk"], ref_table="p", ref_col="pk"),
+        ],
+    )
+    got = {r.check_name: (r.n_rows, r.n_violations, r.passed) for r in out.collect()}
+    assert got["uniq"] == (4, 1, 0)  # (1,2) appears twice
+    assert got["nn"] == (4, 1, 0)
+    assert got["rng"] == (4, 1, 0)  # 60 out of range (nulls don't violate range)
+    assert got["set"] == (4, 1, 0)  # fk=9
+    assert got["fk"] == (4, 1, 0)  # fk=9 orphan
