@@ -81,3 +81,63 @@ def dedup_clusters(
         F.coalesce(F.col("component"), F.col("id")).alias("cluster_id"),
     )
     return labeled.withColumn("is_canonical", (F.col(id_col) == F.col("cluster_id")).cast("boolean"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iterations: int = 3,
+    scale: int = 1_000_000,
+    damping_permille: int = 850,
+) -> DataFrame:
+    """Weighted PageRank with a FIXED iteration count and pure integer
+    arithmetic, so two engines replaying the same recurrence agree
+    bit-for-bit (no IEEE accumulation order to disagree on).
+
+    Recurrence (all integer, scaled by ``scale``):
+        contrib(e) = (r[src] * w[e]) DIV out_weight[src]
+        r'[n]      = base + (damping_permille * sum(contrib into n)) DIV 1000
+    with ``base = scale*(1000-damping_permille) DIV 1000``. Dangling
+    mass is dropped (same on both engines).
+
+    Scale shape: each iteration is one join of the rank vector against
+    the edge list plus one aggregation — O(iterations) shuffles, the
+    standard DataFrame PageRank layout. ``localCheckpoint`` cuts the
+    growing lineage each round (same trick as connected_components).
+    Returns (node, rank_scaled).
+    """
+    base = scale * (1000 - damping_permille) // 1000
+    outw = edges.groupBy(src).agg(F.sum(weight).alias("__ow"))
+    e = edges.join(outw, src).select(
+        F.col(src).alias("__src"),
+        F.col(dst).alias("__dst"),
+        F.col(weight).alias("__w"),
+        "__ow",
+    )
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
+    for _ in range(iterations):
+        contrib = e.join(ranks, e["__src"] == ranks["node"]).select(
+            F.col("__dst").alias("node"),
+            F.expr("(r * __w) DIV __ow").alias("__c"),
+        )
+        agg = contrib.groupBy("node").agg(F.sum("__c").alias("__agg"))
+        ranks = (
+            nodes.join(agg, "node", "left")
+            .select(
+                "node",
+                F.coalesce("__agg", F.lit(0)).alias("__agg"),
+            )
+            .select(
+                "node",
+                F.expr(f"CAST({base} + ({damping_permille} * __agg) DIV 1000 AS BIGINT)").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("r").alias("rank_scaled"))

@@ -414,3 +414,111 @@ def q121(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(F.min("cents").cast("long").alias("wmedian_cents"))
     )
+
+
+# =====================================================================
+# q122 — vocabulary build (min-count filter + deterministic token ids)
+# =====================================================================
+
+
+@query(
+    "q122_vocab_build",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    f AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS tf,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok WHERE token <> '' GROUP BY 1
+    )
+    SELECT CAST(row_number() OVER (ORDER BY tf DESC, token ASC) - 1 AS BIGINT) AS token_id,
+           token, tf, df
+    FROM f WHERE tf >= 10
+    """,
+)
+def q122(spark, sf_dir):
+    """Tokenizer-vocabulary construction: term + document frequencies,
+    min-count pruning, then dense contiguous ids assigned by (tf desc,
+    token asc) — the deterministic ordering a BPE/word-level tokenizer
+    trainer needs for reproducible vocab files. The global row_number
+    runs AFTER the min-count filter, on vocabulary-sized (not
+    corpus-sized) data, so the single-partition window is bounded."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    f = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.count_distinct("doc_id").cast("long").alias("df"),
+    ).filter(F.col("tf") >= 10)
+    w = Window.orderBy(F.col("tf").desc(), F.col("token").asc())
+    return f.select(
+        (F.row_number().over(w) - 1).cast("long").alias("token_id"), "token", "tf", "df"
+    )
+
+
+# =====================================================================
+# q123 — integer PageRank over the nation trade graph
+# =====================================================================
+
+_PR_EDGES_SQL = """
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst, CAST(count(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+"""
+
+_PR_STEP = """
+    {nxt} AS (
+      SELECT n.node,
+             CAST(150000 + (850 * coalesce(sum((r.r * e.w) // o.ow), 0)) // 1000 AS BIGINT) AS r
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.node
+      LEFT JOIN {cur} r ON r.node = e.src
+      LEFT JOIN outw o ON o.src = e.src
+      GROUP BY 1
+    )"""
+
+
+@query(
+    "q123_pagerank",
+    f"""
+    WITH edges AS ({_PR_EDGES_SQL}),
+    outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+    {_PR_STEP.format(nxt="r1", cur="r0")},
+    {_PR_STEP.format(nxt="r2", cur="r1")},
+    {_PR_STEP.format(nxt="r3", cur="r2")}
+    SELECT node AS nationkey, r AS rank_scaled FROM r3
+    """,
+)
+def q123(spark, sf_dir):
+    """PageRank (3 fixed iterations, integer-scaled, damping 0.85) over
+    the supplier-nation -> customer-nation trade graph. The oracle
+    unrolls the identical integer recurrence as three CTE levels;
+    operators/graph_algo.pagerank runs it as an iterative DataFrame
+    loop with lineage checkpoints — the shape that holds at a
+    billion-edge graph (one join + one agg per iteration)."""
+    li = t(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    edges = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    from .operators.graph_algo import pagerank
+
+    out = pagerank(edges, iterations=3)
+    return out.select(F.col("node").alias("nationkey"), "rank_scaled")

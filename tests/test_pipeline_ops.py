@@ -112,3 +112,16 @@ def test_constraint_audit_kinds(spark):
     assert got["rng"] == (4, 1, 0)  # 60 out of range (nulls don't violate range)
     assert got["set"] == (4, 1, 0)  # fk=9
     assert got["fk"] == (4, 1, 0)  # fk=9 orphan
+
+
+def test_pagerank_integer_recurrence(spark):
+    from patterns_devkit_spark.operators.graph_algo import pagerank
+
+    # chain 1 -> 2 -> 3 (node 3 dangling). Hand-rolled recurrence with
+    # scale=1e6, damping=850 permille:
+    #   it1: r=[150000, 1000000, 1000000]
+    #   it2: r=[150000, 277500, 1000000]
+    #   it3: r=[150000, 277500, 385875]
+    edges = spark.createDataFrame([(1, 2, 1), (2, 3, 1)], "src long, dst long, w long")
+    got = {r.node: r.rank_scaled for r in pagerank(edges, iterations=3).collect()}
+    assert got == {1: 150000, 2: 277500, 3: 385875}
