@@ -59,6 +59,13 @@ BENCH_QUERIES = [
     "q96_winnowing",
     "q106_dedup_verify",
     "q108_chunking",
+    # pipeline-depth batch: bucketed range join, grid resample with
+    # exact-rational interpolation, aggregate-only constraint audit,
+    # iterative integer PageRank
+    "q115_interval_join",
+    "q117_resample_interp",
+    "q120_constraint_audit",
+    "q123_pagerank",
     "sdk02_upsert",  # engine write path: full-table MERGE + version flip
     "sdk06_upsert_partitioned",  # bounded rewrite: touched partition only, rest hardlinked
     "sdk07_compact",  # maintenance: 4-file hot append table -> 1 coalesced file
