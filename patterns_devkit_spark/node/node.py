@@ -28,7 +28,7 @@ import time
 from typing import Any, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
@@ -942,6 +942,73 @@ class Table:
             w = w.option(k, v)
         w.format(fmt).save(path)
         return n
+
+    def diff_versions(
+        self,
+        version_a: str,
+        version_b: str,
+        key_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Row-level diff between two retained versions (the audit
+        counterpart of time travel, read_spark(version=...)): what did
+        a write change?
+
+        With ``key_cols`` (unique per row, e.g. the table's unique_on):
+        returns (change, *key_cols) where change is 'added' (key only
+        in b), 'removed' (key only in a), or 'updated' (key in both,
+        any non-key column differs). Without keys: a multiset diff on
+        full-row fingerprints — (change, fingerprint, n) with n = how
+        many more/fewer copies version b has.
+
+        Both forms are one aggregation/join on hashed rows — the diff
+        of two 100 TB versions moves fingerprints (or keys) through the
+        shuffle, never full rows.
+        """
+        a = self.read_spark(version=version_a)
+        b = self.read_spark(version=version_b)
+
+        def fp(df: DataFrame, cols: list[str]) -> Column:
+            return F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols],
+                )
+            )
+
+        if key_cols:
+            val_cols = [c for c in a.columns if c not in key_cols]
+            fa = a.select(*key_cols, fp(a, val_cols).alias("__fa"))
+            fb = b.select(*key_cols, fp(b, val_cols).alias("__fb"))
+            j = fa.join(fb, on=list(key_cols), how="full_outer")
+            return (
+                j.withColumn(
+                    "change",
+                    F.when(F.col("__fa").isNull(), F.lit("added"))
+                    .when(F.col("__fb").isNull(), F.lit("removed"))
+                    .when(F.col("__fa") != F.col("__fb"), F.lit("updated")),
+                )
+                .filter(F.col("change").isNotNull())
+                .select("change", *key_cols)
+            )
+        fa = a.select(fp(a, a.columns).alias("fingerprint")).groupBy("fingerprint").agg(
+            F.count(F.lit(1)).alias("__ca")
+        )
+        fb = b.select(fp(b, b.columns).alias("fingerprint")).groupBy("fingerprint").agg(
+            F.count(F.lit(1)).alias("__cb")
+        )
+        j = fa.join(fb, "fingerprint", "full_outer").withColumn(
+            "__delta", F.coalesce("__cb", F.lit(0)) - F.coalesce("__ca", F.lit(0))
+        )
+        return (
+            j.filter(F.col("__delta") != 0)
+            .select(
+                F.when(F.col("__delta") > 0, F.lit("added"))
+                .otherwise(F.lit("removed"))
+                .alias("change"),
+                "fingerprint",
+                F.abs("__delta").cast("long").alias("n"),
+            )
+        )
 
     # -- events -----------------------------------------------------------
     def signal_create(self) -> None:

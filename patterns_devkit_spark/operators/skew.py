@@ -71,3 +71,28 @@ def salted_two_phase_agg(
             phase2.append({"sum": F.sum, "min": F.min, "max": F.max}[op](f"__p_{out}").alias(out))
     partial = salted.groupBy(*key_cols, "__salt").agg(*phase1)
     return partial.groupBy(*key_cols).agg(*phase2)
+
+
+def skew_profile(df: DataFrame, key_cols: Sequence[str], top_n: int = 10) -> DataFrame:
+    """Diagnose join/agg key skew BEFORE paying for a bad shuffle: the
+    top-N hottest keys with their count, rank, and hot_factor_permille
+    = cnt / (total/n_keys) × 1000 (1000 = perfectly uniform; 50000 = a
+    key 50× hotter than uniform — salt it or let AQE split it).
+
+    One hash-agg shuffle over the keys + a broadcast of the 3-number
+    global stats; output is top_n rows regardless of input size."""
+    from pyspark.sql.window import Window
+
+    cnt = df.groupBy(*key_cols).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    stats = cnt.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("total"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+    order_cols = [F.col("cnt").desc()] + [F.col(c).asc() for c in key_cols]
+    top = cnt.withColumn(
+        "rk", F.row_number().over(Window.orderBy(*order_cols)).cast("long")
+    ).filter(F.col("rk") <= top_n)
+    return top.crossJoin(F.broadcast(stats)).withColumn(
+        "hot_factor_permille", F.expr("(cnt * 1000 * n_keys) DIV total")
+    )

@@ -522,3 +522,124 @@ def q123(spark, sf_dir):
 
     out = pagerank(edges, iterations=3)
     return out.select(F.col("node").alias("nationkey"), "rank_scaled")
+
+
+# =====================================================================
+# q124 — join-key skew diagnostics
+# =====================================================================
+
+
+@query(
+    "q124_skew_profile",
+    """
+    WITH c AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total,
+             CAST(max(cnt) AS BIGINT) AS max_cnt
+      FROM c
+    ),
+    top AS (
+      SELECT user_id, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, user_id ASC) AS BIGINT) AS rk
+      FROM c
+    )
+    SELECT t.user_id, t.cnt, t.rk, s.n_keys, s.total, s.max_cnt,
+           CAST((t.cnt * 1000 * s.n_keys) // s.total AS BIGINT) AS hot_factor_permille
+    FROM top t CROSS JOIN s WHERE t.rk <= 10
+    """,
+)
+def q124(spark, sf_dir):
+    """Key-skew diagnostics ahead of a shuffle: the 10 hottest user_id
+    keys with hot_factor_permille (1000 = uniform). Pairs with the
+    mitigations in operators/skew.py (salted join / two-phase agg) —
+    diagnose first, salt only what's hot. Aggregate-only: top-10 rows
+    out regardless of table size."""
+    from .operators.skew import skew_profile
+
+    return skew_profile(t(spark, sf_dir, "events"), ["user_id"], top_n=10)
+
+
+# =====================================================================
+# q125 — per-label embedding centroids (positional vector aggregation)
+# =====================================================================
+
+
+@query(
+    "q125_centroid",
+    """
+    WITH e AS (
+      SELECT label, u.pos, embedding[u.pos + 1] AS v
+      FROM embeddings, unnest(range(len(embedding))) AS u(pos)
+    )
+    SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+           CAST(sum(CAST(round(v * 1000) AS BIGINT)) AS BIGINT) AS sum_milli,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM e GROUP BY 1, 2
+    """,
+)
+def q125(spark, sf_dir):
+    """Per-label centroid of the embedding column in positional form:
+    posexplode -> integer-milli sums per (label, dimension). Emitting
+    (sum_milli, n_vecs) instead of the float mean keeps the result
+    exact and engine-independent (callers divide); the explode is
+    linear in rows x dim with map-side partial aggregation — the
+    scalable layout for vector averaging (no collect, no UDF)."""
+    e = t(spark, sf_dir, "embeddings").select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("pos", "v"),
+    )
+    return e.groupBy("label", F.col("pos").cast("long").alias("pos")).agg(
+        F.sum(F.round(F.col("v") * 1000).cast("long")).cast("long").alias("sum_milli"),
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+    )
+
+
+# =====================================================================
+# q126 — deterministic weighted sample (bottom-k by hash/weight priority)
+# =====================================================================
+
+
+@query(
+    "q126_weighted_sample",
+    """
+    WITH pr AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               // greatest(n_chars, 1) AS priority
+      FROM documents
+    ),
+    r AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY source
+                                        ORDER BY priority ASC, doc_id ASC) AS BIGINT) AS rk
+      FROM pr
+    )
+    SELECT source, doc_id, n_chars, CAST(priority AS BIGINT) AS priority, rk
+    FROM r WHERE rk <= 5
+    """,
+)
+def q126(spark, sf_dir):
+    """Weighted sampling, deterministic: per-source bottom-k on
+    priority = md5(doc_id) DIV weight — longer documents (weight =
+    n_chars) get proportionally smaller priorities, i.e. higher
+    selection odds, and the same inputs always pick the same sample
+    (retry-safe, oracle-checkable; contrast seeded TABLESAMPLE q60).
+    One shuffle (window by source)."""
+    from .operators.det_hash import md5_long
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        (
+            md5_long(F.col("doc_id").cast("string"))
+        ).alias("__h"),
+    )
+    pr = d.withColumn("priority", F.expr("__h DIV greatest(n_chars, 1)"))
+    w = Window.partitionBy("source").orderBy(F.col("priority").asc(), F.col("doc_id").asc())
+    return (
+        pr.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select("source", "doc_id", "n_chars", F.col("priority").cast("long").alias("priority"), "rk")
+    )

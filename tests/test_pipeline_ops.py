@@ -125,3 +125,25 @@ def test_pagerank_integer_recurrence(spark):
     edges = spark.createDataFrame([(1, 2, 1), (2, 3, 1)], "src long, dst long, w long")
     got = {r.node: r.rank_scaled for r in pagerank(edges, iterations=3).collect()}
     assert got == {1: 150000, 2: 277500, 3: 385875}
+
+
+def test_diff_versions_keyed_and_fingerprint(engine):
+    from patterns_devkit_spark.node.node import Table
+
+    with engine.node_context("n", outputs={"out": "dv"}):
+        tbl = Table("out", "w")
+        tbl.init(schema={"id": "bigint", "v": "text"}, unique_on="id")
+        tbl.upsert([{"id": 1, "v": "a"}, {"id": 2, "v": "b"}, {"id": 3, "v": "c"}])
+        tbl.flush()
+        v1 = tbl.get_active_version().version_id
+        tbl.upsert([{"id": 2, "v": "B"}, {"id": 4, "v": "d"}])
+        tbl.flush()
+        v2 = tbl.get_active_version().version_id
+
+        keyed = {(r.change, r.id) for r in tbl.diff_versions(v1, v2, key_cols=["id"]).collect()}
+        assert keyed == {("updated", 2), ("added", 4)}
+
+        fps = tbl.diff_versions(v1, v2).collect()
+        changes = sorted((r.change, r.n) for r in fps)
+        # row (2,'b') removed, rows (2,'B') and (4,'d') added
+        assert changes == [("added", 1), ("added", 1), ("removed", 1)]
