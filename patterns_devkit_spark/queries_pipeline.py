@@ -124,13 +124,16 @@ def q115(spark, sf_dir):
             F.round(F.col("value") * 100).cast("long").alias("cents"),
         )
     )
-    hits = iv_ops.point_in_interval_join(inc, pur, "start_ms", "end_ms", "p_ms")
+    # incidents are sessionized-error aggregates — orders of magnitude
+    # smaller than the point stream — so broadcast the exploded
+    # interval side (the operator honors the caller's hint)
+    hits = iv_ops.point_in_interval_join(F.broadcast(inc), pur, "start_ms", "end_ms", "p_ms")
     stats = hits.groupBy("incident_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_purchases"),
         F.sum("cents").cast("long").alias("purchase_cents"),
     )
     return (
-        inc.join(stats, "incident_id", "left")
+        inc.join(F.broadcast(stats), "incident_id", "left")
         .select(
             "incident_id",
             "start_ts",
