@@ -943,6 +943,68 @@ class Table:
         w.format(fmt).save(path)
         return n
 
+    def clone_from(self, source_table: str) -> "TableVersion | None":
+        """Zero-copy clone (Delta/Iceberg 'shallow clone'): make THIS
+        table's new active version by HARDLINKING every parquet file of
+        ``source_table``'s active version — no data moves, O(files)
+        metadata work regardless of table size. Hardlinks stay valid
+        even if the source's version is later retention-GC'd (unlink
+        only drops a name), so the clone owns its data from t0 while
+        sharing the physical bytes. Schema/ordering metadata and the
+        cached record count are copied; subsequent writes diverge
+        normally (new versions never mutate linked files — every write
+        path here is copy-on-new-version)."""
+        if not self.is_connected:
+            return None
+        import os
+        import shutil
+
+        catalog = self._engine.catalog
+        src_meta = catalog.table_meta(source_table)
+        if src_meta is None:
+            raise ValueError(f"clone_from: unknown table {source_table!r}")
+        src_av = catalog.get_active_version(source_table)
+        if src_av is None:
+            raise ValueError(f"clone_from: {source_table!r} has no active version")
+        src_dir = catalog.version_dir(source_table, src_av)
+        catalog.ensure_table(self.store_name)
+        meta_copy = {
+            k: v
+            for k, v in src_meta.items()
+            if k
+            in (
+                "schema",
+                "unique_on",
+                "partition_by",
+                "strictly_monotonic_ordering",
+                "created_ordering",
+                "auto_indexes",
+                "cluster_by",
+            )
+            and v is not None
+        }
+        if meta_copy:
+            catalog.update_table_meta(self.store_name, **meta_copy)
+        vid = catalog.create_new_version(self.store_name)
+        out = catalog.version_dir(self.store_name, vid)
+        for root, _dirs, files in os.walk(src_dir):
+            rel = os.path.relpath(root, src_dir)
+            dst_root = out if rel == "." else os.path.join(out, rel)
+            os.makedirs(dst_root, exist_ok=True)
+            for fn in files:
+                src_f = os.path.join(root, fn)
+                dst_f = os.path.join(dst_root, fn)
+                try:
+                    os.link(src_f, dst_f)
+                except OSError:
+                    shutil.copy2(src_f, dst_f)  # cross-device fallback
+        catalog.set_active_version(self.store_name, vid)
+        n = catalog.get_record_count(source_table, src_av)
+        if n is not None:
+            catalog.set_record_count(self.store_name, vid, n)
+        self.signal_create()
+        return TableVersion(self._engine, self.store_name, vid)
+
     def diff_versions(
         self,
         version_a: str,

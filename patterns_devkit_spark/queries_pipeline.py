@@ -646,3 +646,109 @@ def q126(spark, sf_dir):
         .filter(F.col("rk") <= 5)
         .select("source", "doc_id", "n_chars", F.col("priority").cast("long").alias("priority"), "rk")
     )
+
+
+# =====================================================================
+# q127 — domain mixing (deterministic per-source acceptance sampling)
+# =====================================================================
+
+
+@query(
+    "q127_domain_mix",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             100 + (CAST(substr(source, 4) AS BIGINT) * 47) % 900 AS target_permille,
+             CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 1000 AS h
+      FROM documents
+    )
+    SELECT source, CAST(max(target_permille) AS BIGINT) AS target_permille,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(CASE WHEN h < target_permille THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_kept
+    FROM d GROUP BY source
+    """,
+)
+def q127(spark, sf_dir):
+    """Training-mixture construction: each source gets a target keep
+    rate (permille), and a document survives iff md5('mix:'||doc_id)
+    mod 1000 falls under it — deterministic acceptance sampling, so
+    reruns and task retries keep the exact same corpus (no seeded RNG
+    divergence across engines or executors). Map-side filter + one
+    hash-agg; at 100 TB the mixture step adds zero shuffles to a
+    pipeline because acceptance is a pure column predicate."""
+    from .operators.det_hash import md5_long
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (100 + (F.substring("source", 4, 10).cast("long") * 47) % 900).alias(
+            "target_permille"
+        ),
+        (md5_long(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 1000).alias("h"),
+    )
+    return d.groupBy("source").agg(
+        F.max("target_permille").cast("long").alias("target_permille"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("h") < F.col("target_permille")).cast("long")).cast("long").alias("n_kept"),
+    )
+
+
+# =====================================================================
+# q128 — quality-filter threshold sweep (keep-rate calibration)
+# =====================================================================
+
+
+@query(
+    "q128_threshold_sweep",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_words,
+             round(cast(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                       x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], lower(x)))) AS double)
+                   / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) AS stopword_ratio
+      FROM documents
+    ),
+    q AS (
+      SELECT round(0.7 * least(cast(n_words AS double) / 50.0, 1.0)
+                 + 0.3 * least(stopword_ratio * 5.0, 1.0), 6) AS score
+      FROM s
+    ),
+    b AS (
+      SELECT CAST(floor(score * 10) AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n
+      FROM q GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM b)
+    SELECT b.bin AS threshold_decile, b.n AS n_in_bin,
+           CAST(sum(b.n) OVER (ORDER BY b.bin DESC) AS BIGINT) AS n_at_or_above,
+           CAST((sum(b.n) OVER (ORDER BY b.bin DESC)) * 1000 // tot.total AS BIGINT) AS keep_permille
+    FROM b CROSS JOIN tot
+    """,
+)
+def q128(spark, sf_dir):
+    """Quality-filter calibration: bin the q70 quality score into
+    deciles and report, for every candidate threshold, how much of the
+    corpus survives (keep_permille) — the sweep a curation pipeline
+    runs BEFORE committing to a cutoff. Histogram agg + an 11-row
+    cumulative window: the expensive part (scoring) is one scan."""
+    from .operators import text as text_ops
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    q = text_ops.quality_score(d, "text").select(
+        F.floor(F.col("quality_score") * 10).cast("long").alias("bin")
+    )
+    b = q.groupBy("bin").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = b.agg(F.sum("n").cast("long").alias("total"))
+    w = Window.orderBy(F.col("bin").desc())
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").alias("threshold_decile"),
+            F.col("n").alias("n_in_bin"),
+            F.sum("n").over(w).cast("long").alias("n_at_or_above"),
+            F.expr(
+                "CAST(sum(n) OVER (ORDER BY bin DESC) * 1000 DIV total AS BIGINT)"
+            ).alias("keep_permille"),
+        )
+    )

@@ -147,3 +147,41 @@ def test_diff_versions_keyed_and_fingerprint(engine):
         changes = sorted((r.change, r.n) for r in fps)
         # row (2,'b') removed, rows (2,'B') and (4,'d') added
         assert changes == [("added", 1), ("added", 1), ("removed", 1)]
+
+
+def test_clone_from_zero_copy_and_divergence(engine):
+    import os
+
+    from patterns_devkit_spark.node.node import Table
+
+    with engine.node_context("n", outputs={"out": "src_t", "cl": "dst_t"}):
+        src = Table("out", "w")
+        src.init(schema={"id": "bigint", "v": "text"}, unique_on="id")
+        src.upsert([{"id": 1, "v": "a"}, {"id": 2, "v": "b"}])
+        src.flush()
+
+        dst = Table("cl", "w")
+        tv = dst.clone_from("src_t")
+        assert tv is not None
+
+        # zero-copy: every cloned parquet file shares an inode with source
+        src_dir = engine.catalog.version_dir("src_t", engine.catalog.get_active_version("src_t"))
+        dst_dir = engine.catalog.version_dir("dst_t", tv.version_id)
+        linked = 0
+        for root, _d, files in os.walk(dst_dir):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    rel = os.path.relpath(os.path.join(root, fn), dst_dir)
+                    assert os.stat(os.path.join(src_dir, rel)).st_ino == os.stat(
+                        os.path.join(root, fn)
+                    ).st_ino
+                    linked += 1
+        assert linked > 0
+
+        # same data, copied metadata (unique_on enables upsert on clone)
+        assert sorted(r["id"] for r in dst.read()) == [1, 2]
+        dst.upsert([{"id": 2, "v": "B"}, {"id": 3, "v": "c"}])
+        dst.flush()
+        assert sorted(r["id"] for r in dst.read()) == [1, 2, 3]
+        # source unaffected by the clone's divergent write
+        assert sorted(r["v"] for r in src.read()) == ["a", "b"]
