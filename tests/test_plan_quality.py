@@ -140,3 +140,38 @@ def test_winnowing_shuffles_only_on_doc(spark, sf_dir):
     assert not has_cartesian(df)
     plan = explain_str(df, "simple")
     assert plan.count("Exchange") <= 3
+
+
+def test_interval_join_is_broadcast_equi_not_nested_loop(spark, sf_dir):
+    """q115's range predicate must run as a bucketed equi-join with the
+    small interval side broadcast — not BroadcastNestedLoopJoin."""
+    df = QUERIES["q115_interval_join"](spark, sf_dir)
+    plan = explain_str(df)
+    assert has_broadcast_join(df)
+    assert "BroadcastNestedLoop" not in plan
+    assert not has_cartesian(df)
+
+
+def test_skew_profile_broadcasts_global_stats(spark, sf_dir):
+    df = QUERIES["q124_skew_profile"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
+
+
+def test_domain_mix_single_shuffle(spark, sf_dir):
+    """q127's acceptance predicate is map-side; only the per-source agg
+    shuffles."""
+    df = QUERIES["q127_domain_mix"](spark, sf_dir)
+    plan = explain_str(df)
+    # formatted explain renders each node in the tree AND the detail
+    # listing: "Exchange (n)" appears once per physical exchange
+    assert plan.count("Exchange (") <= 1
+
+
+def test_centroid_partial_agg_before_shuffle(spark, sf_dir):
+    """q125 must partial-aggregate the exploded (label, pos) rows
+    map-side: one exchange, and it carries aggregated not raw rows."""
+    df = QUERIES["q125_centroid"](spark, sf_dir)
+    plan = explain_str(df)
+    assert plan.count("Exchange (") <= 1
+    assert "Generate" in plan  # posexplode stayed in-plan (no UDF)

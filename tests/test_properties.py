@@ -149,3 +149,65 @@ def test_jvm_base32_equals_python(spark, ns):
     df = spark.createDataFrame([(n,) for n in ns], "n long")
     got = {r["n"]: r["s"] for r in df.select("n", encode_base32_col(F.col("n")).alias("s")).collect()}
     assert got == {n: encode_base32(n) for n in ns}
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.sampled_from("abc")),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+@settings(**{**SETTINGS, "max_examples": 4})
+def test_scd2_reconstructs_pointwise_state(spark, data):
+    """SCD2 law: for every source event, exactly ONE validity segment
+    of its key contains its timestamp (valid_from <= ts < valid_to),
+    and that segment carries the attr the key had at that moment (the
+    attr of the latest event at-or-before ts)."""
+    from patterns_devkit_spark.operators.timeseries import scd2_compress
+
+    rows = [(k, ts, attr) for (k, ts, attr) in data]
+    df = spark.createDataFrame(rows, "k long, ts long, attr string")
+    segs = scd2_compress(df, "k", "attr", "ts", "ts").collect()
+    by_key = {}
+    for s in segs:
+        by_key.setdefault(s.k, []).append(s)
+    import bisect
+
+    for k, ts, _attr in rows:
+        latest = max(
+            (r for r in rows if r[0] == k and r[1] <= ts), key=lambda r: r[1]
+        )
+        covering = [
+            s
+            for s in by_key[k]
+            if s.valid_from <= ts and (s.valid_to is None or ts < s.valid_to)
+        ]
+        assert len(covering) == 1, (k, ts, covering)
+        assert covering[0].attr == latest[2]
+
+
+@given(
+    intervals=st.lists(
+        st.tuples(st.integers(0, 100), st.integers(0, 40)), min_size=1, max_size=8
+    ),
+    points=st.lists(st.integers(0, 160), min_size=1, max_size=30),
+)
+@settings(**{**SETTINGS, "max_examples": 4})
+def test_interval_join_equiv_naive_random(spark, intervals, points):
+    from pyspark.sql import functions as F
+
+    from patterns_devkit_spark.operators.intervals import point_in_interval_join
+
+    iv = spark.createDataFrame(
+        [(i, s, s + d) for i, (s, d) in enumerate(intervals)], "iid long, s long, e long"
+    )
+    pt = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(points)], "pid long, p long"
+    )
+    fast = point_in_interval_join(iv, pt, "s", "e", "p", bucket_ms=16)
+    naive = iv.join(pt, (F.col("p") >= F.col("s")) & (F.col("p") <= F.col("e")))
+    assert {(r.iid, r.pid) for r in fast.collect()} == {
+        (r.iid, r.pid) for r in naive.collect()
+    }
