@@ -752,3 +752,82 @@ def q128(spark, sf_dir):
             ).alias("keep_permille"),
         )
     )
+
+
+# =====================================================================
+# q129 — dedup survivor selection (cluster representative policy)
+# =====================================================================
+
+
+@query(
+    "q129_cluster_representative",
+    """
+    WITH norm AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             md5(array_to_string(string_split_regex(trim(text), '\\s+')[1:4], ' ')) AS fp
+      FROM documents
+    ),
+    sized AS (
+      SELECT *, CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_members,
+             CAST(row_number() OVER (PARTITION BY fp
+                                     ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS pick
+      FROM norm
+    )
+    SELECT fp AS cluster_fp, n_members, doc_id AS representative_id, n_chars,
+           CAST(n_members - 1 AS BIGINT) AS n_dropped
+    FROM sized WHERE pick = 1 AND n_members >= 2
+    """,
+)
+def q129(spark, sf_dir):
+    """Dedup survivor policy: within each shared-opening cluster (docs
+    whose first 4 tokens fingerprint identically — the prefix-blocking
+    key span dedup uses), KEEP the longest document (ties: smallest
+    doc_id) and count what gets dropped — the 'keep-longest'
+    representative rule curation pipelines apply after clustering. One
+    shuffle: both windows share the fp partitioning."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.md5(
+            F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 1, 4), " ")
+        ).alias("fp"),
+    )
+    wp = Window.partitionBy("fp")
+    wr = Window.partitionBy("fp").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    sized = d.withColumn("n_members", F.count(F.lit(1)).over(wp).cast("long")).withColumn(
+        "pick", F.row_number().over(wr).cast("long")
+    )
+    return (
+        sized.filter((F.col("pick") == 1) & (F.col("n_members") >= 2))
+        .select(
+            F.col("fp").alias("cluster_fp"),
+            "n_members",
+            F.col("doc_id").alias("representative_id"),
+            "n_chars",
+            (F.col("n_members") - 1).cast("long").alias("n_dropped"),
+        )
+    )
+
+
+# =====================================================================
+# q130 — INTERSECT ALL (multiset intersection, completes the family)
+# =====================================================================
+
+
+@query(
+    "q130_intersect_all",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def q130(spark, sf_dir):
+    """INTERSECT ALL: multiset intersection keeps min(multiplicity)
+    copies per value — completing the set-op family (q19 UNION/
+    INTERSECT/EXCEPT, q48 EXCEPT ALL). Spark's native intersectAll
+    lowers to one aggregate + generate, no join."""
+    o = t(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    right = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return left.intersectAll(right)
