@@ -261,3 +261,39 @@ def embedding_near_dup(
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     cos = cosine("va", "vb", "na", "nb")
     return pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).filter(F.col("cosine") >= threshold)
+
+
+def incremental_dedup(
+    new_batch: DataFrame,
+    seen: "Table",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Production-shaped exact dedup: filter a NEW batch against the
+    historical fingerprint corpus, then record the survivors'
+    fingerprints — so the corpus state lives in an engine table
+    (versioned, upsertable), not in a re-scan of all prior raw text.
+
+    Steps (each scale-proportional to the BATCH, never to history
+    except the one anti-join probe):
+      1. fingerprint the batch, drop intra-batch dups (min-id wins),
+      2. anti-join against seen's fingerprint column,
+      3. upsert the survivors' (fingerprint, keep_id) into seen —
+         idempotent on retry because upsert keys on fingerprint,
+      4. return the surviving rows of the batch.
+
+    ``seen`` must be a writable engine Table init'd with
+    unique_on='fingerprint'. The anti-join shuffles fingerprints (16
+    bytes/row), and at 100 TB the seen table is partition/cluster-able
+    like any engine table."""
+    batch = fingerprint(new_batch, text_col)
+    win = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
+    intra = batch.withColumn("__rk", F.row_number().over(win)).filter(F.col("__rk") == 1).drop("__rk")
+    if seen.record_count:
+        seen_fps = seen.read_spark().select("fingerprint")
+        survivors = intra.join(seen_fps, "fingerprint", "left_anti")
+    else:
+        survivors = intra
+    seen.upsert(survivors.select("fingerprint", F.col(id_col).alias("keep_id")))
+    seen.flush()
+    return survivors

@@ -185,3 +185,32 @@ def test_clone_from_zero_copy_and_divergence(engine):
         assert sorted(r["id"] for r in dst.read()) == [1, 2, 3]
         # source unaffected by the clone's divergent write
         assert sorted(r["v"] for r in src.read()) == ["a", "b"]
+
+
+def test_incremental_dedup_across_batches(engine):
+    from patterns_devkit_spark.node.node import Table
+    from patterns_devkit_spark.operators.dedup import incremental_dedup
+
+    spark = engine.spark
+    with engine.node_context("n", outputs={"out": "seen_fp"}):
+        seen = Table("out", "w")
+        seen.init(schema={"fingerprint": "text", "keep_id": "bigint"}, unique_on="fingerprint")
+
+        b1 = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "alpha  BETA"), (3, "gamma")], "doc_id long, text string"
+        )
+        s1 = incremental_dedup(b1, seen)
+        # intra-batch: 1 and 2 normalize identically -> min id wins
+        assert sorted(r.doc_id for r in s1.collect()) == [1, 3]
+
+        b2 = spark.createDataFrame(
+            [(4, "ALPHA beta"), (5, "delta"), (6, "delta")], "doc_id long, text string"
+        )
+        s2 = incremental_dedup(b2, seen)
+        # 4 is a dup of batch-1 history; 5/6 intra-dedup to 5
+        assert sorted(r.doc_id for r in s2.collect()) == [5]
+
+        # retry idempotence: replaying batch 2 yields nothing new
+        s3 = incremental_dedup(b2, seen)
+        assert s3.count() == 0
+        assert seen.record_count == 3  # alpha-beta, gamma, delta
