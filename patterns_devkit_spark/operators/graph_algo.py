@@ -159,3 +159,40 @@ def pagerank(
     e.unpersist()
     nodes.unpersist()
     return ranks.select("node", F.col("r").alias("rank_scaled"))
+
+
+def tree_paths(
+    nodes: DataFrame,
+    node_col: str = "node",
+    parent_col: str = "parent",
+    rounds: int = 6,
+) -> DataFrame:
+    """Resolve every node of a forest to its (root, depth) by pointer
+    jumping: each round every node's ancestor pointer jumps to its
+    ancestor's ancestor while accumulating the jumped distance, so
+    after k rounds pointers span 2^k edges — O(log depth) self-joins
+    instead of O(depth) sequential ones (the recursive-CTE shape).
+    ``parent_col`` null marks a root. ``rounds`` must satisfy
+    2^rounds >= max tree depth; each round is one equi-join shuffle on
+    node id, and a root's self-edge contributes distance 0, so the
+    recursion is a no-op at fixpoint (extra rounds are harmless).
+    Returns (node, root, depth)."""
+    state = nodes.select(
+        F.col(node_col).alias("node"),
+        F.coalesce(F.col(parent_col), F.col(node_col)).alias("anc"),
+        F.when(F.col(parent_col).isNull(), 0).otherwise(1).cast("long").alias("depth"),
+    )
+    for i in range(rounds):
+        hop = state.select(
+            F.col("node").alias("__jn"),
+            F.col("anc").alias("__ja"),
+            F.col("depth").alias("__jd"),
+        )
+        state = state.join(hop, state["anc"] == hop["__jn"]).select(
+            "node",
+            F.col("__ja").alias("anc"),
+            (F.col("depth") + F.col("__jd")).cast("long").alias("depth"),
+        )
+        if (i + 1) % 3 == 0:
+            state = state.localCheckpoint(eager=True)
+    return state.select("node", F.col("anc").alias("root"), "depth")

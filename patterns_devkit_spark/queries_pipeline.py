@@ -831,3 +831,44 @@ def q130(spark, sf_dir):
     left = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     right = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     return left.intersectAll(right)
+
+
+# =====================================================================
+# q131 — hierarchy traversal (recursive CTE vs pointer jumping)
+# =====================================================================
+
+
+@query(
+    "q131_hierarchy",
+    """
+    WITH RECURSIVE anc(node, root, depth) AS (
+      SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey < 10
+      UNION ALL
+      SELECT p.p_partkey, a.root, a.depth + 1
+      FROM part p JOIN anc a ON a.node = p.p_partkey // 10
+      WHERE p.p_partkey >= 10
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(root AS BIGINT) AS root,
+           CAST(depth AS BIGINT) AS depth
+    FROM anc
+    """,
+)
+def q131(spark, sf_dir):
+    """Hierarchy resolution over a synthetic BOM forest (parent =
+    partkey DIV 10, roots are partkeys < 10): every part mapped to its
+    root ancestor and depth. The oracle walks the tree with a
+    recursive CTE (O(depth) sequential joins); the Spark side uses
+    operators/graph_algo.tree_paths pointer jumping — O(log depth)
+    self-join rounds, the formulation that survives deep hierarchies
+    on a cluster."""
+    from .operators.graph_algo import tree_paths
+
+    p = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"),
+        F.when(F.col("p_partkey") >= 10, F.expr("p_partkey DIV 10")).alias("parent"),
+    )
+    return tree_paths(p, rounds=5).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("root").cast("long").alias("root"),
+        F.col("depth").cast("long").alias("depth"),
+    )

@@ -214,3 +214,14 @@ def test_incremental_dedup_across_batches(engine):
         s3 = incremental_dedup(b2, seen)
         assert s3.count() == 0
         assert seen.record_count == 3  # alpha-beta, gamma, delta
+
+
+def test_tree_paths_pointer_jumping(spark):
+    from patterns_devkit_spark.operators.graph_algo import tree_paths
+
+    # forest: 1 -> 2 -> 3 -> 4 (chain, root 1), 10 (isolated root)
+    nodes = spark.createDataFrame(
+        [(1, None), (2, 1), (3, 2), (4, 3), (10, None)], "node long, parent long"
+    )
+    got = {r.node: (r.root, r.depth) for r in tree_paths(nodes, rounds=3).collect()}
+    assert got == {1: (1, 0), 2: (1, 1), 3: (1, 2), 4: (1, 3), 10: (10, 0)}
