@@ -51,3 +51,67 @@ def register_builtin_library(engine: Engine) -> list[str]:
     register_function(engine, "norm_text", norm_text, "string")
     register_function(engine, "token_count_py", token_count, "bigint")
     return ["norm_text", "token_count_py"]
+
+
+def register_udtf(
+    engine: Engine,
+    name: str,
+    udtf_cls: type | None = None,
+) -> str:
+    """Register a Python user-defined TABLE function (Spark 4 UDTF) —
+    the table-in/table-out SQL surface the reference expresses as
+    Python nodes (reference node.py:143-153: arbitrary code between
+    tables). A UDTF is callable in FROM position:
+
+        SELECT s.* FROM my_table t, LATERAL split_sentences(t.text) s
+
+    Default implementation (when udtf_cls is None): split_sentences —
+    yields one row per '.'/'!'/'?'-terminated span with its index and
+    char length. Arrow-optimized when the plan allows; each input row
+    fans out to N output rows, which plain scalar UDFs cannot do.
+    """
+    from pyspark.sql.functions import udtf
+
+    if udtf_cls is None:
+
+        class SplitSentences:
+            def eval(self, text: str):
+                if text is None:
+                    return
+                import re
+
+                spans = [s.strip() for s in re.split(r"(?<=[.!?])\s+", text.strip())]
+                for i, s in enumerate(sp for sp in spans if sp):
+                    yield i, s, len(s)
+
+        udtf_cls = SplitSentences
+        returns = "sent_idx int, sentence string, n_chars int"
+    else:
+        returns = getattr(udtf_cls, "returnType", "value string")
+
+    wrapped = udtf(udtf_cls, returnType=returns)
+    engine.spark.udtf.register(name, wrapped)
+    return name
+
+
+def register_grouped_agg(
+    engine: Engine,
+    name: str,
+    fn: Callable | None = None,
+    return_type: str = "double",
+) -> str:
+    """Register a GROUPED_AGG pandas UDF — the custom-aggregation slot
+    of §2.8 (SQL-callable in GROUP BY queries and over windows).
+    Default: interquartile range (iqr), a reduction the built-in agg
+    set lacks as a single function."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    if fn is None:
+
+        def iqr(v: pd.Series) -> float:
+            return float(v.quantile(0.75) - v.quantile(0.25))
+
+        fn = iqr
+    rt = T.DataType.fromDDL(return_type)
+    engine.spark.udf.register(name, pandas_udf(fn, rt, PandasUDFType.GROUPED_AGG))
+    return name

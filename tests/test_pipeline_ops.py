@@ -225,3 +225,33 @@ def test_tree_paths_pointer_jumping(spark):
     )
     got = {r.node: (r.root, r.depth) for r in tree_paths(nodes, rounds=3).collect()}
     assert got == {1: (1, 0), 2: (1, 1), 3: (1, 2), 4: (1, 3), 10: (10, 0)}
+
+
+def test_udtf_lateral_from_sql(engine):
+    from patterns_devkit_spark.functions.registry import register_udtf
+
+    register_udtf(engine, "split_sentences")
+    out = engine.spark.sql(
+        "SELECT t.id, s.sent_idx, s.sentence, s.n_chars "
+        "FROM VALUES (1, 'Hello there. How are you? Fine!'), (2, 'One.') AS t(id, txt), "
+        "LATERAL split_sentences(t.txt) s"
+    ).collect()
+    got = {(r.id, r.sent_idx): r.sentence for r in out}
+    assert got[(1, 0)] == "Hello there."
+    assert got[(1, 1)] == "How are you?"
+    assert got[(1, 2)] == "Fine!"
+    assert got[(2, 0)] == "One."
+    assert all(r.n_chars == len(r.sentence) for r in out)
+
+
+def test_grouped_agg_udaf_from_sql(engine):
+    from patterns_devkit_spark.functions.registry import register_grouped_agg
+
+    register_grouped_agg(engine, "iqr")
+    rows = engine.spark.sql(
+        "SELECT k, iqr(CAST(v AS DOUBLE)) AS spread FROM VALUES "
+        "('a', 1.0), ('a', 2.0), ('a', 3.0), ('a', 4.0), ('a', 5.0), ('b', 10.0), ('b', 10.0) "
+        "AS t(k, v) GROUP BY k ORDER BY k"
+    ).collect()
+    assert rows[0].spread == 2.0  # q75-q25 of 1..5
+    assert rows[1].spread == 0.0
