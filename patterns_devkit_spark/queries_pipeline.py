@@ -872,3 +872,73 @@ def q131(spark, sf_dir):
         F.col("root").cast("long").alias("root"),
         F.col("depth").cast("long").alias("depth"),
     )
+
+
+# =====================================================================
+# sdk08 / sdk09 — version diff and zero-copy clone through the engine
+# =====================================================================
+
+
+@query(
+    "sdk08_version_diff",
+    """
+    SELECT 'added' AS change, o_orderkey FROM orders WHERE o_orderkey % 10 = 5
+    UNION ALL
+    SELECT 'updated' AS change, o_orderkey FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def sdk08(spark, sf_dir):
+    """Table.diff_versions under the oracle gate: version 1 holds the
+    o_orderkey%10<5 slice, version 2 is an upsert that rewrites the
+    %10==0 rows (status 'X') and inserts the %10==5 rows. The keyed
+    diff must report exactly those as updated/added (upsert never
+    removes). The oracle states the expected change set in closed
+    form."""
+    from .node.node import Table
+    from .queries import _temp_engine
+
+    eng = _temp_engine(spark)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    with eng.node_context("w", outputs={"out": "dv_orders"}):
+        tbl = Table("out", "w")
+        tbl.init(schema={"o_orderkey": "bigint", "o_orderstatus": "text"}, unique_on="o_orderkey")
+        tbl.upsert(o.filter(F.col("o_orderkey") % 10 < 5))
+        tbl.flush()
+        v1 = tbl.get_active_version().version_id
+        batch2 = o.filter(
+            (F.col("o_orderkey") % 10 == 0) | (F.col("o_orderkey") % 10 == 5)
+        ).withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 10 == 0, F.lit("X")).otherwise(F.col("o_orderstatus")),
+        )
+        tbl.upsert(batch2)
+        tbl.flush()
+        v2 = tbl.get_active_version().version_id
+        return tbl.diff_versions(v1, v2, key_cols=["o_orderkey"]).select(
+            "change", F.col("o_orderkey").cast("long").alias("o_orderkey")
+        )
+
+
+@query(
+    "sdk09_clone",
+    """
+    SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 7 = 0
+    """,
+)
+def sdk09(spark, sf_dir):
+    """Table.clone_from under the oracle gate: clone a customer slice
+    into a second table without copying bytes (hardlinked files) and
+    read the clone back — it must equal the source slice exactly. The
+    bench number, when benched, is pure metadata cost."""
+    from .node.node import Table
+    from .queries import _temp_engine
+
+    eng = _temp_engine(spark)
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    with eng.node_context("w", outputs={"src": "cl_src", "dst": "cl_dst"}):
+        src = Table("src", "w")
+        src.append(c.filter(F.col("c_custkey") % 7 == 0))
+        src.flush()
+        Table("dst", "w").clone_from("cl_src")
+    with eng.node_context("r", inputs={"in": "cl_dst"}):
+        return Table("in", "r").read_spark()
