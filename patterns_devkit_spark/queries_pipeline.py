@@ -1,7 +1,11 @@
-"""Pipeline-depth battery (q114-q121): SCD Type-2 history, bucketed
-interval joins, forward fill, grid resampling with exact-rational
-interpolation, ordered list aggregation, lateral top-n, declarative
-constraint audits, and weighted medians.
+"""Pipeline-depth battery (q114-q131 + sdk08/sdk09): SCD Type-2
+history, bucketed interval joins, forward fill, grid resampling with
+exact-rational interpolation, ordered list aggregation, lateral top-n,
+declarative constraint audits, weighted medians, vocabulary build,
+integer PageRank, skew diagnostics, embedding centroids, weighted
+sampling, domain mixing, threshold sweeps, dedup survivor selection,
+INTERSECT ALL, pointer-jumping hierarchy traversal, and the engine's
+version-diff/zero-copy-clone ops under the oracle gate.
 
 Every query is oracle-paired. Determinism rules are the repo-wide ones
 (queries.py docstring): integer decisions only (cents / milli units,

@@ -345,3 +345,68 @@ def test_streaming_enrich_against_engine_table(engine, tmp_path):
     with engine.node_context("r2", inputs={"in": "events_enriched"}):
         got = {(r["user_id"], r["kind"], r["segment"]) for r in Table("in", "r").read()}
         assert got == {(1, "a", "pro"), (2, "b", "free"), (3, "c", None)}
+
+
+def test_streaming_incremental_dedup_sink(engine, tmp_path):
+    """Curation ingest: spool stream -> foreachBatch incremental exact
+    dedup against a versioned fingerprint table -> survivors appended.
+    Replayed/duplicate text across micro-batches must land exactly
+    once."""
+    from patterns_devkit_spark import Table
+    from patterns_devkit_spark.operators.dedup import incremental_dedup
+    from patterns_devkit_spark.streaming.streams import spool_stream
+
+    spool = tmp_path / "spool2"
+    spool.mkdir()
+    (spool / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 1, "text": "alpha beta"},
+                {"doc_id": 2, "text": "alpha  beta"},
+                {"doc_id": 3, "text": "gamma"},
+            ]
+        )
+    )
+    (spool / "b2.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 4, "text": "ALPHA beta"},
+                {"doc_id": 5, "text": "delta"},
+            ]
+        )
+    )
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = spool_stream(engine, str(spool), schema)
+
+    def sink(batch_df, batch_id):
+        with engine.node_context(
+            "curate", outputs={"seen": "fp_corpus", "out": "survivors"}
+        ):
+            seen = Table("seen", "w")
+            if not seen.exists:
+                seen.init(
+                    schema={"fingerprint": "text", "keep_id": "bigint"},
+                    unique_on="fingerprint",
+                )
+            surv = incremental_dedup(batch_df, seen)
+            out = Table("out", "w")
+            out.append(surv.select("doc_id", "text"))
+            out.flush()
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    with engine.node_context("r", inputs={"in": "survivors"}):
+        ids = sorted(r["doc_id"] for r in Table("in", "r").read())
+    # alpha-beta keeps its first id, gamma and delta survive once
+    assert 3 in ids and 5 in ids
+    assert len([i for i in ids if i in (1, 2, 4)]) == 1
+    assert len(ids) == 3
