@@ -946,3 +946,34 @@ def sdk09(spark, sf_dir):
         Table("dst", "w").clone_from("cl_src")
     with eng.node_context("r", inputs={"in": "cl_dst"}):
         return Table("in", "r").read_spark()
+
+
+# =====================================================================
+# q132 — COUNT(DISTINCT) OVER via the dense_rank rewrite
+# =====================================================================
+
+
+@query(
+    "q132_window_count_distinct",
+    """
+    SELECT event_id, event_type,
+           CAST(count(DISTINCT user_id) OVER (PARTITION BY event_type) AS BIGINT)
+             AS n_distinct_users
+    FROM events
+    """,
+)
+def q132(spark, sf_dir):
+    """COUNT(DISTINCT) OVER a partition — DuckDB has it natively;
+    Spark's window aggregates reject DISTINCT, so the standard rewrite
+    is max(dense_rank) over the same partition ordered by the counted
+    column (nulls excluded would need a CASE; user_id is non-null
+    here). Both windows share one hash-partitioning on event_type —
+    a single shuffle, no join back."""
+    ev = t(spark, sf_dir, "events")
+    w_rank = Window.partitionBy("event_type").orderBy("user_id")
+    w_all = Window.partitionBy("event_type")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.max(F.dense_rank().over(w_rank)).over(w_all).cast("long").alias("n_distinct_users"),
+    )
