@@ -45,3 +45,34 @@ def zvalue(cols: list[str | Column], bits: int | None = None) -> Column:
             term = F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), i * k + j)
             out = term if out is None else out.bitwiseOR(term)
     return out
+
+
+def write_bucketed(
+    df,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a BUCKETED managed table: rows are hash-split on
+    ``bucket_cols`` into ``num_buckets`` files per partition, and the
+    bucketing spec is recorded in the session catalog.
+
+    Why it matters at 100 TB: two tables bucketed the same way on their
+    join key are ALREADY co-partitioned on disk — Catalyst drops the
+    Exchange on both sides of the join (and the Sort, when sortBy
+    matches), so a repeated big-big join becomes map-side work. That
+    turns the most expensive recurring shuffle of a warehouse into a
+    one-time layout cost, the same contract as Hive/Iceberg bucketing.
+    Asserted in tests/test_plan_quality.py: a bucketed-bucketed join
+    plans with zero Exchange operators.
+
+    (The engine's versioned tables use hive-style partition_by +
+    cluster_by for pruning; bucketing complements them for JOIN
+    co-location and lives in the Spark session catalog because the
+    bucket spec must be visible to the planner.)"""
+    w = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)

@@ -175,3 +175,30 @@ def test_centroid_partial_agg_before_shuffle(spark, sf_dir):
     plan = explain_str(df)
     assert plan.count("Exchange (") <= 1
     assert "Generate" in plan  # posexplode stayed in-plan (no UDF)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Co-located join: both sides bucketed on the join key -> Catalyst
+    plans the join with ZERO Exchange operators (the one-time layout
+    cost replaces the recurring shuffle — the 100 TB contract)."""
+    from patterns_devkit_spark.operators.layout import write_bucketed
+
+    # (spark.sql.warehouse.dir is static; managed tables land in the
+    # gitignored ./spark-warehouse and are dropped below)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force the issue
+    try:
+        orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        write_bucketed(orders, "b_orders", ["o_orderkey"], 4, sort_cols=["o_orderkey"])
+        write_bucketed(li, "b_lineitem", ["l_orderkey"], 4, sort_cols=["l_orderkey"])
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = explain_str(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
