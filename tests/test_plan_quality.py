@@ -202,3 +202,12 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_aqe_enabled_in_session(spark):
+    """AQE (runtime re-planning incl. skew-join splitting at its
+    production-scale thresholds) is on in every engine session; the
+    explicit mitigations for what AQE can't rewrite live in
+    operators/skew.py and are equivalence-tested there."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
