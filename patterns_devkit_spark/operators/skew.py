@@ -80,7 +80,11 @@ def skew_profile(df: DataFrame, key_cols: Sequence[str], top_n: int = 10) -> Dat
     key 50× hotter than uniform — salt it or let AQE split it).
 
     One hash-agg shuffle over the keys + a broadcast of the 3-number
-    global stats; output is top_n rows regardless of input size."""
+    global stats; output is top_n rows regardless of input size. The
+    top-N is taken with orderBy().limit() — TakeOrderedAndProject, a
+    distributed partial top-k — and ranked only AFTER the limit, so no
+    global window ever sees the full key set (a billion-key profile
+    would otherwise sort every key in one partition)."""
     from pyspark.sql.window import Window
 
     cnt = df.groupBy(*key_cols).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
@@ -90,9 +94,10 @@ def skew_profile(df: DataFrame, key_cols: Sequence[str], top_n: int = 10) -> Dat
         F.max("cnt").cast("long").alias("max_cnt"),
     )
     order_cols = [F.col("cnt").desc()] + [F.col(c).asc() for c in key_cols]
-    top = cnt.withColumn(
+    top = cnt.orderBy(*order_cols).limit(top_n)
+    ranked = top.withColumn(
         "rk", F.row_number().over(Window.orderBy(*order_cols)).cast("long")
-    ).filter(F.col("rk") <= top_n)
-    return top.crossJoin(F.broadcast(stats)).withColumn(
+    )
+    return ranked.crossJoin(F.broadcast(stats)).withColumn(
         "hot_factor_permille", F.expr("(cnt * 1000 * n_keys) DIV total")
     )

@@ -968,7 +968,10 @@ def q132(spark, sf_dir):
     is max(dense_rank) over the same partition ordered by the counted
     column (nulls excluded would need a CASE; user_id is non-null
     here). Both windows share one hash-partitioning on event_type —
-    a single shuffle, no join back."""
+    a single shuffle, no join back. Scale note: ANY windowed distinct
+    (native or rewritten) funnels each partition through one task; for
+    few-distinct-value partition keys over huge data, the scale form
+    is groupBy(key).agg(count_distinct(...)) + broadcast join back."""
     ev = t(spark, sf_dir, "events")
     w_rank = Window.partitionBy("event_type").orderBy("user_id")
     w_all = Window.partitionBy("event_type")
