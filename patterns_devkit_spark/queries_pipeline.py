@@ -980,3 +980,82 @@ def q132(spark, sf_dir):
         "event_type",
         F.max(F.dense_rank().over(w_rank)).over(w_all).cast("long").alias("n_distinct_users"),
     )
+
+
+# =====================================================================
+# q133 — relational division (customers covering EVERY priority class)
+# =====================================================================
+
+
+@query(
+    "q133_relational_division",
+    """
+    WITH pr AS (SELECT count(DISTINCT o_orderpriority) AS n_all FROM orders)
+    SELECT o.o_custkey,
+           CAST(count(DISTINCT o.o_orderpriority) AS BIGINT) AS n_priorities,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o CROSS JOIN pr
+    GROUP BY o.o_custkey, pr.n_all
+    HAVING count(DISTINCT o.o_orderpriority) = pr.n_all
+    """,
+)
+def q133(spark, sf_dir):
+    """Relational division ('for all' queries): customers whose orders
+    cover EVERY priority class that exists. The set-containment join is
+    rewritten as count-distinct-equals-total — one hash aggregate plus
+    a 1-row broadcast of the divisor cardinality, the scale form of
+    division (a NOT EXISTS double negation would be two correlated
+    anti-joins)."""
+    o = t(spark, sf_dir, "orders")
+    n_all = o.agg(F.count_distinct("o_orderpriority").alias("n_all"))
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count_distinct("o_orderpriority").cast("long").alias("n_priorities"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(n_all))
+        .filter(F.col("n_priorities") == F.col("n_all"))
+        .select("o_custkey", "n_priorities", "n_orders")
+    )
+
+
+# =====================================================================
+# q134 — inter-arrival gaps (reorder cadence per customer)
+# =====================================================================
+
+
+@query(
+    "q134_interarrival",
+    """
+    WITH g AS (
+      SELECT o_custkey,
+             date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS gap_days
+      FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o_custkey,
+           CAST(count(gap_days) AS BIGINT) AS n_gaps,
+           CAST(min(gap_days) AS BIGINT) AS min_gap_days,
+           CAST(max(gap_days) AS BIGINT) AS max_gap_days,
+           CAST(sum(gap_days) AS BIGINT) AS total_gap_days
+    FROM g WHERE gap_days IS NOT NULL
+    GROUP BY o_custkey
+    """,
+)
+def q134(spark, sf_dir):
+    """Inter-arrival analysis: day gaps between each customer's
+    consecutive orders (lag over the per-customer date ordering,
+    integer day arithmetic — sum/count emitted instead of an IEEE
+    mean). One shuffle; the window and the aggregate share the
+    o_custkey partitioning."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return g.groupBy("o_custkey").agg(
+        F.count("gap_days").cast("long").alias("n_gaps"),
+        F.min("gap_days").cast("long").alias("min_gap_days"),
+        F.max("gap_days").cast("long").alias("max_gap_days"),
+        F.sum("gap_days").cast("long").alias("total_gap_days"),
+    )
