@@ -943,6 +943,56 @@ class Table:
         w.format(fmt).save(path)
         return n
 
+    def apply_cdc(
+        self,
+        records: Any,
+        op_col: str = "op",
+        seq_col: str | None = None,
+    ) -> None:
+        """Apply a change-data-capture batch: rows tagged 'I'/'U' merge
+        like upsert, rows tagged 'D' DELETE their key — the operation
+        plain upsert cannot express (reference upsert only inserts/
+        updates, node.py:318-334; deletes are the standard CDC
+        extension every MERGE-capable warehouse adds).
+
+        ``seq_col`` (e.g. an LSN / change timestamp) orders multiple
+        changes to one key within the batch — the LAST change wins; the
+        tiebreak without it is the op ordering D < I < U on equal keys
+        (deterministic, but pass a real sequence for real CDC feeds).
+        Executed immediately (not buffered): one window over the batch
+        (latest change per key) + the same anti-join MERGE as upsert,
+        with 'D' winners simply not re-inserted.
+        """
+        if not self.is_connected:
+            return
+        meta = self._engine.catalog.table_meta(self.store_name) or {}
+        keys = meta.get("unique_on")
+        if not keys:
+            raise ValueError(f"apply_cdc on table {self.store_name!r} requires unique_on (Table.init)")
+        self.flush()  # CDC applies on top of everything buffered so far
+        batch = records_to_dataframe(self._engine.spark, records, None)
+        if op_col not in batch.columns:
+            raise ValueError(f"apply_cdc batch needs an {op_col!r} column with I/U/D values")
+        order = [F.col(seq_col).desc()] if seq_col else [F.col(op_col).asc()]
+        w = Window.partitionBy(*keys).orderBy(*order)
+        latest = (
+            batch.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .drop("__rk")
+        )
+        survivors = latest.filter(F.upper(F.col(op_col)) != "D").drop(
+            op_col, *([seq_col] if seq_col else [])
+        )
+        touched_keys = latest.select(*keys)
+        old = self.read_spark()
+        if self.exists and self.schema is not None:
+            survivors = conform_to_schema(survivors, self.schema)
+            kept_old = old.join(touched_keys, on=list(keys), how="left_anti")
+            new_df = kept_old.unionByName(survivors, allowMissingColumns=True)
+        else:
+            new_df = survivors
+        self.write_dataframe_as_new_version(new_df)
+
     def clone_from(self, source_table: str) -> "TableVersion | None":
         """Zero-copy clone (Delta/Iceberg 'shallow clone'): make THIS
         table's new active version by HARDLINKING every parquet file of

@@ -1059,3 +1059,43 @@ def q134(spark, sf_dir):
         F.max("gap_days").cast("long").alias("max_gap_days"),
         F.sum("gap_days").cast("long").alias("total_gap_days"),
     )
+
+
+@query(
+    "sdk10_cdc_apply",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 2 THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+    FROM orders WHERE o_orderkey % 10 IN (0, 2, 3, 4, 5)
+    """,
+)
+def sdk10(spark, sf_dir):
+    """Table.apply_cdc under the oracle gate: start from the
+    o_orderkey%10<5 slice, then apply one CDC batch that DELETES the
+    %10==1 keys, UPDATES the %10==2 keys to status 'X', and INSERTS
+    the %10==5 keys. The oracle states the post-merge table in closed
+    form — deletes are the operation plain upsert can't express."""
+    from .node.node import Table
+    from .queries import _temp_engine
+
+    eng = _temp_engine(spark)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    with eng.node_context("w", outputs={"out": "cdc_orders"}):
+        tbl = Table("out", "w")
+        tbl.init(schema={"o_orderkey": "bigint", "o_orderstatus": "text"}, unique_on="o_orderkey")
+        tbl.upsert(o.filter(F.col("o_orderkey") % 10 < 5))
+        tbl.flush()
+        batch = (
+            o.filter(F.col("o_orderkey") % 10 == 1).withColumn("op", F.lit("D"))
+            .unionByName(
+                o.filter(F.col("o_orderkey") % 10 == 2)
+                .withColumn("o_orderstatus", F.lit("X"))
+                .withColumn("op", F.lit("I"))
+            )
+            .unionByName(
+                o.filter(F.col("o_orderkey") % 10 == 5).withColumn("op", F.lit("I"))
+            )
+        )
+        tbl.apply_cdc(batch)
+    with eng.node_context("r", inputs={"in": "cdc_orders"}):
+        return Table("in", "r").read_spark()

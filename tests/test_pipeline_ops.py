@@ -255,3 +255,36 @@ def test_grouped_agg_udaf_from_sql(engine):
     ).collect()
     assert rows[0].spread == 2.0  # q75-q25 of 1..5
     assert rows[1].spread == 0.0
+
+
+def test_apply_cdc_insert_update_delete(engine):
+    from patterns_devkit_spark.node.node import Table
+
+    with engine.node_context("n", outputs={"out": "cdc_t"}):
+        tbl = Table("out", "w")
+        tbl.init(schema={"id": "bigint", "v": "text"}, unique_on="id")
+        tbl.upsert([{"id": 1, "v": "a"}, {"id": 2, "v": "b"}, {"id": 3, "v": "c"}])
+        tbl.flush()
+
+        tbl.apply_cdc(
+            [
+                {"id": 2, "v": "B2", "op": "U", "seq": 10},
+                {"id": 2, "v": "B1", "op": "U", "seq": 5},   # older change loses
+                {"id": 3, "v": None, "op": "D", "seq": 1},
+                {"id": 4, "v": "d", "op": "I", "seq": 1},
+            ],
+            seq_col="seq",
+        )
+        got = {r["id"]: r["v"] for r in tbl.read()}
+        assert got == {1: "a", 2: "B2", 4: "d"}  # 3 deleted, latest U wins
+
+        # delete-then-reinsert within one batch: higher seq wins
+        tbl.apply_cdc(
+            [
+                {"id": 4, "v": None, "op": "D", "seq": 1},
+                {"id": 4, "v": "d2", "op": "I", "seq": 2},
+            ],
+            seq_col="seq",
+        )
+        got = {r["id"]: r["v"] for r in tbl.read()}
+        assert got == {1: "a", 2: "B2", 4: "d2"}
