@@ -1099,3 +1099,82 @@ def sdk10(spark, sf_dir):
         tbl.apply_cdc(batch)
     with eng.node_context("r", inputs={"in": "cdc_orders"}):
         return Table("in", "r").read_spark()
+
+
+# =====================================================================
+# q135 — running median (percentile as a window aggregate)
+# =====================================================================
+
+
+@query(
+    "q135_running_median",
+    """
+    SELECT user_id, event_id,
+           CAST(round(2 * median(CAST(round(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT)
+             AS median_x2_cents
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q135(spark, sf_dir):
+    """Running median of each user's purchase amounts: Spark has no
+    dedicated median window function, but any declarative aggregate is
+    window-capable — exact percentile(0.5) over a running frame equals
+    DuckDB's windowed median (both interpolate the even-count middle
+    pair, so 2x the value is integer-exact). Scale note: an exact
+    windowed percentile buffers the frame per row; for unbounded
+    streams the approx_percentile variant bounds memory."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(2 * F.expr("percentile(CAST(round(value * 100) AS BIGINT), 0.5)").over(w))
+        .cast("long")
+        .alias("median_x2_cents"),
+    )
+
+
+# =====================================================================
+# q136 — schema-drift union (UNION ALL BY NAME)
+# =====================================================================
+
+
+@query(
+    "q136_union_by_name",
+    """
+    SELECT id, cents, NULL AS qty
+    FROM (SELECT o_orderkey AS id, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders WHERE o_orderkey % 50 = 0)
+    UNION ALL
+    SELECT id, NULL AS cents, qty
+    FROM (SELECT l_orderkey AS id, CAST(round(l_quantity) AS BIGINT) AS qty
+          FROM lineitem WHERE l_orderkey % 50 = 0 AND l_linenumber = 1)
+    """,
+)
+def q136(spark, sf_dir):
+    """Schema-drift union: two sources with different columns unify by
+    NAME with null-fill (unionByName allowMissingColumns) — the append
+    semantics the engine's merge-schema write path uses, exercised at
+    the query layer. The oracle spells out the aligned projection the
+    rewrite produces."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0).select(
+        F.col("o_orderkey").alias("id"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_orderkey") % 50 == 0) & (F.col("l_linenumber") == 1))
+        .select(
+            F.col("l_orderkey").alias("id"),
+            F.round(F.col("l_quantity")).cast("long").alias("qty"),
+        )
+    )
+    return o.unionByName(li, allowMissingColumns=True).select(
+        "id", F.col("cents").cast("long").alias("cents"), F.col("qty").cast("long").alias("qty")
+    )
