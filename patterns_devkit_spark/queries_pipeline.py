@@ -1178,3 +1178,107 @@ def q136(spark, sf_dir):
     return o.unionByName(li, allowMissingColumns=True).select(
         "id", F.col("cents").cast("long").alias("cents"), F.col("qty").cast("long").alias("qty")
     )
+
+
+# =====================================================================
+# q137 — time-weighted average (TWAP) as exact rationals
+# =====================================================================
+
+
+@query(
+    "q137_twap",
+    """
+    WITH p AS (
+      SELECT user_id, epoch_ms(ts) AS ms, CAST(round(value * 1000) AS BIGINT) AS vm
+      FROM events WHERE event_type = 'purchase'
+    ),
+    seg AS (
+      SELECT user_id, vm, lead(ms) OVER w - ms AS dur_ms
+      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ms)
+    )
+    SELECT user_id,
+           CAST(sum(vm * dur_ms) AS BIGINT) AS twap_num,
+           CAST(sum(dur_ms) AS BIGINT) AS twap_den,
+           CAST(count(*) AS BIGINT) AS n_segments
+    FROM seg WHERE dur_ms IS NOT NULL AND dur_ms > 0
+    GROUP BY user_id
+    """,
+)
+def q137(spark, sf_dir):
+    """Time-weighted average purchase value per user: each observation
+    holds until the next one (step interpolation), so TWAP =
+    sum(v*dt)/sum(dt) over the observed span — emitted as the exact
+    integer rational (num, den). One shuffle: the lead window and the
+    aggregate share the user partitioning. The step-function weighting
+    is what q116's forward fill integrates to."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    p = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) DIV 1000").alias("ms"),
+        F.round(F.col("value") * 1000).cast("long").alias("vm"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ms")
+    seg = p.select(
+        "user_id", "vm", (F.lead("ms").over(w) - F.col("ms")).alias("dur_ms")
+    ).filter(F.col("dur_ms").isNotNull() & (F.col("dur_ms") > 0))
+    return seg.groupBy("user_id").agg(
+        F.sum(F.col("vm") * F.col("dur_ms")).cast("long").alias("twap_num"),
+        F.sum("dur_ms").cast("long").alias("twap_den"),
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+    )
+
+
+# =====================================================================
+# q138 — group-wise min-max feature scaling (integer permille)
+# =====================================================================
+
+
+@query(
+    "q138_minmax_scale",
+    """
+    WITH v AS (
+      SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    s AS (
+      SELECT event_id, event_type, cents,
+             min(cents) OVER (PARTITION BY event_type) AS lo,
+             max(cents) OVER (PARTITION BY event_type) AS hi
+      FROM v
+    )
+    SELECT event_id, event_type,
+           CAST(CASE WHEN hi > lo THEN ((cents - lo) * 1000) // (hi - lo)
+                     ELSE 0 END AS BIGINT) AS scaled_permille
+    FROM s
+    """,
+)
+def q138(spark, sf_dir):
+    """Min-max feature scaling per group (the normalization step of
+    feature prep): value rescaled to [0, 1000] permille within its
+    event_type's observed range — integer arithmetic, constant-range
+    groups degenerate to 0. Scale note: the window form shares one
+    partitioning; for few groups over huge data the groupBy +
+    broadcast-join-back form avoids per-group single tasks (same
+    rewrite as q132's note)."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    w = Window.partitionBy("event_type")
+    s = ev.select(
+        "event_id",
+        "event_type",
+        "cents",
+        F.min("cents").over(w).alias("lo"),
+        F.max("cents").over(w).alias("hi"),
+    )
+    return s.select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.expr("((cents - lo) * 1000) DIV (hi - lo)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("scaled_permille"),
+    )
