@@ -1,4 +1,4 @@
-"""Pipeline-depth battery (q114-q131 + sdk08/sdk09): SCD Type-2
+"""Pipeline-depth battery (q114-q140 + sdk08-sdk10): SCD Type-2
 history, bucketed interval joins, forward fill, grid resampling with
 exact-rational interpolation, ordered list aggregation, lateral top-n,
 declarative constraint audits, weighted medians, vocabulary build,
@@ -1281,4 +1281,99 @@ def q138(spark, sf_dir):
         .otherwise(F.lit(0))
         .cast("long")
         .alias("scaled_permille"),
+    )
+
+
+# =====================================================================
+# q139 — market-basket co-occurrence (order-blocked pair counting)
+# =====================================================================
+
+
+@query(
+    "q139_basket_pairs",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 100 AS item FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, CAST(count(*) AS BIGINT) AS co_orders
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+      GROUP BY 1, 2
+    ),
+    freq AS (SELECT item, CAST(count(*) AS BIGINT) AS n_orders FROM items GROUP BY 1)
+    SELECT p.item_a, p.item_b, p.co_orders, fa.n_orders AS n_a, fb.n_orders AS n_b
+    FROM pairs p JOIN freq fa ON fa.item = p.item_a JOIN freq fb ON fb.item = p.item_b
+    ORDER BY p.co_orders DESC, p.item_a ASC, p.item_b ASC LIMIT 20
+    """,
+)
+def q139(spark, sf_dir):
+    """Market-basket affinity: items (part groups) co-occurring in the
+    same order, with each item's own order frequency for lift
+    computation. The pair join is BLOCKED on the order key — pairs per
+    order are bounded by basket size squared, never corpus-pairwise —
+    and the top-20 is TakeOrderedAndProject. Integer counts only;
+    callers derive lift = co/(n_a*n_b/N) from the exact pieces."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_partkey") % 100).alias("item")
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("co_orders"))
+    )
+    freq = li.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    fa = freq.select(F.col("item").alias("item_a"), F.col("n_orders").alias("n_a"))
+    fb = freq.select(F.col("item").alias("item_b"), F.col("n_orders").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(fa), "item_a")
+        .join(F.broadcast(fb), "item_b")
+        .select("item_a", "item_b", "co_orders", "n_a", "n_b")
+        .orderBy(F.col("co_orders").desc(), F.col("item_a").asc(), F.col("item_b").asc())
+        .limit(20)
+    )
+
+
+# =====================================================================
+# q140 — cumulative distinct users (first-touch rewrite)
+# =====================================================================
+
+
+@query(
+    "q140_cumulative_distinct",
+    """
+    WITH first_touch AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+    ),
+    per_day AS (
+      SELECT first_day, CAST(count(*) AS BIGINT) AS new_users
+      FROM first_touch GROUP BY first_day
+    )
+    SELECT strftime(first_day, '%Y-%m-%d') AS day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY first_day) AS BIGINT) AS cumulative_users
+    FROM per_day
+    """,
+)
+def q140(spark, sf_dir):
+    """Cumulative distinct users per day via the first-touch rewrite:
+    a naive 'COUNT(DISTINCT user) up to each day' re-scans the prefix
+    per day (quadratic); min(first day) per user + a running sum over
+    the per-day NEW-user counts gives the identical series with one
+    aggregate + a days-sized window. Day emitted as an ISO string
+    (raw DATE output dtypes drift between engines)."""
+    ev = t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    per_day = first.groupBy("first_day").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    w = Window.orderBy("first_day")
+    return per_day.select(
+        F.date_format("first_day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
     )
