@@ -1,4 +1,4 @@
-"""Pipeline-depth battery (q114-q140 + sdk08-sdk10): SCD Type-2
+"""Pipeline-depth battery (q114-q142 + sdk08-sdk10): SCD Type-2
 history, bucketed interval joins, forward fill, grid resampling with
 exact-rational interpolation, ordered list aggregation, lateral top-n,
 declarative constraint audits, weighted medians, vocabulary build,
@@ -1377,3 +1377,98 @@ def q140(spark, sf_dir):
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
     )
+
+
+# =====================================================================
+# q141 — revenue concentration (exact-rational Gini coefficient)
+# =====================================================================
+
+
+@query(
+    "q141_concentration",
+    """
+    WITH c AS (
+      SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT cents, CAST(row_number() OVER (ORDER BY cents ASC, o_custkey ASC) AS BIGINT) AS i
+      FROM c
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(2 * sum(i * cents) - (count(*) + 1) * sum(cents) AS BIGINT) AS gini_num,
+           CAST(count(*) * sum(cents) AS BIGINT) AS gini_den
+    FROM r
+    """,
+)
+def q141(spark, sf_dir):
+    """Revenue concentration across customers as an exact-rational Gini
+    coefficient: with spend sorted ascending and ranked i=1..n,
+    G = (2*sum(i*x) - (n+1)*sum(x)) / (n*sum(x)) — numerator and
+    denominator emitted as exact int64 (products stay well under 2^63
+    at warehouse scale since x is per-customer cents). The global rank
+    runs over customer-level aggregates, not raw orders."""
+    o = t(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").asc(), F.col("o_custkey").asc())
+    r = c.select("cents", F.row_number().over(w).cast("long").alias("i"))
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        (2 * F.sum(F.col("i") * F.col("cents"))
+         - (F.count(F.lit(1)) + 1) * F.sum("cents")).cast("long").alias("gini_num"),
+        (F.count(F.lit(1)) * F.sum("cents")).cast("long").alias("gini_den"),
+    )
+
+
+# =====================================================================
+# q142 — seasonal-baseline anomaly detection (hour-of-day profile)
+# =====================================================================
+
+
+@query(
+    "q142_seasonal_anomaly",
+    """
+    WITH hourly AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+             CAST(hour(ts) AS BIGINT) AS hod,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT hod, CAST(sum(n) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS n_hours
+      FROM hourly GROUP BY hod
+    )
+    SELECT h.hour_ts, h.hod, h.n,
+           CAST((h.n * b.n_hours * 1000) // b.tot AS BIGINT) AS vs_baseline_permille
+    FROM hourly h JOIN base b ON b.hod = h.hod
+    WHERE (h.n * b.n_hours * 1000) // b.tot >= 1500
+       OR (h.n * b.n_hours * 1000) // b.tot <= 500
+    """,
+)
+def q142(spark, sf_dir):
+    """Seasonality-aware anomaly detection: each wall-clock hour's
+    event count compared to the average for its hour-of-day across the
+    whole window (the seasonal baseline); hours at >=150% or <=50% of
+    baseline are flagged. Integer permille against the exact rational
+    baseline (n * n_hours / total) — no IEEE division. The baseline
+    table is 24 rows: broadcast join, zero extra shuffles over the
+    hourly rollup."""
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_ts"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    base = hourly.groupBy("hod").agg(
+        F.sum("n").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+    )
+    joined = hourly.join(F.broadcast(base), "hod").withColumn(
+        "vs_baseline_permille", F.expr("(n * n_hours * 1000) DIV tot")
+    )
+    return joined.filter(
+        (F.col("vs_baseline_permille") >= 1500) | (F.col("vs_baseline_permille") <= 500)
+    ).select("hour_ts", "hod", "n", "vs_baseline_permille")
