@@ -993,6 +993,43 @@ class Table:
             new_df = survivors
         self.write_dataframe_as_new_version(new_df)
 
+    def restore(self, version_id: str) -> "TableVersion | None":
+        """Time-travel WRITE (Delta-style RESTORE): make a retained
+        older version's content the active table again — materialized
+        as a NEW version hardlinking the old one's files, so history
+        stays linear (the restore itself is undoable and the restored
+        source remains subject to normal retention GC). O(files)
+        metadata work, no data copied."""
+        if not self.is_connected:
+            return None
+        import os
+        import shutil
+
+        catalog = self._engine.catalog
+        src = self.get_version(version_id)
+        if src is None or not src.exists:
+            raise ValueError(
+                f"restore: version {version_id!r} of {self.store_name!r} is not retained"
+            )
+        vid = catalog.create_new_version(self.store_name)
+        out = catalog.version_dir(self.store_name, vid)
+        for root, _dirs, files in os.walk(src.storage):
+            rel = os.path.relpath(root, src.storage)
+            dst_root = out if rel == "." else os.path.join(out, rel)
+            os.makedirs(dst_root, exist_ok=True)
+            for fn in files:
+                try:
+                    os.link(os.path.join(root, fn), os.path.join(dst_root, fn))
+                except OSError:
+                    shutil.copy2(os.path.join(root, fn), os.path.join(dst_root, fn))
+        catalog.set_active_version(self.store_name, vid)
+        n = catalog.get_record_count(self.store_name, version_id)
+        if n is not None:
+            catalog.set_record_count(self.store_name, vid, n)
+        catalog.gc_versions(self.store_name)
+        self.signal_update()
+        return TableVersion(self._engine, self.store_name, vid)
+
     def clone_from(self, source_table: str) -> "TableVersion | None":
         """Zero-copy clone (Delta/Iceberg 'shallow clone'): make THIS
         table's new active version by HARDLINKING every parquet file of

@@ -288,3 +288,26 @@ def test_apply_cdc_insert_update_delete(engine):
         )
         got = {r["id"]: r["v"] for r in tbl.read()}
         assert got == {1: "a", 2: "B2", 4: "d2"}
+
+
+def test_restore_old_version(engine):
+    from patterns_devkit_spark.node.node import Table
+
+    with engine.node_context("n", outputs={"out": "rst"}):
+        tbl = Table("out", "w")
+        tbl.init(schema={"id": "bigint", "v": "text"}, unique_on="id")
+        tbl.upsert([{"id": 1, "v": "a"}])
+        tbl.flush()
+        v1 = tbl.get_active_version().version_id
+        tbl.upsert([{"id": 1, "v": "CHANGED"}, {"id": 2, "v": "b"}])
+        tbl.flush()
+        assert sorted(r["v"] for r in tbl.read()) == ["CHANGED", "b"]
+
+        tv = tbl.restore(v1)
+        assert tv.version_id != v1  # restore is a NEW version
+        assert [r["v"] for r in tbl.read()] == ["a"]
+        # and the restore itself is undoable while retained
+        import pytest as _pytest
+
+        with _pytest.raises((ValueError, KeyError)):
+            tbl.restore("nonexistent-version")
