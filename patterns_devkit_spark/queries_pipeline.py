@@ -1,4 +1,4 @@
-"""Pipeline-depth battery (q114-q142 + sdk08-sdk10): SCD Type-2
+"""Pipeline-depth battery (q114-q144 + sdk08-sdk10): SCD Type-2
 history, bucketed interval joins, forward fill, grid resampling with
 exact-rational interpolation, ordered list aggregation, lateral top-n,
 declarative constraint audits, weighted medians, vocabulary build,
@@ -1472,3 +1472,126 @@ def q142(spark, sf_dir):
     return joined.filter(
         (F.col("vs_baseline_permille") >= 1500) | (F.col("vs_baseline_permille") <= 500)
     ).select("hour_ts", "hod", "n", "vs_baseline_permille")
+
+
+# =====================================================================
+# q143 — audience overlap between event types (set similarity)
+# =====================================================================
+
+
+@query(
+    "q143_audience_overlap",
+    """
+    WITH a AS (SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users FROM a GROUP BY 1),
+    pairs AS (
+      SELECT x.event_type AS type_a, y.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM a x JOIN a y ON x.user_id = y.user_id AND x.event_type < y.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_both, sa.n_users AS n_a, sb.n_users AS n_b,
+           CAST((p.n_both * 1000) // least(sa.n_users, sb.n_users) AS BIGINT)
+             AS overlap_permille
+    FROM pairs p
+    JOIN sizes sa ON sa.event_type = p.type_a
+    JOIN sizes sb ON sb.event_type = p.type_b
+    """,
+)
+def q143(spark, sf_dir):
+    """Audience overlap (Szymkiewicz-Simpson coefficient, permille)
+    between every pair of event types: |A∩B| / min(|A|,|B|) from a
+    user-blocked self-join of the distinct (type, user) pairs — the
+    join fans out per USER (bounded by types²), never corpus-pairwise.
+    Sizes broadcast back onto the pair aggregate."""
+    a = t(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    sizes = a.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    x, y = a.alias("x"), a.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"), F.col("y.event_type").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.expr("(n_both * 1000) DIV least(n_a, n_b)").cast("long").alias("overlap_permille"),
+        )
+    )
+
+
+# =====================================================================
+# q144 — time-to-convert distribution (signup -> first purchase)
+# =====================================================================
+
+
+@query(
+    "q144_time_to_convert",
+    """
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS first_purchase_ts
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      GROUP BY e.user_id
+    ),
+    d AS (
+      SELECT s.user_id,
+             epoch_ms(p.first_purchase_ts) - epoch_ms(s.signup_ts) AS ms_to_convert
+      FROM s JOIN p ON p.user_id = s.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(min(ms_to_convert) AS BIGINT) AS min_ms,
+           CAST(max(ms_to_convert) AS BIGINT) AS max_ms,
+           CAST(round(2 * median(ms_to_convert)) AS BIGINT) AS median_x2_ms,
+           CAST(sum(ms_to_convert) AS BIGINT) AS total_ms
+    FROM d
+    """,
+)
+def q144(spark, sf_dir):
+    """Conversion latency: per user, the gap from first signup to
+    first at-or-after purchase, distilled to integer-exact
+    distribution stats (median doubled — the interpolated even-count
+    middle stays integral). Two aggregates + one key join; no windows
+    over raw events."""
+    ev = t(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("signup_ts")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    d = s.join(p, "user_id").select(
+        (
+            F.expr("unix_micros(first_purchase_ts) DIV 1000")
+            - F.expr("unix_micros(signup_ts) DIV 1000")
+        ).alias("ms_to_convert")
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.min("ms_to_convert").cast("long").alias("min_ms"),
+        F.max("ms_to_convert").cast("long").alias("max_ms"),
+        F.round(2 * F.expr("percentile(ms_to_convert, 0.5)")).cast("long").alias("median_x2_ms"),
+        F.sum("ms_to_convert").cast("long").alias("total_ms"),
+    )
