@@ -1,4 +1,4 @@
-"""Pipeline-depth battery (q114-q144 + sdk08-sdk10): SCD Type-2
+"""Pipeline-depth battery (q114-q145 + sdk08-sdk10): SCD Type-2
 history, bucketed interval joins, forward fill, grid resampling with
 exact-rational interpolation, ordered list aggregation, lateral top-n,
 declarative constraint audits, weighted medians, vocabulary build,
@@ -1595,3 +1595,56 @@ def q144(spark, sf_dir):
         F.round(2 * F.expr("percentile(ms_to_convert, 0.5)")).cast("long").alias("median_x2_ms"),
         F.sum("ms_to_convert").cast("long").alias("total_ms"),
     )
+
+
+# =====================================================================
+# q145 — winsorization (percentile clipping, integer 2x-scale)
+# =====================================================================
+
+
+@query(
+    "q145_winsorize",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+    ),
+    b AS (
+      SELECT event_type,
+             CAST(round(2 * quantile_cont(cents, 0.05)) AS BIGINT) AS p05_x2,
+             CAST(round(2 * quantile_cont(cents, 0.95)) AS BIGINT) AS p95_x2
+      FROM v GROUP BY event_type
+    )
+    SELECT v.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(least(greatest(2 * v.cents, b.p05_x2), b.p95_x2)) AS BIGINT)
+             AS sum_clipped_x2,
+           CAST(sum(CASE WHEN 2 * v.cents < b.p05_x2 OR 2 * v.cents > b.p95_x2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           b.p05_x2, b.p95_x2
+    FROM v JOIN b ON b.event_type = v.event_type
+    GROUP BY v.event_type, b.p05_x2, b.p95_x2
+    """,
+)
+def q145(spark, sf_dir):
+    """Winsorization: clip each group's values at its exact p05/p95
+    (the robust-preprocessing step before training on heavy-tailed
+    features). Exact interpolated percentiles are compared and clipped
+    on the 2x-integer scale so the even-count .5 interpolations stay
+    integral on both engines. Two aggregates over one partitioning;
+    the 5-row bounds table broadcasts back."""
+    v = t(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    b = v.groupBy("event_type").agg(
+        F.round(2 * F.expr("percentile(cents, 0.05)")).cast("long").alias("p05_x2"),
+        F.round(2 * F.expr("percentile(cents, 0.95)")).cast("long").alias("p95_x2"),
+    )
+    j = v.join(F.broadcast(b), "event_type")
+    clipped = F.least(F.greatest(2 * F.col("cents"), F.col("p05_x2")), F.col("p95_x2"))
+    return j.groupBy("event_type", "p05_x2", "p95_x2").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(clipped).cast("long").alias("sum_clipped_x2"),
+        F.sum(
+            ((2 * F.col("cents") < F.col("p05_x2")) | (2 * F.col("cents") > F.col("p95_x2"))).cast("long")
+        ).cast("long").alias("n_clipped"),
+    ).select("event_type", "n", "sum_clipped_x2", "n_clipped", "p05_x2", "p95_x2")
