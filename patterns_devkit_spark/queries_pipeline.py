@@ -1,4 +1,4 @@
-"""Pipeline-depth battery (q114-q145 + sdk08-sdk10): SCD Type-2
+"""Pipeline-depth battery (q114-q147 + sdk08-sdk10): SCD Type-2
 history, bucketed interval joins, forward fill, grid resampling with
 exact-rational interpolation, ordered list aggregation, lateral top-n,
 declarative constraint audits, weighted medians, vocabulary build,
@@ -1648,3 +1648,104 @@ def q145(spark, sf_dir):
             ((2 * F.col("cents") < F.col("p05_x2")) | (2 * F.col("cents") > F.col("p95_x2"))).cast("long")
         ).cast("long").alias("n_clipped"),
     ).select("event_type", "n", "sum_clipped_x2", "n_clipped", "p05_x2", "p95_x2")
+
+
+# =====================================================================
+# q146 — null-safe join equality (<=> / IS NOT DISTINCT FROM)
+# =====================================================================
+
+
+@query(
+    "q146_null_safe_join",
+    """
+    WITH a AS (
+      SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS pr
+      FROM orders WHERE o_orderkey % 40 = 0
+    ),
+    b AS (
+      SELECT nullif(o_orderpriority, '1-URGENT') AS pr,
+             CAST(count(*) AS BIGINT) AS n_in_class
+      FROM orders GROUP BY 1
+    )
+    SELECT coalesce(a.pr, '<null>') AS priority_class,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(b.n_in_class) AS BIGINT) AS class_size
+    FROM a JOIN b ON a.pr IS NOT DISTINCT FROM b.pr
+    GROUP BY 1
+    """,
+)
+def q146(spark, sf_dir):
+    """Null-safe join equality: the urgent class is nulled out on both
+    sides, and the join must still match null-to-null — Spark's <=>
+    (eqNullSafe) vs SQL's IS NOT DISTINCT FROM. A plain equi-join
+    would silently drop the whole null-key class (the classic lost-
+    rows bug this operator exists to prevent)."""
+    o = t(spark, sf_dir, "orders")
+    pr = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    a = o.filter(F.col("o_orderkey") % 40 == 0).select("o_orderkey", pr.alias("pr"))
+    b = o.select(pr.alias("pr")).groupBy("pr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_in_class")
+    )
+    return (
+        a.join(b, a["pr"].eqNullSafe(b["pr"]))
+        .groupBy(F.coalesce(a["pr"], F.lit("<null>")).alias("priority_class"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("n_in_class").cast("long").alias("class_size"),
+        )
+    )
+
+
+# =====================================================================
+# q147 — A/B proportion comparison (exact chi-square rationals)
+# =====================================================================
+
+
+@query(
+    "q147_ab_proportions",
+    """
+    WITH assign AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS grp,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    cells AS (
+      SELECT CAST(sum(CASE WHEN grp = 0 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN grp = 0 AND converted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN grp = 1 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN grp = 1 AND converted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM assign
+    )
+    SELECT a, b, c, d,
+           CAST((a + b + c + d) * (a*d - b*c) * (a*d - b*c) AS BIGINT) AS chi2_num,
+           CAST((a+b) * (c+d) * (a+c) * (b+d) AS BIGINT) AS chi2_den
+    FROM cells
+    """,
+)
+def q147(spark, sf_dir):
+    """A/B experiment readout: users split by id parity, outcome =
+    converted (any purchase). The 2x2 contingency cells and the exact
+    chi-square statistic as an integer rational
+    N*(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) — significance testing with
+    zero IEEE ambiguity (callers compare the rational to the critical
+    value). One aggregate over per-user flags."""
+    ev = t(spark, sf_dir, "events")
+    assign = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("converted")
+    ).withColumn("grp", (F.col("user_id") % 2).cast("long"))
+    cells = assign.agg(
+        F.sum(((F.col("grp") == 0) & (F.col("converted") == 1)).cast("long")).cast("long").alias("a"),
+        F.sum(((F.col("grp") == 0) & (F.col("converted") == 0)).cast("long")).cast("long").alias("b"),
+        F.sum(((F.col("grp") == 1) & (F.col("converted") == 1)).cast("long")).cast("long").alias("c"),
+        F.sum(((F.col("grp") == 1) & (F.col("converted") == 0)).cast("long")).cast("long").alias("d"),
+    )
+    ad_bc = F.col("a") * F.col("d") - F.col("b") * F.col("c")
+    return cells.select(
+        "a", "b", "c", "d",
+        ((F.col("a") + F.col("b") + F.col("c") + F.col("d")) * ad_bc * ad_bc)
+        .cast("long").alias("chi2_num"),
+        ((F.col("a") + F.col("b")) * (F.col("c") + F.col("d"))
+         * (F.col("a") + F.col("c")) * (F.col("b") + F.col("d")))
+        .cast("long").alias("chi2_den"),
+    )
