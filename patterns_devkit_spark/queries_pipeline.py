@@ -1,4 +1,4 @@
-"""Pipeline-depth battery (q114-q147 + sdk08-sdk10): SCD Type-2
+"""Pipeline-depth battery (q114-q148 + sdk08-sdk10): SCD Type-2
 history, bucketed interval joins, forward fill, grid resampling with
 exact-rational interpolation, ordered list aggregation, lateral top-n,
 declarative constraint audits, weighted medians, vocabulary build,
@@ -1749,3 +1749,66 @@ def q147(spark, sf_dir):
          * (F.col("a") + F.col("c")) * (F.col("b") + F.col("d")))
         .cast("long").alias("chi2_den"),
     )
+
+
+# =====================================================================
+# q148 — point-in-time join against SCD2 validity windows
+# =====================================================================
+
+
+@query(
+    "q148_pit_join",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_type, ts, event_id FROM o
+      WHERE prev IS NULL OR prev <> event_type
+    ),
+    dim AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM s
+    ),
+    p AS (
+      SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.cents, d.state
+    FROM p JOIN dim d
+      ON d.user_id = p.user_id
+     AND p.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    """,
+)
+def q148(spark, sf_dir):
+    """Point-in-time join (the feature-store lookup): each purchase
+    joined to the SCD2 state segment (q114's dimension) valid AT its
+    timestamp — equi key + half-open validity range, so every fact
+    matches exactly one segment and training labels can't leak future
+    state. The range residual rides the user_id equi-join (bounded per
+    user, no nested loop); at 100 TB both sides hash-partition on the
+    entity key once."""
+    ev = t(spark, sf_dir, "events")
+    dim = ts_ops.scd2_compress(ev, "user_id", "event_type", "ts", "event_id").select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.col("user_id").alias("p_user"),
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    j = p.join(
+        dim,
+        (F.col("p_user") == dim["user_id"])
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    )
+    return j.select("event_id", F.col("p_user").alias("user_id"), "cents", "state")
