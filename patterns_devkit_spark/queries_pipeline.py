@@ -1,4 +1,4 @@
-"""Pipeline-depth battery (q114-q148 + sdk08-sdk10): SCD Type-2
+"""Pipeline-depth battery (q114-q150 + sdk08-sdk10): SCD Type-2
 history, bucketed interval joins, forward fill, grid resampling with
 exact-rational interpolation, ordered list aggregation, lateral top-n,
 declarative constraint audits, weighted medians, vocabulary build,
@@ -1812,3 +1812,86 @@ def q148(spark, sf_dir):
         & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
     )
     return j.select("event_id", F.col("p_user").alias("user_id"), "cents", "state")
+
+
+# =====================================================================
+# q149 — deterministic train/val/test split (stratified by source)
+# =====================================================================
+
+
+@query(
+    "q149_train_split",
+    """
+    WITH s AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 100 AS h
+      FROM documents
+    ),
+    labeled AS (
+      SELECT source,
+             CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+      FROM s
+    )
+    SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs
+    FROM labeled GROUP BY source, split
+    """,
+)
+def q149(spark, sf_dir):
+    """Train/val/test assignment by content-stable hash (md5 of a
+    salted doc id, 80/10/10): membership survives reshuffles, reruns,
+    and corpus growth — a document never migrates between splits, the
+    property random splits lack. Reported per source so stratification
+    skew is visible. Pure map-side predicate + one aggregate."""
+    from .operators.det_hash import md5_long
+
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        (md5_long(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100).alias("h"),
+    )
+    labeled = d.select(
+        "source",
+        F.when(F.col("h") < 80, "train").when(F.col("h") < 90, "val").otherwise("test").alias("split"),
+    )
+    return labeled.groupBy("source", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+# =====================================================================
+# q150 — class-balance audit (imbalance vs majority class)
+# =====================================================================
+
+
+@query(
+    "q150_class_balance",
+    """
+    WITH c AS (
+      SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n
+      FROM embeddings GROUP BY label
+    ),
+    m AS (SELECT CAST(max(n) AS BIGINT) AS n_max, CAST(sum(n) AS BIGINT) AS total FROM c)
+    SELECT c.label, c.n,
+           CAST((c.n * 1000) // m.n_max AS BIGINT) AS vs_majority_permille,
+           CAST((c.n * 1000) // m.total AS BIGINT) AS share_permille
+    FROM c CROSS JOIN m
+    """,
+)
+def q150(spark, sf_dir):
+    """Class-balance audit over the labeled embedding set: each class's
+    size against the majority class and against the total (integer
+    permille) — the imbalance report that decides whether training
+    needs reweighting/resampling. One aggregate + a 2-number
+    broadcast."""
+    c = t(spark, sf_dir, "embeddings").groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    m = c.agg(
+        F.max("n").cast("long").alias("n_max"), F.sum("n").cast("long").alias("total")
+    )
+    return c.crossJoin(F.broadcast(m)).select(
+        "label",
+        "n",
+        F.expr("(n * 1000) DIV n_max").cast("long").alias("vs_majority_permille"),
+        F.expr("(n * 1000) DIV total").cast("long").alias("share_permille"),
+    )
