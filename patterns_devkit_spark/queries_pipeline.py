@@ -1,4 +1,4 @@
-"""Pipeline-depth battery (q114-q150 + sdk08-sdk10): SCD Type-2
+"""Pipeline-depth battery (q114-q152 + sdk08-sdk10): SCD Type-2
 history, bucketed interval joins, forward fill, grid resampling with
 exact-rational interpolation, ordered list aggregation, lateral top-n,
 declarative constraint audits, weighted medians, vocabulary build,
@@ -1894,4 +1894,88 @@ def q150(spark, sf_dir):
         "n",
         F.expr("(n * 1000) DIV n_max").cast("long").alias("vs_majority_permille"),
         F.expr("(n * 1000) DIV total").cast("long").alias("share_permille"),
+    )
+
+
+# =====================================================================
+# q151 — cross-source duplicate leakage audit
+# =====================================================================
+
+
+@query(
+    "q151_cross_source_leakage",
+    """
+    WITH f AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(string_split_regex(trim(text), '\\s+')[1:4], ' ')) AS fp
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS n_shared
+      FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared FROM pairs
+    """,
+)
+def q151(spark, sf_dir):
+    """Cross-source duplicate leakage: fingerprints (4-token opening,
+    q129's blocking key) appearing in MORE THAN ONE source — the audit
+    that catches train/eval contamination when corpora are assembled
+    from overlapping crawls. The pair join blocks on the fingerprint
+    (inverted-index shape, never corpus-pairwise); distinct-first
+    keeps each (source, fp) once regardless of how many docs share
+    it."""
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        F.md5(F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 1, 4), " ")).alias("fp"),
+    ).distinct()
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+
+
+# =====================================================================
+# q152 — fulfillment lag distribution (fact-to-fact latency)
+# =====================================================================
+
+
+@query(
+    "q152_fulfillment_lag",
+    """
+    WITH lag_days AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS d
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(min(d) AS BIGINT) AS min_days,
+           CAST(max(d) AS BIGINT) AS max_days,
+           CAST(sum(d) AS BIGINT) AS total_days,
+           CAST(round(2 * median(d)) AS BIGINT) AS median_x2_days
+    FROM lag_days GROUP BY o_orderpriority
+    """,
+)
+def q152(spark, sf_dir):
+    """Order-to-ship latency per priority class: the fact-to-fact lag
+    join (lineitem back to its order header) reduced to integer-exact
+    distribution stats. The join key is the natural shuffle key both
+    tables would be bucketed on at 100 TB; median doubled for the
+    even-count interpolation."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_orderdate")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("d"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.min("d").cast("long").alias("min_days"),
+        F.max("d").cast("long").alias("max_days"),
+        F.sum("d").cast("long").alias("total_days"),
+        F.round(2 * F.expr("percentile(d, 0.5)")).cast("long").alias("median_x2_days"),
     )
