@@ -1,4 +1,4 @@
-"""Pipeline-depth battery (q114-q152 + sdk08-sdk10): SCD Type-2
+"""Pipeline-depth battery (q114-q154 + sdk08-sdk10): SCD Type-2
 history, bucketed interval joins, forward fill, grid resampling with
 exact-rational interpolation, ordered list aggregation, lateral top-n,
 declarative constraint audits, weighted medians, vocabulary build,
@@ -1978,4 +1978,111 @@ def q152(spark, sf_dir):
         F.max("d").cast("long").alias("max_days"),
         F.sum("d").cast("long").alias("total_days"),
         F.round(2 * F.expr("percentile(d, 0.5)")).cast("long").alias("median_x2_days"),
+    )
+
+
+# =====================================================================
+# q153 — next-event baseline accuracy (Markov argmax eval)
+# =====================================================================
+
+
+@query(
+    "q153_next_event_baseline",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    model AS (
+      SELECT event_type, next_type AS predicted
+      FROM (SELECT event_type, next_type,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY n DESC, next_type DESC) AS rk
+            FROM trans)
+      WHERE rk = 1
+    )
+    SELECT s.event_type,
+           m.predicted,
+           CAST(count(*) AS BIGINT) AS n_evals,
+           CAST(sum(CASE WHEN s.next_type = m.predicted THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+    FROM seq s JOIN model m ON m.event_type = s.event_type
+    WHERE s.next_type IS NOT NULL
+    GROUP BY s.event_type, m.predicted
+    """,
+)
+def q153(spark, sf_dir):
+    """Baseline model evaluation ON the engine: a first-order Markov
+    predictor (most frequent next event per current event, ties to the
+    lexically larger — identical rank ordering on both engines) scored against the
+    actual next events — the train-and-eval loop a pipeline runs to
+    sanity-check features. The 5-row model broadcasts back onto the
+    sequence scan; one window + two aggregates."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wm = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("next_type").desc()
+    )
+    model = (
+        trans.withColumn("rk", F.row_number().over(wm))
+        .filter(F.col("rk") == 1)
+        .select("event_type", F.col("next_type").alias("predicted"))
+    )
+    return (
+        seq.join(F.broadcast(model), "event_type")
+        .groupBy("event_type", "predicted")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_evals"),
+            F.sum((F.col("next_type") == F.col("predicted")).cast("long")).cast("long").alias("n_correct"),
+        )
+    )
+
+
+# =====================================================================
+# q154 — freshness / staleness audit
+# =====================================================================
+
+
+@query(
+    "q154_freshness",
+    """
+    WITH per_type AS (
+      SELECT event_type, max(ts) AS latest_ts, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    ),
+    g AS (SELECT max(latest_ts) AS global_latest FROM per_type)
+    SELECT p.event_type, p.latest_ts, p.n,
+           CAST((epoch_ms(g.global_latest) - epoch_ms(p.latest_ts)) // 60000 AS BIGINT)
+             AS staleness_minutes
+    FROM per_type p CROSS JOIN g
+    """,
+)
+def q154(spark, sf_dir):
+    """Freshness audit: per stream (event type), the latest observed
+    timestamp and its staleness in whole minutes behind the most
+    recent data anywhere — the ops telemetry a pipeline alerts on
+    before trusting a downstream join. Aggregate-only; the global
+    watermark is a 1-row broadcast."""
+    ev = t(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.max("ts").alias("latest_ts"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    g = per_type.agg(F.max("latest_ts").alias("global_latest"))
+    return per_type.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "latest_ts",
+        "n",
+        F.expr(
+            "(unix_micros(global_latest) DIV 1000 - unix_micros(latest_ts) DIV 1000) DIV 60000"
+        ).cast("long").alias("staleness_minutes"),
     )
