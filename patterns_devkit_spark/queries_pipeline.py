@@ -1,4 +1,4 @@
-"""Pipeline-depth battery (q114-q154 + sdk08-sdk10): SCD Type-2
+"""Pipeline-depth battery (q114-q156 + sdk08-sdk10): SCD Type-2
 history, bucketed interval joins, forward fill, grid resampling with
 exact-rational interpolation, ordered list aggregation, lateral top-n,
 declarative constraint audits, weighted medians, vocabulary build,
@@ -2085,4 +2085,97 @@ def q154(spark, sf_dir):
         F.expr(
             "(unix_micros(global_latest) DIV 1000 - unix_micros(latest_ts) DIV 1000) DIV 60000"
         ).cast("long").alias("staleness_minutes"),
+    )
+
+
+# =====================================================================
+# q155 — array set algebra (intersect / union / except sizes)
+# =====================================================================
+
+
+@query(
+    "q155_array_set_ops",
+    """
+    WITH sides AS (
+      SELECT l_orderkey,
+             array_agg(DISTINCT l_partkey % 50) FILTER (l_linenumber % 2 = 1) AS odd_items,
+             array_agg(DISTINCT l_partkey % 50) FILTER (l_linenumber % 2 = 0) AS even_items,
+             CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY l_orderkey HAVING count(*) >= 4
+    ),
+    filled AS (
+      SELECT l_orderkey, n_lines,
+             coalesce(odd_items, []) AS odd_items,
+             coalesce(even_items, []) AS even_items
+      FROM sides
+    )
+    SELECT l_orderkey, n_lines,
+           CAST(len(list_intersect(odd_items, even_items)) AS BIGINT) AS n_common,
+           CAST(len(list_distinct(list_concat(odd_items, even_items))) AS BIGINT) AS n_union,
+           CAST(len(list_filter(odd_items, x -> NOT list_contains(even_items, x))) AS BIGINT)
+             AS n_odd_only
+    FROM filled
+    """,
+)
+def q155(spark, sf_dir):
+    """Array set algebra: each order's odd-line vs even-line item sets
+    compared with intersect/union/except — the JVM array functions
+    (array_intersect/array_union/array_except) against DuckDB's list
+    algebra. Only SIZES are emitted, so element order inside the
+    arrays never reaches the comparator. Single hash-agg shuffle."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_partkey") % 50).alias("item"),
+        (F.col("l_linenumber") % 2 == 1).alias("is_odd"),
+    )
+    sides = li.groupBy("l_orderkey").agg(
+        F.array_distinct(
+            F.collect_list(F.when(F.col("is_odd"), F.col("item")))
+        ).alias("odd_items"),
+        F.array_distinct(
+            F.collect_list(F.when(~F.col("is_odd"), F.col("item")))
+        ).alias("even_items"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    ).filter(F.col("n_lines") >= 4)
+    return sides.select(
+        "l_orderkey",
+        "n_lines",
+        F.size(F.array_intersect("odd_items", "even_items")).cast("long").alias("n_common"),
+        F.size(F.array_union("odd_items", "even_items")).cast("long").alias("n_union"),
+        F.size(F.array_except("odd_items", "even_items")).cast("long").alias("n_odd_only"),
+    )
+
+
+# =====================================================================
+# q156 — sliding context-window features (last-3 event n-gram)
+# =====================================================================
+
+
+@query(
+    "q156_context_window",
+    """
+    SELECT event_id, user_id,
+           array_to_string(list(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), '>') AS context3
+    FROM events
+    """,
+)
+def q156(spark, sf_dir):
+    """Sliding context features: each event's trailing 3-event type
+    sequence joined into one token ('view>click>purchase') — the
+    n-gram-of-actions feature a sequence model trains on. collect_list
+    over a bounded ROWS frame preserves frame order on both engines
+    (the frame is processed in ORDER BY order), so the joined string
+    is deterministic without sorting. One shuffle."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.array_join(F.collect_list("event_type").over(w), ">").alias("context3"),
     )
