@@ -1,4 +1,4 @@
-"""Pipeline-depth battery (q114-q156 + sdk08-sdk10): SCD Type-2
+"""Pipeline-depth battery (q114-q158 + sdk08-sdk10): SCD Type-2
 history, bucketed interval joins, forward fill, grid resampling with
 exact-rational interpolation, ordered list aggregation, lateral top-n,
 declarative constraint audits, weighted medians, vocabulary build,
@@ -2178,4 +2178,124 @@ def q156(spark, sf_dir):
         "event_id",
         "user_id",
         F.array_join(F.collect_list("event_type").over(w), ">").alias("context3"),
+    )
+
+
+# =====================================================================
+# q157 — pagination (total-order LIMIT/OFFSET)
+# =====================================================================
+
+
+@query(
+    "q157_pagination",
+    """
+    SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+    FROM customer
+    ORDER BY c_acctbal DESC, c_custkey ASC
+    LIMIT 10 OFFSET 10
+    """,
+)
+def q157(spark, sf_dir):
+    """Pagination: page 2 (rows 11-20) of customers by balance under a
+    TOTAL order (unique tiebreak makes every page stable across runs —
+    the property OFFSET silently lacks without it). Spark's offset()
+    still plans via a global top-(limit+offset) pushdown, not a full
+    sort."""
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+        .offset(10)
+        .limit(10)
+        .select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+        )
+    )
+
+
+# =====================================================================
+# q158 — nearest-in-time join (merge_asof direction='nearest')
+# =====================================================================
+
+
+@query(
+    "q158_nearest_join",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+    back AS (
+      SELECT p.event_id,
+             (SELECT max(v.ts) FROM v
+               WHERE v.user_id = p.user_id AND v.ts <= p.ts) AS b_ts
+      FROM p
+    ),
+    fwd AS (
+      SELECT p.event_id,
+             (SELECT min(v.ts) FROM v
+               WHERE v.user_id = p.user_id AND v.ts >= p.ts) AS f_ts
+      FROM p
+    )
+    SELECT p.event_id, p.user_id,
+           CASE
+             WHEN back.b_ts IS NULL THEN fwd.f_ts
+             WHEN fwd.f_ts IS NULL THEN back.b_ts
+             WHEN epoch_ms(p.ts) - epoch_ms(back.b_ts)
+                  <= epoch_ms(fwd.f_ts) - epoch_ms(p.ts) THEN back.b_ts
+             ELSE fwd.f_ts
+           END AS nearest_view_ts
+    FROM p JOIN back ON back.event_id = p.event_id
+           JOIN fwd ON fwd.event_id = p.event_id
+    """,
+)
+def q158(spark, sf_dir):
+    """Nearest-event join (pandas merge_asof direction='nearest'): each
+    purchase matched to the CLOSEST view in time, backward or forward,
+    ties to the earlier side. Spark runs the single-shuffle
+    union-window trick twice (backward last + forward first over one
+    user partitioning) and picks the smaller absolute gap — no range
+    join, no correlated subquery per row (that's the oracle's job)."""
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    tagged = p.select(
+        "event_id", "user_id", "ts", F.col("ts").alias("evt_ts"), F.lit(1).alias("is_p"),
+        F.lit(None).cast("timestamp").alias("v_ts"),
+    ).unionByName(
+        v.select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            F.col("v_ts").alias("ts"),
+            F.col("v_ts").alias("evt_ts"),
+            F.lit(0).alias("is_p"),
+            "v_ts",
+        )
+    )
+    # backward: last view at-or-before; views sort before purchases on ties
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_p").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # forward: first view at-or-after; views sort after purchases on ties
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_p").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    enriched = tagged.withColumn("b_ts", F.last("v_ts", ignorenulls=True).over(wb)).withColumn(
+        "f_ts", F.first("v_ts", ignorenulls=True).over(wf)
+    )
+    out = enriched.filter(F.col("is_p") == 1)
+    b_gap = F.expr("unix_micros(ts) - unix_micros(b_ts)")
+    f_gap = F.expr("unix_micros(f_ts) - unix_micros(ts)")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("b_ts").isNull(), F.col("f_ts"))
+        .when(F.col("f_ts").isNull(), F.col("b_ts"))
+        .when(b_gap <= f_gap, F.col("b_ts"))
+        .otherwise(F.col("f_ts"))
+        .alias("nearest_view_ts"),
     )
