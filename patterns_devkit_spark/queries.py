@@ -50,12 +50,18 @@ def _ensure_session_confs(spark: SparkSession) -> None:
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is parquet TIMESTAMP(NANOS): with nanosAsLong it arrives
-    # as epoch-nanos long; restore a (µs-precision) timestamp. The
-    # fixture values are µs-aligned so the division is exact.
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer DIV: float division of epoch-nanos (>2^53) loses µs
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # Normalize events.ts to a plain TIMESTAMP regardless of how the
+    # fixture encodes it: TIMESTAMP(NANOS) arrives as epoch-nanos long
+    # (nanosAsLong), TIMESTAMP(MICROS, not adjusted to UTC) arrives as
+    # timestamp_ntz (on which unix_micros & friends don't resolve).
+    # Session timezone is UTC, so the NTZ→LTZ cast is value-preserving.
+    if name == "events":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
+            # integer DIV: float division of epoch-nanos (>2^53) loses µs
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -12,9 +12,9 @@ from patterns_devkit_spark.plans.inspect import explain_str
 
 
 def test_partitioned_write_and_pruning(engine, sf_dir):
-    ev = engine.spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    from patterns_devkit_spark.queries import t as load_table
+
+    ev = load_table(engine.spark, sf_dir, "events")
     with engine.node_context("w", outputs={"out": "ev_part"}):
         t = Table("out", "w")
         t.init(partition_by="event_type")
