@@ -1186,6 +1186,7 @@ def sdk05(spark, sf_dir):
 from . import queries_ext  # noqa: E402,F401  (registration side effect)
 from . import queries_analytics  # noqa: E402,F401  (registration side effect)
 from . import queries_pipeline  # noqa: E402,F401  (registration side effect)
+from . import queries_scale  # noqa: E402,F401  (registration side effect)
 
 
 def entry(spark: SparkSession) -> DataFrame:
