@@ -305,3 +305,194 @@ def q163(spark, sf_dir):
         .cast("long")
         .alias("max_late_ms"),
     )
+
+
+# =====================================================================
+# q164 — exact distinct via bitmaps (mergeable, rolling 7-day window)
+# =====================================================================
+
+
+@query(
+    "q164_bitmap_distinct",
+    """
+    WITH daily AS (
+      SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+             user_id // 63 AS bucket,
+             bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT)) AS m
+      FROM events GROUP BY 1, 2
+    ),
+    rolled AS (
+      SELECT x, bucket, m,
+             bit_or(m) OVER (PARTITION BY bucket ORDER BY x
+                             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS m7
+      FROM daily
+    )
+    SELECT strftime(DATE '1970-01-01' + to_days(CAST(x AS INT)), '%Y-%m-%d') AS day,
+           CAST(sum(bit_count(m)) AS BIGINT) AS n_active,
+           CAST(sum(bit_count(m7)) AS BIGINT) AS n_active_7d
+    FROM rolled GROUP BY x
+    """,
+)
+def q164(spark, sf_dir):
+    """Exact distinct-user counts as MERGEABLE bitmaps: users land in
+    63-bit words keyed by user_id DIV 63 (bit 63 stays clear: DuckDB
+    rejects signed 1<<63, and cross-engine parity beats one wasted
+    bit), each day's activity is a
+    bit_or aggregate, and daily distinct = sum of popcounts. Because
+    bitmaps merge by OR (unlike counts, which can't be added), the
+    trailing-7-day active-user number — the metric COUNT(DISTINCT)
+    OVER a range frame cannot express — is just a windowed bit_or of
+    the daily words. This is the roaring-bitmap pattern OLAP stores
+    use for exact distinct at scale: state is O(id-space/63) per
+    grain, re-aggregable to any coarser window without rescanning
+    events. One shuffle on (day, bucket), one bounded window per
+    bucket, then a per-day sum."""
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast("long").alias("x"),
+            F.expr("user_id DIV 63").alias("bucket"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))").alias("bit"),
+        )
+        .groupBy("x", "bucket")
+        .agg(F.expr("bit_or(bit)").alias("m"))
+    )
+    w = Window.partitionBy("bucket").orderBy("x").rangeBetween(-6, 0)
+    rolled = daily.withColumn("m7", F.expr("bit_or(m)").over(w))
+    return rolled.groupBy("x").agg(
+        F.sum(F.bit_count("m")).cast("long").alias("n_active"),
+        F.sum(F.bit_count("m7")).cast("long").alias("n_active_7d"),
+    ).select(
+        F.date_format(F.expr("date_add(DATE '1970-01-01', CAST(x AS INT))"), "yyyy-MM-dd").alias("day"),
+        "n_active",
+        "n_active_7d",
+    )
+
+
+# =====================================================================
+# q165 — triangle count / global clustering coefficient
+# =====================================================================
+
+
+@query(
+    "q165_triangle_count",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+    ),
+    deg AS (
+      SELECT u AS node, count(*) AS d FROM (
+        SELECT u FROM e UNION ALL SELECT v FROM e
+      ) t(u) GROUP BY u
+    ),
+    tri AS (
+      SELECT count(*) AS n_tri
+      FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT n_tri FROM tri) AS BIGINT) AS n_triangles,
+           CAST((SELECT sum(d * (d - 1) / 2) FROM deg) AS BIGINT) AS n_wedges
+    """,
+)
+def q165(spark, sf_dir):
+    """Triangle counting on the supplier co-supply graph (suppliers
+    linked when they supply the same part): triangles + wedge count
+    give the global clustering coefficient 3*tri/wedges — the graph-
+    shape diagnostic for entity-resolution graphs (a dedup cluster
+    with high transitivity is a true clique; low transitivity means
+    chaining). Edges come from the distinct part->supplier bipartite
+    projection; the triangle join is the standard edge-ordered
+    (u < v) two-hop equi-join — each triangle counted exactly once,
+    shuffles keyed on node ids, never all-pairs. At 100 TB you'd cap
+    the projection with a per-part supplier limit (hub parts generate
+    quadratic edges) — here the TPC-H part->supplier fan-out is
+    naturally bounded."""
+    li = t(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    e = (
+        a.join(b, (F.col("a.l_partkey") == F.col("b.l_partkey")) & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
+        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+    )
+    n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        stats.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("n_tri").cast("long").alias("n_triangles"),
+            "n_wedges",
+        )
+    )
+
+
+# =====================================================================
+# q166 — shingle novelty scoring (marginal new content per document)
+# =====================================================================
+
+
+@query(
+    "q166_shingle_novelty",
+    """
+    WITH toks AS (
+      SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT id, array_to_string(w[CAST(i AS BIGINT):CAST(i+2 AS BIGINT)], ' ') AS sh
+      FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS u(i)
+      WHERE len(w) >= 3
+    ),
+    firsts AS (SELECT sh, min(id) AS first_id FROM sh GROUP BY sh)
+    SELECT s.id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_id = s.id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(1000 * sum(CASE WHEN f.first_id = s.id THEN 1 ELSE 0 END) // count(*) AS BIGINT)
+             AS novelty_permille
+    FROM sh s JOIN firsts f ON f.sh = s.sh
+    GROUP BY s.id
+    """,
+)
+def q166(spark, sf_dir):
+    """Novelty scoring for corpus curation: what fraction of each
+    document's 3-word shingles has never appeared in any LOWER-id
+    document? Deduplication asks 'is this a copy'; novelty asks 'how
+    much marginal content does this add' — the greedy-selection score
+    data-mixing pipelines use when packing a token budget. min(id) per
+    shingle is one hash aggregate over the exploded shingles (same
+    inverted-index dataflow as dedup.py — shuffle on the shingle, then
+    on doc_id), so novelty rides the exact pipeline the dedup ops
+    already paid for."""
+    from .operators.det_hash import distinct_shingles
+
+    docs = t(spark, sf_dir, "documents")
+    sh = distinct_shingles(docs, "doc_id", "text", 3)
+    firsts = sh.groupBy("sh").agg(F.min("id").alias("first_id"))
+    joined = sh.join(firsts, "sh")
+    return joined.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum(F.when(F.col("first_id") == F.col("id"), 1).otherwise(0)).cast("long").alias("n_novel"),
+        F.expr(
+            "CAST(1000 * sum(CASE WHEN first_id = id THEN 1 ELSE 0 END) DIV count(*) AS BIGINT)"
+        ).alias("novelty_permille"),
+    )

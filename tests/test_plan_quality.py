@@ -211,3 +211,37 @@ def test_aqe_enabled_in_session(spark):
     operators/skew.py and are equivalence-tested there."""
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_bloom_prune_is_broadcast_map_side(spark, sf_dir):
+    """q159: both the 16-row bitmap and the dim keyset broadcast; the
+    fact table never shuffles before the bloom filter applies."""
+    df = QUERIES["q159_bloom_prune"](spark, sf_dir)
+    plan = explain_str(df)
+    assert has_broadcast_join(df)
+    assert "BroadcastNestedLoop" not in plan
+    assert not has_cartesian(df)
+    # orders scan feeds a broadcast join, not an Exchange: the only
+    # shuffles are the bloom build (16 rows) and the final aggregate
+    n_shuffles = plan.count("Exchange (") - plan.count("BroadcastExchange (")
+    assert n_shuffles <= 2
+
+
+def test_bitmap_distinct_bounded_shuffles(spark, sf_dir):
+    """q164: daily bitmap agg + per-bucket window + day agg — no joins,
+    no cartesian, bounded exchange count."""
+    df = QUERIES["q164_bitmap_distinct"](spark, sf_dir)
+    plan = explain_str(df)
+    assert not has_cartesian(df)
+    assert "Join" not in plan
+    assert plan.count("Exchange (") <= 3
+
+
+def test_triangle_count_equi_joins_only(spark, sf_dir):
+    """q165: the two-hop triangle join must stay equi-join (hash or
+    sort-merge) — the final 1-row stat combine may broadcast-nest."""
+    df = QUERIES["q165_triangle_count"](spark, sf_dir)
+    plan = explain_str(df)
+    assert not has_cartesian(df)
+    # edge joins are equi-joins on (u, v)
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or has_broadcast_join(df)
