@@ -1,0 +1,88 @@
+"""System (information_schema-style) views over the engine catalog.
+
+The reference exposes warehouse introspection through its hosted API
+(`patterns list`, CLI commands/list.py: graphs, nodes and their output
+tables); a local engine wants the same observability as QUERYABLE
+tables, the way every warehouse ships information_schema /
+system.tables. These builders turn the catalog document into small
+Spark DataFrames — O(tables + versions + cursors) rows, built on the
+driver, never touching table data — so operational queries ("which
+table grew", "where is each stream cursor", "what got GC'd") are just
+SQL over `__sys_*` views, usable from read_sql / SQL nodes like any
+other relation.
+"""
+from __future__ import annotations
+
+import os
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+
+if TYPE_CHECKING:  # pragma: no cover
+    from ..node.node import Engine
+
+_T = "table_name string, active_version string, n_versions long, record_count long, unique_on string, partition_by string, retention_keep long, has_declared_schema boolean"
+_V = "table_name string, version_id string, is_active boolean, has_data boolean, record_count long, n_files long, n_bytes long"
+_S = "node_id string, table_name string, order_by string, cursor string"
+_E = "ts double, table_name string, kind string, node_id string"
+
+
+def _version_files(d: str) -> tuple[int, int]:
+    n, total = 0, 0
+    for root, _dirs, files in os.walk(d):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                n += 1
+                total += os.path.getsize(os.path.join(root, fn))
+    return n, total
+
+
+def system_dataframes(engine: "Engine") -> dict[str, DataFrame]:
+    """{view_name: DataFrame} for tables / versions / streams / events."""
+    cat = engine.catalog
+    spark = engine.spark
+
+    t_rows, v_rows = [], []
+    for name in cat.table_names():
+        meta = cat.table_meta(name) or {}
+        active = meta.get("active_version")
+        versions = meta.get("versions", [])
+        counts = meta.get("record_counts", {})
+        uo = meta.get("unique_on") or []
+        pb = meta.get("partition_by") or []
+        if isinstance(pb, str):
+            pb = [pb]
+        t_rows.append(
+            (
+                name,
+                active,
+                len(versions),
+                counts.get(active),
+                ",".join(uo) or None,
+                ",".join(pb) or None,
+                meta.get("retention_keep", 3),
+                bool(meta.get("schema_ddl")),
+            )
+        )
+        for vid in versions:
+            d = cat.version_dir(name, vid)
+            nf, nb = _version_files(d) if os.path.isdir(d) else (0, 0)
+            v_rows.append((name, vid, vid == active, nf > 0, counts.get(vid), nf, nb))
+
+    from .catalog import _untag
+
+    s_rows = []
+    for key, cur in (cat._doc.get("cursors") or {}).items():
+        node_id, table, order_by = key.split("|", 2)
+        val = _untag(cur)
+        s_rows.append((node_id, table, order_by, None if val is None else str(val)))
+
+    events, _ = cat.read_events()
+    e_rows = [(e.get("ts"), e.get("table"), e.get("kind"), e.get("node_id")) for e in events]
+
+    return {
+        "__sys_tables": spark.createDataFrame(t_rows, _T),
+        "__sys_versions": spark.createDataFrame(v_rows, _V),
+        "__sys_streams": spark.createDataFrame(s_rows, _S),
+        "__sys_events": spark.createDataFrame(e_rows, _E),
+    }

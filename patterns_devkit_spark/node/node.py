@@ -1499,6 +1499,22 @@ class Engine:
 
         return re.sub(r"\{\{\s*([^}]+?)\s*\}\}", sub, sql)
 
+    def register_system_views(self) -> list[str]:
+        """Register information_schema-style `__sys_*` temp views over
+        the catalog (tables, versions, stream cursors, event log) so
+        operational introspection is plain SQL from read_sql / SQL
+        nodes — the local counterpart of the reference's hosted
+        `patterns list` surface (CLI commands/list.py). Snapshot
+        semantics: views capture the catalog at registration time;
+        re-register to refresh."""
+        from ..catalog.system import system_dataframes
+
+        out = []
+        for view, df in system_dataframes(self).items():
+            df.createOrReplaceTempView(view)
+            out.append(view)
+        return sorted(out)
+
     def set_secret(self, name: str, values: dict) -> None:
         """Store a named credentials bundle (reference `patterns create
         secret`, create.py:210-226). Local warehouse = local secrets;

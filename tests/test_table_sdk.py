@@ -240,3 +240,50 @@ def test_export_jsonl_and_csv(engine, tmp_path):
         (fc,) = glob.glob(str(tmp_path / "out_csv" / "part-*"))
         lines = open(fc).read().strip().splitlines()
         assert lines[0] == "a,s" and len(lines) == 4
+
+
+def test_system_views_reflect_catalog(engine):
+    """__sys_* views: tables/versions/streams/events over the live
+    catalog, queryable via plain SQL (information_schema analog)."""
+    from patterns_devkit_spark.node.node import Table
+
+    with engine.node_context("w", outputs={"out": "sysdemo"}):
+        t = Table("out", "w")
+        t.init(unique_on=["k"])
+        t.upsert([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}])
+        t.flush()
+        t.upsert([{"k": 2, "v": "b2"}])
+        t.flush()
+    with engine.node_context("r", inputs={"in": "sysdemo"}):
+        s = Table("in", "r").as_stream(order_by="k")
+        assert len(list(s.consume_records())) == 2
+        s.checkpoint()
+
+    views = engine.register_system_views()
+    assert views == ["__sys_events", "__sys_streams", "__sys_tables", "__sys_versions"]
+
+    trow = engine.spark.sql(
+        "SELECT * FROM __sys_tables WHERE table_name = 'sysdemo'"
+    ).collect()[0]
+    assert trow["unique_on"] == "k"
+    assert trow["record_count"] == 2
+    assert trow["n_versions"] >= 2
+
+    v = engine.spark.sql(
+        "SELECT count(*) AS n, sum(CASE WHEN is_active THEN 1 ELSE 0 END) AS na,"
+        " max(n_files) AS mf FROM __sys_versions WHERE table_name = 'sysdemo' AND has_data"
+    ).collect()[0]
+    assert v["na"] == 1 and v["mf"] >= 1
+
+    srow = engine.spark.sql(
+        "SELECT * FROM __sys_streams WHERE table_name = 'sysdemo'"
+    ).collect()[0]
+    assert srow["node_id"] == "r" and srow["order_by"] == "k" and srow["cursor"] == "2"
+
+    kinds = {
+        r["kind"]
+        for r in engine.spark.sql(
+            "SELECT DISTINCT kind FROM __sys_events WHERE table_name = 'sysdemo'"
+        ).collect()
+    }
+    assert "create" in kinds or "update" in kinds
