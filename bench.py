@@ -66,6 +66,12 @@ BENCH_QUERIES = [
     "q117_resample_interp",
     "q120_constraint_audit",
     "q123_pagerank",
+    # scale-pattern batch: runtime bloom pruning before the join,
+    # mergeable-bitmap distinct with a rolling OR window, triangle
+    # count on the support-sparsified co-purchase graph
+    "q159_bloom_prune",
+    "q164_bitmap_distinct",
+    "q165_triangle_count",
     "sdk02_upsert",  # engine write path: full-table MERGE + version flip
     "sdk06_upsert_partitioned",  # bounded rewrite: touched partition only, rest hardlinked
     "sdk07_compact",  # maintenance: 4-file hot append table -> 1 coalesced file
