@@ -503,3 +503,84 @@ def q166(spark, sf_dir):
             "CAST(1000 * sum(CASE WHEN first_id = id THEN 1 ELSE 0 END) DIV count(*) AS BIGINT)"
         ).alias("novelty_permille"),
     )
+
+
+# =====================================================================
+# q167 — label-quality audit via centroid margins (mislabel detection)
+# =====================================================================
+
+
+@query(
+    "q167_label_margin",
+    """
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS ei
+      FROM embeddings
+    ),
+    ep AS (
+      SELECT vec_id, label, CAST(i AS INT) AS d, ei[CAST(i AS INT)] AS v
+      FROM e, unnest(range(1, 65)) AS u(i)
+    ),
+    cent AS (
+      SELECT label AS clabel, d,
+             CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS c
+      FROM ep GROUP BY label, d
+    ),
+    dist AS (
+      SELECT ep.vec_id, ep.label, cent.clabel,
+             sum((ep.v - cent.c) * (ep.v - cent.c)) AS dist
+      FROM ep JOIN cent ON ep.d = cent.d
+      GROUP BY 1, 2, 3
+    ),
+    own AS (SELECT vec_id, label, dist AS d_own FROM dist WHERE label = clabel),
+    other AS (
+      SELECT vec_id, min(dist) AS d_other FROM dist WHERE label <> clabel GROUP BY vec_id
+    )
+    SELECT o.label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN t.d_other < o.d_own THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect,
+           CAST(sum(t.d_other - o.d_own) AS BIGINT) AS sum_margin
+    FROM own o JOIN other t ON t.vec_id = o.vec_id
+    GROUP BY o.label
+    """,
+)
+def q167(spark, sf_dir):
+    """Label-quality audit: for every embedding, squared-L2 distance
+    (in exact integer micro-units) to its OWN label centroid vs the
+    nearest OTHER label centroid; a vector closer to a foreign
+    centroid (negative margin) is a mislabel suspect — the standard
+    confident-learning screen run before training on labeled data.
+    Everything is integer-exact (same micro-quantization + floor-mean
+    centroids as the IVF quantizer, det_hash.py), so the oracle
+    replays the audit bit-for-bit. Shape: one explode over dims, one
+    centroid aggregate (10 labels x 64 dims — a broadcast), one
+    per-(vector,label) distance aggregate — linear scans, shuffles on
+    vec_id, never pairwise between vectors."""
+    from .operators.det_hash import quantized_embedding
+
+    emb = t(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", quantized_embedding("embedding").alias("ei"))
+    ep = e.select("vec_id", "label", F.posexplode("ei").alias("d", "v")).persist()
+    cent = ep.groupBy(F.col("label").alias("clabel"), "d").agg(
+        F.floor(F.sum("v") / F.count(F.lit(1))).cast("long").alias("c")
+    )
+    dist = (
+        ep.join(F.broadcast(cent), "d")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("dist"))
+    )
+    own = dist.filter(F.col("label") == F.col("clabel")).select(
+        "vec_id", "label", F.col("dist").alias("d_own")
+    )
+    other = (
+        dist.filter(F.col("label") != F.col("clabel"))
+        .groupBy("vec_id")
+        .agg(F.min("dist").alias("d_other"))
+    )
+    j = own.join(other, "vec_id")
+    return j.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(F.when(F.col("d_other") < F.col("d_own"), 1).otherwise(0)).cast("long").alias("n_suspect"),
+        F.sum(F.col("d_other") - F.col("d_own")).cast("long").alias("sum_margin"),
+    )
