@@ -584,3 +584,152 @@ def q167(spark, sf_dir):
         F.sum(F.when(F.col("d_other") < F.col("d_own"), 1).otherwise(0)).cast("long").alias("n_suspect"),
         F.sum(F.col("d_other") - F.col("d_own")).cast("long").alias("sum_margin"),
     )
+
+
+# =====================================================================
+# q168 — linear multi-touch attribution (integer milli-credit)
+# =====================================================================
+
+
+@query(
+    "q168_linear_attribution",
+    """
+    WITH conv AS (
+      SELECT event_id AS conv_id, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT event_id AS touch_id, user_id, ts, event_type
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    pairs AS (
+      SELECT c.conv_id, c.cents, t.touch_id, t.event_type
+      FROM conv c JOIN touch t
+        ON t.user_id = c.user_id
+       AND t.ts < c.ts
+       AND t.ts >= c.ts - INTERVAL 7 DAY
+    ),
+    credited AS (
+      SELECT event_type, touch_id, conv_id,
+             cents * 1000 // count(*) OVER (PARTITION BY conv_id) AS millicents
+      FROM pairs
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+           CAST(sum(millicents) AS BIGINT) AS credited_millicents
+    FROM credited GROUP BY event_type
+    """,
+)
+def q168(spark, sf_dir):
+    """Linear multi-touch attribution: every view/click by the same
+    user in the 7 days before a purchase shares that purchase's value
+    equally. Credit is exact integer milli-cents (cents*1000 DIV
+    n_touches — floor division, identical on both engines), so the
+    marketing-mix numbers the pipeline reports are bit-stable. The
+    pair join is user-blocked with a bounded lookback — at 100 TB
+    you'd additionally bucket by (user, week) so the range predicate
+    becomes an equi-join on the bucket (the q115 interval pattern);
+    per-conversion touch counts come from a window over the already-
+    joined pairs, not a second scan."""
+    ev = t(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("cts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        F.col("ts").alias("tts"),
+        "event_type",
+    )
+    pairs = conv.join(touch, "user_id").filter(
+        (F.col("tts") < F.col("cts"))
+        & (F.col("tts") >= F.col("cts") - F.expr("INTERVAL 7 DAY"))
+    )
+    w = Window.partitionBy("conv_id")
+    credited = pairs.select(
+        "event_type",
+        "touch_id",
+        "conv_id",
+        F.expr("cents * 1000").alias("mc"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    ).withColumn("millicents", F.expr("mc DIV n"))
+    return credited.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.countDistinct("conv_id").cast("long").alias("n_conversions"),
+        F.sum("millicents").cast("long").alias("credited_millicents"),
+    )
+
+
+# =====================================================================
+# q169 — ABC / Pareto classification (exact cumulative-share classes)
+# =====================================================================
+
+
+@query(
+    "q169_abc_classification",
+    """
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, cents,
+             sum(cents) OVER (ORDER BY cents DESC, l_partkey ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(cents) OVER () AS total
+      FROM rev
+    ),
+    classed AS (
+      SELECT *,
+             CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                  WHEN cum * 100 <= total * 95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked
+    )
+    SELECT abc,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS class_cents,
+           CAST(min(cents) AS BIGINT) AS min_part_cents
+    FROM classed GROUP BY abc
+    """,
+)
+def q169(spark, sf_dir):
+    """ABC / Pareto analysis: parts ranked by revenue, classed A while
+    the running total stays within 80% of global revenue, B to 95%,
+    C after — the inventory-prioritization primitive, with every
+    boundary decision on exact integer cents (cum*100 <= total*80, no
+    percentage floats). One aggregation to part grain, then a global
+    running sum — the single-partition window is over the PART table
+    (already reduced), not the fact scan; at extreme part cardinality
+    the documented relaxation is range-partitioned prefix sums
+    (two-pass: per-range subtotals broadcast back, the q140 pattern)."""
+    li = t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("long").alias("cents")
+    )
+    w_cum = Window.orderBy(F.col("cents").desc(), F.col("l_partkey").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    classed = rev.select(
+        "l_partkey",
+        "cents",
+        F.sum("cents").over(w_cum).alias("cum"),
+        F.sum("cents").over(w_all).alias("total"),
+    ).withColumn(
+        "abc",
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C"),
+    )
+    return classed.groupBy("abc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("cents").cast("long").alias("class_cents"),
+        F.min("cents").cast("long").alias("min_part_cents"),
+    )
