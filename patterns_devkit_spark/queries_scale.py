@@ -733,3 +733,162 @@ def q169(spark, sf_dir):
         F.sum("cents").cast("long").alias("class_cents"),
         F.min("cents").cast("long").alias("min_part_cents"),
     )
+
+
+# =====================================================================
+# q170 — quantile (rank) normalization of vector norms per label
+# =====================================================================
+
+
+@query(
+    "q170_quantile_normalize",
+    """
+    WITH e AS (
+      SELECT vec_id, label,
+             list_sum(list_transform(embedding::DOUBLE[],
+                      x -> CAST(round(x * 1000000, 0) AS BIGINT)
+                           * CAST(round(x * 1000000, 0) AS BIGINT))) AS norm_sq
+      FROM embeddings
+    )
+    SELECT vec_id, label, CAST(norm_sq AS BIGINT) AS norm_sq,
+           CAST(rank() OVER (PARTITION BY label ORDER BY norm_sq, vec_id) AS BIGINT) AS rnk,
+           CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS n_label
+    FROM e
+    """,
+)
+def q170(spark, sf_dir):
+    """Rank/quantile normalization: each vector's squared norm (exact
+    integer micro-units) mapped to its within-label rank out of
+    n_label — the distribution-free feature transform (rank / n is the
+    empirical CDF value) ML prep uses when magnitudes across labels
+    aren't comparable. One explode-free aggregate per row (the norm is
+    a higher-order sum over the array — per-row map-side work) and one
+    window per label. Ties carry a vec_id tiebreak so the rank is
+    deterministic on both engines."""
+    emb = t(spark, sf_dir, "embeddings")
+    from .operators.det_hash import quantized_embedding
+
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.aggregate(
+            F.zip_with(quantized_embedding("embedding"), quantized_embedding("embedding"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("norm_sq"),
+    )
+    w = Window.partitionBy("label").orderBy("norm_sq", "vec_id")
+    wn = Window.partitionBy("label")
+    return e.select(
+        "vec_id",
+        "label",
+        F.col("norm_sq").cast("long").alias("norm_sq"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n_label"),
+    )
+
+
+# =====================================================================
+# q171 — burstiness / overdispersion audit (exact Fano pieces)
+# =====================================================================
+
+
+@query(
+    "q171_burstiness",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(y) AS BIGINT) AS n_events,
+           CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS BIGINT) AS var_num,
+           CAST(count(*) * sum(y) AS BIGINT) AS var_den_times_mean,
+           CASE WHEN count(*) * sum(y * y) - sum(y) * sum(y) > count(*) * sum(y)
+                THEN 'bursty' ELSE 'regular' END AS dispersion
+    FROM daily GROUP BY event_type
+    """,
+)
+def q171(spark, sf_dir):
+    """Burstiness audit per stream: the Fano factor (variance over
+    mean of daily counts) kept as exact integer pieces — n*Σy²-( Σy)²
+    vs n*Σy, so 'variance > mean' (overdispersion, bursty arrivals vs
+    Poisson-like) is an integer comparison both engines decide
+    identically. Bursty streams need different watermark and
+    partition-sizing choices than regular ones (cf. q163's lateness
+    audit); this is the classifier that routes them. Two hash
+    aggregations, nothing else."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    n = F.count(F.lit(1))
+    var_num = (n * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y")).cast("long")
+    var_den = (n * F.sum("y")).cast("long")
+    return daily.groupBy("event_type").agg(
+        n.cast("long").alias("n_days"),
+        F.sum("y").cast("long").alias("n_events"),
+        var_num.alias("var_num"),
+        var_den.alias("var_den_times_mean"),
+        F.when(var_num > var_den, "bursty").otherwise("regular").alias("dispersion"),
+    )
+
+
+# =====================================================================
+# q172 — join-explosion pre-flight audit (fan-out estimation)
+# =====================================================================
+
+
+@query(
+    "q172_join_explosion_audit",
+    """
+    WITH lf AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS n_l FROM lineitem GROUP BY 1),
+    rf AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS n_r FROM orders GROUP BY 1),
+    prof AS (
+      SELECT coalesce(lf.k, rf.k) AS k,
+             coalesce(n_l, 0) AS n_l, coalesce(n_r, 0) AS n_r,
+             coalesce(n_l, 0) * coalesce(n_r, 0) AS est_pairs
+      FROM lf FULL OUTER JOIN rf ON lf.k = rf.k
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN n_l > 0 AND n_r > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_matching_keys,
+           CAST(sum(CASE WHEN n_l = 0 OR n_r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dangling_keys,
+           CAST(sum(est_pairs) AS BIGINT) AS est_join_rows,
+           CAST(max(est_pairs) AS BIGINT) AS max_key_pairs,
+           CAST(max(n_l) AS BIGINT) AS max_left_fanout,
+           CAST(max(n_r) AS BIGINT) AS max_right_fanout
+    FROM prof
+    """,
+)
+def q172(spark, sf_dir):
+    """Join pre-flight: per-key fan-out profiles of both join sides,
+    combined into the EXACT output cardinality the equi-join would
+    produce (sum over keys of n_l*n_r), the hottest key's pair count,
+    and dangling-key counts — the estimate you run BEFORE a 100 TB
+    join to decide broadcast vs shuffle vs salt (complements q124's
+    single-side skew profile with the pair-count view; AQE reacts at
+    runtime, this predicts from two cheap aggregates). Each side
+    reduces to (key, count) before the profile join, so the audit
+    never materializes the join it is predicting."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    lf = li.groupBy(F.col("l_orderkey").alias("k")).agg(F.count(F.lit(1)).cast("long").alias("n_l"))
+    rf = o.groupBy(F.col("o_orderkey").alias("k")).agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+    prof = (
+        lf.join(rf, "k", "full_outer")
+        .select(
+            F.coalesce(F.col("n_l"), F.lit(0)).alias("n_l"),
+            F.coalesce(F.col("n_r"), F.lit(0)).alias("n_r"),
+        )
+        .withColumn("est_pairs", F.col("n_l") * F.col("n_r"))
+    )
+    return prof.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.when((F.col("n_l") > 0) & (F.col("n_r") > 0), 1).otherwise(0)).cast("long").alias("n_matching_keys"),
+        F.sum(F.when((F.col("n_l") == 0) | (F.col("n_r") == 0), 1).otherwise(0)).cast("long").alias("n_dangling_keys"),
+        F.sum("est_pairs").cast("long").alias("est_join_rows"),
+        F.max("est_pairs").cast("long").alias("max_key_pairs"),
+        F.max("n_l").cast("long").alias("max_left_fanout"),
+        F.max("n_r").cast("long").alias("max_right_fanout"),
+    )
