@@ -892,3 +892,53 @@ def q172(spark, sf_dir):
         F.max("n_l").cast("long").alias("max_left_fanout"),
         F.max("n_r").cast("long").alias("max_right_fanout"),
     )
+
+
+# =====================================================================
+# q173 — duplicate-cluster-size histogram (dataset-health summary)
+# =====================================================================
+
+
+@query(
+    "q173_dup_cluster_histogram",
+    """
+    WITH fp AS (
+      SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f,
+             CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1
+    )
+    SELECT CASE WHEN n = 1 THEN '1_unique'
+                WHEN n = 2 THEN '2_pair'
+                WHEN n <= 5 THEN '3_small'
+                ELSE '4_large' END AS cluster_bucket,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(sum(n - 1) AS BIGINT) AS n_removable
+    FROM fp GROUP BY 1
+    """,
+)
+def q173(spark, sf_dir):
+    """Dataset-health histogram of exact-duplicate cluster sizes: how
+    many fingerprints are unique / pairs / small / large clusters, the
+    docs they hold, and n_removable = docs dedup would delete — the
+    one-screen summary a curation run reports before and after (q33
+    lists the winners; this is its rollup). Two hash aggregations on
+    the md5 fingerprint; the second runs on cluster grain (#distinct
+    texts), so the histogram costs no more than exact dedup itself."""
+    from .operators.text import fingerprint
+
+    docs = t(spark, sf_dir, "documents")
+    fp = fingerprint(docs).groupBy("fingerprint").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    bucket = (
+        F.when(F.col("n") == 1, "1_unique")
+        .when(F.col("n") == 2, "2_pair")
+        .when(F.col("n") <= 5, "3_small")
+        .otherwise("4_large")
+    )
+    return fp.groupBy(bucket.alias("cluster_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum(F.col("n") - 1).cast("long").alias("n_removable"),
+    )
