@@ -942,3 +942,74 @@ def q173(spark, sf_dir):
         F.sum("n").cast("long").alias("n_docs"),
         F.sum(F.col("n") - 1).cast("long").alias("n_removable"),
     )
+
+
+# =====================================================================
+# q174 — multi-grain exact distinct in one pass (bitmaps x grouping sets)
+# =====================================================================
+
+
+@query(
+    "q174_multigrain_distinct",
+    """
+    WITH daily AS (
+      SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+             event_type,
+             user_id // 63 AS bucket,
+             bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT)) AS m
+      FROM events GROUP BY 1, 2, 3
+    ),
+    g AS (
+      SELECT x, event_type, bucket, bit_or(m) AS mm
+      FROM daily
+      GROUP BY GROUPING SETS ((x, bucket), (event_type, bucket), (bucket))
+    )
+    SELECT CASE WHEN x IS NOT NULL THEN 'by_day'
+                WHEN event_type IS NOT NULL THEN 'by_type'
+                ELSE 'total' END AS grain,
+           CASE WHEN x IS NOT NULL THEN strftime(DATE '1970-01-01' + to_days(CAST(x AS INT)), '%Y-%m-%d')
+                WHEN event_type IS NOT NULL THEN event_type
+                ELSE 'ALL' END AS grain_key,
+           CAST(sum(bit_count(mm)) AS BIGINT) AS n_distinct_users
+    FROM g GROUP BY 1, 2
+    """,
+)
+def q174(spark, sf_dir):
+    """Exact distinct users at THREE grains — per day, per event type,
+    and global — from ONE scan of events: the per-(day, type, bucket)
+    bitmaps of q164 re-aggregate under GROUPING SETS by OR-ing words,
+    then popcount. COUNT(DISTINCT) at k grains costs k expand-shuffles
+    of raw rows; mergeable bitmaps pay one base aggregation and re-roll
+    O(buckets)-sized state — the cube-of-distincts pattern an activity
+    dashboard runs hourly at 100 TB. Uses the DataFrame groupingSets
+    API over the bitmap grain, never re-expanding events."""
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast("long").alias("x"),
+            "event_type",
+            F.expr("user_id DIV 63").alias("bucket"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))").alias("bit"),
+        )
+        .groupBy("x", "event_type", "bucket")
+        .agg(F.expr("bit_or(bit)").alias("m"))
+    )
+    g = daily.groupingSets(
+        [["x", "bucket"], ["event_type", "bucket"], ["bucket"]], "x", "event_type", "bucket"
+    ).agg(F.expr("bit_or(m)").alias("mm"))
+    grain = (
+        F.when(F.col("x").isNotNull(), "by_day")
+        .when(F.col("event_type").isNotNull(), "by_type")
+        .otherwise("total")
+    )
+    grain_key = (
+        F.when(
+            F.col("x").isNotNull(),
+            F.date_format(F.expr("date_add(DATE '1970-01-01', CAST(x AS INT))"), "yyyy-MM-dd"),
+        )
+        .when(F.col("event_type").isNotNull(), F.col("event_type"))
+        .otherwise(F.lit("ALL"))
+    )
+    return g.groupBy(grain.alias("grain"), grain_key.alias("grain_key")).agg(
+        F.sum(F.bit_count("mm")).cast("long").alias("n_distinct_users")
+    )
