@@ -1013,3 +1013,87 @@ def q174(spark, sf_dir):
     return g.groupBy(grain.alias("grain"), grain_key.alias("grain_key")).agg(
         F.sum(F.bit_count("mm")).cast("long").alias("n_distinct_users")
     )
+
+
+# =====================================================================
+# q175 — partition-layout advisor (cardinality / balance / skew rules)
+# =====================================================================
+
+
+@query(
+    "q175_partition_advisor",
+    """
+    WITH base AS (
+      SELECT event_type,
+             strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             CAST(user_id % 256 AS VARCHAR) AS ubucket
+      FROM events
+    ),
+    stats AS (
+      SELECT 'event_type' AS candidate, count(*) AS n_parts,
+             max(n) AS max_rows, min(n) AS min_rows, sum(n) AS total
+      FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1)
+      UNION ALL
+      SELECT 'day', count(*), max(n), min(n), sum(n)
+      FROM (SELECT day, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1)
+      UNION ALL
+      SELECT 'user_bucket', count(*), max(n), min(n), sum(n)
+      FROM (SELECT ubucket, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1)
+    )
+    SELECT candidate,
+           CAST(n_parts AS BIGINT) AS n_parts,
+           CAST(max_rows AS BIGINT) AS max_rows,
+           CAST(min_rows AS BIGINT) AS min_rows,
+           CAST(max_rows * n_parts * 1000 // total AS BIGINT) AS skew_permille,
+           CASE WHEN n_parts < 4 THEN 'too_few_partitions'
+                WHEN n_parts > 10000 THEN 'too_many_partitions'
+                WHEN max_rows * n_parts * 1000 // total > 3000 THEN 'skewed'
+                ELSE 'ok' END AS verdict
+    FROM stats
+    """,
+)
+def q175(spark, sf_dir):
+    """Partition-layout advisor: for each candidate partition column
+    (low-cardinality type, daily date, hashed user bucket) — partition
+    count, largest/smallest partition, and skew as max/mean in
+    permille — with an integer-rule verdict (enough partitions for
+    parallelism, few enough for the metastore, hottest partition under
+    3x mean). This is `Table.init(partition_by=...)` decided FROM DATA
+    instead of folklore, the pre-flight for the engine's hive-layout
+    writes (node.py partition_by) the same way q172 pre-flights a
+    join. One shared projection, three hash aggregations over it."""
+    ev = t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        (F.col("user_id") % 256).cast("string").alias("ubucket"),
+    ).persist()
+
+    def stats(col, label):
+        per = base.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("n"))
+        return per.agg(
+            F.lit(label).alias("candidate"),
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.max("n").cast("long").alias("max_rows"),
+            F.min("n").cast("long").alias("min_rows"),
+            F.sum("n").cast("long").alias("total"),
+        )
+
+    s = (
+        stats("event_type", "event_type")
+        .unionByName(stats("day", "day"))
+        .unionByName(stats("ubucket", "user_bucket"))
+    )
+    skew = F.expr("max_rows * n_parts * 1000 DIV total")
+    return s.select(
+        "candidate",
+        "n_parts",
+        "max_rows",
+        "min_rows",
+        skew.cast("long").alias("skew_permille"),
+        F.when(F.col("n_parts") < 4, "too_few_partitions")
+        .when(F.col("n_parts") > 10000, "too_many_partitions")
+        .when(skew > 3000, "skewed")
+        .otherwise("ok")
+        .alias("verdict"),
+    )
