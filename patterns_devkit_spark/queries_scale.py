@@ -1097,3 +1097,100 @@ def q175(spark, sf_dir):
         .otherwise("ok")
         .alias("verdict"),
     )
+
+
+# =====================================================================
+# q176 — snapshot data-diff (added / removed / changed via row hashes)
+# =====================================================================
+
+
+@query(
+    "q176_snapshot_diff",
+    """
+    WITH snap_a AS (
+      SELECT o_orderkey, o_orderpriority, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 103 <> 0
+    ),
+    snap_b AS (
+      SELECT o_orderkey, o_orderpriority, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 13 = 0 THEN 500 ELSE 0 END AS cents
+      FROM orders WHERE o_orderkey % 101 <> 0
+    ),
+    hashed AS (
+      SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k,
+             coalesce(a.o_orderpriority, b.o_orderpriority) AS prio,
+             md5(concat_ws('|', CAST(a.o_orderkey AS VARCHAR), a.o_orderstatus,
+                           CAST(a.cents AS VARCHAR))) AS ha,
+             md5(concat_ws('|', CAST(b.o_orderkey AS VARCHAR), b.o_orderstatus,
+                           CAST(b.cents AS VARCHAR))) AS hb,
+             a.o_orderkey IS NULL AS miss_a, b.o_orderkey IS NULL AS miss_b
+      FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT prio AS o_orderpriority,
+           CAST(sum(CASE WHEN miss_a THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+           CAST(sum(CASE WHEN miss_b THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           CAST(sum(CASE WHEN NOT miss_a AND NOT miss_b AND ha <> hb THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed,
+           CAST(sum(CASE WHEN NOT miss_a AND NOT miss_b AND ha = hb THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unchanged
+    FROM hashed GROUP BY prio
+    """,
+)
+def q176(spark, sf_dir):
+    """Dataset regression diff: two snapshots of the same keyed table
+    (here simulated — one drops every 103rd key, the other drops every
+    101st and bumps every 13th price) compared by full-outer join on
+    the key and an md5 row hash over the remaining columns — the
+    added/removed/changed/unchanged report a pipeline runs when a
+    refactored job must produce 'the same table'. The row hash is
+    md5(concat_ws) over integer-rendered columns, bit-identical across
+    engines (det_hash.py rules), so even the CHANGED classification is
+    oracle-checked, not just the counts. One key-partitioned shuffle
+    join; hash comparison is map-side. The engine-native counterpart
+    over table versions is Table.version_diff (sdk08) — this is the
+    pure-SQL form for arbitrary snapshots."""
+    o = t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    snap_a = base.filter(F.col("o_orderkey") % 103 != 0)
+    snap_b = base.filter(F.col("o_orderkey") % 101 != 0).withColumn(
+        "cents",
+        F.col("cents") + F.when(F.col("o_orderkey") % 13 == 0, 500).otherwise(0),
+    )
+
+    def rh(side):
+        return F.md5(
+            F.concat_ws(
+                "|",
+                F.col(f"{side}.o_orderkey").cast("string"),
+                F.col(f"{side}.o_orderstatus"),
+                F.col(f"{side}.cents").cast("string"),
+            )
+        )
+
+    j = snap_a.alias("a").join(
+        snap_b.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    hashed = j.select(
+        F.coalesce(F.col("a.o_orderpriority"), F.col("b.o_orderpriority")).alias("prio"),
+        F.col("a.o_orderkey").isNull().alias("miss_a"),
+        F.col("b.o_orderkey").isNull().alias("miss_b"),
+        rh("a").alias("ha"),
+        rh("b").alias("hb"),
+    )
+    return hashed.groupBy(F.col("prio").alias("o_orderpriority")).agg(
+        F.sum(F.when(F.col("miss_a"), 1).otherwise(0)).cast("long").alias("n_added"),
+        F.sum(F.when(F.col("miss_b"), 1).otherwise(0)).cast("long").alias("n_removed"),
+        F.sum(
+            F.when(~F.col("miss_a") & ~F.col("miss_b") & (F.col("ha") != F.col("hb")), 1).otherwise(0)
+        ).cast("long").alias("n_changed"),
+        F.sum(
+            F.when(~F.col("miss_a") & ~F.col("miss_b") & (F.col("ha") == F.col("hb")), 1).otherwise(0)
+        ).cast("long").alias("n_unchanged"),
+    )
