@@ -1,6 +1,12 @@
-"""Scale-pattern battery (q159+): runtime Bloom-filter join pruning,
-distribution-diversity audits, exponential-decay feature engineering,
-exact integer trend regression, and late/out-of-order data audits.
+"""Scale-pattern battery (q159-q176): runtime Bloom-filter join
+pruning, distribution-diversity audits, exponential-decay features,
+exact integer trend regression, late/out-of-order data audits,
+mergeable-bitmap distinct (single- and multi-grain via GROUPING SETS),
+triangle counting on a support-sparsified graph, shingle novelty,
+label-margin mislabel detection, multi-touch attribution, ABC
+classification, rank normalization, burstiness, join-explosion and
+partition-layout pre-flight advisors, dup-cluster histograms, and
+snapshot data-diff.
 
 Every query is oracle-paired and integer-deterministic (repo rules,
 queries.py docstring): the Bloom filter reuses the cross-engine md5
