@@ -1200,3 +1200,88 @@ def q176(spark, sf_dir):
             F.when(~F.col("miss_a") & ~F.col("miss_b") & (F.col("ha") == F.col("hb")), 1).otherwise(0)
         ).cast("long").alias("n_unchanged"),
     )
+
+
+# =====================================================================
+# q177 — class-balancing resample plan (integer oversampling factors)
+# =====================================================================
+
+
+@query(
+    "q177_resample_plan",
+    """
+    WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+    m AS (SELECT max(n) AS max_n FROM c)
+    SELECT c.lang, c.n,
+           CAST(m.max_n // c.n AS BIGINT) AS repeat_factor,
+           CAST(m.max_n % c.n AS BIGINT) AS n_extra,
+           CAST(m.max_n // c.n * c.n + m.max_n % c.n AS BIGINT) AS n_after
+    FROM c CROSS JOIN m
+    """,
+)
+def q177(spark, sf_dir):
+    """Class-balancing plan for an imbalanced corpus: per language,
+    the integer repeat factor and per-class extra-sample count that
+    bring every class exactly to the majority count (floor factor +
+    remainder — n_after == max_n by construction). This is the PLAN
+    table an oversampling pass joins against (repeat via
+    explode(sequence(1, repeat_factor)) plus a deterministic-hash
+    pick of n_extra docs, the q149 split machinery) — computing it
+    first keeps the expensive replication scan single-purpose. One
+    aggregation and a 1-row broadcast."""
+    docs = t(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    m = c.agg(F.max("n").alias("max_n"))
+    return c.crossJoin(F.broadcast(m)).select(
+        "lang",
+        "n",
+        F.expr("max_n DIV n").cast("long").alias("repeat_factor"),
+        (F.col("max_n") % F.col("n")).cast("long").alias("n_extra"),
+        F.expr("max_n DIV n * n + max_n % n").cast("long").alias("n_after"),
+    )
+
+
+# =====================================================================
+# q178 — minimal k-purchase burst window per user
+# =====================================================================
+
+
+@query(
+    "q178_burst_window",
+    """
+    WITH p AS (
+      SELECT user_id, ts,
+             lead(ts, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ts3
+      FROM events WHERE event_type = 'purchase'
+    ),
+    spans AS (
+      SELECT user_id, epoch_ms(ts3) - epoch_ms(ts) AS span_ms
+      FROM p WHERE ts3 IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(min(span_ms) AS BIGINT) AS min_span_ms
+    FROM spans GROUP BY user_id
+    """,
+)
+def q178(spark, sf_dir):
+    """User-level burst detection: the tightest time window containing
+    3 consecutive purchases per user (min over lead(ts,2)-ts) — the
+    velocity feature fraud and rate-limit rules key on, and the
+    min-span variant of q161's recency decay. The k-window reduces to
+    ONE ordered lead per user (no self-join over the k-subsets);
+    shuffle is the per-user window partition, output one row per user
+    with >= 3 purchases."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id")
+        .withColumn("ts3", F.lead("ts", 2).over(w))
+        .filter(F.col("ts3").isNotNull())
+    )
+    span = F.expr("unix_micros(ts3) DIV 1000 - unix_micros(ts) DIV 1000")
+    return p.select("user_id", span.alias("span_ms")).groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.min("span_ms").cast("long").alias("min_span_ms"),
+    )
