@@ -1285,3 +1285,101 @@ def q178(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_windows"),
         F.min("span_ms").cast("long").alias("min_span_ms"),
     )
+
+
+# =====================================================================
+# q179 — Python UDTF (table function) under the oracle gate
+# =====================================================================
+
+
+@query(
+    "q179_udtf_sentences",
+    r"""
+    WITH s AS (
+      SELECT doc_id, trim(piece) AS sentence
+      FROM documents, unnest(string_split_regex(text, '[.!?]+\s+')) AS u(piece)
+      WHERE trim(piece) <> ''
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_sentences,
+           CAST(max(len(sentence)) AS BIGINT) AS max_sent_chars,
+           CAST(sum(len(sentence)) AS BIGINT) AS total_sent_chars
+    FROM s GROUP BY doc_id
+    """,
+)
+def q179(spark, sf_dir):
+    """Python UDTF (Spark 4 table function, SURVEY.md §2.8) under the
+    DRIVER'S oracle gate, not just pytest: sentence segmentation as a
+    LATERAL table function — each doc fans out to N rows, which scalar
+    UDFs cannot do — aggregated back to per-doc sentence stats. The
+    split rule ('[.!?]+\\s+', RE2-compatible, empty pieces dropped,
+    pieces trimmed) is chosen so DuckDB's string_split_regex replays
+    it exactly. At scale the UDTF runs per-partition (Arrow-optimized
+    when eligible); the aggregate shuffles doc_id grain only."""
+    from pyspark.sql.functions import udtf
+
+    class SplitRe2:
+        def eval(self, doc_id, text):
+            if text is None:
+                return
+            import re
+
+            for piece in re.split(r"[.!?]+\s+", text):
+                p = piece.strip()
+                if p:
+                    yield doc_id, p, len(p)
+
+    fn = udtf(SplitRe2, returnType="doc_id bigint, sentence string, n_chars int")
+    spark.udtf.register("split_sentences_re2", fn)
+    docs = t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__q179_docs")
+    return spark.sql(
+        """
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_sentences,
+               CAST(max(s.n_chars) AS BIGINT) AS max_sent_chars,
+               CAST(sum(s.n_chars) AS BIGINT) AS total_sent_chars
+        FROM __q179_docs d, LATERAL split_sentences_re2(d.doc_id, d.text) s
+        GROUP BY s.doc_id
+        """
+    )
+
+
+# =====================================================================
+# q180 — grouped-agg pandas UDAF under the oracle gate
+# =====================================================================
+
+
+@query(
+    "q180_udaf_iqr",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(l_quantity, 0.75) - quantile_cont(l_quantity, 0.25), 6) AS iqr_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q180(spark, sf_dir):
+    """Custom aggregation (GROUPED_AGG pandas UDF, §2.8) under the
+    oracle gate: interquartile range per group, a reduction Spark's
+    built-in aggregate set lacks as one function. pandas' linear
+    quantile interpolation is definitionally quantile_cont, and
+    l_quantity is integral, so the interpolated quartiles land on
+    .0/.25/.5/.75 — exactly representable doubles, bit-identical
+    across engines. GROUPED_AGG ships each group's column as ONE
+    Arrow batch: right for bounded group sizes; the documented
+    relaxation at huge groups is approx_percentile."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def iqr(v: pd.Series) -> float:
+        return float(v.quantile(0.75) - v.quantile(0.25))
+
+    li = t(spark, sf_dir, "lineitem")
+    # a GROUPED_AGG pandas UDF can't share an agg with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT): run it alone, join the tiny
+    # per-group counts after
+    iqrs = li.groupBy("l_returnflag").agg(F.round(iqr("l_quantity"), 6).alias("iqr_qty"))
+    counts = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return counts.join(iqrs, "l_returnflag").select("l_returnflag", "n", "iqr_qty")
