@@ -1383,3 +1383,81 @@ def q180(spark, sf_dir):
     iqrs = li.groupBy("l_returnflag").agg(F.round(iqr("l_quantity"), 6).alias("iqr_qty"))
     counts = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).cast("long").alias("n"))
     return counts.join(iqrs, "l_returnflag").select("l_returnflag", "n", "iqr_qty")
+
+
+# =====================================================================
+# q181 — session-grain conversion by engagement bucket
+# =====================================================================
+
+
+@query(
+    "q181_session_conversion",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, event_type,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM o
+    ),
+    sess AS (
+      SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT CASE WHEN n_events = 1 THEN '1'
+                WHEN n_events <= 4 THEN '2-4'
+                WHEN n_events <= 9 THEN '5-9'
+                ELSE '10+' END AS engagement_bucket,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           CAST(1000 * sum(converted) // count(*) AS BIGINT) AS conversion_permille
+    FROM sess GROUP BY 1
+    """,
+)
+def q181(spark, sf_dir):
+    """Conversion at SESSION grain: 30-minute-gap sessionization (the
+    q31 machinery), each session flagged converted if it contains a
+    purchase, rolled up by engagement bucket — the 'do longer sessions
+    convert more' product question, which needs the session as the
+    unit of analysis (q87's funnel is user-grain). Per-user windows
+    shuffle once on user_id; sessions and buckets are integer-exact,
+    conversion as permille floor division. The 100 TB note from q115
+    applies: sessionization partitions by user, so no global window
+    exists anywhere."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = F.expr("unix_micros(ts) DIV 1000") - F.expr(
+        "unix_micros(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) DIV 1000"
+    )
+    o = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.lag("ts").over(w).isNull() | (gap_ms > 1800000), 1).otherwise(0).alias("is_new"),
+    )
+    ws = w.rowsBetween(Window.unboundedPreceding, 0)
+    s = o.withColumn("sid", F.sum("is_new").over(ws))
+    sess = s.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("converted"),
+    )
+    bucket = (
+        F.when(F.col("n_events") == 1, "1")
+        .when(F.col("n_events") <= 4, "2-4")
+        .when(F.col("n_events") <= 9, "5-9")
+        .otherwise("10+")
+    )
+    return sess.groupBy(bucket.alias("engagement_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.expr("CAST(1000 * sum(converted) DIV count(*) AS BIGINT)").alias("conversion_permille"),
+    )
