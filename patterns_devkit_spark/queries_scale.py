@@ -1461,3 +1461,116 @@ def q181(spark, sf_dir):
         F.sum("converted").cast("long").alias("n_converted"),
         F.expr("CAST(1000 * sum(converted) DIV count(*) AS BIGINT)").alias("conversion_permille"),
     )
+
+
+# =====================================================================
+# q182 — near-zero-variance feature screen
+# =====================================================================
+
+
+@query(
+    "q182_nzv_screen",
+    """
+    WITH f AS (
+      SELECT 'l_quantity' AS feature, CAST(l_quantity * 100 AS BIGINT) AS v FROM lineitem
+      UNION ALL SELECT 'l_discount', CAST(round(l_discount * 100) AS BIGINT) FROM lineitem
+      UNION ALL SELECT 'l_tax', CAST(round(l_tax * 100) AS BIGINT) FROM lineitem
+    ),
+    per_val AS (
+      SELECT feature, v, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY feature, v
+    )
+    SELECT feature,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(1000 * max(n) // sum(n) AS BIGINT) AS top_share_permille,
+           CAST(1000 * count(*) // sum(n) AS BIGINT) AS distinct_permille,
+           CASE WHEN 1000 * max(n) // sum(n) > 950 OR count(*) = 1 THEN 'drop'
+                ELSE 'keep' END AS verdict
+    FROM per_val GROUP BY feature
+    """,
+)
+def q182(spark, sf_dir):
+    """Near-zero-variance screen over candidate numeric features (the
+    caret-style preprocessing gate): per feature, distinct-value
+    count, the dominant value's share, and a drop/keep verdict when
+    one value exceeds 95% — constant-ish columns waste model capacity
+    and break scaling. Features are unpivoted into (feature, value)
+    rows once (integer cents units), so adding a feature is one UNION
+    branch and the screen stays two hash aggregations keyed on
+    (feature, value) then feature — never a per-column driver loop."""
+    li = t(spark, sf_dir, "lineitem")
+    f = (
+        li.select(F.lit("l_quantity").alias("feature"), (F.col("l_quantity") * 100).cast("long").alias("v"))
+        .unionAll(
+            li.select(F.lit("l_discount").alias("feature"), F.round(F.col("l_discount") * 100).cast("long").alias("v"))
+        )
+        .unionAll(
+            li.select(F.lit("l_tax").alias("feature"), F.round(F.col("l_tax") * 100).cast("long").alias("v"))
+        )
+    )
+    per_val = f.groupBy("feature", "v").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    top_share = F.expr("1000 * max(n) DIV sum(n)")
+    return per_val.groupBy("feature").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum("n").cast("long").alias("n_rows"),
+        top_share.cast("long").alias("top_share_permille"),
+        F.expr("1000 * count(*) DIV sum(n)").cast("long").alias("distinct_permille"),
+        F.when((top_share > 950) | (F.count(F.lit(1)) == 1), "drop").otherwise("keep").alias("verdict"),
+    )
+
+
+# =====================================================================
+# q183 — shingle document-frequency spectrum (max_df evidence)
+# =====================================================================
+
+
+@query(
+    "q183_shingle_df_spectrum",
+    """
+    WITH toks AS (
+      SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT id, array_to_string(w[CAST(i AS BIGINT):CAST(i+2 AS BIGINT)], ' ') AS sh
+      FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS u(i)
+      WHERE len(w) >= 3
+    ),
+    dfs AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY sh)
+    SELECT CASE WHEN df = 1 THEN '1'
+                WHEN df = 2 THEN '2'
+                WHEN df <= 5 THEN '3-5'
+                WHEN df <= 20 THEN '6-20'
+                ELSE '21+' END AS df_bucket,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(df) AS BIGINT) AS n_postings,
+           CAST(sum(df * (df - 1) / 2) AS BIGINT) AS n_candidate_pairs
+    FROM dfs GROUP BY 1
+    """,
+)
+def q183(spark, sf_dir):
+    """Frequency-of-frequencies spectrum of 3-gram shingles: how many
+    shingles occur in exactly k documents, their posting counts, and —
+    the column that matters — the C(df,2) candidate pairs each bucket
+    would inject into the dedup join. This is the EVIDENCE for the
+    stop-shingle cap the dedup pipeline hard-codes (max_df=20,
+    dedup.py): the 21+ bucket's pair count is the quadratic work the
+    cap deletes, and re-running this query is how you'd retune max_df
+    on a new corpus (same role Good-Turing counts play for smoothing).
+    Rides the distinct-shingle dataflow (one explode + two hash aggs),
+    so the audit costs no more than the dedup pass it tunes."""
+    from .operators.det_hash import distinct_shingles
+
+    docs = t(spark, sf_dir, "documents")
+    sh = distinct_shingles(docs, "doc_id", "text", 3)
+    dfs = sh.groupBy("sh").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    bucket = (
+        F.when(F.col("df") == 1, "1")
+        .when(F.col("df") == 2, "2")
+        .when(F.col("df") <= 5, "3-5")
+        .when(F.col("df") <= 20, "6-20")
+        .otherwise("21+")
+    )
+    return dfs.groupBy(bucket.alias("df_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum("df").cast("long").alias("n_postings"),
+        F.sum(F.col("df") * (F.col("df") - 1) / 2).cast("long").alias("n_candidate_pairs"),
+    )
