@@ -1574,3 +1574,117 @@ def q183(spark, sf_dir):
         F.sum("df").cast("long").alias("n_postings"),
         F.sum(F.col("df") * (F.col("df") - 1) / 2).cast("long").alias("n_candidate_pairs"),
     )
+
+
+# =====================================================================
+# q184 — zero-filled reporting grid (date spine x dimension complete)
+# =====================================================================
+
+
+@query(
+    "q184_zero_fill_grid",
+    """
+    WITH bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events
+    ),
+    spine AS (
+      SELECT (d0 + to_days(CAST(i AS INT))) AS day
+      FROM bounds, unnest(range(0, datediff('day', d0, d1) + 1)) AS u(i)
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(s.day, '%Y-%m-%d') AS day, t.event_type,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_events,
+           CASE WHEN a.n IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN actual a ON a.day = s.day AND a.event_type = t.event_type
+    """,
+)
+def q184(spark, sf_dir):
+    """Dimension-complete reporting grid: every (day, event_type) cell
+    between the observed date bounds, zero-filled where no events
+    landed and flagged as a gap — the shape dashboards and gap-alert
+    jobs need (a missing day must APPEAR, which plain GROUP BY can
+    never produce). The spine is generated (sequence over the date
+    range), the dim set is a DISTINCT scan, and their cross join is
+    days x types — small by construction — broadcast-left-joined onto
+    the aggregated facts, so the fact table is still touched exactly
+    once. Complements q117 (grid + interpolation per series) with the
+    categorical zero-fill case."""
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    actual = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    grid = spine.crossJoin(types)
+    return (
+        grid.join(F.broadcast(actual), ["day", "event_type"], "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+            F.when(F.col("n").isNull(), 1).otherwise(0).alias("is_gap"),
+        )
+    )
+
+
+# =====================================================================
+# q185 — order-invariant table checksum (cross-engine fingerprint)
+# =====================================================================
+
+
+@query(
+    "q185_table_checksum",
+    """
+    WITH h AS (
+      SELECT o_orderpriority,
+             CAST('0x' || substr(md5(concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                                              o_orderstatus,
+                                              CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR))),
+                                 1, 15) AS BIGINT) % 2147483647 AS hv
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(hv) % 2147483647 AS BIGINT) AS checksum,
+           CAST(bit_xor(hv) AS BIGINT) AS xor_fold
+    FROM h GROUP BY o_orderpriority
+    """,
+)
+def q185(spark, sf_dir):
+    """Order-invariant table fingerprint: each row hashed (md5 of its
+    canonical string form, folded to 31 bits), combined with two
+    commutative reductions — modular sum and XOR — plus the row count.
+    Two tables are replicas iff their fingerprints match, with no sort
+    and no row shipping: this is the cheap cross-cluster integrity
+    check behind replication audits (and the same idea as the
+    driver's own value-hash gate). The 31-bit fold keeps the modular
+    sum inside int64 up to ~4e9 rows per group; beyond that the
+    documented widening is decimal(38) partial sums. One scan, one
+    hash aggregation."""
+    from .operators.det_hash import md5_long
+
+    o = t(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+    )
+    h = o.select(
+        "o_orderpriority", (md5_long(row_str) % F.lit(2147483647)).alias("hv")
+    )
+    return h.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.sum("hv") % F.lit(2147483647)).cast("long").alias("checksum"),
+        F.expr("bit_xor(hv)").cast("long").alias("xor_fold"),
+    )
