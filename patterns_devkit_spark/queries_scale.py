@@ -1688,3 +1688,88 @@ def q185(spark, sf_dir):
         (F.sum("hv") % F.lit(2147483647)).cast("long").alias("checksum"),
         F.expr("bit_xor(hv)").cast("long").alias("xor_fold"),
     )
+
+
+# =====================================================================
+# q186 — point-in-time training matrix (leakage-free features + label)
+# =====================================================================
+
+
+@query(
+    "q186_training_matrix",
+    """
+    WITH b AS (SELECT CAST(max(ts) AS DATE) - 7 AS cutoff FROM events),
+    feat AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events_14d,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_purchases_14d,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                   THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS cents_14d
+      FROM events, b
+      WHERE CAST(ts AS DATE) < b.cutoff AND CAST(ts AS DATE) >= b.cutoff - 14
+      GROUP BY user_id
+    ),
+    lab AS (
+      SELECT DISTINCT user_id, 1 AS label
+      FROM events, b
+      WHERE event_type = 'purchase'
+        AND CAST(ts AS DATE) >= b.cutoff AND CAST(ts AS DATE) < b.cutoff + 7
+    )
+    SELECT f.user_id, f.n_events_14d, f.n_purchases_14d, f.cents_14d,
+           CAST(coalesce(l.label, 0) AS BIGINT) AS label
+    FROM feat f LEFT JOIN lab l ON l.user_id = f.user_id
+    """,
+)
+def q186(spark, sf_dir):
+    """Materialize a leakage-free training matrix: features aggregated
+    STRICTLY before a cutoff (14-day activity window), binary label
+    from STRICTLY after it (purchase within 7 days) — the
+    point-in-time discipline (q148's PIT join, applied) that keeps a
+    churn/propensity model from training on its own answer. The
+    cutoff derives deterministically from the data (max date - 7), so
+    both engines draw identical windows; features and label are each
+    one filtered aggregation, joined on user. At 100 TB both scans
+    push their date predicates to the parquet reader and shuffle only
+    user grain."""
+    ev = t(spark, sf_dir, "events")
+    b = ev.agg(F.date_sub(F.to_date(F.max("ts")), 7).alias("cutoff"))
+    e = ev.crossJoin(F.broadcast(b)).withColumn("d", F.to_date("ts"))
+    feat = (
+        e.filter((F.col("d") < F.col("cutoff")) & (F.col("d") >= F.date_sub(F.col("cutoff"), 14)))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events_14d"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("n_purchases_14d"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.round(F.col("value") * 100).cast("long"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("cents_14d"),
+        )
+    )
+    lab = (
+        e.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("d") >= F.col("cutoff"))
+            & (F.col("d") < F.date_add(F.col("cutoff"), 7))
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("label", F.lit(1))
+    )
+    return feat.join(lab, "user_id", "left").select(
+        "user_id",
+        "n_events_14d",
+        "n_purchases_14d",
+        "cents_14d",
+        F.coalesce(F.col("label"), F.lit(0)).cast("long").alias("label"),
+    )
