@@ -57,6 +57,22 @@ def assert_pushed(df: DataFrame, *fragments: str) -> None:
         assert frag in joined, f"expected pushed filter {frag!r}, got {joined!r}"
 
 
+def single_partition_windows(df: DataFrame) -> int:
+    """Number of Window nodes fed by an Exchange SinglePartition — the
+    unpartitioned-global-window anti-pattern (one task sorts ALL
+    rows). In the simple physical-plan tree the pattern prints as
+    Window -> [Sort ->] Exchange SinglePartition, so the exchange sits
+    within two lines below the window node."""
+    lines = explain_str(df, "simple").splitlines()
+    n = 0
+    for i, line in enumerate(lines):
+        if re.search(r"\bWindow\b", line):
+            below = "\n".join(lines[i + 1 : i + 3])
+            if "Exchange SinglePartition" in below:
+                n += 1
+    return n
+
+
 def assert_pruned(df: DataFrame, table_cols: dict[str, int]) -> None:
     """Assert each scan reads at most the given column counts."""
     schemas = read_schemas(df)

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .operators import windows
 from .operators.det_hash import _SHINGLE_SQL, distinct_shingles, md5_long
 from .operators.text import tokens
 from .queries import query, t
@@ -768,11 +769,11 @@ def q103(spark, sf_dir):
     over purchase events, composed into the classic 3-digit RFM code —
     the marketing-analytics workhorse. Every ntile rides a total order
     (metric DESC, user_id ASC) so bucket assignment is engine-
-    independent; money in exact cents. Plan note: ntile over a global
-    ORDER BY is a single-partition sort — correct for the per-user
-    aggregate (rows = users, already reduced), and at extreme user
-    counts the scale form is percentile-bucketing via range
-    partitioning (q50's ntile note applies)."""
+    independent; money in exact cents. Scale form: each ntile is a
+    two-pass range-partitioned rank (operators/windows.global_ntile)
+    instead of a single-partition global sort — three parallel window
+    shuffles over the already-reduced user-grain table, exact for any
+    bucket boundaries (plan-gated)."""
     e = t(spark, sf_dir, "events")
     p = (
         e.filter(F.col("event_type") == "purchase")
@@ -782,19 +783,24 @@ def q103(spark, sf_dir):
             F.count(F.lit(1)).cast("long").alias("freq"),
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("monetary_cents"),
         )
+        .withColumn("last_us", F.unix_micros("last_ts"))
     )
-    wr = Window.orderBy(F.col("last_ts").desc(), F.col("user_id").asc())
-    wf = Window.orderBy(F.col("freq").desc(), F.col("user_id").asc())
-    wm = Window.orderBy(F.col("monetary_cents").desc(), F.col("user_id").asc())
-    scored = p.select(
-        "user_id",
-        "freq",
-        "monetary_cents",
-        F.ntile(5).over(wr).cast("long").alias("r"),
-        F.ntile(5).over(wf).cast("long").alias("f"),
-        F.ntile(5).over(wm).cast("long").alias("m"),
+    scored = windows.global_ntile(
+        p, "last_us", False,
+        [F.col("last_us").desc(), F.col("user_id").asc()], 5, out_col="r",
     )
-    return scored.withColumn("rfm_code", (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("long"))
+    scored = windows.global_ntile(
+        scored, "freq", False,
+        [F.col("freq").desc(), F.col("user_id").asc()], 5, out_col="f",
+    )
+    scored = windows.global_ntile(
+        scored, "monetary_cents", False,
+        [F.col("monetary_cents").desc(), F.col("user_id").asc()], 5, out_col="m",
+    )
+    return scored.select(
+        "user_id", "freq", "monetary_cents", "r", "f", "m",
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("long").alias("rfm_code"),
+    )
 
 
 # =====================================================================
@@ -1043,16 +1049,16 @@ def q109(spark, sf_dir):
     running token total — the deterministic offset-based packing that
     turns short documents into dense training sequences (a doc
     straddling a boundary spills into the earlier pack; no doc is
-    split). The global running sum is a single-partition window over
-    (doc_id, n_tok) PAIRS — bytes proportional to doc count, not
-    corpus size; at extreme doc counts the scale form is two-pass:
-    per-range-partition token subtotals broadcast back as offsets (the
-    same trick as operators/ids two-pass monotonic ids)."""
+    split). Scale form: the running token total is a two-pass
+    range-partitioned prefix sum (operators/windows.global_prefix_sum:
+    per-range subtotals broadcast back as offsets) over (doc_id,
+    n_tok) pairs — no single-partition sort anywhere (plan-gated)."""
     docs = t(spark, sf_dir, "documents")
     lens = docs.select("doc_id", F.size(tokens("text")).cast("long").alias("n_tok"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    cum = lens.select(
-        "doc_id", "n_tok", (F.sum("n_tok").over(w) - F.col("n_tok")).alias("prev_cum")
+    cum = windows.global_prefix_sum(
+        lens, "doc_id", True, [F.col("doc_id").asc()], "n_tok", out_col="__cum"
+    ).select(
+        "doc_id", "n_tok", (F.col("__cum") - F.col("n_tok")).alias("prev_cum")
     )
     return cum.groupBy(F.expr(f"CAST(prev_cum DIV {_PACK_BUDGET} AS BIGINT)").alias("pack_id")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

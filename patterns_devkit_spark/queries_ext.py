@@ -9,7 +9,7 @@ import pandas as pd  # module-scope: pandas_udf resolves 'pd.Series' hints here
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .operators import det_hash
+from .operators import det_hash, windows
 from .queries import ORACLES, QUERIES, cents_sum, query, t
 
 
@@ -23,12 +23,17 @@ from .queries import ORACLES, QUERIES, cents_sum, query, t
 )
 def q44(spark, sf_dir):
     """RANGE frame (peer/value-based, no tie-break needed): for each
-    order, how many orders cost within $1000 less."""
+    order, how many orders cost within $1000 less. Scale form: the
+    naive `Window.orderBy(o_totalprice)` is an Exchange
+    SinglePartition sort of every order; banded_range_count
+    range-buckets on price and replicates only the $1000 halo below
+    each boundary, so the sort parallelizes (plan-gated in
+    tests/test_plan_quality.py)."""
     o = t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice").rangeBetween(-1000, 0)
-    return o.select(
-        "o_orderkey", "o_totalprice", F.count(F.lit(1)).over(w).alias("n_within_1000")
-    )
+    return windows.banded_range_count(
+        o.select("o_orderkey", "o_totalprice"),
+        "o_totalprice", low=-1000, high=0, out_col="n_within_1000",
+    ).select("o_orderkey", "o_totalprice", "n_within_1000")
 
 
 @query(

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from .operators import intervals as iv_ops
 from .operators import timeseries as ts_ops
+from .operators import windows as win_ops
 from .operators.quality import Check, constraint_audit
 from .queries import query, t
 
@@ -450,8 +451,10 @@ def q122(spark, sf_dir):
     min-count pruning, then dense contiguous ids assigned by (tf desc,
     token asc) — the deterministic ordering a BPE/word-level tokenizer
     trainer needs for reproducible vocab files. The global row_number
-    runs AFTER the min-count filter, on vocabulary-sized (not
-    corpus-sized) data, so the single-partition window is bounded."""
+    runs AFTER the min-count filter on vocabulary-sized data, and via
+    the two-pass range-partitioned rank
+    (operators/windows.global_row_number) — parallel even at
+    web-corpus vocabulary sizes (plan-gated)."""
     d = t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
@@ -460,9 +463,10 @@ def q122(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("tf"),
         F.count_distinct("doc_id").cast("long").alias("df"),
     ).filter(F.col("tf") >= 10)
-    w = Window.orderBy(F.col("tf").desc(), F.col("token").asc())
-    return f.select(
-        (F.row_number().over(w) - 1).cast("long").alias("token_id"), "token", "tf", "df"
+    return win_ops.global_row_number(
+        f, "tf", False, [F.col("tf").desc(), F.col("token").asc()], out_col="__rn"
+    ).select(
+        (F.col("__rn") - 1).cast("long").alias("token_id"), "token", "tf", "df"
     )
 
 
@@ -1408,13 +1412,17 @@ def q141(spark, sf_dir):
     G = (2*sum(i*x) - (n+1)*sum(x)) / (n*sum(x)) — numerator and
     denominator emitted as exact int64 (products stay well under 2^63
     at warehouse scale since x is per-customer cents). The global rank
-    runs over customer-level aggregates, not raw orders."""
+    runs over customer-level aggregates via the two-pass
+    range-partitioned form (operators/windows.global_row_number) —
+    no single-partition sort at any customer count (plan-gated)."""
     o = t(spark, sf_dir, "orders")
     c = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
-    w = Window.orderBy(F.col("cents").asc(), F.col("o_custkey").asc())
-    r = c.select("cents", F.row_number().over(w).cast("long").alias("i"))
+    r = win_ops.global_row_number(
+        c, "cents", True,
+        [F.col("cents").asc(), F.col("o_custkey").asc()], out_col="i",
+    ).select("cents", "i")
     return r.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("cents").cast("long").alias("total_cents"),

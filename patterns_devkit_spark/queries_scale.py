@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from .operators import windows as win_ops
 from .operators.det_hash import md5_long
 from .queries import query, t
 
@@ -710,25 +711,21 @@ def q169(spark, sf_dir):
     the running total stays within 80% of global revenue, B to 95%,
     C after — the inventory-prioritization primitive, with every
     boundary decision on exact integer cents (cum*100 <= total*80, no
-    percentage floats). One aggregation to part grain, then a global
-    running sum — the single-partition window is over the PART table
-    (already reduced), not the fact scan; at extreme part cardinality
-    the documented relaxation is range-partitioned prefix sums
-    (two-pass: per-range subtotals broadcast back, the q140 pattern)."""
+    percentage floats). One aggregation to part grain, then the
+    running sum via the two-pass range-partitioned prefix sum
+    (operators/windows.global_prefix_sum: per-range subtotals
+    broadcast back as offsets), and the grand total as a broadcast
+    scalar — no single-partition window at any part cardinality
+    (plan-gated)."""
     li = t(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("long").alias("cents")
     )
-    w_cum = Window.orderBy(F.col("cents").desc(), F.col("l_partkey").asc()).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    w_all = Window.partitionBy()
-    classed = rev.select(
-        "l_partkey",
-        "cents",
-        F.sum("cents").over(w_cum).alias("cum"),
-        F.sum("cents").over(w_all).alias("total"),
-    ).withColumn(
+    total = rev.agg(F.sum("cents").cast("long").alias("total"))
+    classed = win_ops.global_prefix_sum(
+        rev, "cents", False,
+        [F.col("cents").desc(), F.col("l_partkey").asc()], "cents", out_col="cum",
+    ).crossJoin(F.broadcast(total)).withColumn(
         "abc",
         F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
         .when(F.col("cum") * 100 <= F.col("total") * 95, "B")

@@ -1,0 +1,95 @@
+"""Scale-safe global windows (operators/windows.global_*): exact
+equivalence with the naive single-partition Window for every bucket
+count (1, 2, 7, default), including ties on the bucket key, both sort
+directions, and n < k ntiles — plus the plan gate: no rebased query
+plans an Exchange SinglePartition into a Window (VERDICT r2 item 1)."""
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from patterns_devkit_spark.operators import windows as W
+from patterns_devkit_spark.plans.inspect import single_partition_windows
+from patterns_devkit_spark.queries import QUERIES
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    # keys with heavy ties (k // 3) so boundary ties must co-bucket;
+    # id is the total-order tiebreaker; v is the summed value.
+    rows = [(i, (i * 7) % 13, (i * 3) % 5 + 1) for i in range(200)]
+    return spark.createDataFrame(rows, "id long, k long, v long")
+
+
+def naive(df, asc):
+    order = [F.col("k").asc() if asc else F.col("k").desc(), F.col("id").asc()]
+    w = Window.orderBy(*order)
+    return df.select(
+        "id",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long").alias("cum"),
+        F.ntile(7).over(w).cast("long").alias("t7"),
+        F.ntile(3).over(w).cast("long").alias("t3"),
+    )
+
+
+@pytest.mark.parametrize("buckets", [1, 2, 7, None])
+@pytest.mark.parametrize("asc", [True, False])
+def test_rank_prefix_ntile_match_naive(spark, df, buckets, asc):
+    expect = {r["id"]: r for r in naive(df, asc).collect()}
+    order = [F.col("k").asc() if asc else F.col("k").desc(), F.col("id").asc()]
+    got_rn = W.global_row_number(df, "k", asc, order, "rn", num_buckets=buckets)
+    got_cum = W.global_prefix_sum(df, "k", asc, order, "v", "cum", num_buckets=buckets)
+    got_t7 = W.global_ntile(df, "k", asc, order, 7, "t7", num_buckets=buckets)
+    got_t3 = W.global_ntile(df, "k", asc, order, 3, "t3", num_buckets=buckets)
+    for col, got in (("rn", got_rn), ("cum", got_cum), ("t7", got_t7), ("t3", got_t3)):
+        for r in got.collect():
+            assert r[col] == expect[r["id"]][col], f"{col} mismatch at id={r['id']}"
+
+
+def test_ntile_more_tiles_than_rows(spark):
+    small = spark.createDataFrame([(i, i) for i in range(4)], "id long, k long")
+    expect = {
+        r["id"]: r["t"]
+        for r in small.select(
+            "id", F.ntile(9).over(Window.orderBy("k", "id")).cast("long").alias("t")
+        ).collect()
+    }
+    got = W.global_ntile(small, "k", True, [F.col("k").asc(), F.col("id").asc()], 9, "t")
+    for r in got.collect():
+        assert r["t"] == expect[r["id"]]
+
+
+@pytest.mark.parametrize("buckets", [1, 3, None])
+def test_banded_range_count_matches_naive(spark, buckets):
+    # values clustered so frames regularly span bucket boundaries
+    rows = [(i, float((i * 37) % 100) + (i % 3) * 0.5) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, val double")
+    w = Window.orderBy("val").rangeBetween(-10, 0)
+    expect = {r["id"]: r["n"] for r in df.select("id", F.count(F.lit(1)).over(w).alias("n")).collect()}
+    got = W.banded_range_count(df, "val", low=-10, high=0, out_col="n", num_buckets=buckets)
+    assert got.count() == 300  # halo rows are not emitted
+    for r in got.collect():
+        assert r["n"] == expect[r["id"]], f"id={r['id']}"
+
+
+def test_rebased_queries_have_no_single_partition_window(spark, sf_dir):
+    """The r2 perf-weak family: every plan's Window must ride a
+    parallel (hash/range) partitioning, never Exchange SinglePartition."""
+    for name in (
+        "q44_range_between",
+        "q103_rfm",
+        "q109_sequence_packing",
+        "q141_concentration",
+        "q122_vocab_build",
+        "q169_abc_classification",
+    ):
+        df = QUERIES[name](spark, sf_dir)
+        assert single_partition_windows(df) == 0, f"{name} plans a single-partition window"
+
+
+def test_single_partition_window_detector_fires(spark):
+    """The gate itself must detect the anti-pattern on a naive plan."""
+    df = spark.range(100).select(
+        "id", F.row_number().over(Window.orderBy("id")).alias("rn")
+    )
+    assert single_partition_windows(df) >= 1
