@@ -81,8 +81,13 @@ _EMPTY_TABLE_META: dict[str, Any] = {
     "auto_indexes": True,
     "monotonic_hwm": 0,
     "record_counts": {},
-    "retention_keep": 3,
+    "retention_keep": None,  # None -> DEFAULT_RETENTION at read time
 }
+
+# Default number of non-active versions Table.reset()/GC keeps around
+# for time travel; shared by the system views (system.py) so the two
+# never drift.
+DEFAULT_RETENTION = 3
 
 
 class Catalog:
@@ -183,7 +188,7 @@ class Catalog:
         retention policy, and is accessible until garbage collected')."""
         with self._lock:
             meta = self.ensure_table(name)
-            keep = meta.get("retention_keep", 3)
+            keep = meta.get("retention_keep") or DEFAULT_RETENTION
             active = meta["active_version"]
             inactive = [v for v in meta["versions"] if v != active]
             doomed = inactive[:-keep] if keep else inactive
@@ -210,6 +215,20 @@ class Catalog:
     @staticmethod
     def _cursor_key(node_id: str, table: str, order_by: str) -> str:
         return f"{node_id}|{table}|{order_by}"
+
+    def cursors(self) -> list[tuple[str, str, str, Any]]:
+        """Public structured view of all stream cursors:
+        (node_id, table, order_by, raw value). The authoritative
+        components come from re-splitting the storage key on its LAST
+        two separators (table names and order columns are
+        identifier-validated and cannot contain '|', so a '|' in a
+        node id can only be part of the node-id prefix) — consumers
+        never parse the key format themselves (system.py reads this)."""
+        out = []
+        for key, cur in (self._doc.get("cursors") or {}).items():
+            node_id, table, order_by = key.rsplit("|", 2)
+            out.append((node_id, table, order_by, _untag(cur)))
+        return out
 
     def get_cursor(self, node_id: str, table: str, order_by: str) -> Any:
         return _untag(self._doc["cursors"].get(self._cursor_key(node_id, table, order_by)))

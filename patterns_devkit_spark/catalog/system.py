@@ -18,6 +18,8 @@ from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame
 
+from .catalog import DEFAULT_RETENTION
+
 if TYPE_CHECKING:  # pragma: no cover
     from ..node.node import Engine
 
@@ -60,7 +62,7 @@ def system_dataframes(engine: "Engine") -> dict[str, DataFrame]:
                 counts.get(active),
                 ",".join(uo) or None,
                 ",".join(pb) or None,
-                meta.get("retention_keep", 3),
+                meta.get("retention_keep") or DEFAULT_RETENTION,
                 bool(meta.get("schema_ddl")),
             )
         )
@@ -69,13 +71,10 @@ def system_dataframes(engine: "Engine") -> dict[str, DataFrame]:
             nf, nb = _version_files(d) if os.path.isdir(d) else (0, 0)
             v_rows.append((name, vid, vid == active, nf > 0, counts.get(vid), nf, nb))
 
-    from .catalog import _untag
-
-    s_rows = []
-    for key, cur in (cat._doc.get("cursors") or {}).items():
-        node_id, table, order_by = key.split("|", 2)
-        val = _untag(cur)
-        s_rows.append((node_id, table, order_by, None if val is None else str(val)))
+    s_rows = [
+        (node_id, table, order_by, None if val is None else str(val))
+        for node_id, table, order_by, val in cat.cursors()
+    ]
 
     events, _ = cat.read_events()
     e_rows = [(e.get("ts"), e.get("table"), e.get("kind"), e.get("node_id")) for e in events]

@@ -15,6 +15,7 @@ bit-identical bitmap; slopes and decayed sums are exact bigints.
 """
 from __future__ import annotations
 
+import pandas as pd  # module-scope: pandas_udf resolves 'pd.Series' hints here
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -431,8 +432,8 @@ def q165(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_co"))
         .filter(F.col("n_co") >= 2)
         .select("u", "v")
-        .persist()
-    )
+    )  # no persist: the e subtree repeats in ONE plan, so its shuffle
+    # dedupes via ReusedExchange — nothing pinned for the session
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -531,7 +532,7 @@ def q166(spark, sf_dir):
     ),
     cent AS (
       SELECT label AS clabel, d,
-             CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS c
+             CAST((sum(v) - ((sum(v) % count(*) + count(*)) % count(*))) // count(*) AS BIGINT) AS c
       FROM ep GROUP BY label, d
     ),
     dist AS (
@@ -558,9 +559,10 @@ def q167(spark, sf_dir):
     nearest OTHER label centroid; a vector closer to a foreign
     centroid (negative margin) is a mislabel suspect — the standard
     confident-learning screen run before training on labeled data.
-    Everything is integer-exact (same micro-quantization + floor-mean
-    centroids as the IVF quantizer, det_hash.py), so the oracle
-    replays the audit bit-for-bit. Shape: one explode over dims, one
+    Everything is integer-exact (micro-quantization + TRUE bigint
+    floor-mean centroids via (sum - pmod) DIV n on both engines — no
+    double rounding at any magnitude), so the oracle replays the
+    audit bit-for-bit. Shape: one explode over dims, one
     centroid aggregate (10 labels x 64 dims — a broadcast), one
     per-(vector,label) distance aggregate — linear scans, shuffles on
     vec_id, never pairwise between vectors."""
@@ -568,9 +570,15 @@ def q167(spark, sf_dir):
 
     emb = t(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", "label", quantized_embedding("embedding").alias("ei"))
-    ep = e.select("vec_id", "label", F.posexplode("ei").alias("d", "v")).persist()
+    ep = e.select("vec_id", "label", F.posexplode("ei").alias("d", "v"))
+    # no persist: both consumers sit in one plan (scan re-read is cheap;
+    # nothing pinned for the session)
+    # exact bigint floor division (sum - pmod(sum, n)) DIV n: both
+    # engines' integer division truncates toward zero, so subtracting
+    # the non-negative pmod makes the quotient an exact floor at ANY
+    # |sum| — no double rounding even past 2^53
     cent = ep.groupBy(F.col("label").alias("clabel"), "d").agg(
-        F.floor(F.sum("v") / F.count(F.lit(1))).cast("long").alias("c")
+        F.expr("CAST((sum(v) - pmod(sum(v), count(*))) DIV count(*) AS BIGINT)").alias("c")
     )
     dist = (
         ep.join(F.broadcast(cent), "d")
@@ -1070,7 +1078,7 @@ def q175(spark, sf_dir):
         "event_type",
         F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
         (F.col("user_id") % 256).cast("string").alias("ubucket"),
-    ).persist()
+    )  # no persist: three cheap aggregates over one column-pruned scan
 
     def stats(col, label):
         per = base.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("n"))
@@ -1321,8 +1329,11 @@ def q179(spark, sf_dir):
                 return
             import re
 
-            for piece in re.split(r"[.!?]+\s+", text):
-                p = piece.strip()
+            # re.ASCII + explicit ASCII strip set: pin to the oracle's
+            # RE2 \s and trim() (ASCII-only) so Unicode whitespace in
+            # future fixtures can't drift the two engines apart
+            for piece in re.split(r"[.!?]+\s+", text, flags=re.ASCII):
+                p = piece.strip(" \t\n\r\f\v")
                 if p:
                     yield doc_id, p, len(p)
 
@@ -1366,11 +1377,10 @@ def q180(spark, sf_dir):
     across engines. GROUPED_AGG ships each group's column as ONE
     Arrow batch: right for bounded group sizes; the documented
     relaxation at huge groups is approx_percentile."""
-    import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def iqr(v: pd.Series) -> float:
+    @pandas_udf("double")
+    def iqr(v: pd.Series) -> float:  # Series -> scalar: inferred GROUPED_AGG
         return float(v.quantile(0.75) - v.quantile(0.25))
 
     li = t(spark, sf_dir, "lineitem")
