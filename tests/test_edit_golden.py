@@ -28,12 +28,14 @@ GOLDEN = textwrap.dedent(
 def test_assign_ids_preserves_everything_else():
     rng = random.Random(7)
     out, n = assign_missing_ids(GOLDEN, rng)
-    assert n == 1  # only ingest.py lacked an id
-    # removing the single inserted line reproduces the input EXACTLY
+    # reference add_missing_node_ids covers functions AND stores
+    # (test_config_editor.py:151-178): ingest.py + both stores
+    assert n == 3
     lines = out.splitlines(keepends=True)
     inserted = [ln for ln in lines if ln.strip().startswith("id: ") and "fixed001" not in ln]
-    assert len(inserted) == 1
-    restored = "".join(ln for ln in lines if ln is not inserted[0])
+    assert len(inserted) == 3
+    # removing the inserted lines reproduces the input EXACTLY
+    restored = "".join(ln for ln in lines if ln not in inserted)
     assert restored == GOLDEN
     # inserted directly under the entry start, matching indent
     idx = lines.index(inserted[0])
@@ -45,7 +47,7 @@ def test_assign_ids_idempotent():
     rng = random.Random(7)
     once, n1 = assign_missing_ids(GOLDEN, rng)
     twice, n2 = assign_missing_ids(once, rng)
-    assert n1 == 1 and n2 == 0 and twice == once
+    assert n1 == 3 and n2 == 0 and twice == once
 
 
 def test_append_function_entry_preserves_comments():
