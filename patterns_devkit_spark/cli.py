@@ -114,24 +114,24 @@ def cmd_upload(args) -> int:
         for e in errors:
             print(f"  node {e['node_id']}: {e['message']}")
         return 1
-    # register: snapshot the app dir into the warehouse (the reference
-    # zips to the server; ours is the local registry for download/diff)
+    # register: package the app dir as a zip manifest and install it
+    # into the warehouse registry — the same compress -> extract
+    # round-trip the reference ships to its server (reference
+    # helpers.py:116-125 + edit.py:261-263), with .gitignore globs
+    # respected by the packager (graph/archive.py)
     import shutil
+
+    from .graph.archive import GraphDirectoryEditor, compress_directory
 
     slug = spec.slug or os.path.basename(root)
     dest = os.path.join(_warehouse(args), "apps", slug)
+    manifest = compress_directory(root)
     if os.path.isdir(dest):
         shutil.rmtree(dest)
-    # packaging respects .gitignore globs like the reference's zip
-    # upload (reference helpers.py:110-125)
-    patterns = [".git", "__pycache__", "*.pyc"]
-    gitignore = os.path.join(root, ".gitignore")
-    if os.path.exists(gitignore):
-        for line in open(gitignore):
-            line = line.strip().rstrip("/")
-            if line and not line.startswith("#"):
-                patterns.append(line)
-    shutil.copytree(root, dest, ignore=shutil.ignore_patterns(*patterns))
+    os.makedirs(dest, exist_ok=True)
+    GraphDirectoryEditor(dest, overwrite=True).add_node_from_zip(
+        "graph.yml", "graph.yml", manifest
+    )
     print(f"Uploaded graph {spec.title or slug!r}: {len(spec.functions)} nodes OK")
     return 0
 
@@ -207,22 +207,30 @@ def cmd_delete(args) -> int:
 
 
 def cmd_download(args) -> int:
-    """Copy a registered app out of the warehouse (reference download;
-    refuses to overwrite existing files without --force, mirroring the
-    directory editor's overwrite protection)."""
-    import shutil
+    """Extract a registered app out of the warehouse through the zip
+    editor (reference download): per-FILE overwrite protection —
+    identical local files are left alone, a DIFFERING local file
+    aborts with its path unless --force (FileOverwriteError semantics,
+    reference edit.py:346-361)."""
+    from .graph.archive import FileOverwriteError, GraphDirectoryEditor, compress_directory
 
     src = os.path.join(_warehouse(args), "apps", args.slug)
     if not os.path.isdir(src):
         print(f"error: no registered app {args.slug!r}", file=sys.stderr)
         return 1
     dest = args.dest or args.slug
-    if os.path.exists(dest) and not args.force:
-        print(f"error: {dest!r} exists (use --force to overwrite)", file=sys.stderr)
+    os.makedirs(dest, exist_ok=True)
+    manifest = compress_directory(src)
+    try:
+        GraphDirectoryEditor(dest, overwrite=args.force).add_node_from_zip(
+            "graph.yml", "graph.yml", manifest
+        )
+    except FileOverwriteError as e:
+        print(
+            f"error: would overwrite local edits in {e.file_path} (use --force)",
+            file=sys.stderr,
+        )
         return 1
-    if os.path.exists(dest):
-        shutil.rmtree(dest)
-    shutil.copytree(src, dest)
     print(f"Downloaded {args.slug} -> {dest}")
     return 0
 

@@ -178,9 +178,18 @@ def test_cli_upload_download_diff_cycle(tmp_path):
     r = run_cli(["--warehouse", wh, "download", "cycleapp", "restored"], str(tmp_path))
     assert r.returncode == 0, r.stderr
     assert (tmp_path / "restored" / "n1.py").read_text() == "from patterns import Table\n"
-    # overwrite protection
+    # per-file overwrite protection (reference FileOverwriteError
+    # semantics): identical re-download is an idempotent no-op ...
+    r = run_cli(["--warehouse", wh, "download", "cycleapp", "restored"], str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    # ... but a locally-EDITED file refuses to be clobbered
+    (tmp_path / "restored" / "n1.py").write_text("# local edit\n")
     r = run_cli(["--warehouse", wh, "download", "cycleapp", "restored"], str(tmp_path))
     assert r.returncode == 1 and "use --force" in r.stderr
+    # --force clobbers as asked
+    r = run_cli(["--warehouse", wh, "download", "cycleapp", "restored", "--force"], str(tmp_path))
+    assert r.returncode == 0
+    assert (tmp_path / "restored" / "n1.py").read_text() == "from patterns import Table\n"
 
 
 def test_cli_trigger_runs_node_on_spark(tmp_path):
