@@ -1780,3 +1780,61 @@ def q186(spark, sf_dir):
         "cents_14d",
         F.coalesce(F.col("label"), F.lit(0)).cast("long").alias("label"),
     )
+
+
+# =====================================================================
+# q187 — keyset (seek) pagination: the scale form of q157
+# =====================================================================
+
+
+@query(
+    "q187_keyset_pagination",
+    """
+    WITH page1 AS (
+      SELECT c_acctbal, c_custkey FROM customer
+      ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10
+    ),
+    last AS (
+      SELECT c_acctbal AS lb, c_custkey AS lk FROM page1
+      ORDER BY c_acctbal ASC, c_custkey DESC LIMIT 1
+    )
+    SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+    FROM customer, last
+    WHERE c_acctbal < lb OR (c_acctbal = lb AND c_custkey > lk)
+    ORDER BY c_acctbal DESC, c_custkey ASC
+    LIMIT 10
+    """,
+)
+def q187(spark, sf_dir):
+    """Keyset (seek) pagination — the scale form of q157's
+    LIMIT/OFFSET: the client passes page 1's LAST key back as
+    literals, and page 2 is `WHERE (bal, key) after (last_bal,
+    last_key) ORDER BY ... LIMIT n`. OFFSET must still read and
+    discard every earlier row (fine for page 2, quadratic for page
+    10,000 — the documented small-result form); the seek predicate
+    prunes AT THE SCAN (row-group min/max on the pushed filter,
+    plan-gated in tests/test_plan_quality.py) and the LIMIT plans as
+    TakeOrdered — per-page cost stays flat at any page depth. The
+    boundary fetch is one TakeOrdered job collecting a single row
+    (the client-state handshake of every keyset API); identical
+    output to q157's rows 11-20."""
+    c = t(spark, sf_dir, "customer")
+    last = (
+        c.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+        .select("c_acctbal", "c_custkey")
+        .limit(10)
+        .collect()[-1]
+    )
+    lb, lk = last["c_acctbal"], last["c_custkey"]
+    seek = (F.col("c_acctbal") < F.lit(lb)) | (
+        (F.col("c_acctbal") == F.lit(lb)) & (F.col("c_custkey") > F.lit(lk))
+    )
+    return (
+        c.filter(seek)
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+        .limit(10)
+        .select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+        )
+    )

@@ -285,3 +285,16 @@ def test_triangle_count_sparsifier_bounds_two_hop(spark, sf_dir):
     assert "isFinalPlan=true" in final
     assert final.count("SortMergeJoin") <= 2
     assert final.count("BroadcastHashJoin") >= final.count("SortMergeJoin")
+
+
+def test_keyset_pagination_pushes_seek_and_takes_ordered(spark, sf_dir):
+    """q187 (VERDICT r2 item 7): the seek predicate reaches the
+    parquet scan (row-group pruning at any page depth) and the page
+    LIMIT plans as TakeOrdered — no global sort, no offset discard.
+    The seek page must equal the OFFSET page row-for-row."""
+    df = QUERIES["q187_keyset_pagination"](spark, sf_dir)
+    pushed = ";".join(pushed_filters(df))
+    assert "c_acctbal" in pushed, f"seek predicate not pushed: {pushed}"
+    assert "TakeOrderedAndProject" in explain_str(df)
+    offset_page = QUERIES["q157_pagination"](spark, sf_dir).collect()
+    assert df.collect() == offset_page
