@@ -182,6 +182,19 @@ class Catalog:
         meta = self.table_meta(name)
         return (meta or {}).get("record_counts", {}).get(version)
 
+    def set_order_hwm(self, name: str, version: str, value: Any) -> None:
+        """Write-time high-water mark of the table's declared ordering
+        column for a version — harvested from parquet FOOTER stats at
+        write (node.py _track_order_hwm), so cursor seeks and stream
+        demos never pay a scan job for 'what is the max key'."""
+        with self._lock:
+            self.ensure_table(name).setdefault("order_hwms", {})[version] = _tag(value)
+            self._persist()
+
+    def get_order_hwm(self, name: str, version: str) -> Any:
+        meta = self.table_meta(name)
+        return _untag((meta or {}).get("order_hwms", {}).get(version))
+
     def gc_versions(self, name: str) -> list[str]:
         """Drop inactive versions beyond the table's retention policy
         (node.py:403-404 'old data is kept ... according to the table's

@@ -124,6 +124,35 @@ def _cast_parameter(value: Any, typ: type) -> Any:
         raise ValueError(f"cannot cast parameter value {value!r} to {typ.__name__}") from e
 
 
+def _parquet_footer_max(root: str, col: str):
+    """Max value of `col` across every parquet ROW-GROUP FOOTER under
+    root — O(files) metadata reads, never a data scan. The same
+    min/max stats the incremental stream slice prunes on (SURVEY.md
+    §4) answer "what is the max key" for free, because versions are
+    written sorted on the ordering column (_sorted_for_write)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    mx = None
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(dirpath, fn)).metadata
+            try:
+                ci = md.schema.to_arrow_schema().names.index(col)
+            except ValueError:
+                continue
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                if mx is None or st.max > mx:
+                    mx = st.max
+    return mx
+
+
 class TableVersion:
     """A specific version of a Table — an actual dataset that may or may
     not have data yet (node.py:84-114). Physically one Parquet dir."""
@@ -253,6 +282,37 @@ class Table:
             return None
         av = self.get_active_version()
         return av.record_count if av else None
+
+    def _track_order_hwm(self, storage: str, meta: dict, version: str) -> None:
+        ob = meta.get("strictly_monotonic_ordering") or meta.get("created_ordering")
+        if not ob:
+            return
+        try:
+            mx = _parquet_footer_max(storage, ob)
+        except Exception:
+            mx = None  # stats unavailable: order_max() falls back to a scan
+        if mx is not None:
+            self._engine.catalog.set_order_hwm(self.store_name, version, mx)
+
+    def order_max(self):
+        """Max value of the declared ordering column in the active
+        version, from the write-time footer-stats high-water mark
+        (catalog order_hwms) — NO scan job. Falls back to one
+        aggregate scan if the version predates tracking."""
+        if not self.is_connected:
+            return None
+        av = self.get_active_version()
+        if av is None:
+            return None
+        hwm = self._engine.catalog.get_order_hwm(self.store_name, av.version_id)
+        if hwm is not None:
+            return hwm
+        meta = self._engine.catalog.table_meta(self.store_name) or {}
+        ob = meta.get("strictly_monotonic_ordering") or meta.get("created_ordering")
+        if not ob:
+            return None
+        df = av.as_dataframe()
+        return df.agg(F.max(ob)).collect()[0][0] if df is not None else None
 
     @property
     def sql_name(self) -> str | None:
@@ -662,6 +722,7 @@ class Table:
                 self._link_untouched_partitions(av.storage, out_dir, part_cols[0], touched)
             n = self._engine.spark.read.parquet(out_dir).count()
             catalog.set_record_count(self.store_name, new_version, n)
+            self._track_order_hwm(out_dir, meta, new_version)
             catalog.set_active_version(self.store_name, new_version)
             catalog.gc_versions(self.store_name)
         else:
@@ -684,6 +745,7 @@ class Table:
             self._writer(df, meta).mode("append").parquet(av.storage)
             batch_n = df.count()
             catalog.set_record_count(self.store_name, av.version_id, prev + batch_n)
+            self._track_order_hwm(av.storage, meta, av.version_id)
         # persist the MERGED schema (driver-side union of existing +
         # batch): the version dir may hold files with different column
         # sets, and reads pin to this schema (TableVersion.as_dataframe)

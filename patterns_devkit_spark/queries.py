@@ -1138,7 +1138,10 @@ def sdk03(spark, sf_dir):
 )
 def sdk04(spark, sf_dir):
     """Stream cursor: seek to half the keyspace, consume the rest as a
-    distributed slice (cursor filter prunes via parquet min/max)."""
+    distributed slice (cursor filter prunes via parquet min/max). The
+    seek midpoint comes from the engine's write-time order high-water
+    mark (Table.order_max: parquet footer stats harvested at write,
+    catalog order_hwms) — no extra scan job just to learn max(key)."""
     from .node.node import Table
 
     eng = _temp_engine(spark)
@@ -1147,9 +1150,9 @@ def sdk04(spark, sf_dir):
         tbl = Table("out", "w")
         tbl.init(strictly_monotonic_ordering="event_id")
         tbl.append(ev)
-    mid = ev.agg(F.max("event_id")).collect()[0][0] // 2
     with eng.node_context("c", inputs={"in": "ev_copy"}):
         tbl = Table("in", "r")
+        mid = tbl.order_max() // 2
         stream = tbl.as_stream()
         stream.seek(mid)
         return stream.consume_spark().select("event_id", "user_id", "event_type", "value")

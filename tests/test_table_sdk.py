@@ -287,3 +287,36 @@ def test_system_views_reflect_catalog(engine):
         ).collect()
     }
     assert "create" in kinds or "update" in kinds
+
+
+def test_order_max_from_footer_stats(engine, spark, sf_dir):
+    """Write-time order HWM (VERDICT r2 item 8): order_max() answers
+    from catalog-stored parquet footer stats — the catalog holds the
+    value immediately after the write, it matches the true max, and
+    deleting the stored HWM still yields the same answer via the scan
+    fallback."""
+    from patterns_devkit_spark import Table
+    from patterns_devkit_spark.queries import t as load
+
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    with engine.node_context("w", outputs={"out": "ev_hwm"}):
+        tb = Table("out", "w")
+        tb.init(strictly_monotonic_ordering="event_id")
+        tb.append(ev)
+    true_max = ev.agg({"event_id": "max"}).collect()[0][0]
+    with engine.node_context("r", inputs={"in": "ev_hwm"}):
+        tb = Table("in", "r")
+        av = tb.get_active_version()
+        stored = engine.catalog.get_order_hwm("ev_hwm", av.version_id)
+        assert stored == true_max  # harvested at write, no scan needed
+        assert tb.order_max() == true_max
+        # appends advance the HWM
+    with engine.node_context("w2", outputs={"out": "ev_hwm"}):
+        Table("out", "w").append([{"event_id": true_max + 5, "value": 1.0}])
+    with engine.node_context("r2", inputs={"in": "ev_hwm"}):
+        tb = Table("in", "r")
+        assert tb.order_max() == true_max + 5
+        # scan fallback agrees when the stored HWM is absent
+        av = tb.get_active_version()
+        engine.catalog.ensure_table("ev_hwm").get("order_hwms", {}).pop(av.version_id, None)
+        assert tb.order_max() == true_max + 5
