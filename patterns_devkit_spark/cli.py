@@ -320,7 +320,16 @@ def cmd_component(args) -> int:
     reference's marketplace download, services/download.py:9-20):
     install copies a source dir into components/<org>_<name>_<ver>/ and
     refuses to clobber an existing version without --overwrite."""
-    from .graph.components import ComponentError, install_component, list_components
+    from .graph.components import (
+        ComponentError,
+        install_component,
+        list_components,
+        parse_uses,
+        publish_component,
+        resolve_component,
+        resolve_latest,
+        semver_key,
+    )
 
     root = args.dir or os.getcwd()
     try:
@@ -330,9 +339,28 @@ def cmd_component(args) -> int:
                 return 2
             dst = install_component(root, args.uses, args.src, overwrite=args.overwrite)
             print(f"installed {args.uses} -> {dst}")
-        else:  # list
-            for ref in list_components(root):
-                print(ref)
+        elif args.action == "publish":
+            # immutable publish: dir or packaged zip; never overwrites
+            if not args.src:
+                print("component publish requires: <uses> <src_dir|src.zip>", file=sys.stderr)
+                return 2
+            dst = publish_component(root, args.uses, args.src)
+            print(f"published {args.uses} -> {dst}")
+        elif args.action == "resolve":
+            print(resolve_component(root, args.uses))
+        else:  # list — semver-ordered per component, @latest marked
+            refs = sorted(
+                list_components(root),
+                key=lambda r: (parse_uses(r)[0], parse_uses(r)[1], semver_key(parse_uses(r)[2])),
+            )
+            latest = {}
+            for ref in refs:
+                org, name, _ = parse_uses(ref)
+                latest[(org, name)] = ref  # ascending: last wins
+            for ref in refs:
+                org, name, _ = parse_uses(ref)
+                mark = "  (latest)" if latest[(org, name)] == ref else ""
+                print(f"{ref}{mark}")
     except ComponentError as e:
         print(str(e), file=sys.stderr)
         return 1
@@ -396,10 +424,10 @@ def main(argv: list[str] | None = None) -> int:
     cfg = sub.add_parser("config", help="show configuration")
     cfg.set_defaults(fn=cmd_config)
 
-    comp = sub.add_parser("component", help="install or list versioned components")
-    comp.add_argument("action", choices=["install", "list"])
-    comp.add_argument("uses", nargs="?", default=None, help="org/name@version")
-    comp.add_argument("src", nargs="?", default=None, help="source dir (install)")
+    comp = sub.add_parser("component", help="install/publish/resolve/list versioned components")
+    comp.add_argument("action", choices=["install", "publish", "resolve", "list"])
+    comp.add_argument("uses", nargs="?", default=None, help="org/name@version (or @latest for resolve)")
+    comp.add_argument("src", nargs="?", default=None, help="source dir or zip (install/publish)")
     comp.add_argument("--dir", default=None, help="graph dir (default cwd)")
     comp.add_argument("--overwrite", action="store_true")
     comp.set_defaults(fn=cmd_component)

@@ -41,12 +41,14 @@ def component_dir(graph_dir: str, uses: str) -> str:
     return os.path.join(graph_dir, "components", f"{org}_{name}_{version}")
 
 
-def install_component(graph_dir: str, uses: str, src_dir: str, overwrite: bool = False) -> str:
-    """Install src_dir (must contain graph.yml) as the given versioned
-    component. Refuses to overwrite an existing version unless
-    overwrite=True. Returns the installed directory."""
-    if not os.path.isfile(os.path.join(src_dir, "graph.yml")):
-        raise ComponentError(f"{src_dir} is not a component (no graph.yml)")
+def install_component(graph_dir: str, uses: str, src: str, overwrite: bool = False) -> str:
+    """Install a source directory OR a packaged zip (graph/archive.py
+    manifest) as the given versioned component. Refuses to overwrite
+    an existing version unless overwrite=True. Returns the installed
+    directory."""
+    is_zip = os.path.isfile(src) and src.endswith(".zip")
+    if not is_zip and not os.path.isfile(os.path.join(src, "graph.yml")):
+        raise ComponentError(f"{src} is not a component (no graph.yml)")
     dst = component_dir(graph_dir, uses)
     if os.path.exists(dst):
         if not overwrite:
@@ -56,8 +58,27 @@ def install_component(graph_dir: str, uses: str, src_dir: str, overwrite: bool =
             )
         shutil.rmtree(dst)
     os.makedirs(os.path.dirname(dst), exist_ok=True)
-    shutil.copytree(src_dir, dst)
+    if is_zip:
+        os.makedirs(dst)
+        from .archive import GraphDirectoryEditor
+
+        GraphDirectoryEditor(dst, overwrite=True).add_node_from_zip(
+            "graph.yml", "graph.yml", open(src, "rb")
+        )
+        if not os.path.isfile(os.path.join(dst, "graph.yml")):
+            shutil.rmtree(dst)
+            raise ComponentError(f"{src} is not a component archive (no graph.yml)")
+    else:
+        shutil.copytree(src, dst)
     return dst
+
+
+def publish_component(graph_dir: str, uses: str, src: str) -> str:
+    """Publish = immutable install: a version, once published, can
+    NEVER be replaced (the reference marketplace contract,
+    services/download.py:9-20 — downloads are version-pinned, so a
+    changed re-publish of v1 would silently fork consumers)."""
+    return install_component(graph_dir, uses, src, overwrite=False)
 
 
 def list_components(graph_dir: str) -> list[str]:
@@ -74,9 +95,41 @@ def list_components(graph_dir: str) -> list[str]:
     return out
 
 
+def semver_key(version: str) -> tuple:
+    """Sortable key for loose semver strings ('v1', '2.10.3',
+    '1.2.0-rc1'): numeric segments compare numerically, a pre-release
+    suffix sorts BEFORE its release, and versions with more numeric
+    depth compare as expected (1.2 < 1.2.1 < 1.10)."""
+    core, dash, pre = version.lstrip("vV").partition("-")
+    nums = []
+    for part in core.split("."):
+        m = re.match(r"(\d+)", part)
+        nums.append(int(m.group(1)) if m else 0)
+    while len(nums) < 3:
+        nums.append(0)
+    return (tuple(nums), 0 if dash else 1, pre)
+
+
+def resolve_latest(graph_dir: str, org: str, name: str) -> str:
+    """Highest installed version of org/name by semver ordering
+    (`@latest` resolver)."""
+    versions = []
+    for ref in list_components(graph_dir):
+        o, n, v = parse_uses(ref)
+        if o == org and n == name:
+            versions.append(v)
+    if not versions:
+        raise ComponentError(f"no installed versions of {org}/{name}")
+    return max(versions, key=semver_key)
+
+
 def resolve_component(graph_dir: str, uses: str) -> str:
-    """Directory for a `uses:` ref; raises with the install hint when
-    absent (the reference's download step has no remote counterpart)."""
+    """Directory for a `uses:` ref; `@latest` resolves to the highest
+    installed semver; raises with the install hint when absent (the
+    reference's download step has no remote counterpart)."""
+    org, name, version = parse_uses(uses)
+    if version == "latest":
+        uses = f"{org}/{name}@{resolve_latest(graph_dir, org, name)}"
     d = component_dir(graph_dir, uses)
     if not os.path.isfile(os.path.join(d, "graph.yml")):
         raise ComponentError(

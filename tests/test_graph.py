@@ -469,3 +469,66 @@ def test_component_install_and_overwrite_protection(tmp_path):
         resolve_component(str(gdir), "acme/enrich@v9")
     with _pytest.raises(ComponentError, match="invalid component ref"):
         resolve_component(str(gdir), "not-a-ref")
+
+
+def test_component_publish_semver_latest(tmp_path):
+    """Publish/list/@latest (VERDICT r2 item 9): publishing v1/v2/v10
+    orders numerically (not lexically), @latest resolves to the
+    highest semver, pre-releases sort below their release, and a
+    re-publish of an existing version is refused (immutability)."""
+    import subprocess
+    import sys
+
+    import pytest as _pytest
+
+    from patterns_devkit_spark.graph.components import (
+        ComponentError,
+        publish_component,
+        resolve_component,
+        resolve_latest,
+        semver_key,
+    )
+
+    src = tmp_path / "comp"
+    src.mkdir()
+    (src / "graph.yml").write_text("title: c\nfunctions: []\n")
+    gdir = tmp_path / "app"
+    gdir.mkdir()
+    for v in ("v1", "v2", "v10", "v10.1-rc1"):
+        publish_component(str(gdir), f"acme/enrich@{v}", str(src))
+    # numeric, not lexical: v10 > v2; rc sorts below its release
+    assert semver_key("v10") > semver_key("v2") > semver_key("v1")
+    assert semver_key("10.1") > semver_key("10.1-rc1")
+    assert resolve_latest(str(gdir), "acme", "enrich") == "v10.1-rc1"
+    publish_component(str(gdir), "acme/enrich@v10.1", str(src))
+    assert resolve_latest(str(gdir), "acme", "enrich") == "v10.1"
+    # @latest resolves through resolve_component (the runner's path)
+    assert resolve_component(str(gdir), "acme/enrich@latest").endswith("acme_enrich_v10.1")
+    # immutability: version re-publish refused
+    with _pytest.raises(ComponentError, match="immutable"):
+        publish_component(str(gdir), "acme/enrich@v2", str(src))
+    # CLI surface: publish a zip + list marks latest
+    from patterns_devkit_spark.graph.archive import compress_directory
+
+    z = tmp_path / "comp.zip"
+    z.write_bytes(compress_directory(src).getvalue())
+    r = subprocess.run(
+        [sys.executable, "-m", "patterns_devkit_spark.cli", "component", "publish",
+         "beta/pack@v1", str(z), "--dir", str(gdir)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run(
+        [sys.executable, "-m", "patterns_devkit_spark.cli", "component", "list",
+         "--dir", str(gdir)],
+        capture_output=True, text=True,
+    )
+    assert "beta/pack@v1  (latest)" in r.stdout
+    assert "acme/enrich@v10.1  (latest)" in r.stdout
+    assert r.stdout.index("acme/enrich@v2") < r.stdout.index("acme/enrich@v10")
+    r = subprocess.run(
+        [sys.executable, "-m", "patterns_devkit_spark.cli", "component", "resolve",
+         "acme/enrich@latest", "--dir", str(gdir)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0 and r.stdout.strip().endswith("acme_enrich_v10.1")
