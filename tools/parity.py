@@ -4,6 +4,12 @@ canonicalize (sort columns by name, round floats, sort rows), compare.
 
 Usage:
     python tools/parity.py [sf_dir] [query_name ...]
+    python tools/parity.py --changed [sf_dir]   # only queries whose
+        registry blocks overlap `git diff HEAD` line ranges; a change
+        OUTSIDE every @query block (imports/shared helpers) selects
+        the whole file's queries. Changes to operators/ or other
+        non-registry modules are NOT traced — run the full gate after
+        touching shared operator code.
 """
 from __future__ import annotations
 
@@ -61,9 +67,87 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     return problems
 
 
+_REGISTRY_FILES = [
+    "patterns_devkit_spark/queries.py",
+    "patterns_devkit_spark/queries_ext.py",
+    "patterns_devkit_spark/queries_curation.py",
+    "patterns_devkit_spark/queries_analytics.py",
+    "patterns_devkit_spark/queries_pipeline.py",
+    "patterns_devkit_spark/queries_scale.py",
+]
+
+
+def _query_blocks(path: str) -> list[tuple[str, int, int]]:
+    """(query_name, start_line, end_line) for each @query block —
+    decorator line through the line before the next decorator."""
+    import re as _re
+
+    lines = open(path).read().splitlines()
+    starts = []
+    for i, line in enumerate(lines, 1):
+        m = _re.match(r"\s*@query\(\s*$", line) or _re.match(r"\s*@query\(", line)
+        if m:
+            # name may sit on this line or the next
+            m2 = _re.search(r"[\"\']([a-z0-9_]+)[\"\']", line) or _re.search(
+                r"[\"\']([a-z0-9_]+)[\"\']", lines[i] if i < len(lines) else ""
+            )
+            if m2:
+                starts.append((m2.group(1), i))
+    blocks = []
+    for j, (name, start) in enumerate(starts):
+        end = starts[j + 1][1] - 1 if j + 1 < len(starts) else len(lines)
+        blocks.append((name, start, end))
+    return blocks
+
+
+def _changed_query_names() -> set[str]:
+    """Query names whose blocks overlap `git diff HEAD` hunks in the
+    registry files (CLAUDE.md: run parity after ANY registry change —
+    this selects exactly the affected queries)."""
+    import re as _re
+    import subprocess
+
+    names: set[str] = set()
+    for path in _REGISTRY_FILES:
+        diff = subprocess.run(
+            ["git", "diff", "HEAD", "-U0", "--", path],
+            capture_output=True, text=True, cwd=".",
+        ).stdout
+        hunks = []
+        for m in _re.finditer(r"^@@ -\d+(?:,\d+)? \+(\d+)(?:,(\d+))? @@", diff, _re.M):
+            start = int(m.group(1))
+            count = int(m.group(2)) if m.group(2) is not None else 1
+            hunks.append((start, start + max(count, 1) - 1))
+        if not hunks:
+            continue
+        blocks = _query_blocks(path)
+        file_selected = False
+        for hs, he in hunks:
+            hit = [n for n, bs, be in blocks if hs <= be and he >= bs]
+            if hit:
+                names.update(hit)
+            else:
+                # change outside every block (imports/helpers): the
+                # whole file is suspect
+                file_selected = True
+        if file_selected:
+            names.update(n for n, _, _ in blocks)
+    return names
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    changed_mode = "--changed" in argv
+    if changed_mode:
+        argv.remove("--changed")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    if changed_mode:
+        only = _changed_query_names()
+        if not only:
+            print("no registry changes vs HEAD; nothing to check")
+            return 0
+        print(f"--changed: {len(only)} queries: {' '.join(sorted(only))}")
 
     from patterns_devkit_spark.queries import ORACLES, QUERIES
     from patterns_devkit_spark.session import get_spark
