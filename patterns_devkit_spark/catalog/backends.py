@@ -1,0 +1,179 @@
+"""Pluggable persistence backends for the Catalog metastore.
+
+The Catalog's contract (catalog.py) is a metadata *document* — tables,
+cursors, state, secrets — committed atomically, plus an append-only
+data-event log with an opaque resume offset. SCALE.md §6 promises the
+file format is swappable ("catalog.json moves to shared storage/DB —
+the interface is the contract, not the file format"); this module is
+that proof. Two backends:
+
+- ``JsonFileBackend`` — the original layout: ``catalog.json`` replaced
+  atomically via ``os.replace``, ``events.jsonl`` appended. Right for a
+  single driver on a POSIX filesystem.
+- ``SqliteBackend`` — ``catalog.db`` (WAL mode): one row per document
+  section written in a single transaction, events as rows with the
+  rowid as the resume offset. Commits are transactional (a crash can
+  never leave a torn document, where the JSON backend relies on
+  os.replace atomicity) and the event log is queryable. Either way a
+  warehouse has ONE live writer at a time — the same single-owner
+  session the reference engine holds against its metastore; writer
+  handoff (open-after-commit) is exact and tested.
+
+Selection: ``Catalog(dir, backend=...)`` explicitly, else the
+``PDS_CATALOG_BACKEND`` env var, else auto-detect whichever store
+already exists in the warehouse (so a warehouse keeps the format it
+was created with), else JSON.
+
+On a real cluster neither file lives on local disk — the same
+interface fronts a shared DB or object store with conditional put;
+metadata stays O(tables+versions), never O(rows), at any data scale.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sqlite3
+import tempfile
+import time
+from typing import Any
+
+# Document sections persisted individually by section-granular backends.
+_SECTIONS = ("tables", "cursors", "state", "secrets")
+
+
+class JsonFileBackend:
+    """catalog.json (atomic whole-document replace) + events.jsonl."""
+
+    name = "json"
+
+    def __init__(self, root: str):
+        self.root = root
+        self._path = os.path.join(root, "catalog.json")
+        self._events_path = os.path.join(root, "events.jsonl")
+
+    def exists(self) -> bool:
+        return os.path.exists(self._path)
+
+    def load(self) -> dict:
+        with open(self._path) as f:
+            return json.load(f)
+
+    def save(self, doc: dict) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix=".catalog-", suffix=".json")
+        with os.fdopen(fd, "w") as f:
+            json.dump(doc, f, indent=1)
+        os.replace(tmp, self._path)  # atomic pointer flip
+
+    def append_event(self, evt: dict) -> None:
+        with open(self._events_path, "a") as f:
+            f.write(json.dumps(evt) + "\n")
+
+    def read_events(self, since_offset: Any = 0) -> tuple[list[dict], Any]:
+        if not os.path.exists(self._events_path):
+            return [], 0
+        with open(self._events_path) as f:
+            f.seek(since_offset or 0)
+            lines = f.readlines()
+            return [json.loads(ln) for ln in lines if ln.strip()], f.tell()
+
+
+class SqliteBackend:
+    """catalog.db: sections + events tables, every save one transaction.
+
+    WAL mode keeps readers unblocked during commits; BEGIN IMMEDIATE
+    takes the write lock up front so two processes flushing the same
+    warehouse serialize instead of failing mid-transaction. The event
+    offset is the last-seen rowid (opaque to callers, monotone like the
+    JSON backend's byte offset).
+    """
+
+    name = "sqlite"
+
+    def __init__(self, root: str):
+        self.root = root
+        self._path = os.path.join(root, "catalog.db")
+        self._conn: sqlite3.Connection | None = None
+
+    def _db(self) -> sqlite3.Connection:
+        if self._conn is None:
+            # Catalog guards every call with its RLock; one shared
+            # connection across its threads is safe under that lock.
+            conn = sqlite3.connect(self._path, check_same_thread=False, timeout=30.0)
+            conn.execute("PRAGMA journal_mode=WAL")
+            conn.execute("PRAGMA synchronous=NORMAL")
+            conn.execute(
+                "CREATE TABLE IF NOT EXISTS sections (name TEXT PRIMARY KEY, body TEXT NOT NULL)"
+            )
+            conn.execute(
+                "CREATE TABLE IF NOT EXISTS events (id INTEGER PRIMARY KEY AUTOINCREMENT, ts REAL, body TEXT NOT NULL)"
+            )
+            conn.commit()
+            self._conn = conn
+        return self._conn
+
+    def exists(self) -> bool:
+        return os.path.exists(self._path)
+
+    def load(self) -> dict:
+        rows = self._db().execute("SELECT name, body FROM sections").fetchall()
+        doc: dict[str, Any] = {name: json.loads(body) for name, body in rows}
+        for s in _SECTIONS[:3]:  # tables/cursors/state always present
+            doc.setdefault(s, {})
+        return doc
+
+    def save(self, doc: dict) -> None:
+        db = self._db()
+        db.execute("BEGIN IMMEDIATE")
+        try:
+            for name, body in doc.items():
+                db.execute(
+                    "INSERT INTO sections(name, body) VALUES(?, ?) "
+                    "ON CONFLICT(name) DO UPDATE SET body=excluded.body",
+                    (name, json.dumps(body)),
+                )
+            db.commit()
+        except BaseException:
+            db.rollback()
+            raise
+
+    def append_event(self, evt: dict) -> None:
+        db = self._db()
+        db.execute(
+            "INSERT INTO events(ts, body) VALUES(?, ?)",
+            (evt.get("ts", time.time()), json.dumps(evt)),
+        )
+        db.commit()
+
+    def read_events(self, since_offset: Any = 0) -> tuple[list[dict], Any]:
+        rows = self._db().execute(
+            "SELECT id, body FROM events WHERE id > ? ORDER BY id", (since_offset or 0,)
+        ).fetchall()
+        if not rows:
+            return [], since_offset or 0
+        return [json.loads(body) for _id, body in rows], rows[-1][0]
+
+    def close(self) -> None:
+        if self._conn is not None:
+            self._conn.close()
+            self._conn = None
+
+
+_BACKENDS = {"json": JsonFileBackend, "sqlite": SqliteBackend}
+
+
+def resolve_backend(root: str, backend: str | None = None):
+    """Pick the backend: explicit arg > PDS_CATALOG_BACKEND env var >
+    whichever store already exists in the warehouse > json."""
+    choice = backend or os.environ.get("PDS_CATALOG_BACKEND")
+    if choice:
+        try:
+            return _BACKENDS[choice.lower()](root)
+        except KeyError:
+            raise ValueError(
+                f"unknown catalog backend {choice!r}; options: {sorted(_BACKENDS)}"
+            ) from None
+    for cls in (SqliteBackend, JsonFileBackend):
+        b = cls(root)
+        if b.exists():
+            return b
+    return JsonFileBackend(root)

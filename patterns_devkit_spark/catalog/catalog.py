@@ -22,7 +22,11 @@ exactly-once contract of node.py:40-63, SURVEY.md §7.3-2).
 Scale note: metadata is O(tables+versions), not O(rows), so a JSON
 document suffices at any data scale; on a real cluster this file sits
 on shared storage (S3/HDFS via conditional put) or is swapped for a DB
-— the interface is the contract, not the file format.
+— the interface is the contract, not the file format. That swap is
+real, not promised: persistence is delegated to a pluggable backend
+(backends.py — json file or sqlite WAL database, selected per
+warehouse or via PDS_CATALOG_BACKEND), and the whole test suite runs
+against both.
 """
 from __future__ import annotations
 
@@ -30,10 +34,11 @@ import datetime as dt
 import json
 import os
 import shutil
-import tempfile
 import threading
 import time
 from typing import Any
+
+from .backends import resolve_backend
 
 
 def _tag(v: Any) -> Any:
@@ -91,25 +96,20 @@ DEFAULT_RETENTION = 3
 
 
 class Catalog:
-    def __init__(self, warehouse_dir: str):
+    def __init__(self, warehouse_dir: str, backend: str | None = None):
         self.root = os.path.abspath(warehouse_dir)
         os.makedirs(os.path.join(self.root, "tables"), exist_ok=True)
-        self._path = os.path.join(self.root, "catalog.json")
-        self._events_path = os.path.join(self.root, "events.jsonl")
         self._lock = threading.RLock()
-        if not os.path.exists(self._path):
+        self._backend = resolve_backend(self.root, backend)
+        if self._backend.exists():
+            self._doc = self._backend.load()
+        else:
             self._doc = {"tables": {}, "cursors": {}, "state": {}}
             self._persist()
-        else:
-            with open(self._path) as f:
-                self._doc = json.load(f)
 
     # -- persistence ---------------------------------------------------
     def _persist(self) -> None:
-        fd, tmp = tempfile.mkstemp(dir=self.root, prefix=".catalog-", suffix=".json")
-        with os.fdopen(fd, "w") as f:
-            json.dump(self._doc, f, indent=1)
-        os.replace(tmp, self._path)  # atomic pointer flip
+        self._backend.save(self._doc)
 
     # -- tables & versions ----------------------------------------------
     def ensure_table(self, name: str) -> dict:
@@ -280,20 +280,48 @@ class Catalog:
         v = self._doc.get("secrets", {}).get(name)
         return _untag(v) if v is not None else None
 
+    # -- backend migration ------------------------------------------------
+    def migrate_backend(self, to_backend: str) -> str:
+        """Convert this warehouse's metastore to another persistence
+        backend in place: document + full event log are copied, the old
+        store file is removed so auto-detect picks the new one. Event
+        resume offsets are backend-defined and therefore NOT portable
+        across a migration — a scheduler should re-tail from 0 (events
+        themselves are preserved in order). Returns the new backend name.
+        """
+        from .backends import resolve_backend as _resolve
+
+        with self._lock:
+            new = _resolve(self.root, to_backend)
+            if new.name == self._backend.name:
+                return new.name
+            events, _ = self._backend.read_events(0)
+            new.save(self._doc)
+            for evt in events:
+                new.append_event(evt)
+            old = self._backend
+            self._backend = new
+            # remove the old store so a reopened Catalog auto-detects
+            # the migrated format (exactly one store per warehouse)
+            if hasattr(old, "close"):
+                old.close()
+            for p in (old._path, old._path + "-wal", old._path + "-shm",
+                      getattr(old, "_events_path", None)):
+                if p and os.path.exists(p):
+                    os.remove(p)
+            return new.name
+
     # -- event log (drives downstream triggers, SURVEY.md §3.3) --------
     def append_event(self, table: str, kind: str, node_id: str | None = None, **extra: Any) -> dict:
         evt = {"ts": time.time(), "table": table, "kind": kind, "node_id": node_id, **extra}
         with self._lock:
-            with open(self._events_path, "a") as f:
-                f.write(json.dumps(evt) + "\n")
+            self._backend.append_event(evt)
         return evt
 
-    def read_events(self, since_offset: int = 0) -> tuple[list[dict], int]:
-        """Return (events, next_offset); offset is a byte position so the
-        scheduler can tail the log incrementally."""
-        if not os.path.exists(self._events_path):
-            return [], 0
-        with open(self._events_path) as f:
-            f.seek(since_offset)
-            lines = f.readlines()
-            return [json.loads(ln) for ln in lines if ln.strip()], f.tell()
+    def read_events(self, since_offset: Any = 0) -> tuple[list[dict], Any]:
+        """Return (events, next_offset); the offset is an opaque
+        backend-defined resume token (byte position for the json
+        backend, rowid for sqlite) so the scheduler can tail the log
+        incrementally."""
+        with self._lock:
+            return self._backend.read_events(since_offset)

@@ -315,6 +315,25 @@ def cmd_config(args) -> int:
     return 0
 
 
+def cmd_catalog(args) -> int:
+    """Metastore admin: show the active persistence backend, or migrate
+    the warehouse between backends (json file <-> sqlite WAL db) in
+    place. Metadata-only — no SparkSession is started."""
+    from .catalog.catalog import Catalog
+
+    cat = Catalog(_warehouse(args))
+    if args.action == "backend":
+        print(cat._backend.name)
+    else:  # migrate
+        if args.to not in ("json", "sqlite"):
+            print("migrate requires a target backend: json|sqlite", file=sys.stderr)
+            return 2
+        before = cat._backend.name
+        after = cat.migrate_backend(args.to)
+        print(f"{before} -> {after}" + (" (no-op)" if before == after else ""))
+    return 0
+
+
 def cmd_component(args) -> int:
     """Versioned component registry (the local mapping of the
     reference's marketplace download, services/download.py:9-20):
@@ -423,6 +442,11 @@ def main(argv: list[str] | None = None) -> int:
 
     cfg = sub.add_parser("config", help="show configuration")
     cfg.set_defaults(fn=cmd_config)
+
+    catp = sub.add_parser("catalog", help="metastore admin: show/migrate persistence backend")
+    catp.add_argument("action", choices=["backend", "migrate"])
+    catp.add_argument("to", nargs="?", default=None, help="target backend (migrate): json|sqlite")
+    catp.set_defaults(fn=cmd_catalog)
 
     comp = sub.add_parser("component", help="install/publish/resolve/list versioned components")
     comp.add_argument("action", choices=["install", "publish", "resolve", "list"])

@@ -104,14 +104,21 @@ def register_grouped_agg(
     of §2.8 (SQL-callable in GROUP BY queries and over windows).
     Default: interquartile range (iqr), a reduction the built-in agg
     set lacks as a single function."""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
     if fn is None:
 
-        def iqr(v: pd.Series) -> float:
+        def fn(v: pd.Series):
             return float(v.quantile(0.75) - v.quantile(0.25))
 
-        fn = iqr
+    inner = fn
+
+    # Series -> scalar type hints make Spark infer GROUPED_AGG (the
+    # non-deprecated form of the old PandasUDFType constant), whether
+    # or not the caller annotated their function.
+    def agg(v: pd.Series) -> float:
+        return inner(v)
+
     rt = T.DataType.fromDDL(return_type)
-    engine.spark.udf.register(name, pandas_udf(fn, rt, PandasUDFType.GROUPED_AGG))
+    engine.spark.udf.register(name, pandas_udf(agg, rt))
     return name

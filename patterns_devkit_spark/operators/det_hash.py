@@ -209,9 +209,58 @@ def minhash_oracle_sql(
     pairs AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
       FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    ),
+    scored AS (
+      SELECT id_a, id_b, CAST({agree} AS BIGINT) AS n_sig_agree
+      FROM pairs JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b
     )
-    SELECT id_a, id_b, CAST({agree} AS BIGINT) AS n_sig_agree
-    FROM pairs JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b
+    SELECT id_a, id_b, n_sig_agree FROM scored
+    """
+
+
+def minhash_calibration_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 7,
+) -> str:
+    """DuckDB SQL for the MinHash-estimator calibration audit: per LSH
+    candidate pair, estimated Jaccard (signature agreement / H) vs the
+    EXACT shingle-set Jaccard, bucketed by signed estimation error in
+    tenths. Shares every literal with minhash_oracle_sql, so both
+    engines see identical candidates and identical integer-millis
+    estimates; the error histogram is hash-checked bit-for-bit."""
+    base = minhash_oracle_sql(table, id_col, text_col, n, num_hashes, bands, seed)
+    # reuse the full CTE chain, swap the trailing projection for the audit
+    ctes = base[: base.rindex("SELECT id_a, id_b, n_sig_agree FROM scored")]
+    return f"""{ctes}
+    , sz AS (
+      SELECT id, count(*) AS sz FROM sh GROUP BY id
+    ),
+    inter AS (
+      SELECT p.id_a, p.id_b, count(b.sh) AS inter
+      FROM pairs p
+      JOIN sh a ON a.id = p.id_a
+      LEFT JOIN sh b ON b.id = p.id_b AND b.sh = a.sh
+      GROUP BY p.id_a, p.id_b
+    ),
+    calib AS (
+      SELECT (1000 * s.n_sig_agree) // {num_hashes} AS est_millis,
+             (1000 * i.inter) // (za.sz + zb.sz - i.inter) AS exact_millis
+      FROM scored s
+      JOIN inter i ON i.id_a = s.id_a AND i.id_b = s.id_b
+      JOIN sz za ON za.id = s.id_a
+      JOIN sz zb ON zb.id = s.id_b
+    )
+    SELECT CAST((est_millis - exact_millis + 1000) // 100 AS BIGINT) AS err_bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(est_millis - exact_millis) AS BIGINT) AS min_err_millis,
+           CAST(max(est_millis - exact_millis) AS BIGINT) AS max_err_millis
+    FROM calib
+    GROUP BY 1 ORDER BY 1
     """
 
 

@@ -19,6 +19,8 @@ import pandas as pd  # module-scope: pandas_udf resolves 'pd.Series' hints here
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from .operators import det_hash as det_ops
+from .operators import similarity as sim_ops
 from .operators import windows as win_ops
 from .operators.det_hash import md5_long
 from .queries import query, t
@@ -1837,4 +1839,264 @@ def q187(spark, sf_dir):
             "c_custkey",
             F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
         )
+    )
+
+
+# =====================================================================
+# q188 — OOV-rate audit under vocabulary truncation
+# =====================================================================
+
+
+@query(
+    "q188_oov_audit",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+        ORDER BY cnt DESC, tok ASC LIMIT 50
+      )
+    )
+    SELECT t.lang,
+           CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST((1000 * sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+             AS oov_millis
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.lang ORDER BY t.lang
+    """,
+)
+def q188(spark, sf_dir):
+    """Out-of-vocabulary audit for tokenizer/vocab sizing: build the
+    top-50-by-frequency vocabulary (total order: count desc, token asc
+    — deterministic at the truncation boundary), then measure per-lang
+    token counts and the OOV fraction in integer millis. The tokenizer
+    prep loop every LLM pipeline runs before committing to a vocab
+    size. Scale shape: one explode + one hash-agg builds the vocab,
+    the vocab (V rows, bounded by the LIMIT) broadcasts back against
+    the token stream — the corpus is scanned twice but never shuffled
+    at token grain beyond the count agg; no windows, no driver loops.
+    Reference analogue: the token-count/vocab surface of SURVEY.md
+    §2.10 (q67/q122), extended to the truncation-impact audit."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(50)
+        .select("tok", F.lit(1).alias("__in_vocab"))
+    )
+    flagged = toks.join(F.broadcast(vocab), "tok", "left")
+    oov = F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)).cast("long")
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            oov.alias("n_oov"),
+        )
+        .withColumn("oov_millis", F.expr("(1000 * n_oov) DIV n_tokens"))
+        .orderBy("lang")
+    )
+
+
+# =====================================================================
+# q189 — MinHash estimator calibration (estimated vs exact Jaccard)
+# =====================================================================
+
+
+@query("q189_minhash_calibration", det_ops.minhash_calibration_oracle_sql())
+def q189(spark, sf_dir):
+    """Estimator-quality audit for the MinHash dedup path (q35): for
+    every LSH candidate pair, the estimated Jaccard (signature
+    agreement / 32) is compared against the EXACT shingle-set Jaccard,
+    and the signed error is bucketed in tenths. This is how a pipeline
+    owner decides whether 32 hashes are enough before trusting the
+    near-dup verdicts at 100 TB — the calibration histogram is the
+    evidence. All integer millis (floor division on both engines), so
+    the DuckDB oracle hash-checks the audit bit-for-bit, including the
+    zero-intersection candidates (banding collisions with no shared
+    shingle survive via the LEFT JOIN). Scale shape: candidates come
+    from the banded equi-join (never all-pairs); the exact-Jaccard pass
+    joins shingles only for candidate ids — O(candidates x
+    shingles/doc), the same bound as the generate-then-verify dedup
+    (q106)."""
+    d = t(spark, sf_dir, "documents")
+    pairs = det_ops.minhash_lsh_pairs_det(d)
+    sh = det_ops.distinct_shingles(d, "doc_id", "text", 3)
+    sza = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sza")).withColumnRenamed("id", "id_a")
+    szb = sza.select(F.col("id_a").alias("id_b"), F.col("sza").alias("szb"))
+    sh_a = sh.select(F.col("id").alias("id_a"), "sh")
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    left = pairs.select("id_a", "id_b").join(sh_a, "id_a").alias("L")
+    inter = (
+        left.join(
+            sh_b.alias("R"),
+            (F.col("R.id_b") == F.col("L.id_b")) & (F.col("R.sh_b") == F.col("L.sh")),
+            "left",
+        )
+        .groupBy(F.col("L.id_a").alias("id_a"), F.col("L.id_b").alias("id_b"))
+        .agg(F.count(F.col("R.sh_b")).alias("inter"))
+    )
+    calib = (
+        pairs.join(inter, ["id_a", "id_b"])
+        .join(sza, "id_a")
+        .join(szb, "id_b")
+        .withColumn("est_millis", F.expr("(1000 * n_sig_agree) DIV 32"))
+        .withColumn("exact_millis", F.expr("(1000 * inter) DIV (sza + szb - inter)"))
+    )
+    return (
+        calib.withColumn("err_bucket", F.expr("(est_millis - exact_millis + 1000) DIV 100"))
+        .groupBy("err_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(F.expr("est_millis - exact_millis")).cast("long").alias("min_err_millis"),
+            F.max(F.expr("est_millis - exact_millis")).cast("long").alias("max_err_millis"),
+        )
+        .orderBy("err_bucket")
+    )
+
+
+# =====================================================================
+# q190 — hard-negative mining over labeled embeddings
+# =====================================================================
+
+
+@query(
+    "q190_hard_negatives",
+    """
+    SELECT query_id, query_label, neighbor_id, neighbor_label,
+           CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cosine FROM (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                                         c.vec_id ASC) AS rank
+      FROM embeddings q JOIN embeddings c ON q.label <> c.label
+      WHERE q.vec_id < 20
+    ) WHERE rank <= 3
+    """,
+)
+def q190(spark, sf_dir):
+    """Hard-negative mining — the contrastive-training data prep: for
+    each query vector, the top-3 most-similar embeddings with a
+    DIFFERENT label (near the query in cosine space yet labeled
+    otherwise: exactly the negatives a contrastive or reranker loss
+    wants). Plan shape mirrors q37: broadcast(queries) against one
+    candidate scan with the label-inequality predicate applied during
+    the join (no same-label pair is ever scored), zip_with dot products
+    JVM-side, then a per-query top-k window — partitioned by query_id,
+    never global. At 100 TB the candidate scan is
+    embarrassingly parallel and the only shuffle is the per-query
+    top-k at |Q| x k rows."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = sim_ops.with_norm(emb.filter(F.col("vec_id") < 20), "embedding").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("__vec").alias("qv"),
+        F.col("__norm").alias("qn"),
+    )
+    c = sim_ops.with_norm(emb, "embedding").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("__vec").alias("cv"),
+        F.col("__norm").alias("cn"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_label") != F.col("neighbor_label")
+    ).select(
+        "query_id", "query_label", "neighbor_id", "neighbor_label",
+        sim_ops.cosine("qv", "cv", "qn", "cn").alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            "rank", F.round("cos", 6).alias("cosine"),
+        )
+    )
+
+
+# =====================================================================
+# q191 — token-budget curation (greedy quality-ordered prefix)
+# =====================================================================
+
+
+@query(
+    "q191_token_budget",
+    r"""
+    WITH st AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(text), '\s+')) AS n_tok,
+             len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_dist
+      FROM documents
+    ),
+    sc AS (
+      SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+             CAST((1000 * n_dist) // n_tok AS BIGINT) AS score
+      FROM st WHERE n_tok > 0
+    ),
+    b AS (SELECT CAST(sum(n_tok) // 4 AS BIGINT) AS budget FROM sc),
+    cum AS (
+      SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (ORDER BY score DESC, doc_id ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM sc
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_kept
+    FROM cum, b WHERE cum <= budget
+    GROUP BY source ORDER BY source
+    """,
+)
+def q191(spark, sf_dir):
+    """Token-budget curation — 'take the best documents until the
+    budget is spent', the data-mixing step that turns scored corpora
+    into a training set: score each doc by lexical diversity (distinct
+    tokens per token, integer millis), order by (score desc, doc_id),
+    and keep the greedy prefix whose running token total fits the
+    budget (sum(n_tok)/4, computed from the data so both engines use
+    the same literal-free budget). The running total uses the
+    scale-safe two-pass partitioned prefix sum (operators/windows
+    .global_prefix_sum — repartitionByRange on score, bucket-local
+    window, broadcast per-bucket offsets), NOT a single-partition
+    global window: the exact pattern SCALE.md §34 prescribes, reused
+    here at doc grain. Output is the per-source kept-doc/token rollup
+    a mixing report shows."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    sc = (
+        d.select(
+            "doc_id", "source",
+            F.size(toks).cast("long").alias("n_tok"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_dist"),
+        )
+        .filter(F.col("n_tok") > 0)
+        .withColumn("score", F.expr("(1000 * n_dist) DIV n_tok"))
+    )
+    budget = sc.agg((F.sum("n_tok") / F.lit(4)).cast("long").alias("budget"))
+    cum = win_ops.global_prefix_sum(
+        sc, "score", False,
+        [F.col("score").desc(), F.col("doc_id").asc()],
+        "n_tok", out_col="cum",
+    )
+    return (
+        cum.crossJoin(F.broadcast(budget))
+        .filter(F.col("cum") <= F.col("budget"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tok").cast("long").alias("tokens_kept"),
+        )
+        .orderBy("source")
     )
