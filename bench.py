@@ -72,6 +72,11 @@ BENCH_QUERIES = [
     "q159_bloom_prune",
     "q164_bitmap_distinct",
     "q165_triangle_count",
+    # round-3 batch: MinHash estimator calibration (LSH candidates +
+    # exact shingle Jaccard), token-budget curation on the two-pass
+    # partitioned prefix sum
+    "q189_minhash_calibration",
+    "q191_token_budget",
     "sdk02_upsert",  # engine write path: full-table MERGE + version flip
     "sdk06_upsert_partitioned",  # bounded rewrite: touched partition only, rest hardlinked
     "sdk07_compact",  # maintenance: 4-file hot append table -> 1 coalesced file

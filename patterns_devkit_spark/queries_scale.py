@@ -2100,3 +2100,47 @@ def q191(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# =====================================================================
+# q192 — deterministic exact-k stratified sample
+# =====================================================================
+
+
+@query(
+    "q192_stratified_sample",
+    """
+    SELECT lang, doc_id, CAST(rank AS BIGINT) AS rank, n_chars FROM (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) ASC,
+                        doc_id ASC
+             ) AS rank
+      FROM documents
+    ) WHERE rank <= 5
+    ORDER BY lang, rank
+    """,
+)
+def q192(spark, sf_dir):
+    """Deterministic exact-k-per-stratum sampling: 5 docs per lang,
+    chosen by ordering each stratum on the cross-engine md5 hash of the
+    doc id — a uniform-at-rest, seedless, fully REPRODUCIBLE sample
+    (rerun, retry, or re-shard and you get the same rows), which is
+    what makes samples auditable in a training pipeline. This is the
+    hash-checked counterpart of q60's seeded TABLESAMPLE (the one
+    rows-only entry in the registry): TABLESAMPLE's RNG is
+    engine-specific by design, while the hash-order sample is verified
+    bit-for-bit against DuckDB. Scale shape: one hash-partitioned
+    window per stratum (never a global sort); with bounded k the
+    per-stratum top-k could also plan as a partial TakeOrdered — the
+    window form keeps exact ranks for the audit trail."""
+    d = t(spark, sf_dir, "documents")
+    key = det_ops.md5_long(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        d.select("lang", "doc_id", "n_chars", F.row_number().over(w).cast("long").alias("rank"))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "doc_id", "rank", "n_chars")
+        .orderBy("lang", "rank")
+    )

@@ -135,6 +135,37 @@ def test_migrate_backend_roundtrip(tmp_path, backend, monkeypatch):
     assert fresh.migrate_backend(other) == other
 
 
+def test_sqlite_event_appends_from_two_processes(tmp_path):
+    """The append-only event log IS safe under real multi-process
+    contention on the sqlite backend (WAL + per-insert transactions
+    serialize writers at the database): two OS processes interleave
+    100 appends each; all 200 survive, each process's events in its
+    own order. This is the property a multi-runner deployment leans
+    on; the document store remains single-live-writer by contract."""
+    import subprocess
+    import sys as _sys
+
+    w = str(tmp_path)
+    Catalog(w, backend="sqlite")  # create the store
+    prog = (
+        "import sys; sys.path.insert(0, {root!r});"
+        "from patterns_devkit_spark.catalog.catalog import Catalog;"
+        "cat = Catalog({w!r}, backend='sqlite');"
+        "[cat.append_event('t', 'append', node_id=sys.argv[1], seq=i) for i in range(100)]"
+    ).format(root=os.path.dirname(os.path.dirname(os.path.abspath(__file__))), w=w)
+    procs = [
+        subprocess.Popen([_sys.executable, "-c", prog, name])
+        for name in ("p1", "p2")
+    ]
+    for p in procs:
+        assert p.wait(timeout=120) == 0
+    evts, _ = Catalog(w, backend="sqlite").read_events(0)
+    assert len(evts) == 200
+    for name in ("p1", "p2"):
+        seqs = [e["seq"] for e in evts if e["node_id"] == name]
+        assert seqs == list(range(100))
+
+
 def test_writer_handoff(tmp_path, backend):
     """Sequential ownership handoff: a second Catalog instance opened
     after the first's commits sees exactly that committed state and
