@@ -166,6 +166,62 @@ def test_sqlite_event_appends_from_two_processes(tmp_path):
         assert seqs == list(range(100))
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("new_version"), st.sampled_from(["ta", "tb"])),
+        st.tuples(st.just("activate_latest"), st.sampled_from(["ta", "tb"])),
+        st.tuples(st.just("state"), st.integers(0, 99)),
+        st.tuples(st.just("cursor"), st.integers(0, 99)),
+        st.tuples(st.just("monotonic"), st.integers(1, 10)),
+        st.tuples(st.just("event"), st.sampled_from(["append", "replace"])),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ops=_ops)
+def test_backends_agree_on_any_op_sequence(tmp_path_factory, ops):
+    """Property: ANY sequence of catalog mutations leaves the two
+    backends with identical observable state (document content AND the
+    ordered event log) — the interface really is the contract."""
+    cats = [
+        Catalog(str(tmp_path_factory.mktemp(f"w_{b}")), backend=b)
+        for b in BACKENDS
+    ]
+    for op, arg in ops:
+        for cat in cats:
+            if op == "new_version":
+                cat.create_new_version(arg)
+            elif op == "activate_latest":
+                vs = cat.ensure_table(arg)["versions"]
+                if vs:
+                    cat.set_active_version(arg, vs[-1])
+            elif op == "state":
+                cat.set_state(f"n{arg % 3}", {"v": arg})
+            elif op == "cursor":
+                cat.set_cursor(f"n{arg % 3}", "t", "id", arg)
+            elif op == "monotonic":
+                cat.allocate_monotonic_block("ta", arg)
+            elif op == "event":
+                cat.append_event("ta", arg, node_id="n0")
+    # compare as a FRESH load (what the next process would see)
+    docs = [Catalog(c.root, backend=b)._doc for c, b in zip(cats, BACKENDS)]
+    assert docs[0] == docs[1]
+    logs = [
+        [
+            {k: v for k, v in e.items() if k != "ts"}
+            for e in Catalog(c.root, backend=b).read_events(0)[0]
+        ]
+        for c, b in zip(cats, BACKENDS)
+    ]
+    assert logs[0] == logs[1]
+
+
 def test_writer_handoff(tmp_path, backend):
     """Sequential ownership handoff: a second Catalog instance opened
     after the first's commits sees exactly that committed state and
