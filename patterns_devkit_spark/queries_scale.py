@@ -2144,3 +2144,127 @@ def q192(spark, sf_dir):
         .select("lang", "doc_id", "rank", "n_chars")
         .orderBy("lang", "rank")
     )
+
+
+# =====================================================================
+# q193 — temperature-scaled domain-mixing plan (alpha = 0.5)
+# =====================================================================
+
+
+@query(
+    "q193_mixing_plan",
+    """
+    WITH n AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000) AS BIGINT) AS w_milli
+      FROM n
+    ),
+    tot AS (SELECT sum(w_milli) AS sum_w FROM w)
+    SELECT source, n_docs, w_milli,
+           CAST((1000 * w_milli) // sum_w AS BIGINT) AS alloc_docs,
+           CAST((1000 * ((1000 * w_milli) // sum_w)) // n_docs AS BIGINT) AS epoch_millis
+    FROM w, tot
+    ORDER BY source
+    """,
+)
+def q193(spark, sf_dir):
+    """Temperature-scaled domain mixing (the multilingual/multi-domain
+    sampling rule p_i ~ n_i^alpha with alpha = 0.5): per source, the
+    sampling weight floor(sqrt(n_i)*1000), its integer share of a
+    1000-doc epoch budget, and the implied per-domain epoch rate in
+    millis (>1000 means the domain repeats within one epoch — the
+    oversampling alarm a mixing report exists to raise). sqrt is
+    IEEE-correctly-rounded in both engines, so floor(sqrt*1000) is
+    deterministic cross-engine; everything after is integer floor
+    division. Scale shape: one hash-agg to domain grain (a handful of
+    rows at any corpus size), then a scalar-broadcast total — the
+    plan every mixing-schedule computation should have."""
+    d = t(spark, sf_dir, "documents")
+    n = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    w = n.withColumn(
+        "w_milli", F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000).cast("long")
+    )
+    tot = w.agg(F.sum("w_milli").alias("sum_w"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn("alloc_docs", F.expr("(1000 * w_milli) DIV sum_w"))
+        .withColumn("epoch_millis", F.expr("(1000 * alloc_docs) DIV n_docs"))
+        .select("source", "n_docs", "w_milli", "alloc_docs", "epoch_millis")
+        .orderBy("source")
+    )
+
+
+# =====================================================================
+# q194 — context-window packing manifest (concatenate-then-chunk)
+# =====================================================================
+
+_CTX_LEN = 2048
+
+
+@query(
+    "q194_packing_manifest",
+    rf"""
+    WITH st AS (
+      SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_tok,
+             sum(n_tok) OVER (ORDER BY doc_id ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM st
+    ),
+    placed AS (
+      SELECT doc_id, n_tok,
+             (cum - n_tok) // {_CTX_LEN} AS shard_id,
+             CASE WHEN (cum - n_tok) // {_CTX_LEN} <> (cum - 1) // {_CTX_LEN}
+                  THEN 1 ELSE 0 END AS straddles
+      FROM cum
+    )
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS start_tokens,
+           CAST(sum(straddles) AS BIGINT) AS n_straddlers
+    FROM placed
+    GROUP BY shard_id ORDER BY shard_id
+    """,
+)
+def q194(spark, sf_dir):
+    """Concatenate-then-chunk packing manifest (GPT-style pretraining
+    prep): lay every document's tokens end-to-end in doc_id order,
+    split the tape into 2048-token context windows, and report
+    per shard how many documents START there, their token mass, and
+    how many straddle the shard boundary (the rows a loader must
+    split or mask across windows). The running offset comes from the
+    scale-safe two-pass partitioned prefix sum — at 100 TB the tape
+    offset is exactly the computation that must NOT be a
+    single-partition window sort, and here it is not (plan-gated
+    family, tests/test_global_windows.py). All-integer output,
+    hash-checked against DuckDB's window form."""
+    d = t(spark, sf_dir, "documents")
+    st = d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+    )
+    cum = win_ops.global_prefix_sum(
+        st, "doc_id", True, [F.col("doc_id").asc()], "n_tok", out_col="cum"
+    )
+    placed = cum.select(
+        "doc_id", "n_tok",
+        F.expr(f"(cum - n_tok) DIV {_CTX_LEN}").alias("shard_id"),
+        F.expr(
+            f"CASE WHEN (cum - n_tok) DIV {_CTX_LEN} <> (cum - 1) DIV {_CTX_LEN} THEN 1 ELSE 0 END"
+        ).alias("straddles"),
+    )
+    return (
+        placed.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("start_tokens"),
+            F.sum("straddles").cast("long").alias("n_straddlers"),
+        )
+        .orderBy("shard_id")
+    )

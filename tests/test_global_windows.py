@@ -83,6 +83,7 @@ def test_rebased_queries_have_no_single_partition_window(spark, sf_dir):
         "q122_vocab_build",
         "q169_abc_classification",
         "q191_token_budget",
+        "q194_packing_manifest",
     ):
         df = QUERIES[name](spark, sf_dir)
         assert single_partition_windows(df) == 0, f"{name} plans a single-partition window"
