@@ -195,6 +195,24 @@ class Catalog:
         meta = self.table_meta(name)
         return _untag((meta or {}).get("order_hwms", {}).get(version))
 
+    def set_file_stats(self, name: str, version: str, stats: dict) -> None:
+        """Per-FILE column min/max/null stats for a version, harvested
+        from parquet footers at write time (node.py _track_write_stats)
+        — the engine's data-skipping index. Shape:
+        {relpath: {"rows": n, "cols": {col: {"min": v, "max": v,
+        "nulls": n} | {"absent": True}}}}. This is the catalog-side
+        analogue of a Delta transaction-log stats checkpoint: at
+        cluster scale the planner prunes files from METADATA instead
+        of opening O(files) footers per query."""
+        with self._lock:
+            self.ensure_table(name).setdefault("file_stats", {})[version] = _tag(stats)
+            self._persist()
+
+    def get_file_stats(self, name: str, version: str) -> dict | None:
+        meta = self.table_meta(name)
+        raw = (meta or {}).get("file_stats", {}).get(version)
+        return _untag(raw) if raw is not None else None
+
     def gc_versions(self, name: str) -> list[str]:
         """Drop inactive versions beyond the table's retention policy
         (node.py:403-404 'old data is kept ... according to the table's
@@ -209,6 +227,8 @@ class Catalog:
                 shutil.rmtree(self.version_dir(name, v), ignore_errors=True)
                 meta["versions"].remove(v)
                 meta["record_counts"].pop(v, None)
+                meta.get("order_hwms", {}).pop(v, None)
+                meta.get("file_stats", {}).pop(v, None)
             if doomed:
                 self._persist()
             return doomed

@@ -124,32 +124,19 @@ def _cast_parameter(value: Any, typ: type) -> Any:
         raise ValueError(f"cannot cast parameter value {value!r} to {typ.__name__}") from e
 
 
-def _parquet_footer_max(root: str, col: str):
-    """Max value of `col` across every parquet ROW-GROUP FOOTER under
-    root — O(files) metadata reads, never a data scan. The same
-    min/max stats the incremental stream slice prunes on (SURVEY.md
-    §4) answer "what is the max key" for free, because versions are
-    written sorted on the ordering column (_sorted_for_write)."""
-    import os
-
-    import pyarrow.parquet as pq
-
+def _stats_col_max(stats: dict, col: str):
+    """Max of `col` across a version's per-file stats (skipping.py
+    shape) — the write-time high-water mark, free once the stats walk
+    has run, because versions are written sorted on the ordering
+    column (_sorted_for_write)."""
     mx = None
-    for dirpath, _dirs, files in os.walk(root):
-        for fn in files:
-            if not fn.endswith(".parquet"):
-                continue
-            md = pq.ParquetFile(os.path.join(dirpath, fn)).metadata
-            try:
-                ci = md.schema.to_arrow_schema().names.index(col)
-            except ValueError:
-                continue
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(ci).statistics
-                if st is None or not st.has_min_max:
-                    continue
-                if mx is None or st.max > mx:
-                    mx = st.max
+    for entry in stats.values():
+        info = (entry.get("cols") or {}).get(col)
+        if not info or info.get("absent"):
+            continue
+        v = info.get("max")
+        if v is not None and (mx is None or v > mx):
+            mx = v
     return mx
 
 
@@ -283,16 +270,44 @@ class Table:
         av = self.get_active_version()
         return av.record_count if av else None
 
-    def _track_order_hwm(self, storage: str, meta: dict, version: str) -> None:
+    def _stat_cols(self, meta: dict) -> list[str]:
+        """Columns the write path harvests per-file min/max for:
+        declared stat_columns, else every column a predicate is likely
+        to prune on (orderings, partition/cluster keys, unique keys)."""
+        declared = meta.get("stat_columns")
+        if declared:
+            return list(declared)
+        cols: list[str] = []
+        for key in ("strictly_monotonic_ordering", "created_ordering"):
+            v = meta.get(key)
+            if v:
+                cols.append(v)
+        for key in ("partition_by", "cluster_by", "unique_on"):
+            cols.extend(meta.get(key) or [])
+        seen: set[str] = set()
+        return [c for c in cols if not (c in seen or seen.add(c))]
+
+    def _track_write_stats(self, storage: str, meta: dict, version: str) -> None:
+        """One footer-only walk per write: per-file min/max stats into
+        the catalog (the data-skipping index read_pruned plans from)
+        plus the ordering high-water mark. At cluster scale this walk
+        is incremental (new files only); locally a full rewalk is
+        O(files) metadata reads."""
+        from . import skipping
+
+        cols = self._stat_cols(meta)
         ob = meta.get("strictly_monotonic_ordering") or meta.get("created_ordering")
-        if not ob:
+        if not cols:
             return
         try:
-            mx = _parquet_footer_max(storage, ob)
+            stats = skipping.collect_file_stats(storage, cols)
         except Exception:
-            mx = None  # stats unavailable: order_max() falls back to a scan
-        if mx is not None:
-            self._engine.catalog.set_order_hwm(self.store_name, version, mx)
+            return  # stats unavailable: order_max()/read_pruned fall back
+        self._engine.catalog.set_file_stats(self.store_name, version, stats)
+        if ob:
+            mx = _stats_col_max(stats, ob)
+            if mx is not None:
+                self._engine.catalog.set_order_hwm(self.store_name, version, mx)
 
     def order_max(self):
         """Max value of the declared ordering column in the active
@@ -397,6 +412,7 @@ class Table:
         created_ordering: str | None = None,
         partition_by: str | list[str] | None = None,
         cluster_by: str | list[str] | None = None,
+        stat_columns: str | list[str] | None = None,
     ) -> None:
         """Declare creation-time table properties (node.py:269-297).
 
@@ -410,10 +426,18 @@ class Table:
         columns, giving every listed column min/max-pruning locality
         (operators/layout.zvalue) — declare it only on tables whose
         reads filter on several columns; it takes precedence over the
-        implicit orderings in the write sort."""
+        implicit orderings in the write sort.
+
+        stat_columns is an engine extension: the write path harvests
+        per-FILE min/max/null stats for these columns into the catalog
+        (default: orderings + partition/cluster/unique keys), and
+        read_pruned() plans file-skipping scans from that index
+        without opening any footer — see node/skipping.py."""
         if not self.is_connected:
             return
         updates: dict[str, Any] = {"auto_indexes": auto_indexes}
+        if stat_columns is not None:
+            updates["stat_columns"] = [stat_columns] if isinstance(stat_columns, str) else list(stat_columns)
         if partition_by is not None:
             updates["partition_by"] = [partition_by] if isinstance(partition_by, str) else list(partition_by)
         if cluster_by is not None:
@@ -476,6 +500,89 @@ class Table:
             schema = self.schema or T.StructType([])
             return self._engine.spark.createDataFrame([], schema)
         return df
+
+    # -- file-level data skipping (engine extension; node/skipping.py) ----
+    def _ensure_file_stats(self, version_id: str, cols: list[str]) -> dict | None:
+        """Catalog file stats for a version, covering `cols` — lazily
+        backfilled (one footer-only walk, then cached) for versions
+        created off the buffered write path (compact/recluster/clone/
+        restore) or for columns outside the write-time stat set."""
+        from . import skipping
+
+        cat = self._engine.catalog
+        stats = cat.get_file_stats(self.store_name, version_id)
+        have: set[str] = set()
+        if stats:
+            for entry in stats.values():
+                have.update((entry.get("cols") or {}).keys())
+        missing = [c for c in cols if c not in have]
+        if stats is not None and not missing:
+            return stats
+        storage = cat.version_dir(self.store_name, version_id)
+        try:
+            fresh = skipping.collect_file_stats(storage, missing or cols)
+        except Exception:
+            return stats
+        if stats:
+            for rel, entry in fresh.items():
+                base = stats.setdefault(rel, {"rows": entry["rows"], "cols": {}})
+                base["cols"].update(entry["cols"])
+        else:
+            stats = fresh
+        cat.set_file_stats(self.store_name, version_id, stats)
+        return stats
+
+    def prune_files(self, predicates: list[tuple], version: str | None = None) -> tuple[list[str], int]:
+        """(kept_relpaths, total_files) for a conjunction of
+        ``(col, op, value)`` predicates against the catalog's per-file
+        stats — the planning half of read_pruned, exposed for
+        introspection and tests. No Spark job, no footer reads when
+        stats are already cached."""
+        from . import skipping
+
+        if not self.is_connected:
+            return [], 0
+        vid = version or self._engine.catalog.get_active_version(self.store_name)
+        if vid is None:
+            return [], 0
+        cols = sorted({p[0] for p in predicates})
+        stats = self._ensure_file_stats(vid, cols)
+        if not stats:
+            return [], 0
+        return skipping.prune(stats, predicates), len(stats)
+
+    def read_pruned(self, predicates: list[tuple], version: str | None = None) -> DataFrame:
+        """Filtered read that prunes FILES from catalog metadata before
+        Spark plans the scan (Delta-style data skipping; SURVEY.md §4's
+        min/max pruning lever at file granularity). At 100 TB the scan
+        lists only surviving files instead of opening O(files) footers.
+        The same predicates are re-applied as a real Spark filter, so
+        the result equals ``read_spark().filter(...)`` regardless of
+        stats availability (missing stats ⇒ graceful full scan)."""
+        from . import skipping
+
+        cond = skipping.predicates_to_filter(predicates)
+        if not self.is_connected:
+            return self.read_spark().filter(cond)
+        vid = version or self._engine.catalog.get_active_version(self.store_name)
+        if vid is None:
+            return self.read_spark(version=version).filter(cond)
+        kept, total = self.prune_files(predicates, version=vid)
+        if not total or len(kept) == total:
+            return self.read_spark(version=version).filter(cond)
+        storage = self._engine.catalog.version_dir(self.store_name, vid)
+        schema = self.schema
+        if not kept:
+            return self._engine.spark.createDataFrame([], schema or T.StructType([])).filter(cond)
+        import os
+
+        reader = self._engine.spark.read.option("basePath", storage)
+        if schema is not None:
+            reader = reader.schema(schema)
+        else:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*[os.path.join(storage, rel) for rel in kept])
+        return df.filter(cond)
 
     def read_sql(self, sql: str, as_format: str = "records", chunksize: int | None = None):
         """Arbitrary SQL over storage; caller interpolates sql_name
@@ -722,7 +829,7 @@ class Table:
                 self._link_untouched_partitions(av.storage, out_dir, part_cols[0], touched)
             n = self._engine.spark.read.parquet(out_dir).count()
             catalog.set_record_count(self.store_name, new_version, n)
-            self._track_order_hwm(out_dir, meta, new_version)
+            self._track_write_stats(out_dir, meta, new_version)
             catalog.set_active_version(self.store_name, new_version)
             catalog.gc_versions(self.store_name)
         else:
@@ -745,7 +852,7 @@ class Table:
             self._writer(df, meta).mode("append").parquet(av.storage)
             batch_n = df.count()
             catalog.set_record_count(self.store_name, av.version_id, prev + batch_n)
-            self._track_order_hwm(av.storage, meta, av.version_id)
+            self._track_write_stats(av.storage, meta, av.version_id)
         # persist the MERGED schema (driver-side union of existing +
         # batch): the version dir may hold files with different column
         # sets, and reads pin to this schema (TableVersion.as_dataframe)

@@ -1,0 +1,212 @@
+"""File-level data skipping for engine tables.
+
+Spark's parquet reader already does ROW-GROUP pruning from footer
+stats once a file is opened — but opening footers is itself O(files)
+planning work, which at 100 TB (millions of files) dominates query
+startup. Lakehouse formats solve this by keeping per-file column
+min/max stats in table METADATA and pruning the file list before the
+scan is planned (the reference's hosted runtime gets the equivalent
+from its warehouse's zone maps; our SURVEY.md §4 notes min/max
+pruning as the physical-design lever). This module is that index for
+the engine's versioned tables:
+
+- ``collect_file_stats(root, cols)``: one metadata-only walk of a
+  version directory -> {relpath: {"rows", "cols": {col: bounds}}}.
+  Hive ``col=value`` path segments are parsed so partition columns
+  get exact per-file bounds even though they are not stored in the
+  files themselves.
+- ``prune(stats, predicates)``: conjunctive predicate evaluation
+  against those bounds. A file is dropped only when its stats PROVE
+  no row can match; any uncertainty (missing stats, cross-type
+  comparison) keeps the file — pruning is an optimization, never a
+  correctness dependency (the caller re-applies the predicate as a
+  real Spark filter).
+
+Predicates are ``(col, op, value)`` triples, op in
+``= < <= > >= between in`` (``between`` takes a (lo, hi) tuple,
+``in`` a list). Comparison predicates never match NULL, so all-null
+files (and files where the column is ABSENT — schema evolution fills
+them with NULL on read) are provably prunable.
+"""
+from __future__ import annotations
+
+import os
+import urllib.parse
+from typing import Any, Iterable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+Predicate = tuple  # (col, op, value)
+
+_OPS = {"=", "<", "<=", ">", ">=", "between", "in"}
+
+
+def _parse_partition_value(raw: str) -> Any:
+    """Hive dir names encode values as url-quoted strings; recover a
+    comparable python value (int/float when the text is numeric,
+    else the decoded string)."""
+    s = urllib.parse.unquote(raw)
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    try:
+        return float(s)
+    except ValueError:
+        return s
+
+
+def _partition_values(relpath: str) -> dict[str, Any]:
+    """{col: value} for every hive `col=value` segment on the path;
+    value None for the hive null-partition sentinel."""
+    out: dict[str, Any] = {}
+    for seg in relpath.split(os.sep)[:-1]:
+        if "=" not in seg:
+            continue
+        col, _, raw = seg.partition("=")
+        out[col] = None if raw == HIVE_NULL else _parse_partition_value(raw)
+    return out
+
+
+def collect_file_stats(root: str, cols: Iterable[str]) -> dict[str, dict]:
+    """Per-file bounds for `cols` under a version dir — parquet FOOTER
+    reads only, never a data scan. Per column one of:
+      {"min": v, "max": v, "nulls": n}  -- bounded (min/max None only
+                                           when every row is null)
+      {"absent": True}                  -- column not in this file's
+                                           schema (reads as NULL)
+      missing key                       -- stats unavailable: never
+                                           prune on this column
+    """
+    import pyarrow.parquet as pq
+
+    cols = list(cols)
+    out: dict[str, dict] = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in sorted(files):
+            if not fn.endswith(".parquet"):
+                continue
+            full = os.path.join(dirpath, fn)
+            rel = os.path.relpath(full, root)
+            md = pq.ParquetFile(full).metadata
+            names = md.schema.to_arrow_schema().names
+            pvals = _partition_values(rel)
+            entry: dict[str, Any] = {}
+            for col in cols:
+                if col in pvals:
+                    v = pvals[col]
+                    entry[col] = (
+                        {"min": None, "max": None, "nulls": md.num_rows}
+                        if v is None
+                        else {"min": v, "max": v, "nulls": 0}
+                    )
+                    continue
+                if col not in names:
+                    entry[col] = {"absent": True}
+                    continue
+                ci = names.index(col)
+                mn = mx = None
+                nulls = 0
+                usable = True
+                for rg in range(md.num_row_groups):
+                    rgm = md.row_group(rg)
+                    st = rgm.column(ci).statistics
+                    if st is None:
+                        usable = False
+                        break
+                    n_null = st.null_count
+                    if st.has_min_max:
+                        if n_null is None:
+                            n_null = 0  # unknown nulls don't affect min/max pruning
+                        try:
+                            mn = st.min if mn is None or st.min < mn else mn
+                            mx = st.max if mx is None or st.max > mx else mx
+                        except TypeError:
+                            usable = False
+                            break
+                    elif n_null is not None and n_null == rgm.num_rows:
+                        pass  # all-null row group: contributes no values
+                    else:
+                        usable = False
+                        break
+                    nulls += n_null
+                if usable:
+                    entry[col] = {"min": mn, "max": mx, "nulls": nulls}
+            out[rel] = {"rows": md.num_rows, "cols": entry}
+    return out
+
+
+def _could_match(entry: dict, col: str, op: str, value: Any) -> bool:
+    """True unless this file's stats PROVE no row satisfies the
+    predicate. Conservative on any uncertainty."""
+    info = (entry.get("cols") or {}).get(col)
+    if info is None:
+        return True  # no stats for this column: cannot prune
+    if info.get("absent"):
+        return False  # column reads as NULL: value predicates never match
+    mn, mx = info.get("min"), info.get("max")
+    if mn is None and mx is None:
+        # bounded with no values => every row is null
+        return not (info.get("nulls") == entry.get("rows"))
+    try:
+        if op == "=":
+            return mn <= value <= mx
+        if op == "<":
+            return mn < value
+        if op == "<=":
+            return mn <= value
+        if op == ">":
+            return mx > value
+        if op == ">=":
+            return mx >= value
+        if op == "between":
+            lo, hi = value
+            return not (mx < lo or mn > hi)
+        if op == "in":
+            return any(mn <= v <= mx for v in value)
+    except TypeError:
+        return True  # cross-type compare (e.g. str stats vs int value)
+    raise ValueError(f"unknown predicate op {op!r} (use one of {sorted(_OPS)})")
+
+
+def prune(stats: dict[str, dict], predicates: list[Predicate]) -> list[str]:
+    """Relpaths of files that may contain matching rows (conjunctive
+    predicates: a file pruned by ANY predicate is out)."""
+    for col, op, _v in predicates:
+        if op not in _OPS:
+            raise ValueError(f"unknown predicate op {op!r} (use one of {sorted(_OPS)})")
+    return [
+        rel
+        for rel, entry in stats.items()
+        if all(_could_match(entry, col, op, value) for col, op, value in predicates)
+    ]
+
+
+def predicates_to_filter(predicates: list[Predicate]) -> Column:
+    """The same conjunction as a real Spark filter — applied on top of
+    the pruned scan so results never depend on stats correctness."""
+    cond = F.lit(True)
+    for col, op, value in predicates:
+        c = F.col(col)
+        if op == "=":
+            piece = c == F.lit(value)
+        elif op == "<":
+            piece = c < F.lit(value)
+        elif op == "<=":
+            piece = c <= F.lit(value)
+        elif op == ">":
+            piece = c > F.lit(value)
+        elif op == ">=":
+            piece = c >= F.lit(value)
+        elif op == "between":
+            lo, hi = value
+            piece = (c >= F.lit(lo)) & (c <= F.lit(hi))
+        elif op == "in":
+            piece = c.isin(list(value))
+        else:
+            raise ValueError(f"unknown predicate op {op!r}")
+        cond = cond & piece
+    return cond
