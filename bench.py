@@ -77,6 +77,10 @@ BENCH_QUERIES = [
     # partitioned prefix sum
     "q189_minhash_calibration",
     "q191_token_budget",
+    # sketch batch: mergeable count-min heavy hitters over the token
+    # stream, embedding-cluster SemDeDup (cluster-bounded pairwise)
+    "q195_countmin_heavy_hitters",
+    "q197_semdedup",
     "sdk02_upsert",  # engine write path: full-table MERGE + version flip
     "sdk06_upsert_partitioned",  # bounded rewrite: touched partition only, rest hardlinked
     "sdk07_compact",  # maintenance: 4-file hot append table -> 1 coalesced file

@@ -1,0 +1,318 @@
+"""Mergeable-sketch + semantic-dedup battery (q195-q197).
+
+The reference's warehouse exposes approximate aggregates (SURVEY.md
+§2.9's approx-distinct hint, oracle-gated in q54 via an error bound);
+this module adds the ENGINE-side mergeable forms a 100 TB pipeline
+actually ships: a count-min sketch for heavy hitters (q195), a
+HyperLogLog-style mergeable distinct with registers replayed
+bit-for-bit (q196), and SemDeDup-style embedding-cluster dedup (q197
+— the semantic counterpart of the q34/q35 lexical near-dup family).
+
+All three follow the repo's det_hash discipline (operators/det_hash.py,
+operators/sketches.py): md5-derived integer hash family, integer-exact
+register ranks via length(bin(x)), decimal-38/HUGEINT arithmetic with
+explicit floors — so DuckDB replays the APPROXIMATE pipeline itself
+and the driver hash-checks it, not just a tolerance band.
+"""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators import sketches as sk
+from .operators.det_hash import quantized_embedding
+from .operators.text import tokens
+from .queries import query, t
+
+# =====================================================================
+# q195 — count-min sketch heavy hitters (deterministic, replayable)
+# =====================================================================
+
+_CMS_D, _CMS_W = sk.CMS_DEPTH, sk.CMS_WIDTH
+
+
+@query(
+    "q195_countmin_heavy_hitters",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents
+    ),
+    tf AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE token <> '' GROUP BY 1
+    ),
+    hashed AS (
+      SELECT token, tf, j,
+             CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || token), 1, 15) AS BIGINT) % {_CMS_W} AS b
+      FROM tf, unnest([0, 1, 2, 3]) AS u(j)
+    ),
+    sketch AS (SELECT j, b, sum(tf) AS cnt FROM hashed GROUP BY 1, 2),
+    est AS (
+      SELECT h.token, h.tf, CAST(min(s.cnt) AS BIGINT) AS est
+      FROM hashed h JOIN sketch s ON h.j = s.j AND h.b = s.b
+      GROUP BY 1, 2
+    )
+    SELECT token, tf, est, est - tf AS overcount
+    FROM est ORDER BY tf DESC, token LIMIT 20
+    """,
+)
+def q195(spark, sf_dir):
+    """Count-min heavy hitters over the document token stream: a
+    4x1024 sketch (sum-mergeable: elementwise add across partitions /
+    days / sources), point-queried for the top-20 tokens; overcount =
+    est - tf >= 0 is the count-min law (one-sided error), reported as
+    data and pytest-gated.
+
+    100 TB shape: the only corpus-wide shuffle is the token tf
+    aggregate (map-side combine on a Zipf domain); the sketch itself
+    is a fixed 4 KB reduce — at cluster scale you'd skip the exact tf
+    and fold RAW occurrences into per-executor sketches (linearity
+    makes the two identical, which is why the oracle replays exactly),
+    keeping heavy-hitter detection one pass with O(1) state. Estimate
+    lookups broadcast the sketch. Reference parity: the devkit's
+    hosted warehouse exposes approx top-k through SQL hints
+    (SURVEY.md §2.9); this is the engine-side mergeable form."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("token")).filter(F.col("token") != "")
+    tf = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    sketch = sk.cms_build(tf, key_col="token", weight_col="tf")
+    est = sk.cms_estimate(tf, sketch, key_col="token", weight_col="tf")
+    return (
+        est.select(
+            F.col("key").alias("token"),
+            F.col("w").alias("tf"),
+            F.col("est").cast("long").alias("est"),
+            (F.col("est") - F.col("w")).cast("long").alias("overcount"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+# =====================================================================
+# q196 — mergeable HLL-style distinct (registers replayed in SQL)
+# =====================================================================
+
+
+@query(
+    "q196_hll_mergeable_distinct",
+    """
+    WITH c AS (
+      SELECT r.r_name, n.n_nationkey, c.c_custkey,
+             CAST('0x' || substr(md5(CAST(c.c_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    ),
+    nreg AS (
+      SELECT r_name, n_nationkey, h % 64 AS reg,
+             max(CASE WHEN h // 64 = 0 THEN 55
+                      ELSE 55 - length(bin(h // 64)) END) AS rho
+      FROM c GROUP BY 1, 2, 3
+    ),
+    merged AS (
+      SELECT r_name, reg, max(rho) AS rho FROM nreg GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT r_name,
+             sum(CAST(power(2, 56 - rho) AS HUGEINT))
+               + (64 - count(*)) * CAST(power(2, 56) AS HUGEINT) AS s,
+             CAST(count(*) AS BIGINT) AS n_registers_used,
+             CAST(sum((reg + 1) * rho) AS BIGINT) AS register_checksum
+      FROM merged GROUP BY 1
+    ),
+    est AS (
+      SELECT r_name,
+             CAST((709 * 64 * 64 * CAST(power(2, 56) AS HUGEINT)) // (1000 * s) AS BIGINT) AS n_est,
+             n_registers_used, register_checksum
+      FROM s
+    ),
+    exact AS (
+      SELECT r_name, CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_exact FROM c GROUP BY 1
+    )
+    SELECT e.r_name, x.n_exact, e.n_est,
+           CAST(abs(e.n_est - x.n_exact) * 1000 // x.n_exact AS BIGINT) AS err_abs_permille,
+           e.n_registers_used, e.register_checksum
+    FROM est e JOIN exact x ON x.r_name = e.r_name
+    """,
+)
+def q196(spark, sf_dir):
+    """Mergeable distinct-count sketch, demonstrated on the customer
+    hierarchy: NATION-grain register partials (the shape each executor
+    / day / source emits) merged to REGION grain by elementwise max —
+    the associative-idempotent merge that makes sketch distinct a
+    map-side-combine hash agg instead of a full shuffle of the key
+    domain — then estimated with exact-integer arithmetic
+    (operators/sketches.py: rank via length(bin(h DIV m)), S as a
+    2^56-scaled HUGEINT rational, explicit floor division). The
+    estimate, register usage, and a register checksum are all
+    hash-checked against DuckDB replaying the identical registers; the
+    estimate-vs-exact error is REPORTED as data (err_abs_permille), so
+    the oracle pins the algorithm, not a tolerance. Complements q54
+    (Spark-native approx_count_distinct, error-bound-gated) with a
+    cross-engine mergeable construction."""
+    cust = (
+        t(spark, sf_dir, "customer")
+        .join(t(spark, sf_dir, "nation"), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(t(spark, sf_dir, "region"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("r_name", "n_nationkey", "c_custkey")
+    )
+    nreg = sk.hll_registers(cust, "c_custkey", ["r_name", "n_nationkey"])
+    merged = nreg.groupBy("r_name", "reg").agg(F.max("rho").alias("rho"))
+    est = sk.hll_estimate(merged, ["r_name"])
+    checksum = merged.groupBy("r_name").agg(
+        F.sum((F.col("reg") + 1) * F.col("rho")).cast("long").alias("register_checksum")
+    )
+    exact = cust.groupBy("r_name").agg(
+        F.countDistinct("c_custkey").cast("long").alias("n_exact")
+    )
+    return (
+        exact.join(est, "r_name")
+        .join(checksum, "r_name")
+        .select(
+            "r_name",
+            "n_exact",
+            "n_est",
+            F.expr("CAST(abs(n_est - n_exact) * 1000 DIV n_exact AS BIGINT)").alias(
+                "err_abs_permille"
+            ),
+            "n_registers_used",
+            "register_checksum",
+        )
+    )
+
+
+# =====================================================================
+# q197 — SemDeDup: embedding-cluster semantic dedup (exact replay)
+# =====================================================================
+
+# cos >= 0.95  <=>  dot > 0 AND 400*dot^2 >= 361*|a|^2*|b|^2  (19/20)^2
+_SEM_NUM2, _SEM_DEN2 = 361, 400
+
+
+@query(
+    "q197_semdedup",
+    f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS ei
+      FROM embeddings
+    ),
+    ep AS (
+      SELECT vec_id, label, CAST(i AS INT) AS d, ei[CAST(i AS INT)] AS v
+      FROM e, unnest(range(1, 65)) AS u(i)
+    ),
+    cent AS (
+      SELECT label AS clabel, d,
+             CAST((sum(v) - ((sum(v) % count(*) + count(*)) % count(*))) // count(*) AS BIGINT) AS c
+      FROM ep GROUP BY label, d
+    ),
+    dist AS (
+      SELECT ep.vec_id, cent.clabel,
+             sum((ep.v - cent.c) * (ep.v - cent.c)) AS dist
+      FROM ep JOIN cent ON ep.d = cent.d GROUP BY 1, 2
+    ),
+    assign AS (
+      SELECT vec_id, clabel AS cid FROM (
+        SELECT vec_id, clabel,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rn
+        FROM dist) WHERE rn = 1
+    ),
+    epc AS (
+      SELECT a.cid, ep.vec_id, ep.d, ep.v
+      FROM ep JOIN assign a ON a.vec_id = ep.vec_id
+    ),
+    nrm AS (SELECT vec_id, sum(v * v) AS nrm FROM epc GROUP BY 1),
+    dots AS (
+      SELECT l.cid, l.vec_id AS lid, r.vec_id AS rid, sum(l.v * r.v) AS dot
+      FROM epc l JOIN epc r ON l.cid = r.cid AND l.d = r.d AND l.vec_id < r.vec_id
+      GROUP BY 1, 2, 3
+    ),
+    dup AS (
+      SELECT d.rid, CAST(min(d.lid) AS BIGINT) AS dup_of
+      FROM dots d
+      JOIN nrm nl ON nl.vec_id = d.lid
+      JOIN nrm nr ON nr.vec_id = d.rid
+      WHERE d.dot > 0
+        AND {_SEM_DEN2} * CAST(d.dot AS HUGEINT) * d.dot
+            >= {_SEM_NUM2} * CAST(nl.nrm AS HUGEINT) * nr.nrm
+      GROUP BY 1
+    )
+    SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
+           CAST(CASE WHEN dup.dup_of IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup,
+           CAST(coalesce(dup.dup_of, -1) AS BIGINT) AS dup_of
+    FROM assign a LEFT JOIN dup ON dup.rid = a.vec_id
+    """,
+)
+def q197(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023 pattern): cluster embeddings, then
+    drop near-duplicates WITHIN each cluster — pairwise similarity is
+    bounded by cluster size, never corpus-wide. Clusters come from the
+    exact-integer label centroids (same construction as q167's
+    confident-learning audit: micro-quantized vectors, true bigint
+    floor-mean, nearest-centroid assignment with (dist, label)
+    tie-break), and the in-cluster cos >= 0.95 test is done squared in
+    HUGEINT/decimal-38 (dot > 0 and 400*dot^2 >= 361*|a|^2*|b|^2), so
+    there is no sqrt and no float anywhere — DuckDB replays cluster
+    membership AND every duplicate verdict bit-for-bit. A vector is a
+    dup of the SMALLEST lower id in its cluster that clears the
+    threshold (deterministic survivor = min id, matching the q33/q58
+    dedup family convention).
+
+    100 TB shape: centroid model is O(labels x dims) — broadcast; the
+    pairwise stage joins on (cluster, dim), so cost is sum over
+    clusters of |cluster|^2 * dims — the SemDeDup trade: cluster count
+    scales with corpus so |cluster| stays bounded (here: 10 label
+    centroids over the fixture's 500-5000 vectors; production uses
+    k-means with k ~ N/1000 — the assignment dataflow is identical).
+    Complements the lexical near-dup family (q34 n-gram, q35 MinHash,
+    q36 SimHash) with the embedding-space member the curation stage
+    needs."""
+    emb = t(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", quantized_embedding("embedding").alias("ei"))
+    ep = e.select("vec_id", "label", F.posexplode("ei").alias("d", "v"))
+    cent = ep.groupBy(F.col("label").alias("clabel"), "d").agg(
+        F.expr("CAST((sum(v) - pmod(sum(v), count(*))) DIV count(*) AS BIGINT)").alias("c")
+    )
+    dist = (
+        ep.join(F.broadcast(cent), "d")
+        .groupBy("vec_id", "clabel")
+        .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("dist"))
+    )
+    assign = dist.groupBy("vec_id").agg(F.min(F.struct("dist", "clabel")).alias("m")).select(
+        "vec_id", F.col("m.clabel").alias("cid")
+    )
+    epc = ep.join(assign, "vec_id").select("cid", "vec_id", "d", "v")
+    nrm = epc.groupBy("vec_id").agg(F.sum(F.col("v") * F.col("v")).alias("nrm"))
+    left = epc.select(F.col("cid"), F.col("vec_id").alias("lid"), "d", F.col("v").alias("lv"))
+    right = epc.select(F.col("cid"), F.col("vec_id").alias("rid"), "d", F.col("v").alias("rv"))
+    dots = (
+        left.join(right, ["cid", "d"])
+        .filter(F.col("lid") < F.col("rid"))
+        .groupBy("cid", "lid", "rid")
+        .agg(F.sum(F.col("lv") * F.col("rv")).alias("dot"))
+    )
+    nl = nrm.select(F.col("vec_id").alias("lid"), F.col("nrm").alias("nl"))
+    nr = nrm.select(F.col("vec_id").alias("rid"), F.col("nrm").alias("nr"))
+    dup = (
+        dots.join(F.broadcast(nl), "lid")
+        .join(F.broadcast(nr), "rid")
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.expr(
+                    f"{_SEM_DEN2} * CAST(dot AS DECIMAL(38,0)) * CAST(dot AS DECIMAL(38,0))"
+                )
+                >= F.expr(
+                    f"{_SEM_NUM2} * CAST(nl AS DECIMAL(38,0)) * CAST(nr AS DECIMAL(38,0))"
+                )
+            )
+        )
+        .groupBy("rid")
+        .agg(F.min("lid").cast("long").alias("dup_of"))
+    )
+    return assign.join(dup, assign.vec_id == dup.rid, "left").select(
+        "vec_id",
+        F.col("cid").cast("long").alias("cid"),
+        F.when(F.col("dup_of").isNull(), 0).otherwise(1).cast("long").alias("is_dup"),
+        F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long").alias("dup_of"),
+    )

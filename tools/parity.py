@@ -74,6 +74,7 @@ _REGISTRY_FILES = [
     "patterns_devkit_spark/queries_analytics.py",
     "patterns_devkit_spark/queries_pipeline.py",
     "patterns_devkit_spark/queries_scale.py",
+    "patterns_devkit_spark/queries_sketch.py",
 ]
 
 
