@@ -8,6 +8,7 @@ pieces the reference keeps server-side (Engine, Catalog, GraphSpec,
 GraphRunner) and the north-star operator library (operators/).
 """
 from .node.node import (
+    CheckConstraintViolation,
     Connection,
     Engine,
     NodeContext,
@@ -23,6 +24,7 @@ from .session import get_spark
 __version__ = "0.1.0"
 
 __all__ = [
+    "CheckConstraintViolation",
     "Connection",
     "Engine",
     "NodeContext",

@@ -124,6 +124,15 @@ def _cast_parameter(value: Any, typ: type) -> Any:
         raise ValueError(f"cannot cast parameter value {value!r} to {typ.__name__}") from e
 
 
+class CheckConstraintViolation(ValueError):
+    """A write batch failed a declared CHECK constraint; nothing was
+    written and the active version is unchanged (engine extension —
+    the write-side counterpart of the q120 constraint AUDIT). The
+    rejected records are discarded from the write buffer: correct and
+    re-append them (buffered flush clears before validating, so a
+    later flush never re-raises for a batch already reported)."""
+
+
 def _stats_col_max(stats: dict, col: str):
     """Max of `col` across a version's per-file stats (skipping.py
     shape) — the write-time high-water mark, free once the stats walk
@@ -413,6 +422,7 @@ class Table:
         partition_by: str | list[str] | None = None,
         cluster_by: str | list[str] | None = None,
         stat_columns: str | list[str] | None = None,
+        check_constraints: dict[str, str] | None = None,
     ) -> None:
         """Declare creation-time table properties (node.py:269-297).
 
@@ -432,12 +442,22 @@ class Table:
         per-FILE min/max/null stats for these columns into the catalog
         (default: orderings + partition/cluster/unique keys), and
         read_pruned() plans file-skipping scans from that index
-        without opening any footer — see node/skipping.py."""
+        without opening any footer — see node/skipping.py.
+
+        check_constraints is an engine extension: {name: sql_bool_expr}
+        verified against every buffered write in ONE aggregate job;
+        a violating batch raises CheckConstraintViolation and writes
+        NOTHING (the active version never flips). NULL evaluations
+        pass (Delta CHECK semantics) — add `col IS NOT NULL` to forbid
+        nulls. The q120 audit is the read-side analogue for data
+        already landed."""
         if not self.is_connected:
             return
         updates: dict[str, Any] = {"auto_indexes": auto_indexes}
         if stat_columns is not None:
             updates["stat_columns"] = [stat_columns] if isinstance(stat_columns, str) else list(stat_columns)
+        if check_constraints is not None:
+            updates["check_constraints"] = dict(check_constraints)
         if partition_by is not None:
             updates["partition_by"] = [partition_by] if isinstance(partition_by, str) else list(partition_by)
         if cluster_by is not None:
@@ -745,11 +765,38 @@ class Table:
         seq = F.lit(start) + offset_map[F.col("__pid")] + F.row_number().over(w) - F.lit(1)
         return df.withColumn(col, encode_base32_col(seq)).drop("__pid")
 
+    def _enforce_check_constraints(self, df: DataFrame, meta: dict) -> None:
+        """Reject the WHOLE flush if any declared CHECK constraint is
+        violated by any incoming row (Delta CHECK semantics: a row
+        violates only when the expression evaluates FALSE — NULL
+        passes; pair with an explicit `col IS NOT NULL` check to
+        forbid nulls). All constraints are verified in ONE aggregate
+        job over the batch; on violation nothing is written and no
+        version flips — the active version is untouched (atomicity
+        comes from the version-flip design, not rollback)."""
+        checks = meta.get("check_constraints") or {}
+        if not checks:
+            return
+        aggs = [
+            F.sum(F.when(F.expr(expr) == False, 1).otherwise(0)).alias(name)  # noqa: E712
+            for name, expr in checks.items()
+        ]
+        row = df.agg(*aggs).collect()[0]
+        bad = {name: int(row[name]) for name in checks if row[name]}
+        if bad:
+            detail = ", ".join(
+                f"{name!r} ({checks[name]}): {n} row(s)" for name, n in bad.items()
+            )
+            raise CheckConstraintViolation(
+                f"write to table {self.store_name!r} rejected — CHECK constraint(s) violated: {detail}"
+            )
+
     def _flush_batch(self, batches: list[Any], upsert: bool) -> None:
         catalog = self._engine.catalog
         existing_schema = self.schema if self.exists else None
         df = self._prepare_batch(batches)
         meta = catalog.table_meta(self.store_name) or {}
+        self._enforce_check_constraints(df, meta)
         av = self.get_active_version()
         created = av is None
         if upsert:
