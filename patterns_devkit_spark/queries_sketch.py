@@ -316,3 +316,255 @@ def q197(spark, sf_dir):
         F.when(F.col("dup_of").isNull(), 0).otherwise(1).cast("long").alias("is_dup"),
         F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long").alias("dup_of"),
     )
+
+
+# =====================================================================
+# q198 — BM25 retrieval, integer-exact quantized spec
+# =====================================================================
+
+_BM25_QUERY = ["vector", "spark", "merge", "window"]
+# k1 = 6/5, b = 3/4; clearing denominators gives the all-bigint form
+#   term_milli = idf * tf * 44 * T * 1000 DIV (20*tf*T + 6*T + 18*dl*N)
+# with T = total corpus tokens, N = docs, dl = doc length.
+# idf is the engine-pinned floor-log2 variant length(bin(N DIV df)) —
+# monotone in df and integer on both engines (no ln anywhere).
+
+
+@query(
+    "q198_bm25_retrieval",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok2 GROUP BY 1),
+    corpus AS (SELECT CAST(sum(dl) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS n FROM dl),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok2 WHERE token IN ('vector', 'spark', 'merge', 'window')
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             (length(bin(c.n // d.df)) * tf.tf * 44 * c.t * 1000)
+               // (20 * tf.tf * c.t + 6 * c.t + 18 * dl.dl * c.n) AS term_milli
+      FROM tf
+      JOIN dfreq d ON d.token = tf.token
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN corpus c
+    )
+    SELECT doc_id,
+           CAST(sum(term_milli) AS BIGINT) AS bm25_milli,
+           CAST(count(*) AS BIGINT) AS n_terms_matched
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25_milli DESC, doc_id LIMIT 10
+    """,
+)
+def q198(spark, sf_dir):
+    """BM25 text retrieval (Robertson-Sparck Jones Okapi weighting)
+    over the documents table, in the repo's integer-exact quantized
+    form: k1=6/5 and b=3/4 cleared to a single bigint fraction per
+    term, and idf = length(bin(N DIV df)) — a floor-log2 idf that
+    needs no ln() (the one piece of BM25 both engines cannot compute
+    identically in floats). Completes the retrieval family: q71 is
+    TF-IDF relevance, q37/q38/q66 are dense (embedding) retrieval,
+    this is the sparse lexical ranker between them.
+
+    100 TB shape: df/dl/corpus stats are one token hash-agg each (the
+    same explode the text battery already pays); the query-term filter
+    cuts the scored set to |terms| * df rows; corpus totals broadcast
+    as a 1-row cross join (the q37/q120 scalar pattern); final top-10
+    is TakeOrdered, never a full sort. Numerator magnitudes: at
+    corpus sizes where tf*T*44000 nears int64 (T ~ 1e13), the
+    fraction moves to decimal-38 unchanged."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    corpus = dl.agg(
+        F.sum("dl").cast("long").alias("t"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tf = (
+        tok.filter(F.col("token").isin(_BM25_QUERY))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            F.expr(
+                "(length(bin(n DIV df)) * tf * 44 * t * 1000)"
+                " DIV (20 * tf * t + 6 * t + 18 * dl * n)"
+            ).alias("term_milli"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("term_milli").cast("long").alias("bm25_milli"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+        )
+        .orderBy(F.col("bm25_milli").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+# =====================================================================
+# q199 — hybrid retrieval: reciprocal-rank fusion of BM25 + dense
+# =====================================================================
+
+_RRF_K = 60
+_RRF_SCALE = 1_000_000
+_RRF_TOPN = 100
+
+
+@query(
+    "q199_hybrid_rrf",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok2 GROUP BY 1),
+    corpus AS (SELECT CAST(sum(dl) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS n FROM dl),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok2 WHERE token IN ('vector', 'spark', 'merge', 'window')
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    bm25 AS (
+      SELECT tf.doc_id,
+             sum((length(bin(c.n // d.df)) * tf.tf * 44 * c.t * 1000)
+               // (20 * tf.tf * c.t + 6 * c.t + 18 * dl.dl * c.n)) AS s
+      FROM tf
+      JOIN dfreq d ON d.token = tf.token
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN corpus c
+      GROUP BY 1
+    ),
+    bm25_rank AS (
+      SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+      FROM (SELECT * FROM bm25 ORDER BY s DESC, doc_id LIMIT {_RRF_TOPN})
+    ),
+    e AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS ei
+      FROM embeddings
+    ),
+    ep AS (
+      SELECT vec_id, CAST(i AS INT) AS d, ei[CAST(i AS INT)] AS v
+      FROM e, unnest(range(1, 65)) AS u(i)
+    ),
+    qv AS (SELECT d, v AS qv FROM ep WHERE vec_id = 0),
+    dots AS (
+      SELECT ep.vec_id, sum(ep.v * qv.qv) AS dot
+      FROM ep JOIN qv ON qv.d = ep.d
+      WHERE ep.vec_id <> 0
+      GROUP BY 1
+    ),
+    vec_rank AS (
+      SELECT vec_id, row_number() OVER (ORDER BY dot DESC, vec_id) AS r
+      FROM (SELECT * FROM dots ORDER BY dot DESC, vec_id LIMIT {_RRF_TOPN})
+    ),
+    fused AS (
+      SELECT coalesce(b.doc_id, v.vec_id) AS doc_id,
+             coalesce({_RRF_SCALE} // ({_RRF_K} + b.r), 0)
+               + coalesce({_RRF_SCALE} // ({_RRF_K} + v.r), 0) AS rrf,
+             coalesce(b.r, -1) AS bm25_rank,
+             coalesce(v.r, -1) AS vec_rank
+      FROM bm25_rank b FULL OUTER JOIN vec_rank v ON v.vec_id = b.doc_id
+    )
+    SELECT doc_id, CAST(rrf AS BIGINT) AS rrf_score,
+           CAST(bm25_rank AS BIGINT) AS bm25_rank,
+           CAST(vec_rank AS BIGINT) AS vec_rank
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+)
+def q199(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al. RRF,
+    k=60) of the sparse BM25 ranking (q198's integer spec) and a dense
+    embedding ranking (integer-dot ordering against the vec_id-0 query
+    vector, the q76 convention; the fixture keys embeddings to
+    documents by id). RRF contributions are 1e6 DIV (60 + rank) —
+    integer-exact, no float reciprocal — summed across systems with
+    absent-from-list contributing zero.
+
+    100 TB shape: each system produces its top-100 via TakeOrdered
+    (never a full sort — the rank window runs AFTER the LIMIT, over a
+    bounded 100-row set, so no unpartitioned row-grain window exists);
+    the fusion is a full outer join of two 100-row lists. This is the
+    standard RAG retrieval stack's final stage, expressed so the
+    oracle replays both rankers and the fusion bit-for-bit."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    corpus = dl.agg(
+        F.sum("dl").cast("long").alias("t"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tf = (
+        tok.filter(F.col("token").isin(_BM25_QUERY))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    bm25 = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "(length(bin(n DIV df)) * tf * 44 * t * 1000)"
+                    " DIV (20 * tf * t + 6 * t + 18 * dl * n)"
+                )
+            ).alias("s")
+        )
+        .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(_RRF_TOPN)
+    )
+    bm25_rank = bm25.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("s").desc(), F.col("doc_id").asc()))
+    ).select("doc_id", "r")
+
+    emb = t(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", quantized_embedding("embedding").alias("ei"))
+    ep = e.select("vec_id", F.posexplode("ei").alias("d", "v"))
+    qv = ep.filter(F.col("vec_id") == 0).select("d", F.col("v").alias("qv"))
+    dots = (
+        ep.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv), "d")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("v") * F.col("qv")).alias("dot"))
+        .orderBy(F.col("dot").desc(), F.col("vec_id").asc())
+        .limit(_RRF_TOPN)
+    )
+    vec_rank = dots.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("dot").desc(), F.col("vec_id").asc()))
+    ).select(F.col("vec_id"), F.col("r").alias("rv"))
+
+    fused = bm25_rank.join(
+        vec_rank, bm25_rank.doc_id == vec_rank.vec_id, "full_outer"
+    ).select(
+        F.coalesce(F.col("doc_id"), F.col("vec_id")).alias("doc_id"),
+        (
+            F.coalesce(F.expr(f"{_RRF_SCALE} DIV ({_RRF_K} + r)"), F.lit(0))
+            + F.coalesce(F.expr(f"{_RRF_SCALE} DIV ({_RRF_K} + rv)"), F.lit(0))
+        ).cast("long").alias("rrf_score"),
+        F.coalesce(F.col("r"), F.lit(-1)).cast("long").alias("bm25_rank"),
+        F.coalesce(F.col("rv"), F.lit(-1)).cast("long").alias("vec_rank"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()).limit(10)
