@@ -213,6 +213,20 @@ class Catalog:
         raw = (meta or {}).get("file_stats", {}).get(version)
         return _untag(raw) if raw is not None else None
 
+    def set_column_stats(self, name: str, version: str, stats: dict) -> None:
+        """Table-level ANALYZE output for a version (node.py
+        Table.analyze): {"rows": n, "ts": epoch, "cols": {col:
+        {"n_nonnull", "ndv_approx", "min", "max"}}} — optimizer/advisor
+        food, surfaced as the __sys_column_stats view."""
+        with self._lock:
+            self.ensure_table(name).setdefault("column_stats", {})[version] = _tag(stats)
+            self._persist()
+
+    def get_column_stats(self, name: str, version: str) -> dict | None:
+        meta = self.table_meta(name)
+        raw = (meta or {}).get("column_stats", {}).get(version)
+        return _untag(raw) if raw is not None else None
+
     def gc_versions(self, name: str) -> list[str]:
         """Drop inactive versions beyond the table's retention policy
         (node.py:403-404 'old data is kept ... according to the table's
@@ -229,6 +243,7 @@ class Catalog:
                 meta["record_counts"].pop(v, None)
                 meta.get("order_hwms", {}).pop(v, None)
                 meta.get("file_stats", {}).pop(v, None)
+                meta.get("column_stats", {}).pop(v, None)
             if doomed:
                 self._persist()
             return doomed

@@ -27,6 +27,10 @@ _T = "table_name string, active_version string, n_versions long, record_count lo
 _V = "table_name string, version_id string, is_active boolean, has_data boolean, record_count long, n_files long, n_bytes long"
 _S = "node_id string, table_name string, order_by string, cursor string"
 _E = "ts double, table_name string, kind string, node_id string"
+_C = (
+    "table_name string, version_id string, column string, n_rows long, "
+    "n_nonnull long, ndv_approx long, min string, max string, analyzed_ts double"
+)
 
 
 def _version_files(d: str) -> tuple[int, int]:
@@ -79,9 +83,32 @@ def system_dataframes(engine: "Engine") -> dict[str, DataFrame]:
     events, _ = cat.read_events()
     e_rows = [(e.get("ts"), e.get("table"), e.get("kind"), e.get("node_id")) for e in events]
 
+    c_rows = []
+    for name in cat.table_names():
+        meta = cat.table_meta(name) or {}
+        for vid in meta.get("versions", []):
+            st = cat.get_column_stats(name, vid)
+            if not st:
+                continue
+            for col, s in (st.get("cols") or {}).items():
+                c_rows.append(
+                    (
+                        name,
+                        vid,
+                        col,
+                        st.get("rows"),
+                        s.get("n_nonnull"),
+                        s.get("ndv_approx"),
+                        None if s.get("min") is None else str(s["min"]),
+                        None if s.get("max") is None else str(s["max"]),
+                        st.get("ts"),
+                    )
+                )
+
     return {
         "__sys_tables": spark.createDataFrame(t_rows, _T),
         "__sys_versions": spark.createDataFrame(v_rows, _V),
         "__sys_streams": spark.createDataFrame(s_rows, _S),
         "__sys_events": spark.createDataFrame(e_rows, _E),
+        "__sys_column_stats": spark.createDataFrame(c_rows, _C),
     }

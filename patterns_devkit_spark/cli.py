@@ -310,6 +310,30 @@ def cmd_vacuum(args) -> int:
     return 0
 
 
+def cmd_analyze(args) -> int:
+    """ANALYZE: compute + store per-column statistics (non-null count,
+    approx NDV, min/max) for one table or every table with data; view
+    them via the __sys_column_stats system view or this command's
+    output."""
+    engine = _engine(args)
+    names = [args.table] if args.table else list(engine.catalog.table_names())
+    for name in names:
+        with engine.node_context("__analyze__", inputs={"in": name}):
+            from .node.node import Table
+
+            st = Table("in", "r").analyze()
+        if st is None:
+            print(f"{name}: no data")
+            continue
+        print(f"{name}: {st['rows']} rows")
+        for col, s in st["cols"].items():
+            print(
+                f"  {col}: nonnull={s['n_nonnull']} ndv~{s['ndv_approx']} "
+                f"min={s['min']!r} max={s['max']!r}"
+            )
+    return 0
+
+
 def cmd_config(args) -> int:
     print(json.dumps({"warehouse": _warehouse(args)}))
     return 0
@@ -439,6 +463,10 @@ def main(argv: list[str] | None = None) -> int:
 
     v = sub.add_parser("vacuum", help="garbage-collect inactive table versions")
     v.set_defaults(fn=cmd_vacuum)
+
+    an = sub.add_parser("analyze", help="compute + store per-column table statistics")
+    an.add_argument("table", nargs="?", help="table name (default: all tables)")
+    an.set_defaults(fn=cmd_analyze)
 
     cfg = sub.add_parser("config", help="show configuration")
     cfg.set_defaults(fn=cmd_config)

@@ -604,6 +604,53 @@ class Table:
         df = reader.parquet(*[os.path.join(storage, rel) for rel in kept])
         return df.filter(cond)
 
+    _ANALYZE_ORDERABLE = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType,
+        T.DoubleType, T.DecimalType, T.StringType, T.DateType,
+        T.TimestampType, T.TimestampNTZType, T.BooleanType,
+    )
+
+    def analyze(self) -> dict | None:
+        """ANALYZE TABLE (engine extension — the reference's hosted
+        warehouse keeps these server-side; a local engine needs them
+        for the same reasons a warehouse does: join-size estimates,
+        partition-key choice, q175-style layout advice). ONE aggregate
+        job over the active version computes, per column: non-null
+        count, approximate NDV (Spark's HLL++ approx_count_distinct —
+        the mergeable-sketch idea of q196 as the built-in), and
+        min/max for orderable atomic types. Stored per-version in the
+        catalog (column_stats) and surfaced as the __sys_column_stats
+        view; returns the stats dict."""
+        if not self.is_connected:
+            return None
+        av = self.get_active_version()
+        if av is None or not av.exists:
+            return None
+        df = av.as_dataframe()
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        plan: list[tuple[str, str, bool]] = []  # (col, alias-prefix, orderable)
+        for i, f in enumerate(df.schema.fields):
+            p = f"__c{i}"
+            orderable = isinstance(f.dataType, self._ANALYZE_ORDERABLE)
+            plan.append((f.name, p, orderable))
+            aggs.append(F.count(F.col(f.name)).alias(f"{p}_nn"))
+            if orderable:
+                aggs.append(F.approx_count_distinct(f.name).alias(f"{p}_ndv"))
+                aggs.append(F.min(f.name).alias(f"{p}_min"))
+                aggs.append(F.max(f.name).alias(f"{p}_max"))
+        row = df.agg(*aggs).collect()[0].asDict()
+        cols = {}
+        for name, p, orderable in plan:
+            cols[name] = {
+                "n_nonnull": row[f"{p}_nn"],
+                "ndv_approx": row.get(f"{p}_ndv"),
+                "min": row.get(f"{p}_min"),
+                "max": row.get(f"{p}_max"),
+            }
+        stats = {"rows": row["__rows"], "ts": time.time(), "cols": cols}
+        self._engine.catalog.set_column_stats(self.store_name, av.version_id, stats)
+        return stats
+
     def read_sql(self, sql: str, as_format: str = "records", chunksize: int | None = None):
         """Arbitrary SQL over storage; caller interpolates sql_name
         (node.py:168-189). Full Spark SQL / Catalyst surface."""

@@ -568,3 +568,101 @@ def q199(spark, sf_dir):
         F.coalesce(F.col("rv"), F.lit(-1)).cast("long").alias("vec_rank"),
     )
     return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()).limit(10)
+
+
+# =====================================================================
+# q200 — bottom-k sample sketch for quantiles (mergeable, replayable)
+# =====================================================================
+
+_BK = 64  # sample size per group
+
+
+@query(
+    "q200_bottomk_quantile_sketch",
+    f"""
+    WITH o AS (
+      SELECT o_orderpriority AS pri, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      FROM orders
+    ),
+    samp AS (
+      SELECT pri, cents FROM (
+        SELECT pri, cents, row_number() OVER (PARTITION BY pri ORDER BY h, o_orderkey) AS rn
+        FROM o) t WHERE rn <= {_BK}
+    ),
+    est AS (
+      SELECT pri, cents AS est_p50_cents FROM (
+        SELECT pri, cents,
+               row_number() OVER (PARTITION BY pri ORDER BY cents) AS r,
+               count(*) OVER (PARTITION BY pri) AS n
+        FROM samp) t WHERE r = (n + 1) // 2
+    ),
+    ex AS (
+      SELECT pri, cents AS exact_p50_cents, CAST(n AS BIGINT) AS n_orders FROM (
+        SELECT pri, cents,
+               row_number() OVER (PARTITION BY pri ORDER BY cents) AS r,
+               count(*) OVER (PARTITION BY pri) AS n
+        FROM o) t WHERE r = (n + 1) // 2
+    )
+    SELECT x.pri AS o_orderpriority, x.n_orders, x.exact_p50_cents, e.est_p50_cents,
+           CAST(abs(e.est_p50_cents - x.exact_p50_cents) * 1000 // x.exact_p50_cents AS BIGINT) AS err_abs_permille
+    FROM est e JOIN ex x ON x.pri = e.pri
+    """,
+)
+def q200(spark, sf_dir):
+    """Quantile estimation from a bottom-k hash sample: the k rows
+    with the SMALLEST md5(key) per group are a deterministic uniform
+    sample, and the sketch is MERGEABLE — bottom-k of a union equals
+    the bottom-k of merged bottom-k's (property-tested in
+    tests/test_sketches.py), so per-partition samples combine with a
+    tiny merge instead of a group-wide sort. The estimate is the
+    sample's integer lower-median (the q100 convention), compared
+    against the exact per-group lower-median with the error REPORTED
+    as data — the oracle replays sample membership and both medians
+    bit-for-bit.
+
+    100 TB shape: the sample path is the scale path (per-partition
+    partial bottom-k then a k-row merge per group — O(k) state, same
+    family as q126's weighted bottom-k); the exact side is the
+    verification baseline, like q39 for dedup. Completes the sketch
+    trio: count-min (q195, counts), HLL (q196, distincts), bottom-k
+    (q200, quantiles)."""
+    from pyspark.sql import Window
+
+    from .operators.det_hash import md5_long
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        md5_long(F.col("o_orderkey").cast("string")).alias("h"),
+    )
+    w_bk = Window.partitionBy("pri").orderBy(F.col("h").asc(), F.col("o_orderkey").asc())
+    samp = (
+        o.withColumn("rn", F.row_number().over(w_bk)).filter(F.col("rn") <= _BK).select("pri", "cents")
+    )
+
+    def lower_median(df, out):
+        w_v = Window.partitionBy("pri").orderBy(F.col("cents").asc())
+        w_n = Window.partitionBy("pri")
+        return (
+            df.withColumn("r", F.row_number().over(w_v))
+            .withColumn("n", F.count(F.lit(1)).over(w_n))
+            .filter(F.expr("r = (n + 1) DIV 2"))
+            .select("pri", F.col("cents").alias(out), F.col("n").cast("long").alias(f"__n_{out}"))
+        )
+
+    est = lower_median(samp, "est_p50_cents").drop("__n_est_p50_cents")
+    ex = lower_median(o.select("pri", "cents"), "exact_p50_cents").withColumnRenamed(
+        "__n_exact_p50_cents", "n_orders"
+    )
+    return ex.join(est, "pri").select(
+        F.col("pri").alias("o_orderpriority"),
+        "n_orders",
+        "exact_p50_cents",
+        "est_p50_cents",
+        F.expr(
+            "CAST(abs(est_p50_cents - exact_p50_cents) * 1000 DIV exact_p50_cents AS BIGINT)"
+        ).alias("err_abs_permille"),
+    )

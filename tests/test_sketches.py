@@ -96,3 +96,18 @@ def test_semdedup_verdicts_are_consistent(spark, sf_dir):
             dot = sum(x * y for x, y in zip(a, b))
             cos = dot / math.sqrt(sum(x * x for x in a) * sum(y * y for y in b))
             assert cos >= 0.9499, (v, d, cos)
+
+
+def test_bottomk_sample_is_mergeable(spark):
+    """Bottom-k of a union == bottom-k of merged per-part bottom-k's —
+    the law that lets q200's sample combine per-partition partials
+    with O(k) state instead of a group-wide sort."""
+    from patterns_devkit_spark.operators.det_hash import md5_long
+
+    k = 16
+    df = spark.range(500).select(F.col("id"), md5_long(F.col("id").cast("string")).alias("h"))
+    direct = [r["id"] for r in df.orderBy("h", "id").limit(k).collect()]
+    parts = [df.filter(F.col("id") % 3 == i).orderBy("h", "id").limit(k) for i in range(3)]
+    merged_df = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    merged = [r["id"] for r in merged_df.orderBy("h", "id").limit(k).collect()]
+    assert direct == merged
