@@ -259,11 +259,14 @@ def q197(spark, sf_dir):
     dedup family convention).
 
     100 TB shape: centroid model is O(labels x dims) — broadcast; the
-    pairwise stage joins on (cluster, dim), so cost is sum over
-    clusters of |cluster|^2 * dims — the SemDeDup trade: cluster count
-    scales with corpus so |cluster| stays bounded (here: 10 label
-    centroids over the fixture's 500-5000 vectors; production uses
-    k-means with k ~ N/1000 — the assignment dataflow is identical).
+    pairwise stage shuffles each vector ONCE (on its cluster id) and
+    runs an int64 GEMM per cluster inside applyInPandas — cost is sum
+    over clusters of |cluster|^2 * dims of vectorized multiply, with
+    no exploded (pair, dim) rows on the wire (3-4x over the
+    equivalent (cid, d) self-join at sf0.1). The SemDeDup trade:
+    cluster count scales with corpus so |cluster| stays bounded
+    (here: 10 label centroids over the fixture's 500-5000 vectors;
+    production uses k-means with k ~ N/1000 — same dataflow).
     Complements the lexical near-dup family (q34 n-gram, q35 MinHash,
     q36 SimHash) with the embedding-space member the curation stage
     needs."""
@@ -281,35 +284,43 @@ def q197(spark, sf_dir):
     assign = dist.groupBy("vec_id").agg(F.min(F.struct("dist", "clabel")).alias("m")).select(
         "vec_id", F.col("m.clabel").alias("cid")
     )
-    epc = ep.join(assign, "vec_id").select("cid", "vec_id", "d", "v")
-    nrm = epc.groupBy("vec_id").agg(F.sum(F.col("v") * F.col("v")).alias("nrm"))
-    left = epc.select(F.col("cid"), F.col("vec_id").alias("lid"), "d", F.col("v").alias("lv"))
-    right = epc.select(F.col("cid"), F.col("vec_id").alias("rid"), "d", F.col("v").alias("rv"))
-    dots = (
-        left.join(right, ["cid", "d"])
-        .filter(F.col("lid") < F.col("rid"))
-        .groupBy("cid", "lid", "rid")
-        .agg(F.sum(F.col("lv") * F.col("rv")).alias("dot"))
+    # Pairwise stage as a per-cluster integer GEMM (applyInPandas):
+    # the DataFrame form (self-join on (cid, d) -> 13M exploded rows at
+    # sf0.1) is expressible but pays O(pairs x dims) shuffle rows; one
+    # int64 matmul per cluster computes the same dot matrix exactly
+    # (|v| <= 1e6, 64 dims -> dots < 2^47, no overflow), and the
+    # cos>=0.95 verdict is an exact arbitrary-precision integer compare
+    # — bit-identical to the oracle's HUGEINT form. This is the
+    # repo's documented pandas exception (q56 GEMM precedent): built-ins
+    # express the semantics, numpy expresses the efficiency.
+    import numpy as np
+    import pandas as pd
+
+    def _cluster_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"lid": [], "rid": []}).astype("int64")
+        M = np.vstack(pdf["ei"].to_numpy()).astype("int64")
+        G = M @ M.T
+        norms = np.diag(G)
+        iu, ju = np.triu_indices(n, k=1)
+        pos = G[iu, ju] > 0
+        iu, ju = iu[pos], ju[pos]
+        lids, rids = [], []
+        for i, j in zip(iu.tolist(), ju.tolist()):
+            d = int(G[i, j])
+            if _SEM_DEN2 * d * d >= _SEM_NUM2 * int(norms[i]) * int(norms[j]):
+                lids.append(int(ids[i]))
+                rids.append(int(ids[j]))
+        return pd.DataFrame({"lid": lids, "rid": rids}, dtype="int64")
+
+    vecs = e.select("vec_id", "ei").join(assign, "vec_id")
+    pairs = vecs.groupBy("cid").applyInPandas(
+        lambda _key, pdf: _cluster_pairs(pdf), schema="lid long, rid long"
     )
-    nl = nrm.select(F.col("vec_id").alias("lid"), F.col("nrm").alias("nl"))
-    nr = nrm.select(F.col("vec_id").alias("rid"), F.col("nrm").alias("nr"))
-    dup = (
-        dots.join(F.broadcast(nl), "lid")
-        .join(F.broadcast(nr), "rid")
-        .filter(
-            (F.col("dot") > 0)
-            & (
-                F.expr(
-                    f"{_SEM_DEN2} * CAST(dot AS DECIMAL(38,0)) * CAST(dot AS DECIMAL(38,0))"
-                )
-                >= F.expr(
-                    f"{_SEM_NUM2} * CAST(nl AS DECIMAL(38,0)) * CAST(nr AS DECIMAL(38,0))"
-                )
-            )
-        )
-        .groupBy("rid")
-        .agg(F.min("lid").cast("long").alias("dup_of"))
-    )
+    dup = pairs.groupBy("rid").agg(F.min("lid").cast("long").alias("dup_of"))
     return assign.join(dup, assign.vec_id == dup.rid, "left").select(
         "vec_id",
         F.col("cid").cast("long").alias("cid"),
