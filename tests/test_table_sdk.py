@@ -260,7 +260,13 @@ def test_system_views_reflect_catalog(engine):
         s.checkpoint()
 
     views = engine.register_system_views()
-    assert views == ["__sys_events", "__sys_streams", "__sys_tables", "__sys_versions"]
+    assert views == [
+        "__sys_column_stats",
+        "__sys_events",
+        "__sys_streams",
+        "__sys_tables",
+        "__sys_versions",
+    ]
 
     trow = engine.spark.sql(
         "SELECT * FROM __sys_tables WHERE table_name = 'sysdemo'"
