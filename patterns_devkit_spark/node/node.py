@@ -124,6 +124,38 @@ def _cast_parameter(value: Any, typ: type) -> Any:
         raise ValueError(f"cannot cast parameter value {value!r} to {typ.__name__}") from e
 
 
+def _parse_set_clause(set_sql: str) -> dict[str, str]:
+    """Split an UPDATE's SET clause into {column: expression},
+    paren/quote-aware so expressions may contain commas
+    (`SET v = concat(a, b), n = n + 1`)."""
+    parts, depth, in_str, buf = [], 0, None, []
+    for ch in set_sql:
+        if in_str:
+            if ch == in_str:
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    if buf:
+        parts.append("".join(buf))
+    out: dict[str, str] = {}
+    for p in parts:
+        col, _, expr = p.partition("=")
+        col = col.strip().strip("`")
+        if not col or not expr.strip():
+            raise ValueError(f"malformed SET assignment: {p!r}")
+        out[col] = expr.strip()
+    return out
+
+
 class CheckConstraintViolation(ValueError):
     """A write batch failed a declared CHECK constraint; nothing was
     written and the active version is unchanged (engine extension —
@@ -1048,6 +1080,8 @@ class Table:
         rendered = self._engine.render_sql(sql, this=self)
         m_ctas = re.match(r"\s*create\s+(?:or\s+replace\s+)?table\s+(\S+)\s+as\s+(.*)", rendered, re.I | re.S)
         m_ins = re.match(r"\s*insert\s+into\s+(\S+)\s+(.*)", rendered, re.I | re.S)
+        m_del = re.match(r"\s*delete\s+from\s+(\S+)(?:\s+where\s+(.*))?\s*;?\s*$", rendered, re.I | re.S)
+        m_upd = re.match(r"\s*update\s+(\S+)\s+set\s+(.*?)(?:\s+where\s+(.*))?\s*;?\s*$", rendered, re.I | re.S)
         if m_ctas:
             result = self._engine.spark.sql(m_ctas.group(2))
             self.write_dataframe_as_new_version(result)
@@ -1055,9 +1089,137 @@ class Table:
             result = self._engine.spark.sql(m_ins.group(2))
             self.append(result)
             self.flush()
+        elif m_del:
+            self.delete_where(m_del.group(2) or "true")
+        elif m_upd:
+            self.update_where(_parse_set_clause(m_upd.group(2)), m_upd.group(3) or "true")
         else:
             self._engine.spark.sql(rendered)
             self.signal_update()
+
+    def delete_where(self, predicate: str) -> int:
+        """SQL DELETE: remove rows matching ``predicate`` (a SQL boolean
+        expression over this table's columns), written as a NEW version
+        with an atomic pointer flip (time travel keeps the old rows).
+
+        Scale shape: one stats scan tags each parquet file with its
+        match count (`input_file_name` grouping); only files that
+        CONTAIN matched rows are re-read and rewritten, every untouched
+        file is hardlinked into the new version (O(files) metadata ops,
+        zero data movement) — the same bounded-rewrite discipline as
+        the partition-scoped MERGE above, driven by data rather than by
+        a declared partition column. Rows where the predicate is NULL
+        are kept (standard SQL DELETE semantics). Returns the number of
+        rows deleted; a zero-match predicate is a no-op (no new
+        version). Reference parity: the devkit routes DML through
+        `Table.execute_sql` (node.py:356-373); DELETE/UPDATE are the
+        warehouse-side forms every MERGE-capable store adds."""
+        return self._rewrite_where(predicate, assignments=None)
+
+    def update_where(self, assignments: dict[str, str], predicate: str = "true") -> int:
+        """SQL UPDATE: set ``assignments`` (column -> SQL expression,
+        evaluated against the OLD row, standard UPDATE semantics) on
+        rows matching ``predicate``. Same bounded file-scoped rewrite +
+        atomic version flip as delete_where; returns matched-row count.
+        Updates that move a row's partition value land it in the new
+        partition directory (the writer re-applies partition_by)."""
+        return self._rewrite_where(predicate, assignments=assignments)
+
+    def _rewrite_where(self, predicate: str, assignments: dict[str, str] | None) -> int:
+        import os
+        from urllib.parse import unquote, urlparse
+
+        if not self.is_connected:
+            return 0
+        av = self.get_active_version()
+        if av is None or not av.exists:
+            return 0
+        catalog = self._engine.catalog
+        meta = catalog.table_meta(self.store_name) or {}
+        old = av.as_dataframe()
+        matched = F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
+        # one scan: per-file matched-row counts -> the touched-file set
+        # and the total in a single O(files) driver collect
+        per_file = (
+            old.withColumn("__file", F.input_file_name())
+            .groupBy("__file")
+            .agg(F.sum(F.when(matched, 1).otherwise(0)).alias("n_match"))
+            .collect()
+        )
+        touched_uris = [r["__file"] for r in per_file if r["n_match"] > 0]
+        n_matched = int(sum(r["n_match"] for r in per_file))
+        if n_matched == 0:
+            return 0
+        touched_paths = {unquote(urlparse(u).path) for u in touched_uris}
+
+        # re-read ONLY the touched files; basePath keeps hive partition
+        # columns populated when the layout is partitioned
+        reader = self._engine.spark.read.option("basePath", av.storage)
+        ddl = meta.get("schema_ddl")
+        if ddl:
+            try:
+                touched_df = reader.schema(T.StructType.fromDDL(ddl)).parquet(*touched_uris)
+            except Exception:
+                touched_df = reader.option("mergeSchema", "true").parquet(*touched_uris)
+        else:
+            touched_df = reader.option("mergeSchema", "true").parquet(*touched_uris)
+
+        if assignments is None:
+            new_touched = touched_df.filter(~matched)
+        else:
+            new_touched = touched_df.select(
+                *[
+                    (
+                        F.when(matched, F.expr(assignments[c])).otherwise(F.col(c)).cast(touched_df.schema[c].dataType).alias(c)
+                        if c in assignments
+                        else F.col(c)
+                    )
+                    for c in touched_df.columns
+                ]
+            )
+
+        new_version = catalog.create_new_version(self.store_name)
+        out_dir = catalog.version_dir(self.store_name, new_version)
+        self._writer(self._sorted_for_write(new_touched, meta), meta).mode("overwrite").parquet(out_dir)
+        self._link_untouched_files(av.storage, out_dir, touched_paths)
+        old_n = catalog.get_record_count(self.store_name, av.version_id)
+        if old_n is None:
+            old_n = old.count()
+        new_n = old_n - n_matched if assignments is None else old_n
+        catalog.set_record_count(self.store_name, new_version, new_n)
+        self._track_write_stats(out_dir, meta, new_version)
+        catalog.set_active_version(self.store_name, new_version)
+        catalog.gc_versions(self.store_name)
+        self.signal_update()
+        return n_matched
+
+    @staticmethod
+    def _link_untouched_files(old_dir: str, new_dir: str, touched_paths: set) -> None:
+        """Hardlink every parquet file the rewrite did NOT touch from
+        the old version dir into the new one, preserving relative
+        (partition-dir) structure. Same inode-refcount GC safety as
+        _link_untouched_partitions; on object storage this is a
+        manifest entry, not a copy."""
+        import os
+        import shutil
+
+        for root, _dirs, files in os.walk(old_dir):
+            rel = os.path.relpath(root, old_dir)
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, fn)
+                if os.path.realpath(src) in touched_paths or src in touched_paths:
+                    continue
+                dst_dir = new_dir if rel == "." else os.path.join(new_dir, rel)
+                os.makedirs(dst_dir, exist_ok=True)
+                dst = os.path.join(dst_dir, fn)
+                if os.path.exists(dst):
+                    continue
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)
 
     def write_dataframe_as_new_version(self, df: DataFrame) -> TableVersion:
         """Engine extension (used by SQL nodes / CTAS): write df as a
