@@ -7,6 +7,7 @@ State, Parameter, Connection, respond_to_request — plus the engine
 pieces the reference keeps server-side (Engine, Catalog, GraphSpec,
 GraphRunner) and the north-star operator library (operators/).
 """
+from .node.matview import MaterializedView
 from .node.node import (
     CheckConstraintViolation,
     Connection,
@@ -25,6 +26,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "CheckConstraintViolation",
+    "MaterializedView",
     "Connection",
     "Engine",
     "NodeContext",

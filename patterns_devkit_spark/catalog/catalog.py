@@ -195,6 +195,46 @@ class Catalog:
         meta = self.table_meta(name)
         return _untag((meta or {}).get("order_hwms", {}).get(version))
 
+    # -- materialized views ---------------------------------------------
+
+    def set_matview_spec(self, name: str, spec: dict) -> None:
+        """Register ``name`` as a materialized view (node/matview.py):
+        spec = {source, order_by, dims, measures, where}."""
+        with self._lock:
+            meta = self.ensure_table(name)
+            mv = meta.setdefault("matview", {"cursors": {}})
+            mv["spec"] = _tag(spec)
+            self._persist()
+
+    def get_matview_spec(self, name: str) -> dict | None:
+        mv = (self.table_meta(name) or {}).get("matview") or {}
+        spec = mv.get("spec")
+        return _untag(spec) if spec is not None else None
+
+    def set_matview_cursor(self, name: str, version: str, cursor: Any) -> None:
+        """Applied-source-cursor for a specific MV version; flipping the
+        active pointer afterwards publishes (version, cursor) together —
+        the MV's exactly-once pairing. Cursors of GC'd versions are
+        pruned here."""
+        with self._lock:
+            meta = self.ensure_table(name)
+            mv = meta.setdefault("matview", {"cursors": {}})
+            cursors = mv.setdefault("cursors", {})
+            cursors[version] = _tag(cursor)
+            live = set(meta.get("versions") or [])
+            for v in [v for v in cursors if v not in live and v != version]:
+                del cursors[v]
+            self._persist()
+
+    def get_matview_cursor(self, name: str, version: str | None) -> Any:
+        mv = (self.table_meta(name) or {}).get("matview") or {}
+        if version is None:
+            return None
+        return _untag((mv.get("cursors") or {}).get(version))
+
+    def matview_names(self) -> list[str]:
+        return sorted(n for n, m in self._doc["tables"].items() if (m or {}).get("matview", {}).get("spec"))
+
     def set_file_stats(self, name: str, version: str, stats: dict) -> None:
         """Per-FILE column min/max/null stats for a version, harvested
         from parquet footers at write time (node.py _track_write_stats)

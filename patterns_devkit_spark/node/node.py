@@ -1899,6 +1899,32 @@ class Engine:
                 out[name] = name
         return out
 
+    def create_materialized_view(
+        self,
+        name: str,
+        source: str,
+        order_by: str,
+        dims: list[str],
+        measures: dict[str, tuple],
+        where: str | None = None,
+    ):
+        """Declare an incremental materialized view over an append-only
+        source table (node/matview.py): dims + mergeable measures
+        (sum/count/min/max); each refresh() folds only the source rows
+        appended since the last one."""
+        from .matview import MaterializedView
+
+        return MaterializedView.create(self, name, source, order_by, dims, measures, where)
+
+    def materialized_view(self, name: str):
+        from .matview import MaterializedView
+
+        return MaterializedView(self, name)
+
+    def refresh_materialized_views(self) -> dict[str, int]:
+        """Refresh every registered MV; returns {name: delta_rows}."""
+        return {n: self.materialized_view(n).refresh() for n in self.catalog.matview_names()}
+
     def render_sql(self, sql: str, this: Table | None = None, parameters: dict[str, Any] | None = None) -> str:
         """Render ``{{ ref }}`` templates: a ref that names a store → its
         active version's sql_name; a parameter → typed SQL literal; the

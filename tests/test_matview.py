@@ -1,0 +1,122 @@
+"""Incremental materialized views (node/matview.py): dims + mergeable
+measures folded per refresh over only the appended delta; the applied
+cursor rides the MV version and flips atomically with the pointer
+(exactly-once). Incremental result must equal the full recompute after
+every refresh — that's the invariant each test asserts."""
+import pytest
+
+from patterns_devkit_spark import MaterializedView, Table
+
+
+def _append(engine, store, rows):
+    with engine.node_context("w", outputs={"out": store}):
+        t = Table("out", "w")
+        t.init(add_monotonic_id="mid")
+        t.append(rows)
+        t.flush()
+
+
+def _mv_rows(mv):
+    df = mv.read_spark()
+    return sorted(tuple(r) for r in df.collect()) if df is not None else []
+
+
+def test_incremental_equals_full_recompute(engine):
+    _append(engine, "sales", [{"grp": "a", "amt": 10}, {"grp": "b", "amt": 5}])
+    mv = engine.create_materialized_view(
+        "sales_by_grp",
+        source="sales",
+        order_by="mid",
+        dims=["grp"],
+        measures={"total": ("sum", "amt"), "n": ("count", "*"), "mx": ("max", "amt")},
+    )
+    assert mv.refresh() == 2
+    assert _mv_rows(mv) == [("a", 10, 1, 10), ("b", 5, 1, 5)]
+
+    # second batch: touched group folds, new group appears, untouched survives
+    _append(engine, "sales", [{"grp": "a", "amt": 7}, {"grp": "c", "amt": 99}])
+    assert mv.refresh() == 2
+    assert _mv_rows(mv) == [("a", 17, 2, 10), ("b", 5, 1, 5), ("c", 99, 1, 99)]
+
+    # idempotent: nothing new -> no-op, no version churn
+    v = engine.catalog.get_active_version("sales_by_grp")
+    assert mv.refresh() == 0
+    assert engine.catalog.get_active_version("sales_by_grp") == v
+
+
+def test_min_max_merge_and_where(engine):
+    _append(engine, "ev", [{"k": "x", "v": 5, "ok": True}, {"k": "x", "v": 1, "ok": False}])
+    mv = engine.create_materialized_view(
+        "ev_mv", source="ev", order_by="mid", dims=["k"],
+        measures={"lo": ("min", "v"), "hi": ("max", "v")}, where="ok",
+    )
+    mv.refresh()
+    assert _mv_rows(mv) == [("x", 5, 5)]  # filtered row excluded
+    _append(engine, "ev", [{"k": "x", "v": 3, "ok": True}])
+    mv.refresh()
+    assert _mv_rows(mv) == [("x", 3, 5)]
+
+
+def test_grand_total_no_dims(engine):
+    _append(engine, "g", [{"v": 1}, {"v": 2}])
+    mv = engine.create_materialized_view(
+        "g_mv", source="g", order_by="mid", dims=[], measures={"s": ("sum", "v")},
+    )
+    mv.refresh()
+    _append(engine, "g", [{"v": 4}])
+    mv.refresh()
+    assert _mv_rows(mv) == [(7,)]
+
+
+def test_exactly_once_cursor_rides_version(engine):
+    """Simulated crash between version write and pointer flip: restore
+    the OLD pointer -> its paired cursor makes the next refresh re-apply
+    the same delta exactly once (no double count)."""
+    _append(engine, "s2", [{"grp": "a", "amt": 1}])
+    mv = engine.create_materialized_view(
+        "s2_mv", source="s2", order_by="mid", dims=["grp"], measures={"t": ("sum", "amt")},
+    )
+    mv.refresh()
+    v1 = engine.catalog.get_active_version("s2_mv")
+    _append(engine, "s2", [{"grp": "a", "amt": 10}])
+    mv.refresh()
+    # crash simulation: flip back to v1 (as if the new flip never landed)
+    engine.catalog.set_active_version("s2_mv", v1)
+    assert mv.refresh() == 1  # delta re-applied relative to v1's cursor
+    assert _mv_rows(mv) == [("a", 11)]
+
+
+def test_full_refresh_recomputes_after_source_rewrite(engine):
+    _append(engine, "s3", [{"grp": "a", "amt": 2}, {"grp": "a", "amt": 3}])
+    mv = engine.create_materialized_view(
+        "s3_mv", source="s3", order_by="mid", dims=["grp"], measures={"t": ("sum", "amt")},
+    )
+    mv.refresh()
+    # source DELETE invalidates the incremental fold -> full refresh
+    with engine.node_context("w", outputs={"out": "s3"}):
+        Table("out", "w").delete_where("amt = 3")
+    assert _mv_rows(mv) == [("a", 5)]  # stale until full refresh
+    mv.refresh(full=True)
+    assert _mv_rows(mv) == [("a", 2)]
+
+
+def test_engine_refresh_all_and_reload_handle(engine):
+    _append(engine, "s4", [{"grp": "z", "amt": 1}])
+    engine.create_materialized_view(
+        "s4_mv", source="s4", order_by="mid", dims=["grp"], measures={"t": ("sum", "amt")},
+    )
+    out = engine.refresh_materialized_views()
+    assert out["s4_mv"] == 1
+    # spec round-trips through the catalog: a fresh handle refreshes
+    mv2 = MaterializedView(engine, "s4_mv")
+    assert mv2.refresh() == 0
+    assert _mv_rows(mv2) == [("z", 1)]
+
+
+def test_validation_errors(engine):
+    with pytest.raises(ValueError, match="unsupported aggregate"):
+        engine.create_materialized_view(
+            "bad", source="s", order_by="mid", dims=["g"], measures={"a": ("avg", "v")},
+        )
+    with pytest.raises(KeyError, match="no materialized view"):
+        MaterializedView(engine, "nope")
