@@ -1,0 +1,341 @@
+"""Corpus-construction battery (q201-q203): importance resampling,
+tokenizer training, and filter-funnel attribution — the three
+training-data operations the earlier batteries did not yet cover
+(selection by distribution match, vocab induction, and per-rule
+rejection accounting).
+
+Same det-hash discipline as the rest of the repo: every value the
+driver hash-checks is integer-exact (floor-log2 via length(bin(x)),
+integer cross-multiplied ratio tests, md5-derived bucket hashes), so
+DuckDB replays the full pipeline bit-for-bit.
+"""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators.det_hash import md5_long
+from .operators.text import tokens
+from .queries import query, t
+
+# =====================================================================
+# q201 — DSIR-style importance weighting (hashed n-gram log-ratio)
+# =====================================================================
+
+_DSIR_B = 4096  # hash-feature buckets
+
+
+@query(
+    "q201_dsir_importance",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    tokb AS (
+      SELECT doc_id, source,
+             CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) % {_DSIR_B} AS b
+      FROM tok WHERE token <> ''
+    ),
+    ct AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM tokb WHERE source = 'src0' GROUP BY b),
+    cr AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM tokb WHERE source <> 'src0' GROUP BY b),
+    wt AS (
+      SELECT COALESCE(ct.b, cr.b) AS b,
+             CAST(length(bin(COALESCE(ct, 0) + 1)) AS BIGINT)
+               - CAST(length(bin(COALESCE(cr, 0) + 1)) AS BIGINT) AS lam
+      FROM ct FULL OUTER JOIN cr ON ct.b = cr.b
+    ),
+    score AS (
+      SELECT tokb.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(wt.lam) AS BIGINT) AS score
+      FROM tokb JOIN wt ON tokb.b = wt.b
+      WHERE tokb.source <> 'src0'
+      GROUP BY tokb.doc_id
+    )
+    SELECT s.doc_id, d.source, s.n_tokens, s.score
+    FROM score s JOIN documents d ON d.doc_id = s.doc_id
+    ORDER BY s.score DESC, s.doc_id LIMIT 50
+    """,
+)
+def q201(spark, sf_dir):
+    """DSIR-style importance weighting (Xie et al. 2023, 'Data
+    Selection for Language Models via Importance Resampling'): score
+    raw-pool documents by how target-like their hashed-unigram
+    distribution is. Target = the src0 slice, raw = everything else;
+    features are md5-hashed token buckets (B=4096); the per-bucket
+    log-likelihood-ratio is the integer floor-log2 difference
+    length(bin(ct+1)) - length(bin(cr+1)) — the same bin()-trick as
+    q196/q198, so both engines agree bit-for-bit at ANY corpus size
+    (no float log, no overflow: the counts never leave bigint).
+
+    100 TB shape: two token-grain hash-aggs build the 4096-row weight
+    table (map-side combine on a bounded key domain), the table
+    BROADCASTS to the scoring scan, and the per-doc score is one more
+    hash-agg — no shuffle carries strings (tokens reduce to bucket
+    ids), no all-pairs anything. Top-50 is a TakeOrdered, not a global
+    sort."""
+    docs = t(spark, sf_dir, "documents")
+    tokb = (
+        docs.select("doc_id", "source", F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .select("doc_id", "source", (md5_long("token") % _DSIR_B).alias("b"))
+    )
+    ct = tokb.filter(F.col("source") == "src0").groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    cr = tokb.filter(F.col("source") != "src0").groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cr"))
+    wt = (
+        ct.join(cr, "b", "full_outer")
+        .select(
+            "b",
+            (
+                F.length(F.expr("bin(coalesce(ct, 0) + 1)")).cast("long")
+                - F.length(F.expr("bin(coalesce(cr, 0) + 1)")).cast("long")
+            ).alias("lam"),
+        )
+    )
+    score = (
+        tokb.filter(F.col("source") != "src0")
+        .join(F.broadcast(wt), "b")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"), F.sum("lam").cast("long").alias("score"))
+    )
+    return (
+        score.join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "n_tokens", "score")
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(50)
+    )
+
+
+# =====================================================================
+# q202 — BPE tokenizer training (3 deterministic merge iterations)
+# =====================================================================
+
+_BPE_ITERS = 3
+
+
+def _bpe_oracle_sql(iters: int) -> str:
+    """Chained-CTE replay of the merge loop: stage k computes pair
+    counts from s{k-1}, picks the argmax (count DESC, pair ASC), and
+    rewrites every word's symbol sequence with the double-replace
+    merge procedure (see q202 docstring for why double)."""
+    parts = [
+        """
+    WITH w AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents) x
+      WHERE word <> '' GROUP BY 1
+    ),
+    s0 AS (SELECT word, freq, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq FROM w)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+    p{k} AS (
+      SELECT pr, CAST(sum(freq) AS BIGINT) AS c FROM (
+        SELECT freq, arr[i + 1] || ' ' || arr[i + 2] AS pr
+        FROM (SELECT freq, string_split(seq, ' ') AS arr FROM s{k - 1}) t,
+             unnest(range(len(arr) - 1)) AS u(i)
+      ) GROUP BY pr
+    ),
+    b{k} AS (SELECT pr, c FROM p{k} ORDER BY c DESC, pr LIMIT 1),
+    s{k} AS (
+      SELECT word, freq,
+             trim(replace(replace(' ' || seq || ' ',
+                                  (SELECT ' ' || pr || ' ' FROM b{k}),
+                                  (SELECT ' ' || replace(pr, ' ', '') || ' ' FROM b{k})),
+                          (SELECT ' ' || pr || ' ' FROM b{k}),
+                          (SELECT ' ' || replace(pr, ' ', '') || ' ' FROM b{k}))) AS seq
+      FROM s{k - 1}
+    )"""
+        )
+    finals = [
+        f"SELECT CAST({k} AS BIGINT) AS it, pr AS merged_pair, c AS pair_count,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM p{k}) AS n_pairs FROM b{k}"
+        for k in range(1, iters + 1)
+    ]
+    return "".join(parts) + "\n    " + "\n    UNION ALL ".join(finals) + "\n    ORDER BY it"
+
+
+@query("q202_bpe_train", _bpe_oracle_sql(_BPE_ITERS))
+def q202(spark, sf_dir):
+    """BPE tokenizer training, first 3 merges (Sennrich et al. 2016):
+    corpus word-frequency table -> per-word symbol sequence (chars) ->
+    iterate {count adjacent symbol pairs weighted by word freq, merge
+    the argmax pair corpus-wide}. Ties break (count DESC, pair ASC) —
+    fully deterministic, and the DuckDB oracle replays the LOOP ITSELF
+    as chained CTEs, so the learned merges are hash-checked, not just
+    plausible.
+
+    Merge procedure: non-overlapping left-to-right literal replace of
+    ' a b ' with ' ab ' on the padded sequence, applied TWICE — one
+    pass misses occurrences that share a delimiter space with a
+    consumed match (e.g. 'a b a b'); leftovers after pass one are
+    always flanked by merged tokens, so pass two is exhaustive. Both
+    engines scan left-to-right non-overlapping, hence identical
+    results. (For same-symbol runs this can differ from strict-greedy
+    BPE tokenization order; the procedure itself is the deterministic
+    spec both engines replay.)
+
+    100 TB shape: the expensive scan is the ONE word-frequency agg
+    over the corpus (Zipf domain, map-side combine); the merge loop
+    runs on the DISTINCT-word table (vocab-sized, millions of rows,
+    not corpus-sized) — the classic BPE-training factorization. Each
+    iteration is one bounded hash-agg + one scalar broadcast
+    (argmax pair to the driver, O(iterations) small jobs, like
+    q123 pagerank)."""
+    docs = t(spark, sf_dir, "documents")
+    w = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    cur = w.select("word", "freq", F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq"))
+    # vocab-sized table iterated 3x: keep it materialized across passes
+    cur = cur.persist()
+    out_rows = []
+    try:
+        for it in range(1, _BPE_ITERS + 1):
+            pairs = (
+                cur.withColumn("arr", F.split("seq", " "))
+                .filter(F.size("arr") >= 2)
+                .select(
+                    "freq",
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(0, size(arr) - 2),"
+                            " i -> concat(element_at(arr, i + 1), ' ', element_at(arr, i + 2)))"
+                        )
+                    ).alias("pr"),
+                )
+                .groupBy("pr")
+                .agg(F.sum("freq").cast("long").alias("c"))
+            )
+            pairs = pairs.persist()
+            n_pairs = pairs.count()
+            best = pairs.orderBy(F.desc("c"), "pr").limit(1).collect()[0]
+            pairs.unpersist()
+            out_rows.append((it, best["pr"], best["c"], n_pairs))
+            pat = F.lit(f" {best['pr']} ")
+            rep = F.lit(f" {best['pr'].replace(' ', '')} ")
+            padded = F.concat(F.lit(" "), F.col("seq"), F.lit(" "))
+            nxt = cur.select(
+                "word", "freq", F.trim(F.replace(F.replace(padded, pat, rep), pat, rep)).alias("seq")
+            ).persist()
+            nxt.count()
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return spark.createDataFrame(out_rows, "it bigint, merged_pair string, pair_count bigint, n_pairs bigint").orderBy("it")
+
+
+# =====================================================================
+# q203 — quality-filter funnel with per-rule rejection attribution
+# =====================================================================
+
+_STOPWORDS = ("the", "a", "of", "to", "and", "in")
+
+
+@query(
+    "q203_filter_funnel",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+      FROM tok WHERE token <> '' GROUP BY doc_id, token
+    ),
+    st AS (
+      SELECT doc_id,
+             sum(c) AS n_tokens,
+             sum(c * length(token)) AS sum_len,
+             count(*) AS n_distinct,
+             max(c) AS max_tf,
+             sum(CASE WHEN token IN {str(_STOPWORDS)} THEN c ELSE 0 END) AS n_stop
+      FROM tf GROUP BY doc_id
+    ),
+    b AS (
+      SELECT doc_id,
+             (n_tokens >= 30) AS b1,
+             (2 * n_tokens <= sum_len AND sum_len <= 8 * n_tokens) AS b2,
+             (n_stop >= 2) AS b3,
+             (10 * n_distinct >= 3 * n_tokens) AS b4,
+             (5 * max_tf <= n_tokens) AS b5
+      FROM st
+    )
+    SELECT CAST(1 AS BIGINT) AS rule_idx, 'min_word_count' AS rule,
+           CAST(count(*) AS BIGINT) AS n_in,
+           CAST(sum(CASE WHEN NOT b1 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail FROM b
+    UNION ALL
+    SELECT 2, 'mean_word_len', CAST(sum(CASE WHEN b1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN b1 AND NOT b2 THEN 1 ELSE 0 END) AS BIGINT) FROM b
+    UNION ALL
+    SELECT 3, 'stopword_floor', CAST(sum(CASE WHEN b1 AND b2 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN b1 AND b2 AND NOT b3 THEN 1 ELSE 0 END) AS BIGINT) FROM b
+    UNION ALL
+    SELECT 4, 'distinct_ratio', CAST(sum(CASE WHEN b1 AND b2 AND b3 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN b1 AND b2 AND b3 AND NOT b4 THEN 1 ELSE 0 END) AS BIGINT) FROM b
+    UNION ALL
+    SELECT 5, 'top_token_share', CAST(sum(CASE WHEN b1 AND b2 AND b3 AND b4 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN b1 AND b2 AND b3 AND b4 AND NOT b5 THEN 1 ELSE 0 END) AS BIGINT) FROM b
+    ORDER BY rule_idx
+    """,
+)
+def q203(spark, sf_dir):
+    """Quality-filter funnel (Gopher/C4-style rule battery, Rae et al.
+    2021 §A1.1) with per-rule attribution: rules run in a declared
+    order and each funnel row reports how many docs REACHED that rule
+    and how many it rejected — the operational report a curation
+    pipeline ships alongside its keep/drop verdict (q78 emits the
+    verdict; this emits the accounting that explains corpus shrinkage).
+
+    Every threshold is an integer cross-multiplication (mean word
+    length 2<=len<=8 as 2n<=sum_len<=8n, distinct ratio >=0.3 as
+    10d>=3n, top-token share <=20% as 5max<=n) — no float division
+    anywhere, so the oracle matches exactly.
+
+    100 TB shape: one token-grain hash-agg (tf) + one doc-grain
+    rollup; the funnel itself is a single 10-column aggregate over
+    doc-grain booleans unpivoted to 5 rows — no shuffle beyond the two
+    aggs, no window."""
+    docs = t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    stops = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    st = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c") * F.length("token")).alias("sum_len"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("max_tf"),
+        F.sum(F.expr(f"CASE WHEN token IN ({stops}) THEN c ELSE 0 END")).alias("n_stop"),
+    )
+    b = st.select(
+        (F.col("n_tokens") >= 30).alias("b1"),
+        ((2 * F.col("n_tokens") <= F.col("sum_len")) & (F.col("sum_len") <= 8 * F.col("n_tokens"))).alias("b2"),
+        (F.col("n_stop") >= 2).alias("b3"),
+        (10 * F.col("n_distinct") >= 3 * F.col("n_tokens")).alias("b4"),
+        (5 * F.col("max_tf") <= F.col("n_tokens")).alias("b5"),
+    )
+    agg = b.agg(
+        F.count(F.lit(1)).cast("long").alias("in1"),
+        F.sum(F.when(~F.col("b1"), 1).otherwise(0)).cast("long").alias("f1"),
+        F.sum(F.when(F.col("b1"), 1).otherwise(0)).cast("long").alias("in2"),
+        F.sum(F.when(F.col("b1") & ~F.col("b2"), 1).otherwise(0)).cast("long").alias("f2"),
+        F.sum(F.when(F.col("b1") & F.col("b2"), 1).otherwise(0)).cast("long").alias("in3"),
+        F.sum(F.when(F.col("b1") & F.col("b2") & ~F.col("b3"), 1).otherwise(0)).cast("long").alias("f3"),
+        F.sum(F.when(F.col("b1") & F.col("b2") & F.col("b3"), 1).otherwise(0)).cast("long").alias("in4"),
+        F.sum(F.when(F.col("b1") & F.col("b2") & F.col("b3") & ~F.col("b4"), 1).otherwise(0)).cast("long").alias("f4"),
+        F.sum(F.when(F.col("b1") & F.col("b2") & F.col("b3") & F.col("b4"), 1).otherwise(0)).cast("long").alias("in5"),
+        F.sum(F.when(F.col("b1") & F.col("b2") & F.col("b3") & F.col("b4") & ~F.col("b5"), 1).otherwise(0)).cast("long").alias("f5"),
+    )
+    rules = ["min_word_count", "mean_word_len", "stopword_floor", "distinct_ratio", "top_token_share"]
+    stack = ", ".join(f"{k + 1}L, '{r}', in{k + 1}, f{k + 1}" for k, r in enumerate(rules))
+    return agg.select(
+        F.expr(f"stack(5, {stack}) AS (rule_idx, rule, n_in, n_fail)")
+    ).orderBy("rule_idx")
