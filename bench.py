@@ -81,6 +81,9 @@ BENCH_QUERIES = [
     # stream, embedding-cluster SemDeDup (cluster-bounded pairwise)
     "q195_countmin_heavy_hitters",
     "q197_semdedup",
+    # corpus batch: DSIR hashed-ngram importance weighting (broadcast
+    # 4096-bucket weight table over the token scan)
+    "q201_dsir_importance",
     "sdk02_upsert",  # engine write path: full-table MERGE + version flip
     "sdk06_upsert_partitioned",  # bounded rewrite: touched partition only, rest hardlinked
     "sdk07_compact",  # maintenance: 4-file hot append table -> 1 coalesced file

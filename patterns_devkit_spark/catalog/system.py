@@ -31,6 +31,10 @@ _C = (
     "table_name string, version_id string, column string, n_rows long, "
     "n_nonnull long, ndv_approx long, min string, max string, analyzed_ts double"
 )
+_M = (
+    "view_name string, source string, order_by string, dims string, "
+    "measures string, where_clause string, active_version string, applied_cursor string"
+)
 
 
 def _version_files(d: str) -> tuple[int, int]:
@@ -105,7 +109,26 @@ def system_dataframes(engine: "Engine") -> dict[str, DataFrame]:
                     )
                 )
 
+    m_rows = []
+    for name in cat.matview_names():
+        spec = cat.get_matview_spec(name) or {}
+        active = cat.get_active_version(name)
+        cur = cat.get_matview_cursor(name, active)
+        m_rows.append(
+            (
+                name,
+                spec.get("source"),
+                spec.get("order_by"),
+                ",".join(spec.get("dims") or []),
+                ",".join(f"{k}={a}({e})" for k, (a, e) in (spec.get("measures") or {}).items()),
+                spec.get("where"),
+                active,
+                None if cur is None else str(cur),
+            )
+        )
+
     return {
+        "__sys_matviews": spark.createDataFrame(m_rows, _M),
         "__sys_tables": spark.createDataFrame(t_rows, _T),
         "__sys_versions": spark.createDataFrame(v_rows, _V),
         "__sys_streams": spark.createDataFrame(s_rows, _S),

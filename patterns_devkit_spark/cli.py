@@ -334,6 +334,47 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_mv(args) -> int:
+    """Materialized views: create (dims/measures spec), refresh one or
+    all, or list specs + applied cursors (node/matview.py)."""
+    engine = _engine(args)
+    if args.action == "create":
+        if not (args.name and args.source and args.order_by and args.measures):
+            print("create requires NAME --source --order-by --measures", file=sys.stderr)
+            return 2
+        measures = {}
+        for item in args.measures.split(","):
+            out, _, rest = item.partition("=")
+            agg, _, expr = rest.partition(":")
+            measures[out.strip()] = (agg.strip(), expr.strip() or "*")
+        engine.create_materialized_view(
+            args.name,
+            source=args.source,
+            order_by=args.order_by,
+            dims=[d for d in (args.dims or "").split(",") if d],
+            measures=measures,
+            where=args.where,
+        )
+        print(f"created materialized view {args.name}")
+        return 0
+    if args.action == "refresh":
+        if args.name:
+            n = engine.materialized_view(args.name).refresh(full=args.full)
+            print(f"{args.name}: {n} delta rows applied")
+        else:
+            for name, n in engine.refresh_materialized_views().items():
+                print(f"{name}: {n} delta rows applied")
+        return 0
+    # list
+    for name in engine.catalog.matview_names():
+        spec = engine.catalog.get_matview_spec(name) or {}
+        av = engine.catalog.get_active_version(name)
+        cur = engine.catalog.get_matview_cursor(name, av)
+        ms = ",".join(f"{k}={a}({e})" for k, (a, e) in (spec.get("measures") or {}).items())
+        print(f"{name}: source={spec.get('source')} dims={','.join(spec.get('dims') or [])} measures={ms} cursor={cur}")
+    return 0
+
+
 def cmd_config(args) -> int:
     print(json.dumps({"warehouse": _warehouse(args)}))
     return 0
@@ -467,6 +508,17 @@ def main(argv: list[str] | None = None) -> int:
     an = sub.add_parser("analyze", help="compute + store per-column table statistics")
     an.add_argument("table", nargs="?", help="table name (default: all tables)")
     an.set_defaults(fn=cmd_analyze)
+
+    mv = sub.add_parser("mv", help="create/refresh/list incremental materialized views")
+    mv.add_argument("action", choices=["create", "refresh", "list"])
+    mv.add_argument("name", nargs="?", default=None, help="view name (refresh: default all)")
+    mv.add_argument("--source", default=None, help="source table (create)")
+    mv.add_argument("--order-by", dest="order_by", default=None, help="monotonic cursor column (create)")
+    mv.add_argument("--dims", default=None, help="comma-separated dim columns (create)")
+    mv.add_argument("--measures", default=None, help="out=agg:expr[,...] e.g. total=sum:amt,n=count:* (create)")
+    mv.add_argument("--where", default=None, help="source filter (create)")
+    mv.add_argument("--full", action="store_true", help="full recompute (refresh)")
+    mv.set_defaults(fn=cmd_mv)
 
     cfg = sub.add_parser("config", help="show configuration")
     cfg.set_defaults(fn=cmd_config)

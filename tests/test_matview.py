@@ -113,6 +113,58 @@ def test_engine_refresh_all_and_reload_handle(engine):
     assert _mv_rows(mv2) == [("z", 1)]
 
 
+def test_sys_matviews_view(engine):
+    _append(engine, "s5", [{"grp": "a", "amt": 3}])
+    mv = engine.create_materialized_view(
+        "s5_mv", source="s5", order_by="mid", dims=["grp"], measures={"t": ("sum", "amt")},
+    )
+    mv.refresh()
+    engine.register_system_views()
+    row = engine.spark.sql("SELECT * FROM __sys_matviews WHERE view_name = 's5_mv'").collect()[0]
+    assert row["source"] == "s5" and row["dims"] == "grp"
+    assert row["measures"] == "t=sum(amt)" and row["applied_cursor"] is not None
+
+
+def test_cli_mv_roundtrip(tmp_path):
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run_cli(args, cwd):
+        env = {**os.environ, "PYTHONPATH": repo}
+        return subprocess.run(
+            [sys.executable, "-m", "patterns_devkit_spark.cli", *args],
+            cwd=cwd, env=env, capture_output=True, text=True, timeout=120,
+        )
+
+    wh = str(tmp_path / "wh")
+    app = tmp_path / "mvapp"
+    app.mkdir()
+    (app / "graph.yml").write_text(
+        "functions:\n  - node_file: gen.py\n    id: gen00001\n    outputs: {out: sales}\nstores:\n  - table: sales\n"
+    )
+    (app / "gen.py").write_text(
+        "from patterns import Table\n"
+        "t = Table('out', 'w')\n"
+        "t.init(add_monotonic_id='mid')\n"
+        "t.append([{'g': 'x', 'v': 2}, {'g': 'y', 'v': 5}])\n"
+    )
+    r = run_cli(["--warehouse", wh, "trigger", "gen00001"], str(app))
+    assert r.returncode == 0, r.stdout + r.stderr
+    r = run_cli(
+        ["--warehouse", wh, "mv", "create", "sales_mv", "--source", "sales",
+         "--order-by", "mid", "--dims", "g", "--measures", "total=sum:v,n=count:*"],
+        str(app),
+    )
+    assert r.returncode == 0 and "created" in r.stdout, r.stdout + r.stderr
+    r = run_cli(["--warehouse", wh, "mv", "refresh"], str(app))
+    assert r.returncode == 0 and "sales_mv: 2 delta rows applied" in r.stdout, r.stdout + r.stderr
+    r = run_cli(["--warehouse", wh, "mv", "list"], str(app))
+    assert "source=sales" in r.stdout and "total=sum(v)" in r.stdout
+
+
 def test_validation_errors(engine):
     with pytest.raises(ValueError, match="unsupported aggregate"):
         engine.create_materialized_view(
