@@ -1934,19 +1934,27 @@ def q189(spark, sf_dir):
     szb = sza.select(F.col("id_a").alias("id_b"), F.col("sza").alias("szb"))
     sh_a = sh.select(F.col("id").alias("id_a"), "sh")
     sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    left = pairs.select("id_a", "id_b").join(sh_a, "id_a").alias("L")
+    # n_sig_agree rides THROUGH the intersection join (it is
+    # functionally dependent on the pair key), so the expensive
+    # signature+banding subtree appears exactly ONCE in the plan —
+    # the earlier pairs-join-back form evaluated it twice (different
+    # column pruning on the two uses defeated ReusedExchange).
+    left = pairs.select("id_a", "id_b", "n_sig_agree").join(sh_a, "id_a").alias("L")
     inter = (
         left.join(
             sh_b.alias("R"),
             (F.col("R.id_b") == F.col("L.id_b")) & (F.col("R.sh_b") == F.col("L.sh")),
             "left",
         )
-        .groupBy(F.col("L.id_a").alias("id_a"), F.col("L.id_b").alias("id_b"))
+        .groupBy(
+            F.col("L.id_a").alias("id_a"),
+            F.col("L.id_b").alias("id_b"),
+            F.col("L.n_sig_agree").alias("n_sig_agree"),
+        )
         .agg(F.count(F.col("R.sh_b")).alias("inter"))
     )
     calib = (
-        pairs.join(inter, ["id_a", "id_b"])
-        .join(sza, "id_a")
+        inter.join(sza, "id_a")
         .join(szb, "id_b")
         .withColumn("est_millis", F.expr("(1000 * n_sig_agree) DIV 32"))
         .withColumn("exact_millis", F.expr("(1000 * inter) DIV (sza + szb - inter)"))
