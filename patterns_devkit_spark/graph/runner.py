@@ -255,6 +255,15 @@ class GraphRunner:
                 touched = {e["table"] for e in events if e["kind"] in ("create", "update")}
                 if not touched:
                     break
+                # materialized views fold their delta as soon as a source
+                # produced a data event; the MV's own update event then
+                # propagates to ITS downstream consumers like any table
+                # (chains of MVs settle over successive drains)
+                for mv_name in self.engine.catalog.matview_names():
+                    spec = self.engine.catalog.get_matview_spec(mv_name) or {}
+                    if spec.get("source") in touched and mv_name not in touched:
+                        if self.engine.materialized_view(mv_name).refresh() > 0:
+                            touched.add(mv_name)
                 for node in self.downstream_of(touched):
                     if node.kind in ("python", "sql") and node.id not in ran_with_inputs:
                         self._run_queue.append((node.id, None, 0.0))

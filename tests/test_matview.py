@@ -165,6 +165,62 @@ def test_cli_mv_roundtrip(tmp_path):
     assert "source=sales" in r.stdout and "total=sum(v)" in r.stdout
 
 
+def test_graph_runner_auto_refreshes_mv(engine, tmp_path):
+    """run_all: a source node's data event eagerly folds the MV delta,
+    and the MV's own update event triggers ITS downstream consumer in
+    the same drain loop."""
+    import textwrap
+
+    from patterns_devkit_spark.graph.runner import GraphRunner
+
+    (tmp_path / "graph.yml").write_text(
+        textwrap.dedent(
+            """
+            functions:
+              - node_file: gen.py
+                id: gen00001
+                outputs: {out: mv_src}
+              - node_file: pub.py
+                id: pub00001
+                inputs: {in: mv_agg}
+                outputs: {out: mv_pub}
+            stores:
+              - table: mv_src
+              - table: mv_agg
+              - table: mv_pub
+            """
+        )
+    )
+    (tmp_path / "gen.py").write_text(
+        textwrap.dedent(
+            """
+            from patterns import Table
+            t = Table('out', 'w')
+            t.init(add_monotonic_id='mid')
+            t.append([{'g': 'a', 'v': 1}, {'g': 'a', 'v': 2}, {'g': 'b', 'v': 5}])
+            """
+        )
+    )
+    (tmp_path / "pub.py").write_text(
+        textwrap.dedent(
+            """
+            from patterns import Table
+            rows = Table('in', 'r').read()
+            Table('out', 'w').replace(rows)
+            """
+        )
+    )
+    engine.create_materialized_view(
+        "mv_agg", source="mv_src", order_by="mid", dims=["g"], measures={"t": ("sum", "v")},
+    )
+    runner = GraphRunner(engine, str(tmp_path))
+    executed = runner.run_all()
+    assert "gen00001" in executed and "pub00001" in executed
+    with engine.node_context("chk", inputs={"in": "mv_pub"}):
+        rows = sorted((r["g"], r["t"]) for r in Table("in", "r").read())
+    assert rows == [("a", 3), ("b", 5)]
+
+
 def test_validation_errors(engine):
     with pytest.raises(ValueError, match="unsupported aggregate"):
         engine.create_materialized_view(
