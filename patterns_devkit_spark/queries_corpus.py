@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .operators.det_hash import md5_long
-from .operators.text import tokens
+from .operators.text import tokens, word_shingles
 from .queries import query, t
 
 # =====================================================================
@@ -235,6 +235,102 @@ def q202(spark, sf_dir):
 # =====================================================================
 
 _STOPWORDS = ("the", "a", "of", "to", "and", "in")
+
+
+_PMI_MIN_SUPPORT = 5
+
+
+@query(
+    "q204_pmi_collocations",
+    f"""
+    WITH toks AS (
+      SELECT string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ),
+    bg AS (
+      SELECT w[i + 1] AS w1, w[i + 2] AS w2
+      FROM toks, unnest(range(len(w) - 1)) AS u(i)
+      WHERE len(w) >= 2
+    ),
+    cab AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY w1, w2),
+    uni AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents) x
+      WHERE token <> '' GROUP BY 1
+    ),
+    n AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_bigrams FROM cab)
+    SELECT cab.w1, cab.w2, cab.c_ab,
+           ua.c AS c_a, ub.c AS c_b,
+           CAST(length(bin(cab.c_ab)) + length(bin(n.n_bigrams))
+                - length(bin(ua.c)) - length(bin(ub.c)) AS BIGINT) AS pmi2
+    FROM cab
+    JOIN uni ua ON ua.token = cab.w1
+    JOIN uni ub ON ub.token = cab.w2
+    CROSS JOIN n
+    WHERE cab.c_ab >= {_PMI_MIN_SUPPORT}
+    ORDER BY pmi2 DESC, c_ab DESC, w1, w2 LIMIT 30
+    """,
+)
+def q204(spark, sf_dir):
+    """PMI collocation mining (Church & Hanks 1990): rank adjacent
+    word pairs by pointwise mutual information — the phrase-detection
+    pass a tokenizer/embedding pipeline runs to promote multi-word
+    units. Integer PMI proxy: floor-log2 additivity,
+    pmi2 = flog2(c_ab) + flog2(N) - flog2(c_a) - flog2(c_b), each term
+    via length(bin(x)) — every operand stays an independent bigint at
+    ANY corpus size (no c_ab*N product to overflow, no float log), so
+    the oracle hash-checks the ranking exactly.
+
+    100 TB shape: two token-grain hash-aggs (bigram tf and unigram tf,
+    both map-side combining on Zipf domains), the corpus scalar N
+    broadcasts, and the two dictionary joins are hash joins on the
+    bounded vocab — the same dataflow as q198's BM25 statistics. The
+    min-support filter (c_ab >= {_PMI_MIN_SUPPORT}) prunes the
+    long-tail pairs BEFORE the joins; top-30 is a TakeOrdered."""
+    docs = t(spark, sf_dir, "documents")
+    bg = (
+        docs.select(F.explode(word_shingles("text", 2)).alias("bg"))
+        .select(
+            F.split("bg", " ").getItem(0).alias("w1"),
+            F.split("bg", " ").getItem(1).alias("w2"),
+        )
+    )
+    cab = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MIN_SUPPORT)
+    )
+    uni = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    # N is over ALL bigrams (pre-support-filter), matching the oracle
+    n = (
+        docs.select(F.explode(word_shingles("text", 2)).alias("bg"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"))
+    )
+    ua = uni.select(F.col("token").alias("w1"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("token").alias("w2"), F.col("c").alias("c_b"))
+    out = (
+        cab.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            "c_a",
+            "c_b",
+            (
+                F.length(F.expr("bin(c_ab)"))
+                + F.length(F.expr("bin(n_bigrams)"))
+                - F.length(F.expr("bin(c_a)"))
+                - F.length(F.expr("bin(c_b)"))
+            ).cast("long").alias("pmi2"),
+        )
+    )
+    return out.orderBy(F.desc("pmi2"), F.desc("c_ab"), "w1", "w2").limit(30)
 
 
 @query(

@@ -221,6 +221,48 @@ def test_graph_runner_auto_refreshes_mv(engine, tmp_path):
     assert rows == [("a", 3), ("b", 5)]
 
 
+def test_mv_over_streamed_table(engine, tmp_path):
+    """Streaming -> engine table -> MV composition: a readStream spool
+    appends into a monotonic-id table, and successive MV refreshes fold
+    exactly the streamed deltas — the streaming materialized-view shape
+    without any special-casing (the sink gives the MV its append-only,
+    evented source)."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from patterns_devkit_spark.streaming.streams import spool_stream, write_stream_to_table
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    schema = T.StructType(
+        [T.StructField("g", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    # the sink table declares the monotonic id the MV cursors on
+    with engine.node_context("init", outputs={"out": "stream_src"}):
+        Table("out", "w").init(add_monotonic_id="mid")
+    mv = engine.create_materialized_view(
+        "stream_mv", source="stream_src", order_by="mid", dims=["g"], measures={"t": ("sum", "v")},
+    )
+
+    (spool / "b1.json").write_text("\n".join(json.dumps(r) for r in [{"g": "a", "v": 1}, {"g": "b", "v": 2}]))
+    q = write_stream_to_table(
+        engine, spool_stream(engine, str(spool), schema), "stream_src",
+        str(tmp_path / "ck"), output_mode="append",
+    )
+    q.awaitTermination(120)
+    assert mv.refresh() == 2
+
+    (spool / "b2.json").write_text(json.dumps({"g": "a", "v": 10}))
+    q = write_stream_to_table(
+        engine, spool_stream(engine, str(spool), schema), "stream_src",
+        str(tmp_path / "ck"), output_mode="append",
+    )
+    q.awaitTermination(120)
+    assert mv.refresh() == 1  # only the new micro-batch folds
+    assert _mv_rows(mv) == [("a", 11), ("b", 2)]
+
+
 def test_validation_errors(engine):
     with pytest.raises(ValueError, match="unsupported aggregate"):
         engine.create_materialized_view(
