@@ -237,6 +237,124 @@ def q202(spark, sf_dir):
 _STOPWORDS = ("the", "a", "of", "to", "and", "in")
 
 
+# =====================================================================
+# q205 — MMR diversified re-ranking over a retrieval shortlist
+# =====================================================================
+
+_MMR_POOL = 20
+_MMR_K = 4
+
+
+def _mmr_oracle_sql(pool: int, k: int) -> str:
+    """Chained-CTE replay of the greedy MMR loop: sel{j} picks the
+    argmax of rel - max_sim_to_selected among the remaining shortlist,
+    ties to the smaller vec_id."""
+    base = f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS ei
+      FROM embeddings
+    ),
+    ep AS (
+      SELECT vec_id, CAST(i AS INT) AS d, ei[CAST(i AS INT)] AS v
+      FROM e, unnest(range(1, 65)) AS u(i)
+    ),
+    qv AS (SELECT d, v AS qv FROM ep WHERE vec_id = 0),
+    dots AS (
+      SELECT ep.vec_id, CAST(sum(ep.v * qv.qv) AS BIGINT) AS rel
+      FROM ep JOIN qv ON qv.d = ep.d
+      WHERE ep.vec_id <> 0 GROUP BY 1
+    ),
+    sl AS (SELECT vec_id, rel FROM dots ORDER BY rel DESC, vec_id LIMIT {pool}),
+    slv AS (SELECT ep.vec_id, ep.d, ep.v FROM ep JOIN sl ON sl.vec_id = ep.vec_id),
+    sims AS (
+      SELECT a.vec_id AS a, b.vec_id AS b, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+      FROM slv a JOIN slv b ON a.d = b.d AND a.vec_id <> b.vec_id
+      GROUP BY 1, 2
+    ),
+    sel1 AS (
+      SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel, CAST(0 AS BIGINT) AS redundancy, rel AS score
+      FROM sl ORDER BY rel DESC, vec_id LIMIT 1
+    )"""
+    stages = []
+    for j in range(2, k + 1):
+        prev = " UNION ALL ".join(f"SELECT vec_id FROM sel{i}" for i in range(1, j))
+        stages.append(
+            f""",
+    sel{j} AS (
+      SELECT CAST({j} AS BIGINT) AS rank, c.vec_id, c.rel,
+             max(p.dot) AS redundancy, c.rel - max(p.dot) AS score
+      FROM sl c JOIN sims p ON p.a = c.vec_id AND p.b IN ({prev})
+      WHERE c.vec_id NOT IN ({prev})
+      GROUP BY c.vec_id, c.rel
+      ORDER BY score DESC, c.vec_id LIMIT 1
+    )"""
+        )
+    final = " UNION ALL ".join(
+        f"SELECT rank, vec_id, rel, redundancy, score FROM sel{j}" for j in range(1, k + 1)
+    )
+    return base + "".join(stages) + "\n    " + final + "\n    ORDER BY rank"
+
+
+@query("q205_mmr_rerank", _mmr_oracle_sql(_MMR_POOL, _MMR_K))
+def q205(spark, sf_dir):
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick k=4 results that balance relevance to
+    the query (vec_id 0, q76/q199 convention) against redundancy with
+    the already-selected set — score = rel - max_sim_to_selected
+    (lambda = 1/2, both terms in the same micro-unit integer dot
+    scale, so the greedy argmax is integer-exact and the oracle
+    replays the LOOP as chained CTEs, like q202).
+
+    100 TB shape: the distributed work is the relevance scan (integer
+    dots against a broadcast query vector) and a TakeOrdered shortlist
+    of 20; MMR then runs on the POOL-side (pairwise sims of a
+    20-row set = 400 dots — computed in one bounded self-join, greedy
+    selection on the driver over the collected 400-row matrix, the
+    only honest way to express a sequential greedy loop over a
+    shortlist). This is the production MMR shape: rerank a bounded
+    candidate list, never the corpus."""
+    emb = t(spark, sf_dir, "embeddings")
+    ep = emb.select(
+        "vec_id", F.posexplode(F.expr("transform(embedding, x -> CAST(round(x * 1000000) AS BIGINT))"))
+    ).select("vec_id", F.col("pos").alias("d"), F.col("col").alias("v"))
+    qv = ep.filter(F.col("vec_id") == 0).select("d", F.col("v").alias("qv"))
+    dots = (
+        ep.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv), "d")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("v") * F.col("qv")).cast("long").alias("rel"))
+    )
+    sl = dots.orderBy(F.desc("rel"), "vec_id").limit(_MMR_POOL)
+    slv = ep.join(F.broadcast(sl.select("vec_id")), "vec_id")
+    a, b = slv.alias("a"), slv.alias("b")
+    sims = (
+        a.join(b, (F.col("a.d") == F.col("b.d")) & (F.col("a.vec_id") != F.col("b.vec_id")))
+        .groupBy(F.col("a.vec_id").alias("pa"), F.col("b.vec_id").alias("pb"))
+        .agg(F.sum(F.col("a.v") * F.col("b.v")).cast("long").alias("dot"))
+    )
+    pool = {r["vec_id"]: r["rel"] for r in sl.collect()}
+    sim = {(r["pa"], r["pb"]): r["dot"] for r in sims.collect()}
+    selected: list[tuple] = []
+    chosen: list[int] = []
+    for rank in range(1, _MMR_K + 1):
+        best = None
+        for vid, rel in pool.items():
+            if vid in chosen:
+                continue
+            red = max((sim[(vid, s)] for s in chosen), default=0)
+            score = rel - red if chosen else rel
+            key = (score, -vid)
+            if best is None or key > best[0]:
+                best = (key, vid, rel, red, score)
+        _, vid, rel, red, score = best
+        chosen.append(vid)
+        selected.append((rank, vid, rel, red, score))
+    return spark.createDataFrame(
+        selected, "rank bigint, vec_id bigint, rel bigint, redundancy bigint, score bigint"
+    ).orderBy("rank")
+
+
 _PMI_MIN_SUPPORT = 5
 
 
