@@ -334,6 +334,28 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Export a table's active version to an external directory
+    (parquet/csv/jsonl shards — the training-data handoff format)."""
+    engine = _engine(args)
+    with engine.node_context("__export__", inputs={"in": args.table}):
+        from .node.node import Table
+
+        n = Table("in", "r").export(args.path, format=args.format, single_file=args.single_file)
+    print(f"exported {n} rows of {args.table} to {args.path}")
+    return 0
+
+
+def cmd_import(args) -> int:
+    """Import external data as a (new version of a) table — the
+    inverse of export; --link hardlinks parquet files (zero-copy
+    attach)."""
+    engine = _engine(args)
+    n = engine.import_table(args.table, args.path, format=args.format, link=args.link)
+    print(f"imported {n} rows into {args.table} from {args.path}")
+    return 0
+
+
 def cmd_mv(args) -> int:
     """Materialized views: create (dims/measures spec), refresh one or
     all, or list specs + applied cursors (node/matview.py)."""
@@ -508,6 +530,20 @@ def main(argv: list[str] | None = None) -> int:
     an = sub.add_parser("analyze", help="compute + store per-column table statistics")
     an.add_argument("table", nargs="?", help="table name (default: all tables)")
     an.set_defaults(fn=cmd_analyze)
+
+    ex = sub.add_parser("export", help="export a table to parquet/csv/jsonl shards")
+    ex.add_argument("table")
+    ex.add_argument("path")
+    ex.add_argument("--format", default="parquet", choices=["parquet", "csv", "json", "jsonl"])
+    ex.add_argument("--single-file", dest="single_file", action="store_true")
+    ex.set_defaults(fn=cmd_export)
+
+    im = sub.add_parser("import", help="import external data as a table (inverse of export)")
+    im.add_argument("table")
+    im.add_argument("path")
+    im.add_argument("--format", default="parquet", choices=["parquet", "csv", "json", "jsonl"])
+    im.add_argument("--link", action="store_true", help="hardlink parquet files (zero-copy attach)")
+    im.set_defaults(fn=cmd_import)
 
     mv = sub.add_parser("mv", help="create/refresh/list incremental materialized views")
     mv.add_argument("action", choices=["create", "refresh", "list"])

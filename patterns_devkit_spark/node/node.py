@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import contextvars
 import datetime as dt
+import os
 import re
 import time
 from typing import Any, Iterator
@@ -1898,6 +1899,60 @@ class Engine:
                 self.spark.read.parquet(d).createOrReplaceTempView(name)
                 out[name] = name
         return out
+
+    def import_table(self, name: str, path: str, format: str = "parquet", link: bool = False, **options: Any) -> int:
+        """Attach external data as a (new version of) table ``name`` —
+        the inverse of Table.export, completing the cross-warehouse
+        backup/handoff round trip. ``link=True`` (parquet only)
+        hardlinks the source files into the version dir instead of
+        rewriting them: a zero-copy attach, O(files) metadata ops —
+        at object-storage scale this is a manifest import. Returns the
+        imported row count; the write versions, events, and flips
+        atomically like any other."""
+        import shutil
+
+        with self.node_context("__import__", outputs={"out": name}):
+            tbl = Table("out", "w")
+            if link and format == "parquet":
+                created = tbl.get_active_version() is None
+                vid = self.catalog.create_new_version(name)
+                out = self.catalog.version_dir(name, vid)
+                for root, _dirs, files in os.walk(path):
+                    rel = os.path.relpath(root, path)
+                    for fn in files:
+                        if not fn.endswith(".parquet"):
+                            continue
+                        dst_dir = out if rel == "." else os.path.join(out, rel)
+                        os.makedirs(dst_dir, exist_ok=True)
+                        try:
+                            os.link(os.path.join(root, fn), os.path.join(dst_dir, fn))
+                        except OSError:
+                            shutil.copy2(os.path.join(root, fn), os.path.join(dst_dir, fn))
+                df = self.spark.read.parquet(out)
+                n = df.count()
+                self.catalog.update_table_meta(
+                    name,
+                    schema_ddl=",".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields),
+                )
+                self.catalog.set_record_count(name, vid, n)
+                self.catalog.set_active_version(name, vid)
+                self.catalog.gc_versions(name)
+                if created:
+                    tbl.signal_create()
+                else:
+                    tbl.signal_update()
+                return n
+            fmt = "json" if format in ("json", "jsonl") else format
+            reader = self.spark.read
+            if fmt == "csv":
+                reader = reader.option("header", "true").option("inferSchema", "true")
+            for k, v in options.items():
+                reader = reader.option(k, v)
+            df = reader.format(fmt).load(path)
+            v = tbl.write_dataframe_as_new_version(df)
+            n = self.spark.read.parquet(v.storage).count()
+            self.catalog.set_record_count(name, v.version_id, n)
+            return n
 
     def create_materialized_view(
         self,
