@@ -69,6 +69,39 @@ def test_no_query_has_cartesian(spark, sf_dir):
         assert not has_cartesian(df), f"{name} plan has a cartesian product"
 
 
+def test_corpus_batch_plans(spark, sf_dir):
+    """q201/q204: broadcast dictionary joins, TakeOrdered top-k, no
+    cartesian, no single-partition window anywhere in the batch."""
+    from patterns_devkit_spark.plans.inspect import single_partition_windows
+
+    q201 = QUERIES["q201_dsir_importance"](spark, sf_dir)
+    assert has_broadcast_join(q201)  # 4096-row weight table broadcasts
+    assert not has_cartesian(q201)
+    assert "TakeOrderedAndProject" in explain_str(q201)
+    assert single_partition_windows(q201) == 0
+
+    q204 = QUERIES["q204_pmi_collocations"](spark, sf_dir)
+    assert not has_cartesian(q204)  # the N scalar joins via broadcast, not cartesian
+    assert has_broadcast_join(q204)
+    assert "TakeOrderedAndProject" in explain_str(q204)
+    assert single_partition_windows(q204) == 0
+
+
+def test_q189_signature_subtree_single_evaluation(spark, sf_dir):
+    """The MinHash signature+banding pipeline must appear ONCE in
+    q189's plan (n_sig_agree rides through the intersection join): the
+    re-join form evaluated the whole pipeline twice and planned 26
+    exchanges; the single-evaluation form plans 13. Gate with slack so
+    AQE/version drift doesn't flake, but a re-introduced double
+    evaluation (+13) trips it."""
+    import re as _re
+
+    df = QUERIES["q189_minhash_calibration"](spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    n_exchanges = len(_re.findall(r"Exchange (?:hash|range|Single)", plan))
+    assert n_exchanges <= 17, f"q189 plans {n_exchanges} exchanges (subtree re-evaluation?)"
+
+
 def test_topk_uses_take_ordered(spark, sf_dir):
     plan = explain_str(QUERIES["q18_topk"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT k
