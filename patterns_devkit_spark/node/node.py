@@ -338,13 +338,25 @@ class Table:
         from . import skipping
 
         cols = self._stat_cols(meta)
+        bloom_cols = meta.get("bloom_columns") or []
         ob = meta.get("strictly_monotonic_ordering") or meta.get("created_ordering")
-        if not cols:
+        if not cols and not bloom_cols:
             return
         try:
-            stats = skipping.collect_file_stats(storage, cols)
+            stats = skipping.collect_file_stats(storage, cols or bloom_cols)
         except Exception:
             return  # stats unavailable: order_max()/read_pruned fall back
+        if bloom_cols:
+            # declared-only data pass: Bloom bitmaps ride the same stats
+            # entries, so prune() consults them with zero extra plumbing
+            try:
+                blooms = skipping.collect_file_blooms(storage, bloom_cols)
+                for rel, cols_map in blooms.items():
+                    entry = stats.setdefault(rel, {"rows": None, "cols": {}})
+                    for col, hx in cols_map.items():
+                        entry["cols"].setdefault(col, {})["bloom"] = hx
+            except Exception:
+                pass  # bloom unavailable: bounds-only pruning still works
         self._engine.catalog.set_file_stats(self.store_name, version, stats)
         if ob:
             mx = _stats_col_max(stats, ob)
@@ -455,6 +467,7 @@ class Table:
         partition_by: str | list[str] | None = None,
         cluster_by: str | list[str] | None = None,
         stat_columns: str | list[str] | None = None,
+        bloom_columns: str | list[str] | None = None,
         check_constraints: dict[str, str] | None = None,
     ) -> None:
         """Declare creation-time table properties (node.py:269-297).
@@ -489,6 +502,11 @@ class Table:
         updates: dict[str, Any] = {"auto_indexes": auto_indexes}
         if stat_columns is not None:
             updates["stat_columns"] = [stat_columns] if isinstance(stat_columns, str) else list(stat_columns)
+        if bloom_columns is not None:
+            # engine extension: per-file Bloom bitmaps for these columns
+            # (equality skipping where ranges overlap but value sets are
+            # disjoint — hash-bucketed ids, UUIDs; node/skipping.py)
+            updates["bloom_columns"] = [bloom_columns] if isinstance(bloom_columns, str) else list(bloom_columns)
         if check_constraints is not None:
             updates["check_constraints"] = dict(check_constraints)
         if partition_by is not None:

@@ -139,6 +139,81 @@ def collect_file_stats(root: str, cols: Iterable[str]) -> dict[str, dict]:
     return out
 
 
+# -- per-file Bloom value index (equality skipping beyond min/max) -----
+#
+# min/max bounds cannot prune equality predicates when files have
+# overlapping value RANGES but disjoint value SETS (round-robin writes,
+# hash-bucketed ids, UUID keys). Lakehouse formats add per-file Bloom
+# filters for exactly this; here the bitmap lives in the same catalog
+# stats entry as the bounds ({"bloom": hex}), so pruning stays a
+# metadata-only decision. A Bloom "no" is definitive (prune); a "yes"
+# keeps the file — the caller's re-applied Spark filter makes false
+# positives harmless, as with every other stat here.
+
+BLOOM_BITS = 8192  # 1 KiB bitmap per (file, column)
+BLOOM_K = 4
+
+
+def _bloom_canon(value: Any) -> str:
+    """Canonical string hashed into the bloom: write side and probe
+    side must agree, so normalize bools/ints/floats through str()."""
+    if isinstance(value, bool):
+        return str(int(value))
+    if isinstance(value, float) and value.is_integer():
+        return str(int(value))
+    return str(value)
+
+
+def _bloom_positions(value: Any, bits: int = BLOOM_BITS, k: int = BLOOM_K) -> list[int]:
+    import hashlib
+
+    s = _bloom_canon(value)
+    return [
+        int.from_bytes(hashlib.md5(f"{j}|{s}".encode()).digest()[:8], "big") % bits
+        for j in range(k)
+    ]
+
+
+def collect_file_blooms(root: str, cols: Iterable[str], bits: int = BLOOM_BITS, k: int = BLOOM_K) -> dict[str, dict]:
+    """{relpath: {col: hex_bitmap}} — ONE columnar read of only the
+    indexed columns per file (pyarrow, no Spark job). Unlike the
+    footer stats this touches data, so it runs only for columns the
+    table DECLARES (init(bloom_columns=...)). NULLs are not inserted
+    (equality predicates never match NULL)."""
+    import pyarrow.parquet as pq
+
+    cols = list(cols)
+    out: dict[str, dict] = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in sorted(files):
+            if not fn.endswith(".parquet"):
+                continue
+            full = os.path.join(dirpath, fn)
+            rel = os.path.relpath(full, root)
+            pf = pq.ParquetFile(full)
+            names = pf.metadata.schema.to_arrow_schema().names
+            present = [c for c in cols if c in names]
+            if not present:
+                continue
+            tbl = pf.read(columns=present)
+            entry: dict[str, str] = {}
+            for col in present:
+                bitmap = bytearray(bits // 8)
+                for v in tbl.column(col).unique().to_pylist():
+                    if v is None:
+                        continue
+                    for pos in _bloom_positions(v, bits, k):
+                        bitmap[pos >> 3] |= 1 << (pos & 7)
+                entry[col] = bytes(bitmap).hex()
+            out[rel] = entry
+    return out
+
+
+def bloom_may_contain(hex_bitmap: str, value: Any, bits: int = BLOOM_BITS, k: int = BLOOM_K) -> bool:
+    bitmap = bytes.fromhex(hex_bitmap)
+    return all(bitmap[p >> 3] & (1 << (p & 7)) for p in _bloom_positions(value, bits, k))
+
+
 def _could_match(entry: dict, col: str, op: str, value: Any) -> bool:
     """True unless this file's stats PROVE no row satisfies the
     predicate. Conservative on any uncertainty."""
@@ -147,6 +222,15 @@ def _could_match(entry: dict, col: str, op: str, value: Any) -> bool:
         return True  # no stats for this column: cannot prune
     if info.get("absent"):
         return False  # column reads as NULL: value predicates never match
+    bloom = info.get("bloom")
+    if bloom:
+        # a Bloom "no" is definitive for equality, regardless of bounds
+        if op == "=" and not bloom_may_contain(bloom, value):
+            return False
+        if op == "in" and not any(bloom_may_contain(bloom, v) for v in value):
+            return False
+    if "min" not in info and "max" not in info:
+        return True  # bloom-only entry: bounds unavailable
     mn, mx = info.get("min"), info.get("max")
     if mn is None and mx is None:
         # bounded with no values => every row is null
