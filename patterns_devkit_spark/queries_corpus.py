@@ -238,6 +238,63 @@ _STOPWORDS = ("the", "a", "of", "to", "and", "in")
 
 
 # =====================================================================
+# sdk11 — incremental dedup vs the historical corpus, THROUGH the engine
+# =====================================================================
+
+
+@query(
+    "sdk11_incremental_dedup",
+    """
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ),
+    hist AS (SELECT DISTINCT fingerprint FROM fp WHERE source = 'src0'),
+    batch AS (SELECT doc_id, fingerprint FROM fp WHERE source <> 'src0'),
+    intra AS (
+      SELECT doc_id, fingerprint FROM (
+        SELECT doc_id, fingerprint,
+               row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rk
+        FROM batch
+      ) WHERE rk = 1
+    )
+    SELECT i.doc_id, i.fingerprint
+    FROM intra i LEFT JOIN hist h ON h.fingerprint = i.fingerprint
+    WHERE h.fingerprint IS NULL
+    """,
+)
+def sdk11(spark, sf_dir):
+    """operators/dedup.incremental_dedup under the oracle gate (it was
+    pytest-only before): the production-shaped streaming-corpus exact
+    dedup, where the fingerprint state lives in a versioned engine
+    table instead of a rescan of all prior raw text. Phase 1 lands the
+    src0 'historical' slice (populating the seen-table); phase 2 runs
+    the rest of the corpus as the NEW batch — survivors are batch docs
+    that dup neither an intra-batch doc (min-id wins) nor any
+    historical fingerprint. The oracle states both phases in closed
+    form over md5 fingerprints (bit-identical across engines).
+
+    100 TB shape: every step is batch-proportional except the one
+    anti-join probe against seen (16-byte fingerprints, upsert keyed
+    on fingerprint = idempotent retry); the dedup window is PARTITIONED
+    by fingerprint — no global sort anywhere."""
+    from .operators.dedup import incremental_dedup
+    from .queries import _temp_engine
+
+    docs = t(spark, sf_dir, "documents")
+    eng = _temp_engine(spark)
+    from .node.node import Table
+
+    with eng.node_context("dedup", outputs={"out": "seen_fps"}):
+        seen = Table("out", "w")
+        seen.init(unique_on="fingerprint")
+        incremental_dedup(docs.filter(F.col("source") == "src0"), seen)
+        survivors = incremental_dedup(docs.filter(F.col("source") != "src0"), seen)
+        return survivors.select("doc_id", "fingerprint")
+
+
+# =====================================================================
 # q205 — MMR diversified re-ranking over a retrieval shortlist
 # =====================================================================
 
