@@ -18,6 +18,7 @@ from .node.node import (
     Stream,
     Table,
     TableVersion,
+    current_engine,
     respond_to_request,
 )
 from .session import get_spark
@@ -35,6 +36,7 @@ __all__ = [
     "Stream",
     "Table",
     "TableVersion",
+    "current_engine",
     "respond_to_request",
     "get_spark",
     "__version__",

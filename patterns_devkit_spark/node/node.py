@@ -1811,6 +1811,13 @@ class State:
         }
 
 
+def current_engine() -> "Engine":
+    """The Engine bound to the executing node context — for
+    engine-level declarations from inside a node (e.g. registering a
+    materialized view next to the table that feeds it)."""
+    return _ctx().engine
+
+
 def respond_to_request(request_key: str, payload: Any) -> None:
     """Send a JSON response to the webhook request identified by
     request_key (node.py:544-553). The runner holds the response
