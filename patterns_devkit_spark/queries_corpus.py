@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .operators.det_hash import md5_long
+from .operators.det_hash import distinct_shingles, md5_long
 from .operators.text import tokens, word_shingles
 from .queries import query, t
 
@@ -235,6 +235,119 @@ def q202(spark, sf_dir):
 # =====================================================================
 
 _STOPWORDS = ("the", "a", "of", "to", "and", "in")
+
+
+# =====================================================================
+# q206 — prefix-filter set-similarity self-join (PPJoin-family)
+# =====================================================================
+
+
+@query(
+    "q206_prefix_filter_join",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[CAST(i AS BIGINT):CAST(i + 2 AS BIGINT)], ' ') AS sh
+      FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS u(i)
+      WHERE len(w) >= 3
+    ),
+    dfreq AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY sh),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+    ordered AS (
+      SELECT sh.doc_id, sh.sh,
+             row_number() OVER (PARTITION BY sh.doc_id ORDER BY d.df, sh.sh) AS pos
+      FROM sh JOIN dfreq d ON d.sh = sh.sh
+    ),
+    prefix AS (
+      SELECT o.doc_id, o.sh
+      FROM ordered o JOIN sizes s ON s.doc_id = o.doc_id
+      WHERE o.pos <= s.n_sh - ((s.n_sh + 1) // 2) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.id_a
+      JOIN sh y ON y.doc_id = c.id_b AND y.sh = x.sh
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b, i.n_inter,
+           sa.n_sh + sb.n_sh - i.n_inter AS n_union,
+           CAST((1000 * i.n_inter) // (sa.n_sh + sb.n_sh - i.n_inter) AS BIGINT) AS jac_millis
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE 2 * i.n_inter >= sa.n_sh + sb.n_sh - i.n_inter
+    ORDER BY id_a, id_b
+    """,
+)
+def q206(spark, sf_dir):
+    """Prefix-filter set-similarity self-join (the PPJoin/AllPairs
+    family, Bayardo et al. 2007 / Xiao et al. 2008): the OTHER
+    bucketed route to near-dup pairs besides LSH banding (q35) and the
+    capped inverted index (q63). Each doc's shingles are ordered
+    rarest-first (global df, ties lexicographic) and only the first
+    L = n - ceil(t*n) + 1 ever enter the candidate join; for Jaccard
+    t=1/2, J(x,y) >= t implies overlap >= ceil(t*max(|x|,|y|)), which
+    forces the two prefixes to share an element — so candidate
+    generation is COMPLETE while hot shingles (which live at the END
+    of the ordering) never generate pairs. Verification is exact
+    set-intersection on candidates; the threshold compare
+    2*inter >= union is integer cross-multiplication.
+
+    100 TB shape: the prefix join's fan-out is bounded by RARE-token
+    df (the quadratic blowup lives in frequent tokens, all excluded
+    from prefixes — the same reason q63 needs max_df, obtained here
+    without dropping any true pair); the per-doc ordering window is
+    PARTITIONED by doc. Everything else is hash-aggs and equi-joins;
+    the oracle replays candidates AND verification bit-for-bit."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    sh = distinct_shingles(docs, "doc_id", "text", 3)
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    w = Window.partitionBy("id").orderBy("df", "sh")
+    ordered = sh.join(dfreq, "sh").withColumn("pos", F.row_number().over(w))
+    prefix = (
+        ordered.join(sizes, "id")
+        .filter(F.col("pos") <= F.col("n_sh") - F.expr("(n_sh + 1) DIV 2") + 1)
+        .select("id", "sh")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    x = sh.select(F.col("id").alias("id_a"), "sh")
+    y = sh.select(F.col("id").alias("__yb"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(x, "id_a")
+        .join(y, (F.col("id_b") == F.col("__yb")) & (F.col("sh") == F.col("sh_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(2 * F.col("n_inter") >= F.col("na") + F.col("nb") - F.col("n_inter"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            (F.col("na") + F.col("nb") - F.col("n_inter")).alias("n_union"),
+            F.expr("CAST((1000 * n_inter) DIV (na + nb - n_inter) AS BIGINT)").alias("jac_millis"),
+        )
+        .orderBy("id_a", "id_b")
+    )
 
 
 # =====================================================================

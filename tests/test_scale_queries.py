@@ -86,3 +86,27 @@ def test_snapshot_diff_counts_are_consistent(spark, sf_dir):
     assert n_common + n_removed == n_a
     assert n_common + n_added == n_b
     assert sum(r["n_changed"] for r in rows) > 0
+
+
+def test_q206_prefix_filter_candidates_complete(spark, sf_dir):
+    """Prefix-filter completeness law (the reason q206's candidate cut
+    is safe): its surviving pairs must EQUAL the uncapped brute-force
+    inverted-index pairs at Jaccard >= 1/2 — no true pair lost to the
+    prefix restriction."""
+    from pyspark.sql import functions as F
+
+    from patterns_devkit_spark.operators.dedup import ngram_jaccard_pairs
+    from patterns_devkit_spark.queries import QUERIES, t
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in QUERIES["q206_prefix_filter_join"](spark, sf_dir).collect()
+    }
+    docs = t(spark, sf_dir, "documents")
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", 3)
+        .filter(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    assert got == brute and brute  # equal AND non-trivial
