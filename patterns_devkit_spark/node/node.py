@@ -704,9 +704,14 @@ class Table:
 
     def read_sql(self, sql: str, as_format: str = "records", chunksize: int | None = None):
         """Arbitrary SQL over storage; caller interpolates sql_name
-        (node.py:168-189). Full Spark SQL / Catalyst surface."""
+        (node.py:168-189). Full Spark SQL / Catalyst surface.
+        Engine extension: `{{ store }}` / `{{ store@version }}` /
+        `{{ store@latest }}` templates render like SQL nodes, so time
+        travel is available from the read surface too."""
         if not self.is_connected:
             return [] if as_format == "records" else pd.DataFrame()
+        if "{{" in sql:
+            sql = self._engine.render_sql(sql, this=self)
         df = self._engine.spark.sql(sql)
         if chunksize:
             return _chunked(df, as_format, chunksize)
@@ -2018,6 +2023,20 @@ class Engine:
                 return this.sql_name or (this.store_name or ref)
             if ref in params:
                 return _sql_literal(params[ref])
+            if "@" in ref:
+                # time travel: {{ store@v0000003 }} pins the reference to
+                # a specific version (read_spark(version=)'s SQL form)
+                store, _, want = ref.partition("@")
+                store, want = store.strip(), want.strip()
+                meta_tt = self.catalog.table_meta(store)
+                if meta_tt is not None:
+                    versions = meta_tt.get("versions") or []
+                    vid = meta_tt.get("active_version") if want == "latest" else want
+                    if vid not in versions:
+                        raise KeyError(f"unknown version {want!r} of table {store!r} in template")
+                    view = f"{store}__{vid}"
+                    self.spark.read.parquet(self.catalog.version_dir(store, vid)).createOrReplaceTempView(view)
+                    return f"`{view}`"
             meta = self.catalog.table_meta(ref)
             if meta is not None:
                 av = self.catalog.get_active_version(ref)

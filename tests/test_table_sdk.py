@@ -140,6 +140,29 @@ def test_read_sql_and_sql_name(engine):
         assert sum(len(c) for c in chunks) == 10
 
 
+def test_time_travel_sql_template(engine):
+    """{{ store@version }} pins a SQL reference to a table version —
+    the SQL-surface form of read_spark(version=); @latest resolves the
+    active pointer; an unknown version raises."""
+    import pytest as _pytest
+
+    with engine.node_context("w", outputs={"out": "tt1"}):
+        t = Table("out", "w")
+        t.init(unique_on="k")
+        t.upsert([{"k": 1, "v": "old"}])
+        t.flush()
+        v1 = t.get_active_version().version_id
+        t.upsert([{"k": 1, "v": "new"}])
+        t.flush()
+    with engine.node_context("r", inputs={"in": "tt1"}):
+        t = Table("in", "r")
+        assert t.read_sql("SELECT v FROM {{ tt1@" + v1 + " }}")[0]["v"] == "old"
+        assert t.read_sql("SELECT v FROM {{ tt1@latest }}")[0]["v"] == "new"
+        assert t.read_sql("SELECT v FROM {{ tt1 }}")[0]["v"] == "new"
+        with _pytest.raises(KeyError, match="unknown version"):
+            t.read_sql("SELECT v FROM {{ tt1@v9999999 }}")
+
+
 def test_unconnected_port_noops(engine):
     with engine.node_context("n"):
         t = Table("nope", "r", required=False)
