@@ -238,6 +238,81 @@ _STOPWORDS = ("the", "a", "of", "to", "and", "in")
 
 
 # =====================================================================
+# q207 — Benford first-digit audit (synthetic/fabricated-data screen)
+# =====================================================================
+
+# permille of log10(1 + 1/d), d = 1..9 — the Benford expectation as
+# integer constants shared verbatim by both engines (no float log)
+_BENFORD_PERMILLE = (301, 176, 125, 97, 79, 67, 58, 51, 46)
+
+
+@query(
+    "q207_benford_audit",
+    f"""
+    WITH cents AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders WHERE o_totalprice > 0
+    ),
+    digit AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS d FROM cents
+    ),
+    obs AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM digit GROUP BY d),
+    total AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM obs),
+    exp AS (
+      SELECT CAST(i + 1 AS BIGINT) AS d, CAST(p AS BIGINT) AS expected_permille
+      FROM (SELECT unnest({list(_BENFORD_PERMILLE)}) AS p,
+                   generate_subscripts({list(_BENFORD_PERMILLE)}, 1) - 1 AS i)
+    )
+    SELECT e.d AS digit,
+           COALESCE(o.n, 0) AS n,
+           CAST((1000 * COALESCE(o.n, 0)) // t.t AS BIGINT) AS observed_permille,
+           e.expected_permille,
+           abs(CAST((1000 * COALESCE(o.n, 0)) // t.t AS BIGINT) - e.expected_permille) AS abs_dev_permille
+    FROM exp e LEFT JOIN obs o ON o.d = e.d CROSS JOIN total t
+    ORDER BY digit
+    """,
+)
+def q207(spark, sf_dir):
+    """Benford first-digit conformance audit (Benford 1938; the
+    standard fabricated-data screen, increasingly used to flag
+    SYNTHETIC records in training corpora): first significant digit of
+    the order amount in exact cents, observed permille share vs the
+    Benford expectation. The expectation enters as the shared integer
+    constants permille(log10(1+1/d)) — no float log anywhere, so the
+    audit (including every deviation) is hash-checked bit-for-bit.
+
+    100 TB shape: one scan -> 9-group hash-agg (map-side combine on a
+    9-value domain) -> broadcast of the scalar total and the 9-row
+    expectation table. The audit is O(scan) with O(1) state — the
+    cheapest possible data-quality pass, and the deviation column is
+    the alert threshold a pipeline monitors."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = o.select(
+        F.substring(F.expr("CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)"), 1, 1)
+        .cast("long")
+        .alias("d")
+    )
+    obs = digit.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    total = obs.agg(F.sum("n").cast("long").alias("t"))
+    exp = spark.createDataFrame(
+        [(i + 1, p) for i, p in enumerate(_BENFORD_PERMILLE)], "d long, expected_permille long"
+    )
+    return (
+        exp.join(obs, "d", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("d").alias("digit"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.expr("CAST((1000 * coalesce(n, 0)) DIV t AS BIGINT)").alias("observed_permille"),
+            "expected_permille",
+            F.expr(
+                "abs(CAST((1000 * coalesce(n, 0)) DIV t AS BIGINT) - expected_permille)"
+            ).alias("abs_dev_permille"),
+        )
+        .orderBy("digit")
+    )
+
+
+# =====================================================================
 # q206 — prefix-filter set-similarity self-join (PPJoin-family)
 # =====================================================================
 
