@@ -195,6 +195,22 @@ class Catalog:
         meta = self.table_meta(name)
         return _untag((meta or {}).get("order_hwms", {}).get(version))
 
+    def set_active_versions(self, flips: dict) -> None:
+        """ATOMIC multi-table pointer flip: every (table -> version)
+        pair becomes active in ONE persist — readers see all of the
+        flips or none (the backend writes the whole document
+        atomically: json tmp+rename / sqlite transaction). The
+        cross-table commit primitive under staged write-audit-publish
+        (node.py Table.write_staged/publish)."""
+        with self._lock:
+            for name, version in flips.items():
+                meta = self.ensure_table(name)
+                if version is not None and version not in meta["versions"]:
+                    raise KeyError(f"unknown version {version!r} of table {name!r}")
+            for name, version in flips.items():
+                self._doc["tables"][name]["active_version"] = version
+            self._persist()
+
     # -- materialized views ---------------------------------------------
 
     def set_matview_spec(self, name: str, spec: dict) -> None:
@@ -287,6 +303,22 @@ class Catalog:
             if doomed:
                 self._persist()
             return doomed
+
+    def drop_version(self, name: str, version: str) -> None:
+        """Remove a retained NON-ACTIVE version (WAP abandon / targeted
+        cleanup): directory and all per-version metadata."""
+        with self._lock:
+            meta = self.ensure_table(name)
+            if version == meta.get("active_version"):
+                raise ValueError(f"cannot drop the active version {version!r} of {name!r}")
+            if version not in meta["versions"]:
+                return
+            shutil.rmtree(self.version_dir(name, version), ignore_errors=True)
+            meta["versions"].remove(version)
+            meta["record_counts"].pop(version, None)
+            for key in ("order_hwms", "file_stats", "column_stats"):
+                meta.get(key, {}).pop(version, None)
+            self._persist()
 
     def allocate_monotonic_block(self, name: str, n: int) -> int:
         """Reserve n dense monotonic ids for a flush; returns the first.

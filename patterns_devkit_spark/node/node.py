@@ -1121,6 +1121,65 @@ class Table:
             self._engine.spark.sql(rendered)
             self.signal_update()
 
+    # -- write-audit-publish (staged versions; engine extension) ---------
+    def write_staged(self, records: Any) -> "TableVersion | None":
+        """WAP step 1 — WRITE: land ``records`` as a new NON-ACTIVE
+        version. Readers keep seeing the current table; the staged
+        version is addressable for audits via read_spark(version=) /
+        `{{ store@version }}`. Finish with publish() (flips the
+        pointer after validation) or abandon() (drops the staging).
+        The Iceberg/Delta write-audit-publish workflow on the engine's
+        version primitive — staging costs nothing extra because every
+        write is already a version."""
+        if not self.is_connected:
+            return None
+        catalog = self._engine.catalog
+        df = self._prepare_batch([records])
+        meta = catalog.table_meta(self.store_name) or {}
+        vid = catalog.create_new_version(self.store_name)
+        out = catalog.version_dir(self.store_name, vid)
+        self._writer(self._sorted_for_write(df, meta), meta).mode("overwrite").parquet(out)
+        n = self._engine.spark.read.parquet(out).count()
+        catalog.set_record_count(self.store_name, vid, n)
+        self._track_write_stats(out, meta, vid)
+        return TableVersion(self._engine, self.store_name, vid)
+
+    def publish(self, version_id: str, checks: dict[str, str] | None = None) -> "TableVersion":
+        """WAP step 3 — PUBLISH: validate the staged version (the
+        table's declared CHECK constraints plus any ad-hoc ``checks``)
+        against its STORED data, then flip the pointer atomically. A
+        failing audit raises CheckConstraintViolation and leaves the
+        table untouched (the staging stays addressable for debugging —
+        abandon() it explicitly)."""
+        catalog = self._engine.catalog
+        v = TableVersion(self._engine, self.store_name, version_id)
+        if not v.exists:
+            raise ValueError(f"publish: version {version_id!r} of {self.store_name!r} has no data")
+        meta = dict(catalog.table_meta(self.store_name) or {})
+        merged_checks = dict(meta.get("check_constraints") or {})
+        merged_checks.update(checks or {})
+        df = self._engine.spark.read.parquet(v.storage)
+        self._enforce_check_constraints(df, {**meta, "check_constraints": merged_checks})
+        created = self.get_active_version() is None
+        existing = self.schema if self.exists else None
+        out_schema = df.schema if existing is None else merge_schemas(existing, df.schema)
+        catalog.update_table_meta(
+            self.store_name,
+            schema_ddl=",".join(f"{f.name} {f.dataType.simpleString()}" for f in out_schema.fields),
+        )
+        catalog.set_active_version(self.store_name, version_id)
+        catalog.gc_versions(self.store_name)
+        if created:
+            self.signal_create()
+        else:
+            self.signal_update()
+        return v
+
+    def abandon(self, version_id: str) -> None:
+        """WAP abort: drop a staged (non-active) version and its
+        metadata."""
+        self._engine.catalog.drop_version(self.store_name, version_id)
+
     def delete_where(self, predicate: str) -> int:
         """SQL DELETE: remove rows matching ``predicate`` (a SQL boolean
         expression over this table's columns), written as a NEW version
@@ -1929,6 +1988,37 @@ class Engine:
                 self.spark.read.parquet(d).createOrReplaceTempView(name)
                 out[name] = name
         return out
+
+    def publish_atomic(self, flips: dict[str, str]) -> None:
+        """Cross-table WAP commit: validate EVERY staged version's
+        CHECK constraints first, then flip all (table -> version)
+        pointers in ONE catalog persist — readers observe all tables
+        advance together or none (the multi-table transaction shape
+        fact+dim pipelines need: no moment where the fact references a
+        dim snapshot that isn't live yet). Any failing audit raises
+        before anything flips."""
+        prepared: dict[str, str] = {}
+        for store, vid in flips.items():
+            with self.node_context("__publish__", outputs={"out": store}):
+                tbl = Table("out", "w")
+                v = TableVersion(self, store, vid)
+                if not v.exists:
+                    raise ValueError(f"publish_atomic: version {vid!r} of {store!r} has no data")
+                meta = dict(self.catalog.table_meta(store) or {})
+                df = self.spark.read.parquet(v.storage)
+                tbl._enforce_check_constraints(df, meta)
+                existing = tbl.schema if tbl.exists else None
+                out_schema = df.schema if existing is None else merge_schemas(existing, df.schema)
+                prepared[store] = ",".join(
+                    f"{f.name} {f.dataType.simpleString()}" for f in out_schema.fields
+                )
+        for store, ddl in prepared.items():
+            self.catalog.update_table_meta(store, schema_ddl=ddl)
+        self.catalog.set_active_versions(flips)
+        for store in flips:
+            with self.node_context("__publish__", outputs={"out": store}):
+                Table("out", "w").signal_update()
+            self.catalog.gc_versions(store)
 
     def import_table(self, name: str, path: str, format: str = "parquet", link: bool = False, **options: Any) -> int:
         """Attach external data as a (new version of) table ``name`` —
