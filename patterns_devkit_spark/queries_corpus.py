@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .node.node import CheckConstraintViolation
 from .operators.det_hash import distinct_shingles, md5_long
 from .operators.text import tokens, word_shingles
 from .queries import query, t
@@ -235,6 +236,48 @@ def q202(spark, sf_dir):
 # =====================================================================
 
 _STOPWORDS = ("the", "a", "of", "to", "and", "in")
+
+
+# =====================================================================
+# sdk12 — write-audit-publish through the engine, under the oracle gate
+# =====================================================================
+
+
+@query(
+    "sdk12_wap_publish",
+    """
+    SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 0
+    """,
+)
+def sdk12(spark, sf_dir):
+    """Write-audit-publish under the driver gate: stage the FULL
+    customer slice as a non-active version, prove a bad staging is
+    rejected by its audit (negative balances violate the ad-hoc
+    check and the active pointer never moves), then publish the good
+    staging and read the table back. The oracle states the expected
+    FINAL table contents — so the driver hash-checks that audits
+    gate exactly what goes live.
+
+    100 TB shape: staging reuses the ordinary versioned write (no
+    copy), the audit is one aggregate job over the staged files, the
+    flip is O(1) metadata."""
+    from .node.node import Table
+    from .queries import _temp_engine
+
+    eng = _temp_engine(spark)
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    with eng.node_context("w", outputs={"out": "cust_wap"}):
+        tbl = Table("out", "w")
+        bad = tbl.write_staged(c)  # full slice incl. negative balances
+        try:
+            tbl.publish(bad.version_id, checks={"bal_pos": "c_acctbal > 0"})
+            raise AssertionError("audit should have rejected the staging")
+        except CheckConstraintViolation:
+            tbl.abandon(bad.version_id)
+        good = tbl.write_staged(c.filter(F.col("c_acctbal") > 0))
+        tbl.publish(good.version_id, checks={"bal_pos": "c_acctbal > 0"})
+    with eng.node_context("r", inputs={"in": "cust_wap"}):
+        return Table("in", "r").read_spark().select("c_custkey", "c_nationkey")
 
 
 # =====================================================================
@@ -657,22 +700,20 @@ def q204(spark, sf_dir):
             F.split("bg", " ").getItem(1).alias("w2"),
         )
     )
-    cab = (
-        bg.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
-        .filter(F.col("c_ab") >= _PMI_MIN_SUPPORT)
-    )
+    cab_all = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    cab = cab_all.filter(F.col("c_ab") >= _PMI_MIN_SUPPORT)
     uni = (
         docs.select(F.explode(tokens("text")).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    # N is over ALL bigrams (pre-support-filter), matching the oracle
-    n = (
-        docs.select(F.explode(word_shingles("text", 2)).alias("bg"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"))
-    )
+    # N is over ALL bigrams (pre-support-filter), matching the oracle:
+    # sum(max(len-1, 0)) from a narrow scan — no second explode, no
+    # second pair aggregation (identity: each doc has len-1 bigrams)
+    n = docs.select(
+        F.greatest(F.size(tokens("text")) - 1, F.lit(0)).alias("nb")
+    ).agg(F.sum("nb").cast("long").alias("n_bigrams"))
     ua = uni.select(F.col("token").alias("w1"), F.col("c").alias("c_a"))
     ub = uni.select(F.col("token").alias("w2"), F.col("c").alias("c_b"))
     out = (
