@@ -232,6 +232,125 @@ def q202(spark, sf_dir):
 
 
 # =====================================================================
+# q208 — BPE tokenizer APPLY (dictionary-join inference over the corpus)
+# =====================================================================
+
+
+def _bpe_apply_oracle_sql(iters: int) -> str:
+    """q202's training stages, then APPLY: every distinct word's final
+    segmentation comes out of stage s{iters}; per-doc subword counts
+    are a token->dictionary join, rolled up per source."""
+    train = _bpe_oracle_sql(iters)
+    # reuse the training CTE chain; replace the final SELECT with apply
+    head = train[: train.rindex("\n    SELECT CAST(1 AS BIGINT)")]
+    return (
+        head
+        + f""",
+    vocab AS (
+      SELECT word, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_subwords FROM s{iters}
+    ),
+    tok AS (
+      SELECT d.source, u.tok
+      FROM documents d, unnest(string_split_regex(trim(d.text), '\\s+')) AS u(tok)
+    ),
+    per_source AS (
+      SELECT t.source,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(v.n_subwords) AS BIGINT) AS n_subwords,
+             CAST(sum(length(t.tok)) AS BIGINT) AS n_chars
+      FROM tok t JOIN vocab v ON v.word = t.tok
+      WHERE t.tok <> ''
+      GROUP BY t.source
+    )
+    SELECT source, n_words, n_subwords, n_chars,
+           CAST((1000 * n_chars) // n_subwords AS BIGINT) AS chars_per_subword_permille
+    FROM per_source ORDER BY source"""
+    )
+
+
+@query("q208_bpe_apply", _bpe_apply_oracle_sql(_BPE_ITERS))
+def q208(spark, sf_dir):
+    """Tokenizer INFERENCE at corpus scale: apply q202's learned
+    merges and report per-source subword statistics (the
+    chars-per-token compression ratio a tokenizer owner tracks). The
+    production-shaped factorization: merges are applied to the
+    DISTINCT-WORD dictionary only (vocab-sized work), and the corpus
+    pass is a token -> dictionary equi-join — tokenizing 100 TB never
+    re-runs merge replaces per occurrence. The oracle replays
+    training AND application bit-for-bit (same chained CTEs as q202
+    plus the join rollup).
+
+    100 TB shape: one token-grain shuffle for the dictionary join
+    (broadcast when the vocab fits, as here) + a source-grain rollup;
+    merge application is O(|vocab| x iters) regardless of corpus
+    size."""
+    docs = t(spark, sf_dir, "documents")
+    w = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    cur = w.select("word", "freq", F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq"))
+    cur = cur.persist()
+    try:
+        for _ in range(_BPE_ITERS):
+            pairs = (
+                cur.withColumn("arr", F.split("seq", " "))
+                .filter(F.size("arr") >= 2)
+                .select(
+                    "freq",
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(0, size(arr) - 2),"
+                            " i -> concat(element_at(arr, i + 1), ' ', element_at(arr, i + 2)))"
+                        )
+                    ).alias("pr"),
+                )
+                .groupBy("pr")
+                .agg(F.sum("freq").cast("long").alias("c"))
+            )
+            best = pairs.orderBy(F.desc("c"), "pr").limit(1).collect()[0]
+            pat = F.lit(f" {best['pr']} ")
+            rep = F.lit(f" {best['pr'].replace(' ', '')} ")
+            padded = F.concat(F.lit(" "), F.col("seq"), F.lit(" "))
+            nxt = cur.select(
+                "word", "freq", F.trim(F.replace(F.replace(padded, pat, rep), pat, rep)).alias("seq")
+            ).persist()
+            nxt.count()
+            cur.unpersist()
+            cur = nxt
+        vocab = cur.select("word", F.size(F.split("seq", " ")).cast("long").alias("n_subwords"))
+        tok = (
+            docs.select("source", F.explode(tokens("text")).alias("word"))
+            .filter(F.col("word") != "")
+        )
+        out = (
+            tok.join(F.broadcast(vocab), "word")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_words"),
+                F.sum("n_subwords").cast("long").alias("n_subwords"),
+                F.sum(F.length("word")).cast("long").alias("n_chars"),
+            )
+            .select(
+                "source",
+                "n_words",
+                "n_subwords",
+                "n_chars",
+                F.expr("CAST((1000 * n_chars) DIV n_subwords AS BIGINT)").alias(
+                    "chars_per_subword_permille"
+                ),
+            )
+            .orderBy("source")
+        )
+        out = out.localCheckpoint()  # materialize before unpersisting the vocab chain
+        return out
+    finally:
+        cur.unpersist()
+
+
+# =====================================================================
 # q203 — quality-filter funnel with per-rule rejection attribution
 # =====================================================================
 
