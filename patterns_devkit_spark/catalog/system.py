@@ -33,7 +33,8 @@ _C = (
 )
 _M = (
     "view_name string, source string, order_by string, dims string, "
-    "measures string, where_clause string, active_version string, applied_cursor string"
+    "measures string, where_clause string, active_version string, applied_cursor string, "
+    "source_hwm string, stale boolean"
 )
 
 
@@ -114,16 +115,29 @@ def system_dataframes(engine: "Engine") -> dict[str, DataFrame]:
         spec = cat.get_matview_spec(name) or {}
         active = cat.get_active_version(name)
         cur = cat.get_matview_cursor(name, active)
+        # staleness from catalog metadata alone: the source's write-time
+        # order HWM vs the applied cursor (no scan; None = unknown)
+        src = spec.get("source")
+        src_active = cat.get_active_version(src) if src else None
+        hwm = cat.get_order_hwm(src, src_active) if src_active else None
+        stale = None
+        if hwm is not None:
+            try:
+                stale = cur is None or hwm > cur
+            except TypeError:
+                stale = None
         m_rows.append(
             (
                 name,
-                spec.get("source"),
+                src,
                 spec.get("order_by"),
                 ",".join(spec.get("dims") or []),
                 ",".join(f"{k}={a}({e})" for k, (a, e) in (spec.get("measures") or {}).items()),
                 spec.get("where"),
                 active,
                 None if cur is None else str(cur),
+                None if hwm is None else str(hwm),
+                stale,
             )
         )
 

@@ -123,6 +123,11 @@ def test_sys_matviews_view(engine):
     row = engine.spark.sql("SELECT * FROM __sys_matviews WHERE view_name = 's5_mv'").collect()[0]
     assert row["source"] == "s5" and row["dims"] == "grp"
     assert row["measures"] == "t=sum(amt)" and row["applied_cursor"] is not None
+    assert row["stale"] is False  # just refreshed: cursor == source HWM
+    _append(engine, "s5", [{"grp": "b", "amt": 9}])
+    engine.register_system_views()
+    row = engine.spark.sql("SELECT stale FROM __sys_matviews WHERE view_name = 's5_mv'").collect()[0]
+    assert row["stale"] is True  # source advanced past the applied cursor
 
 
 def test_cli_mv_roundtrip(tmp_path):
