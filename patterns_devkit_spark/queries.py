@@ -1192,6 +1192,7 @@ from . import queries_pipeline  # noqa: E402,F401  (registration side effect)
 from . import queries_scale  # noqa: E402,F401  (registration side effect)
 from . import queries_sketch  # noqa: E402,F401  (registration side effect)
 from . import queries_corpus  # noqa: E402,F401  (registration side effect)
+from . import queries_profiling  # noqa: E402,F401  (registration side effect)
 
 
 def entry(spark: SparkSession) -> DataFrame:
