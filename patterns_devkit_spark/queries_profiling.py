@@ -248,3 +248,383 @@ def q210(spark, sf_dir):
         )
         .orderBy("cluster")
     )
+
+
+# =====================================================================
+# q211 — blocked entity resolution (near-match part names)
+# =====================================================================
+
+_ER_MAXLEV = 4
+
+
+@query(
+    "q211_entity_resolution",
+    f"""
+    WITH names AS (
+      SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY p_name
+    ),
+    blocked AS (SELECT name, n_parts, substr(name, 1, 1) AS blk FROM names),
+    pairs AS (
+      SELECT a.name AS name_a, b.name AS name_b,
+             CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev,
+             a.n_parts AS n_parts_a, b.n_parts AS n_parts_b,
+             a.n_parts * b.n_parts AS pair_weight
+      FROM blocked a JOIN blocked b
+        ON a.blk = b.blk AND a.name < b.name
+      WHERE levenshtein(a.name, b.name) <= {_ER_MAXLEV}
+    )
+    SELECT name_a, name_b, lev, n_parts_a, n_parts_b, pair_weight
+    FROM pairs
+    ORDER BY lev, name_a, name_b LIMIT 50
+    """,
+)
+def q211(spark, sf_dir):
+    """Blocked entity resolution over part names: candidate pairs are
+    generated only WITHIN a blocking key (first character), scored
+    with Levenshtein, and kept under an edit-distance threshold — the
+    classic record-linkage shape (block -> compare -> match). The
+    pairwise stage runs on DISTINCT name values and multiplies match
+    weight by multiplicity afterwards (the q90 trick: heavily
+    duplicated value domains must never be compared row-by-row).
+
+    100 TB shape: the distinct-values aggregation collapses the
+    pairwise domain from row count to value-domain count; blocking
+    bounds candidates to sum(block_size^2) instead of N^2 — with a
+    real phonetic/sorted-neighborhood key the block histogram is the
+    tuning dial (q175 reports it). The block equi-join shuffles on a
+    1-char key here; a production key (soundex / prefix+length) has
+    the same plan with more blocks."""
+    names = t(spark, sf_dir, "part").groupBy(F.col("p_name").alias("name")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+    blocked = names.select("name", "n_parts", F.substring("name", 1, 1).alias("blk"))
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.name") < F.col("b.name")))
+        .withColumn("lev", F.levenshtein(F.col("a.name"), F.col("b.name")).cast("long"))
+        .filter(F.col("lev") <= _ER_MAXLEV)
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            "lev",
+            F.col("a.n_parts").alias("n_parts_a"),
+            F.col("b.n_parts").alias("n_parts_b"),
+            (F.col("a.n_parts") * F.col("b.n_parts")).alias("pair_weight"),
+        )
+    )
+    return pairs.orderBy("lev", "name_a", "name_b").limit(50)
+
+
+# =====================================================================
+# q212 — numeric profile: exact equal-width histograms, 16 bins
+# =====================================================================
+
+_HIST_B = 16
+
+
+@query(
+    "q212_numeric_histogram",
+    f"""
+    WITH vals AS (
+      SELECT 'l_extendedprice' AS col_name, CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem
+      UNION ALL
+      SELECT 'l_quantity' AS col_name, CAST(round(l_quantity * 100) AS BIGINT) AS v FROM lineitem
+      UNION ALL
+      SELECT 'o_totalprice' AS col_name, CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+    ),
+    rng AS (
+      SELECT col_name, min(v) AS vmin, max(v) AS vmax,
+             max(v) - min(v) + 1 AS w
+      FROM vals GROUP BY col_name
+    ),
+    binned AS (
+      SELECT v.col_name,
+             CAST(least({_HIST_B - 1}, ((v.v - r.vmin) * {_HIST_B}) // r.w) AS BIGINT) AS bin,
+             r.vmin, r.w
+      FROM vals v JOIN rng r ON v.col_name = r.col_name
+    )
+    SELECT col_name, bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(vmin + (bin * w) // {_HIST_B} AS BIGINT) AS bin_lo_cents
+    FROM binned
+    GROUP BY col_name, bin, vmin, w
+    ORDER BY col_name, bin
+    """,
+)
+def q212(spark, sf_dir):
+    """Numeric data profiling: exact equal-width histograms (16 bins)
+    over three money/quantity columns at once, integer-exact in cents
+    (bin index and bin floor computed with bigint floor division on
+    both engines — no float binning drift). The per-column min/max
+    CTE and the bin aggregation give profile-grade output: bin
+    occupancy exposes skew, outliers, and constant columns before a
+    pipeline trains or joins on the data.
+
+    100 TB shape: pass 1 computes per-column min/max (map-side
+    combine, 3-row result broadcast back), pass 2 is one scan with a
+    bounded key domain (3 cols x 16 bins) hash-agg — two narrow scans
+    total, no sort, no window. The unpivot is a UNION of column
+    projections, so parquet reads only the three profiled columns."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    vals = (
+        li.select(F.lit("l_extendedprice").alias("col_name"), F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"))
+        .unionAll(li.select(F.lit("l_quantity").alias("col_name"), F.round(F.col("l_quantity") * 100).cast("long").alias("v")))
+        .unionAll(orders.select(F.lit("o_totalprice").alias("col_name"), F.round(F.col("o_totalprice") * 100).cast("long").alias("v")))
+    )
+    rng = vals.groupBy("col_name").agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax"), (F.max("v") - F.min("v") + 1).alias("w")
+    )
+    binned = vals.join(F.broadcast(rng), "col_name").select(
+        "col_name",
+        F.least(F.lit(_HIST_B - 1), F.expr(f"((v - vmin) * {_HIST_B}) DIV w")).cast("long").alias("bin"),
+        "vmin",
+        "w",
+    )
+    return (
+        binned.groupBy("col_name", "bin", "vmin", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "col_name", "bin", "n",
+            F.expr(f"CAST(vmin + (bin * w) DIV {_HIST_B} AS BIGINT)").alias("bin_lo_cents"),
+        )
+        .orderBy("col_name", "bin")
+    )
+
+
+# =====================================================================
+# q213 — referential-integrity audit (every FK edge, orphan counts)
+# =====================================================================
+
+_FK_EDGES = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+]
+
+
+def _fk_oracle_sql() -> str:
+    parts = []
+    for edge, child, ck, parent, pk in _FK_EDGES:
+        parts.append(f"""
+    SELECT '{edge}' AS edge,
+           (SELECT CAST(count(*) AS BIGINT) FROM {child}) AS child_rows,
+           CAST(count(*) AS BIGINT) AS orphan_rows,
+           CAST(count(DISTINCT c.{ck}) AS BIGINT) AS orphan_keys
+    FROM {child} c
+    WHERE c.{ck} IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{ck})""")
+    return " UNION ALL ".join(parts) + " ORDER BY edge"
+
+
+@query("q213_fk_integrity_audit", _fk_oracle_sql())
+def q213(spark, sf_dir):
+    """Referential-integrity audit across every foreign-key edge of
+    the schema in one result: per edge, total child rows, orphan rows
+    (non-null FK with no parent), and distinct orphan key values —
+    the dbt-style 'relationships' test generalized to the whole
+    schema, run before any pipeline trusts its joins (the
+    events->customer edge is EXPECTED to surface orphans in synthetic
+    data; the audit quantifies rather than assumes).
+
+    100 TB shape: each edge is one anti-join aggregated to a single
+    row — dims broadcast, the two fact-fact edges shuffle on integer
+    keys only (child key column + parent key column, nothing wider),
+    and the 8 one-row results union into a seekable report. Orphan
+    KEY cardinality uses count(distinct) per edge over an
+    already-tiny orphan set."""
+    dfs = {name: t(spark, sf_dir, name) for name in
+           {"lineitem", "orders", "part", "supplier", "customer", "nation", "region", "events"}}
+    out = None
+    for edge, child, ck, parent, pk in _FK_EDGES:
+        c = dfs[child]
+        p = dfs[parent].select(F.col(pk).alias(ck)).distinct()
+        child_rows = c.count()
+        orphans = c.select(ck).filter(F.col(ck).isNotNull()).join(p, ck, "left_anti")
+        row = orphans.agg(
+            F.lit(edge).alias("edge"),
+            F.lit(child_rows).cast("long").alias("child_rows"),
+            F.count(F.lit(1)).cast("long").alias("orphan_rows"),
+            F.countDistinct(ck).cast("long").alias("orphan_keys"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("edge")
+
+
+# =====================================================================
+# q214 — systematic PPS sampling (weighted, deterministic, exact)
+# =====================================================================
+
+_PPS_TARGET = 1000  # target number of draws
+
+
+@query(
+    "q214_systematic_pps_sample",
+    f"""
+    WITH w AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS wt,
+             CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) AS hkey
+      FROM orders
+    ),
+    c AS (
+      SELECT o_orderkey, o_orderpriority, wt,
+             sum(wt) OVER (ORDER BY hkey, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(wt) OVER () AS total
+      FROM w
+    ),
+    sel AS (
+      SELECT o_orderkey, o_orderpriority, wt,
+             (cum // greatest(1, total // {_PPS_TARGET}))
+               - ((cum - wt) // greatest(1, total // {_PPS_TARGET})) AS sel_n
+      FROM c
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN sel_n >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+           CAST(sum(sel_n) AS BIGINT) AS n_draws,
+           CAST(sum(CASE WHEN sel_n >= 1 THEN wt ELSE 0 END) AS BIGINT) AS w_selected,
+           CAST(sum(o_orderkey * sel_n) % 1000000007 AS BIGINT) AS sel_checksum
+    FROM sel
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q214(spark, sf_dir):
+    """Deterministic systematic PPS (probability-proportional-to-size)
+    sampling: order rows by a hash of their key (a deterministic
+    stand-in for a random permutation), take the exact prefix sum of
+    integer weights, and select every row whose weight interval
+    crosses a stride boundary (stride = total/target). A row heavier
+    than the stride is drawn multiple times (sel_n > 1) — the
+    textbook systematic-PPS estimator, fully reproducible: no RNG,
+    the same rows are drawn on every engine and every retry.
+
+    100 TB shape: the prefix sum is the two-pass range-partitioned
+    operator (operators/windows.global_prefix_sum — bucket-local
+    running sums plus broadcast per-bucket offsets), NOT a
+    single-partition window; the stride scalar comes from a 1-row
+    aggregate broadcast into the scan. Everything else is one
+    hash-agg at priority grain. The oracle computes the identical
+    prefix sum with a plain window (single-node DuckDB can)."""
+    from .operators.windows import global_prefix_sum
+
+    w = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("wt"),
+        md5_long(F.col("o_orderkey").cast("string")).alias("hkey"),
+    )
+    c = global_prefix_sum(
+        w, "hkey", True, [F.col("hkey"), F.col("o_orderkey")], "wt", out_col="cum"
+    )
+    total_df = w.agg(F.sum("wt").cast("long").alias("total"))
+    sel = (
+        c.crossJoin(F.broadcast(total_df))
+        .withColumn("stride", F.expr(f"greatest(CAST(1 AS BIGINT), total DIV {_PPS_TARGET})"))
+        .withColumn("sel_n", F.expr("cum DIV stride - (cum - wt) DIV stride"))
+    )
+    return (
+        sel.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("sel_n") >= 1, 1).otherwise(0)).cast("long").alias("n_selected"),
+            F.sum("sel_n").cast("long").alias("n_draws"),
+            F.sum(F.when(F.col("sel_n") >= 1, F.col("wt")).otherwise(0)).cast("long").alias("w_selected"),
+            (F.sum(F.col("o_orderkey") * F.col("sel_n")) % F.lit(1000000007)).cast("long").alias("sel_checksum"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# =====================================================================
+# q215 — exact distributed quantile selection (no global sort)
+# =====================================================================
+
+_SEL_B = 4096  # histogram buckets for the narrowing pass
+
+
+@query(
+    "q215_exact_quantile_select",
+    f"""
+    WITH vals AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem
+    ),
+    meta AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vals),
+    ks AS (
+      SELECT q.qname, q.pct, ((meta.n - 1) * q.pct) // 100 + 1 AS k, meta.n
+      FROM (SELECT 'p50' AS qname, 50 AS pct UNION ALL SELECT 'p90', 90) q, meta
+    ),
+    ordered AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM vals)
+    SELECT ks.qname, ks.n, ks.k, o.v AS value_cents
+    FROM ks JOIN ordered o ON o.rn = ks.k
+    ORDER BY ks.qname
+    """,
+)
+def q215(spark, sf_dir):
+    """Exact global quantiles (p50/p90) by two-pass histogram
+    narrowing — the distributed selection algorithm: pass 1 bins the
+    value domain into 4096 equal-width integer buckets and finds the
+    bucket containing the k-th order statistic from the (bounded,
+    4096-row) cumulative bucket counts; pass 2 rescans ONLY that
+    bucket's values and finds the k-th value by per-value counting.
+    No global sort, no approx_percentile — the answer is the exact
+    order statistic, and the ORACLE verifies it with a genuinely
+    different algorithm (full sort + row_number() = k), making this
+    an independent cross-check rather than a replay.
+
+    100 TB shape: two narrow column scans with map-side combine; the
+    only windows run over bounded 4096-row (bucket) and
+    bucket-local distinct-value frames — never over row-grain data.
+    Generalizes to any k (trimmed means, exact IQR fences) at the
+    same cost."""
+    from pyspark.sql import Window
+
+    vals = t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v")
+    )
+    meta = vals.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("v").alias("vmin"),
+        (F.max("v") - F.min("v") + 1).alias("w"),
+    )
+    qs = spark.createDataFrame([("p50", 50), ("p90", 90)], "qname string, pct int")
+    ks = qs.crossJoin(F.broadcast(meta)).select(
+        "qname", "n", "vmin", "w", F.expr("((n - 1) * pct) DIV 100 + 1").alias("k")
+    )
+    binned = vals.crossJoin(F.broadcast(meta.select("vmin", "w"))).select(
+        "v", F.expr(f"least(CAST({_SEL_B - 1} AS BIGINT), ((v - vmin) * {_SEL_B}) DIV w)").alias("bin")
+    )
+    bins = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    wb = Window.orderBy("bin")  # bounded: <= 4096 rows
+    bins_c = bins.withColumn("cum", F.sum("cnt").over(wb)).withColumn(
+        "cum_prev", F.col("cum") - F.col("cnt")
+    )
+    cand = (
+        ks.join(F.broadcast(bins_c), (F.col("cum") >= F.col("k")) & (F.col("cum_prev") < F.col("k")))
+        .select("qname", "n", "k", "bin", "cum_prev")
+    )
+    in_bin = binned.join(
+        F.broadcast(cand.select("qname", "k", "bin", "cum_prev")), "bin"
+    )
+    perv = in_bin.groupBy("qname", "k", "cum_prev", "v").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.partitionBy("qname").orderBy("v")  # bucket-local: bounded by bin occupancy
+    hit = (
+        perv.withColumn("cumv", F.sum("c").over(wv) + F.col("cum_prev"))
+        .filter(F.col("cumv") >= F.col("k"))
+        .groupBy("qname", "k")
+        .agg(F.min("v").alias("value_cents"))
+    )
+    return (
+        hit.join(ks.select("qname", "n"), "qname")
+        .select("qname", "n", "k", "value_cents")
+        .orderBy("qname")
+    )
