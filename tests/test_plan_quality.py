@@ -331,3 +331,27 @@ def test_keyset_pagination_pushes_seek_and_takes_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in explain_str(df)
     offset_page = QUERIES["q157_pagination"](spark, sf_dir).collect()
     assert df.collect() == offset_page
+
+
+def test_profiling_batch_plans(spark, sf_dir):
+    """q209/q212/q213/q214: hash-before-shuffle audit shapes — top-k
+    via TakeOrdered, broadcast stats joins, no cartesian, and the PPS
+    prefix sum runs on the two-pass operator (zero single-partition
+    windows at row grain)."""
+    from patterns_devkit_spark.plans.inspect import single_partition_windows
+
+    q209 = QUERIES["q209_dup_span_coverage"](spark, sf_dir)
+    assert not has_cartesian(q209)
+    assert "TakeOrderedAndProject" in explain_str(q209)
+    assert single_partition_windows(q209) == 0
+
+    q212 = QUERIES["q212_numeric_histogram"](spark, sf_dir)
+    assert has_broadcast_join(q212)  # 3-row min/max stats broadcast
+    assert single_partition_windows(q212) == 0
+
+    q213 = QUERIES["q213_fk_integrity_audit"](spark, sf_dir)
+    assert not has_cartesian(q213)
+
+    q214 = QUERIES["q214_systematic_pps_sample"](spark, sf_dir)
+    assert single_partition_windows(q214) == 0  # two-pass prefix sum, not a global window
+    assert not has_cartesian(q214)
