@@ -230,7 +230,7 @@ class TableVersion:
         """Quoted name resolvable in SQL — a temp view pinned to this
         version (node.py:240-246 maps fully-qualified DB names to this)."""
         view = f"{self.table_name}__{self.version_id}"
-        df = self._engine.spark.read.parquet(self.storage)
+        df = self.as_dataframe()
         df.createOrReplaceTempView(view)
         return f"`{view}`"
 
@@ -238,15 +238,30 @@ class TableVersion:
         """Read pinned to the catalog's merged schema: a version dir may
         hold appended files with EVOLVED schemas, and a bare parquet
         read would sample one file's schema nondeterministically.
-        Explicit schema also skips footer merging at scale."""
-        ddl = (self._engine.catalog.table_meta(self.table_name) or {}).get("schema_ddl")
+        Explicit schema also skips footer merging at scale. Files are
+        read with PHYSICAL column names and projected to the LOGICAL
+        schema (node/evolution.py column mapping) — zero-copy ALTER."""
+        from . import evolution
+
+        meta = self._engine.catalog.table_meta(self.table_name) or {}
+        ddl = meta.get("schema_ddl")
         reader = self._engine.spark.read
         if ddl:
             try:
-                return reader.schema(T.StructType.fromDDL(ddl)).parquet(self.storage)
+                struct = T.StructType.fromDDL(ddl)
+                df = reader.schema(evolution.physical_struct(meta, struct)).parquet(self.storage)
+                if evolution.has_mapping(meta):
+                    df = evolution.logical_projection(df, meta, struct)
+                return df
             except Exception:
                 pass
-        return reader.option("mergeSchema", "true").parquet(self.storage)
+        df = reader.option("mergeSchema", "true").parquet(self.storage)
+        if ddl and evolution.has_mapping(meta):
+            try:
+                df = evolution.logical_projection(df, meta, T.StructType.fromDDL(ddl))
+            except Exception:
+                pass
+        return df
 
 
 class Table:
@@ -616,6 +631,17 @@ class Table:
         vid = version or self._engine.catalog.get_active_version(self.store_name)
         if vid is None:
             return [], 0
+        from . import evolution
+
+        meta = self._engine.catalog.table_meta(self.store_name) or {}
+        dfl = evolution.column_defaults(meta)
+        if any(p[0] in dfl for p in predicates):
+            # a defaulted added column is NULL at rest: stats would
+            # wrongly prune files whose logical value IS the default —
+            # keep everything (the re-applied Spark filter stays exact)
+            return [], 0
+        # stats are harvested from footers, i.e. keyed by PHYSICAL names
+        predicates = [(evolution.physical_name(meta, c), op, v) for (c, op, v) in predicates]
         cols = sorted({p[0] for p in predicates})
         stats = self._ensure_file_stats(vid, cols)
         if not stats:
@@ -647,12 +673,17 @@ class Table:
             return self._engine.spark.createDataFrame([], schema or T.StructType([])).filter(cond)
         import os
 
+        from . import evolution
+
+        meta = self._engine.catalog.table_meta(self.store_name) or {}
         reader = self._engine.spark.read.option("basePath", storage)
         if schema is not None:
-            reader = reader.schema(schema)
+            reader = reader.schema(evolution.physical_struct(meta, schema))
         else:
             reader = reader.option("mergeSchema", "true")
         df = reader.parquet(*[os.path.join(storage, rel) for rel in kept])
+        if schema is not None and evolution.has_mapping(meta):
+            df = evolution.logical_projection(df, meta, schema)
         return df.filter(cond)
 
     _ANALYZE_ORDERABLE = (
@@ -1086,7 +1117,13 @@ class Table:
     @staticmethod
     def _writer(df: DataFrame, meta: dict):
         """DataFrameWriter honoring the table's partition_by (hive-style
-        partition dirs -> partition pruning on partition-key filters)."""
+        partition dirs -> partition pruning on partition-key filters).
+        Converts logical -> physical column names at this single write
+        boundary, so every file at rest is uniformly physical no matter
+        which path produced the DataFrame (node/evolution.py)."""
+        from . import evolution
+
+        df = evolution.to_physical(df, meta)
         cols = [c for c in (meta.get("partition_by") or []) if c in df.columns]
         w = df.write
         if cols:
@@ -1106,6 +1143,23 @@ class Table:
         m_ins = re.match(r"\s*insert\s+into\s+(\S+)\s+(.*)", rendered, re.I | re.S)
         m_del = re.match(r"\s*delete\s+from\s+(\S+)(?:\s+where\s+(.*))?\s*;?\s*$", rendered, re.I | re.S)
         m_upd = re.match(r"\s*update\s+(\S+)\s+set\s+(.*?)(?:\s+where\s+(.*))?\s*;?\s*$", rendered, re.I | re.S)
+        m_alt = re.match(r"\s*alter\s+table\s+\S+\s+(.*?)\s*;?\s*$", rendered, re.I | re.S)
+        if m_alt:
+            body = m_alt.group(1)
+            m_add = re.match(
+                r"add\s+column\s+(\w+)\s+([\w<>,()\s]+?)(?:\s+default\s+(.+?))?\s*$", body, re.I | re.S
+            )
+            m_ren = re.match(r"rename\s+column\s+(\w+)\s+to\s+(\w+)\s*$", body, re.I)
+            m_drop = re.match(r"drop\s+column\s+(\w+)\s*$", body, re.I)
+            if m_add:
+                self.add_column(m_add.group(1), m_add.group(2).strip(), m_add.group(3))
+            elif m_ren:
+                self.rename_column(m_ren.group(1), m_ren.group(2))
+            elif m_drop:
+                self.drop_column(m_drop.group(1))
+            else:
+                raise ValueError(f"unsupported ALTER TABLE clause: {body!r}")
+            return
         if m_ctas:
             result = self._engine.spark.sql(m_ctas.group(2))
             self.write_dataframe_as_new_version(result)
@@ -1120,6 +1174,118 @@ class Table:
         else:
             self._engine.spark.sql(rendered)
             self.signal_update()
+
+    # -- zero-copy ALTER TABLE (engine extension; node/evolution.py) -----
+    def _alter_guard(self, meta: dict, col: str) -> None:
+        from . import evolution
+
+        if col in evolution.protected_columns(meta):
+            raise ValueError(
+                f"cannot alter column {col!r}: it is referenced by the table's "
+                "layout/merge/ordering/skipping declaration (partition_by, "
+                "cluster_by, unique_on, ordering, stat/bloom columns)"
+            )
+
+    def add_column(self, name: str, type_ddl: str, default: str | None = None) -> None:
+        """ALTER TABLE ADD COLUMN — metadata-only: extends the logical
+        schema; rows stored before the ADD read NULL, or the declared
+        DEFAULT (a SQL literal string; the defaulted column behaves
+        NOT NULL, which is what makes the read-side coalesce exact).
+        No file is touched; re-using a previously dropped name maps to
+        a fresh physical column so old data cannot resurrect."""
+        from . import evolution
+
+        if not self.is_connected:
+            return
+        catalog = self._engine.catalog
+        meta = catalog.table_meta(self.store_name) or {}
+        struct = self.schema or T.StructType([])
+        if name in {f.name for f in struct.fields}:
+            raise ValueError(f"column {name!r} already exists")
+        field = T.StructType.fromDDL(f"{name} {type_ddl}").fields[0]
+        physical = evolution.fresh_physical_name(meta, struct, name)
+        updates: dict[str, Any] = {
+            "schema_ddl": ",".join(
+                [f"{f.name} {f.dataType.simpleString()}" for f in struct.fields]
+                + [f"{name} {field.dataType.simpleString()}"]
+            )
+        }
+        if physical != name:
+            cm = evolution.colmap(meta)
+            cm[name] = physical
+            updates["colmap"] = cm
+        if default is not None:
+            F.expr(default)  # validate the literal parses
+            dfl = evolution.column_defaults(meta)
+            dfl[name] = default
+            updates["column_defaults"] = dfl
+        catalog.update_table_meta(self.store_name, **updates)
+        self.signal_update()
+
+    def rename_column(self, old: str, new: str) -> None:
+        """ALTER TABLE RENAME COLUMN — metadata-only: logical `new`
+        re-points at `old`'s physical column; files keep the physical
+        name forever (zero-copy, Delta column-mapping semantics)."""
+        from . import evolution
+
+        if not self.is_connected:
+            return
+        catalog = self._engine.catalog
+        meta = catalog.table_meta(self.store_name) or {}
+        struct = self.schema or T.StructType([])
+        names = {f.name for f in struct.fields}
+        if old not in names:
+            raise ValueError(f"no such column {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        self._alter_guard(meta, old)
+        cm = evolution.colmap(meta)
+        physical = cm.pop(old, old)
+        cm[new] = physical
+        dfl = evolution.column_defaults(meta)
+        if old in dfl:
+            dfl[new] = dfl.pop(old)
+        catalog.update_table_meta(
+            self.store_name,
+            colmap=cm,
+            column_defaults=dfl,
+            schema_ddl=",".join(
+                f"{new if f.name == old else f.name} {f.dataType.simpleString()}" for f in struct.fields
+            ),
+        )
+        self.signal_update()
+
+    def drop_column(self, name: str) -> None:
+        """ALTER TABLE DROP COLUMN — metadata-only: hides the physical
+        column; at-rest data is untouched and unreadable (projection
+        never selects it)."""
+        from . import evolution
+
+        if not self.is_connected:
+            return
+        catalog = self._engine.catalog
+        meta = catalog.table_meta(self.store_name) or {}
+        struct = self.schema or T.StructType([])
+        if name not in {f.name for f in struct.fields}:
+            raise ValueError(f"no such column {name!r}")
+        self._alter_guard(meta, name)
+        cm = evolution.colmap(meta)
+        physical = cm.pop(name, name)
+        dropped = evolution.dropped_cols(meta)
+        if physical not in dropped:
+            dropped.append(physical)
+        dfl = evolution.column_defaults(meta)
+        dfl.pop(name, None)
+        catalog.update_table_meta(
+            self.store_name,
+            colmap=cm,
+            dropped_cols=dropped,
+            column_defaults=dfl,
+            schema_ddl=",".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in struct.fields if f.name != name
+            ),
+        )
+        self.signal_update()
 
     # -- write-audit-publish (staged versions; engine extension) ---------
     def write_staged(self, records: Any) -> "TableVersion | None":
@@ -1237,15 +1403,22 @@ class Table:
 
         # re-read ONLY the touched files; basePath keeps hive partition
         # columns populated when the layout is partitioned
+        from . import evolution
+
         reader = self._engine.spark.read.option("basePath", av.storage)
         ddl = meta.get("schema_ddl")
+        touched_df = None
         if ddl:
             try:
-                touched_df = reader.schema(T.StructType.fromDDL(ddl)).parquet(*touched_uris)
+                struct = T.StructType.fromDDL(ddl)
+                touched_df = reader.schema(evolution.physical_struct(meta, struct)).parquet(*touched_uris)
+                if evolution.has_mapping(meta):
+                    touched_df = evolution.logical_projection(touched_df, meta, struct)
             except Exception:
-                touched_df = reader.option("mergeSchema", "true").parquet(*touched_uris)
-        else:
+                touched_df = None
+        if touched_df is None:
             touched_df = reader.option("mergeSchema", "true").parquet(*touched_uris)
+            touched_df = evolution.to_logical_loose(touched_df, meta)
 
         if assignments is None:
             new_touched = touched_df.filter(~matched)
@@ -1984,8 +2157,9 @@ class Engine:
         out = {}
         for name in names or self.catalog.table_names():
             d = self.catalog.active_dir(name)
-            if d and self.catalog.version_has_data(name, self.catalog.get_active_version(name)):
-                self.spark.read.parquet(d).createOrReplaceTempView(name)
+            vid = self.catalog.get_active_version(name)
+            if d and self.catalog.version_has_data(name, vid):
+                TableVersion(self, name, vid).as_dataframe().createOrReplaceTempView(name)
                 out[name] = name
         return out
 
@@ -2005,7 +2179,12 @@ class Engine:
                 if not v.exists:
                     raise ValueError(f"publish_atomic: version {vid!r} of {store!r} has no data")
                 meta = dict(self.catalog.table_meta(store) or {})
-                df = self.spark.read.parquet(v.storage)
+                from .evolution import to_logical_loose
+
+                # loose inverse rename: staged schemas may be AHEAD of
+                # the catalog (new columns merge at publish), so a full
+                # logical projection would drop them
+                df = to_logical_loose(self.spark.read.parquet(v.storage), meta)
                 tbl._enforce_check_constraints(df, meta)
                 existing = tbl.schema if tbl.exists else None
                 out_schema = df.schema if existing is None else merge_schemas(existing, df.schema)
