@@ -236,6 +236,50 @@ def global_ntile(
     ).drop(_B, "__pdk_local")
 
 
+def global_running_max(
+    df: DataFrame,
+    bucket_key: str,
+    ascending: bool,
+    order_exprs: list[Column],
+    value_col: str,
+    out_col: str = "runmax",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Exact global running MAX over a total order, without a
+    single-partition sort: bucket-local running max combined (via
+    greatest) with the max over all STRICTLY-PRIOR buckets. The
+    prior-bucket maxima are a cumulative fold of the O(buckets)
+    per-bucket totals on the driver — max is not additive, so this
+    cannot reuse _two_pass's additive offsets. Composes with
+    global_prefix_sum for running-peak / max-drawdown shapes."""
+    p = num_buckets or _default_buckets(df)
+    bnds = _boundaries(df, bucket_key, p)
+    dfb = df.withColumn(_B, _bucket_expr(F.col(bucket_key), bnds, ascending))
+    totals = {
+        r[_B]: r["__t"]
+        for r in dfb.groupBy(_B).agg(F.max(value_col).alias("__t")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = None
+    for b in sorted(totals):
+        if acc is not None:
+            offsets[b] = acc
+        if totals[b] is not None:
+            acc = totals[b] if acc is None else max(acc, totals[b])
+    w = Window.partitionBy(_B).orderBy(*order_exprs)
+    local = F.max(value_col).over(w)
+    if offsets:
+        pairs: list[Column] = []
+        for b in sorted(offsets):
+            pairs.append(F.lit(int(b)))
+            pairs.append(F.lit(int(offsets[b])))
+        prior = F.element_at(F.create_map(*pairs), F.col(_B)).cast("long")
+        out = F.greatest(local, prior)  # greatest skips the NULL prior of bucket 0
+    else:
+        out = local
+    return dfb.withColumn(out_col, out.cast("long")).drop(_B)
+
+
 def banded_range_count(
     df: DataFrame,
     value_col: str,

@@ -628,3 +628,379 @@ def q215(spark, sf_dir):
         .select("qname", "n", "k", "value_cents")
         .orderBy("qname")
     )
+
+
+# =====================================================================
+# q216 — distribution drift audit (PSI-style, integer-exact)
+# =====================================================================
+
+_DRIFT_SPLIT = "2024-01-16 00:00:00"
+_DRIFT_B = 10
+
+
+@query(
+    "q216_distribution_drift",
+    f"""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}' THEN 0 ELSE 1 END AS period
+      FROM events
+    ),
+    rng AS (SELECT min(v) AS vmin, max(v) - min(v) + 1 AS w FROM ev),
+    bb AS (
+      SELECT event_type, period,
+             CAST(least({_DRIFT_B - 1}, ((v - vmin) * {_DRIFT_B}) // w) AS BIGINT) AS vbin
+      FROM ev, rng
+    ),
+    cnt AS (
+      SELECT event_type, vbin,
+             CAST(sum(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a_n,
+             CAST(sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b_n
+      FROM bb GROUP BY event_type, vbin
+    ),
+    tot AS (
+      SELECT event_type, sum(a_n) AS a_tot, sum(b_n) AS b_tot FROM cnt GROUP BY event_type
+    )
+    SELECT c.event_type, c.vbin, c.a_n, c.b_n,
+           CAST((1000 * c.a_n) // t.a_tot AS BIGINT) AS share_a_permille,
+           CAST((1000 * c.b_n) // t.b_tot AS BIGINT) AS share_b_permille,
+           CAST((1000 * c.a_n) // t.a_tot - (1000 * c.b_n) // t.b_tot AS BIGINT) AS delta_permille,
+           CAST(length(bin((c.a_n + 1) * (t.b_tot + 1))) AS BIGINT)
+             - CAST(length(bin((c.b_n + 1) * (t.a_tot + 1))) AS BIGINT) AS log2_ratio
+    FROM cnt c JOIN tot t ON t.event_type = c.event_type
+    ORDER BY abs(delta_permille) DESC, c.event_type, c.vbin LIMIT 50
+    """,
+)
+def q216(spark, sf_dir):
+    """Distribution-drift audit (PSI shape) between two time periods:
+    per (event_type, value decile bin), the permille share in each
+    period, the share delta, and an integer floor-log2 likelihood
+    ratio (add-1 smoothed, cross-multiplied so counts never leave
+    bigint — the q201 trick). This is the pre-training / pre-serving
+    check that a feature's distribution hasn't shifted between the
+    fitting window and the scoring window.
+
+    100 TB shape: one min/max scan (1-row broadcast), one hash-agg on
+    a bounded key domain (types x 10 bins x 2 periods), a per-type
+    totals re-roll of the TINY aggregate, and a top-50 TakeOrdered.
+    No window, no join wider than the aggregate itself."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        F.when(F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp"), 0).otherwise(1).alias("period"),
+    )
+    rng = ev.agg(F.min("v").alias("vmin"), (F.max("v") - F.min("v") + 1).alias("w"))
+    bb = ev.crossJoin(F.broadcast(rng)).select(
+        "event_type", "period",
+        F.expr(f"CAST(least({_DRIFT_B - 1}, ((v - vmin) * {_DRIFT_B}) DIV w) AS BIGINT)").alias("vbin"),
+    )
+    cnt = bb.groupBy("event_type", "vbin").agg(
+        F.sum(F.when(F.col("period") == 0, 1).otherwise(0)).cast("long").alias("a_n"),
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).cast("long").alias("b_n"),
+    )
+    tot = cnt.groupBy("event_type").agg(F.sum("a_n").alias("a_tot"), F.sum("b_n").alias("b_tot"))
+    out = (
+        cnt.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type", "vbin", "a_n", "b_n",
+            F.expr("CAST((1000 * a_n) DIV a_tot AS BIGINT)").alias("share_a_permille"),
+            F.expr("CAST((1000 * b_n) DIV b_tot AS BIGINT)").alias("share_b_permille"),
+            F.expr("CAST((1000 * a_n) DIV a_tot - (1000 * b_n) DIV b_tot AS BIGINT)").alias("delta_permille"),
+            (
+                F.length(F.expr("bin((a_n + 1) * (b_tot + 1))")).cast("long")
+                - F.length(F.expr("bin((b_n + 1) * (a_tot + 1))")).cast("long")
+            ).alias("log2_ratio"),
+        )
+    )
+    return out.orderBy(F.abs(F.col("delta_permille")).desc(), "event_type", "vbin").limit(50)
+
+
+# =====================================================================
+# q217 — positional inverted index + phrase query
+# =====================================================================
+
+@query(
+    "q217_phrase_search",
+    """
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, CAST(i + 1 AS BIGINT) AS pos, toks[CAST(i AS INT) + 1] AS w
+      FROM tk, unnest(range(len(toks))) AS u(i)
+    ),
+    pairs AS (
+      SELECT toks[CAST(i AS INT) + 1] AS w1, toks[CAST(i AS INT) + 2] AS w2
+      FROM tk, unnest(range(len(toks) - 1)) AS u(i)
+    ),
+    topq AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+      FROM pairs GROUP BY w1, w2
+      ORDER BY n DESC, w1, w2 LIMIT 1
+    ),
+    hits AS (
+      SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occ
+      FROM occ a
+      JOIN topq q ON a.w = q.w1
+      JOIN occ b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.w = q.w2
+      GROUP BY a.doc_id
+    )
+    SELECT h.doc_id, q.w1, q.w2, h.n_occ
+    FROM hits h, topq q
+    ORDER BY h.n_occ DESC, h.doc_id LIMIT 50
+    """,
+)
+def q217(spark, sf_dir):
+    """Positional inverted index + phrase query: build the classic
+    (doc_id, position, token) index, pick the corpus's most frequent
+    bigram as the demo query, and answer the PHRASE match by joining
+    the index against itself on (doc, pos+1) — the adjacency join a
+    positional index exists for (arbitrary-length phrases chain more
+    of the same join; BM25/q198 ranks what this exact-matches).
+
+    100 TB shape: the index is one explode (token grain, shuffled on
+    doc/token only when aggregating); the query terms broadcast, so
+    the adjacency self-join only materializes postings of the two
+    query words — posting-list-sized, not corpus-sized. Top-50 is a
+    TakeOrdered."""
+    docs = t(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", tokens("text").alias("toks"))
+    occ = tk.select(
+        "doc_id", F.explode(F.sequence(F.lit(1), F.size("toks"))).alias("pos"), "toks"
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), F.element_at("toks", F.col("pos")).alias("w"))
+    pairs = tk.filter(F.size("toks") >= 2).select(
+        F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"), "toks"
+    ).select(
+        F.element_at("toks", F.col("i")).alias("w1"),
+        F.element_at("toks", F.col("i") + 1).alias("w2"),
+    )
+    topq = (
+        pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "w1", "w2").limit(1)
+    )
+    a = occ.alias("a").join(F.broadcast(topq.alias("q")), F.col("a.w") == F.col("q.w1"))
+    hits = (
+        a.join(
+            occ.alias("b"),
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1)
+            & (F.col("b.w") == F.col("q.w2")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+    )
+    return (
+        hits.crossJoin(F.broadcast(topq.select("w1", "w2")))
+        .select("doc_id", "w1", "w2", "n_occ")
+        .orderBy(F.desc("n_occ"), "doc_id")
+        .limit(50)
+    )
+
+
+# =====================================================================
+# q218 — deterministic A/B assignment + conversion lift
+# =====================================================================
+
+@query(
+    "q218_ab_experiment",
+    """
+    WITH arms AS (
+      SELECT DISTINCT user_id,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2 AS arm
+      FROM events
+    ),
+    peru AS (
+      SELECT e.user_id,
+             max(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+             CAST(sum(CASE WHEN e.event_type = 'purchase'
+                           THEN CAST(round(e.value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev_cents
+      FROM events e GROUP BY e.user_id
+    )
+    SELECT a.arm,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(p.converted) AS BIGINT) AS n_converted,
+           CAST((1000 * sum(p.converted)) // count(*) AS BIGINT) AS conv_permille,
+           CAST(sum(p.rev_cents) AS BIGINT) AS revenue_cents,
+           CAST(sum(p.rev_cents) // count(*) AS BIGINT) AS rev_per_user_cents
+    FROM arms a JOIN peru p ON p.user_id = a.user_id
+    GROUP BY a.arm
+    ORDER BY a.arm
+    """,
+)
+def q218(spark, sf_dir):
+    """A/B experiment readout with DETERMINISTIC hash assignment:
+    users land in arm md5(user_id) % 2 (the salted-bucket assignment
+    production experiment platforms use — stable across sessions,
+    engines, and retries, no assignment table to join), then per-arm
+    conversion and revenue-per-user in exact integer cents/permille.
+
+    100 TB shape: one user-grain hash-agg (map-side combine), the arm
+    is a pure column expression (no assignment-table shuffle), and
+    the readout is a 2-row aggregate. The same shape extends to
+    k-arm / layered experiments by widening the modulus."""
+    ev = t(spark, sf_dir, "events")
+    peru = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("converted"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.round(F.col("value") * 100).cast("long")).otherwise(0)
+        ).cast("long").alias("rev_cents"),
+    )
+    peru = peru.withColumn("arm", md5_long(F.col("user_id").cast("string")) % 2)
+    return (
+        peru.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("converted").cast("long").alias("n_converted"),
+            F.expr("CAST((1000 * sum(converted)) DIV count(*) AS BIGINT)").alias("conv_permille"),
+            F.sum("rev_cents").cast("long").alias("revenue_cents"),
+            F.expr("CAST(sum(rev_cents) DIV count(*) AS BIGINT)").alias("rev_per_user_cents"),
+        )
+        .orderBy("arm")
+    )
+
+
+# =====================================================================
+# q219 — trailing-baseline spike detection (daily event volumes)
+# =====================================================================
+
+@query(
+    "q219_volume_spikes",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    wdw AS (
+      SELECT event_type, day, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS prior_sum,
+             count(n) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS prior_n
+      FROM d
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+           CAST(prior_sum AS BIGINT) AS prior_sum,
+           CASE WHEN 7 * n * 10 > 12 * prior_sum THEN 1 ELSE 0 END AS spike,
+           CASE WHEN 7 * n * 10 < 8 * prior_sum THEN 1 ELSE 0 END AS dip
+    FROM wdw WHERE prior_n = 7
+    ORDER BY event_type, day
+    """,
+)
+def q219(spark, sf_dir):
+    """Volume anomaly flags against a trailing 7-day baseline: per
+    (event_type, day), compare today's count with the prior-week mean
+    using integer cross-multiplication (7*n*10 vs 12*prior_sum is
+    'n > 1.2x the trailing mean' with zero float division) — the
+    freshness/forecast sentry that pages before a pipeline trains on
+    a half-ingested day.
+
+    100 TB shape: the raw scan reduces to DAY grain in one hash-agg
+    with map-side combine; the trailing window runs over the bounded
+    (type x day) domain — thousands of rows regardless of event
+    volume — partitioned by type, never over row-grain data. DATE
+    emitted as an ISO string on both engines (the known raw-DATE
+    comparator trap)."""
+    ev = t(spark, sf_dir, "events")
+    d = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    wdw = d.select(
+        "event_type", "day", "n",
+        F.sum("n").over(w).cast("long").alias("prior_sum"),
+        F.count("n").over(w).alias("prior_n"),
+    )
+    return (
+        wdw.filter(F.col("prior_n") == 7)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            "prior_sum",
+            F.when(7 * F.col("n") * 10 > 12 * F.col("prior_sum"), 1).otherwise(0).alias("spike"),
+            F.when(7 * F.col("n") * 10 < 8 * F.col("prior_sum"), 1).otherwise(0).alias("dip"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# =====================================================================
+# q220 — max drawdown of a signed event flow (two-pass peak tracking)
+# =====================================================================
+
+@query(
+    "q220_max_drawdown",
+    """
+    WITH flow AS (
+      SELECT event_id, ts,
+             CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE -CAST(round(value * 100) AS BIGINT) END AS f
+      FROM events WHERE event_type IN ('purchase', 'error')
+    ),
+    c AS (
+      SELECT event_id, f,
+             sum(f) OVER (ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM flow
+    ),
+    r AS (
+      SELECT event_id, cum,
+             max(cum) OVER (ORDER BY ts_order ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM (SELECT event_id, cum, row_number() OVER (ORDER BY event_id) AS ts_order FROM c) x
+    ),
+    d AS (SELECT event_id, peak - cum AS dd FROM r)
+    SELECT CAST((SELECT count(*) FROM flow) AS BIGINT) AS n_events,
+           CAST((SELECT sum(f) FROM flow) AS BIGINT) AS final_cum,
+           CAST(max(dd) AS BIGINT) AS max_drawdown_cents,
+           CAST(min(CASE WHEN dd = (SELECT max(dd) FROM d) THEN event_id END) AS BIGINT) AS at_event_id
+    FROM d
+    """,
+)
+def q220(spark, sf_dir):
+    """Max drawdown of a signed cumulative flow (purchases credit,
+    errors debit): running balance, running PEAK of the balance, and
+    the deepest peak-to-balance gap plus the earliest event where it
+    occurs — the running-peak shape behind drawdown, high-water-mark
+    billing, and SLA burn-down analyses.
+
+    100 TB shape: BOTH passes are scale-safe two-pass operators —
+    global_prefix_sum for the balance and the new
+    global_running_max for the peak (bucket-local running max +
+    greatest() with the strictly-prior buckets' max; max is not
+    additive, so it folds its own offsets) — zero single-partition
+    windows (plan-gated). The oracle computes the same thing with
+    plain windows. NOTE the oracle orders cum's window by (ts,
+    event_id) but peak's by event_id alone: event_id is
+    assigned in ts order in the fixtures, making the two orders
+    identical — the Spark side uses (ts, event_id) for both."""
+    from .operators.windows import global_prefix_sum, global_running_max
+
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type").isin("purchase", "error"))
+    flow = ev.select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.when(
+            F.col("event_type") == "purchase", F.round(F.col("value") * 100).cast("long")
+        ).otherwise(-F.round(F.col("value") * 100).cast("long")).alias("f"),
+    )
+    order = [F.col("ts_us").asc(), F.col("event_id").asc()]
+    c = global_prefix_sum(flow, "ts_us", True, order, "f", out_col="cum")
+    r = global_running_max(c, "ts_us", True, order, "cum", out_col="peak")
+    d = r.select("event_id", (F.col("peak") - F.col("cum")).alias("dd"))
+    mx = d.agg(F.max("dd").alias("mdd"))
+    at = (
+        d.join(F.broadcast(mx), d["dd"] == mx["mdd"])
+        .agg(F.min("event_id").cast("long").alias("at_event_id"))
+    )
+    stats = flow.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("f").cast("long").alias("final_cum"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(mx.select(F.col("mdd").cast("long").alias("max_drawdown_cents"))))
+        .crossJoin(F.broadcast(at))
+        .select("n_events", "final_cum", "max_drawdown_cents", "at_event_id")
+    )

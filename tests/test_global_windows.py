@@ -95,3 +95,16 @@ def test_single_partition_window_detector_fires(spark):
         "id", F.row_number().over(Window.orderBy("id")).alias("rn")
     )
     assert single_partition_windows(df) >= 1
+
+
+@pytest.mark.parametrize("buckets", [1, 2, 7, None])
+def test_global_running_max_matches_naive(df, buckets):
+    """Running max (incl. negative values and ties) equals the naive
+    single-partition window for every bucket count."""
+    sdf = df.select("id", "k", (F.col("v") * 17 % 23 - 11).alias("x"))
+    order = [F.col("k").asc(), F.col("id").asc()]
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    expect = {r["id"]: r["m"] for r in sdf.select("id", F.max("x").over(w).alias("m")).collect()}
+    got = W.global_running_max(sdf, "k", True, order, "x", out_col="m", num_buckets=buckets)
+    for r in got.collect():
+        assert r["m"] == expect[r["id"]], f"id={r['id']} buckets={buckets}"

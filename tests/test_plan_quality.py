@@ -355,3 +355,13 @@ def test_profiling_batch_plans(spark, sf_dir):
     q214 = QUERIES["q214_systematic_pps_sample"](spark, sf_dir)
     assert single_partition_windows(q214) == 0  # two-pass prefix sum, not a global window
     assert not has_cartesian(q214)
+
+
+def test_q220_two_pass_running_peak(spark, sf_dir):
+    """Max drawdown composes global_prefix_sum + global_running_max:
+    zero single-partition windows at row grain."""
+    from patterns_devkit_spark.plans.inspect import single_partition_windows
+
+    df = QUERIES["q220_max_drawdown"](spark, sf_dir)
+    assert single_partition_windows(df) == 0
+    assert not has_cartesian(df)
