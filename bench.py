@@ -84,6 +84,13 @@ BENCH_QUERIES = [
     # corpus batch: DSIR hashed-ngram importance weighting (broadcast
     # 4096-bucket weight table over the token scan)
     "q201_dsir_importance",
+    # profiling batch: substring-level dup-span audit (hash-before-
+    # shuffle n-grams), exact quantile selection (two-pass histogram
+    # narrowing, no global sort), max drawdown (two-pass prefix sum +
+    # global running max)
+    "q209_dup_span_coverage",
+    "q215_exact_quantile_select",
+    "q220_max_drawdown",
     "sdk02_upsert",  # engine write path: full-table MERGE + version flip
     "sdk06_upsert_partitioned",  # bounded rewrite: touched partition only, rest hardlinked
     "sdk07_compact",  # maintenance: 4-file hot append table -> 1 coalesced file

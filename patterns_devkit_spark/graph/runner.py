@@ -261,7 +261,8 @@ class GraphRunner:
                 # (chains of MVs settle over successive drains)
                 for mv_name in self.engine.catalog.matview_names():
                     spec = self.engine.catalog.get_matview_spec(mv_name) or {}
-                    if spec.get("source") in touched and mv_name not in touched:
+                    mv_sources = {spec.get("source"), spec.get("left"), spec.get("right")} - {None}
+                    if (mv_sources & touched) and mv_name not in touched:
                         if self.engine.materialized_view(mv_name).refresh() > 0:
                             touched.add(mv_name)
                 for node in self.downstream_of(touched):

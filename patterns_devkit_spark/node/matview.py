@@ -100,26 +100,72 @@ class MaterializedView:
         )
         return cls(engine, name)
 
+    @classmethod
+    def create_join(
+        cls,
+        engine,
+        name: str,
+        left: str,
+        right: str,
+        on: list[str],
+        order_by: dict[str, str],
+        dims: list[str],
+        measures: dict[str, tuple[str, str]],
+        where: str | None = None,
+    ) -> "MaterializedView":
+        """Two-source incremental JOIN view (classic IVM delta rule):
+        the view aggregates ``left JOIN right USING (on)``; each
+        refresh applies  ΔL ⋈ R_snapshot  ∪  L_old ⋈ ΔR  — every new
+        pair is produced exactly once (ΔL x ΔR pairs land in the first
+        term; the second term's L_old excludes ΔL). ``order_by`` maps
+        EACH source table to its strictly-monotonic append ordering;
+        the pair of applied cursors rides the MV version exactly like
+        the single-source case. Source deletes/updates are not folded
+        (refresh(full=True) is the escape hatch)."""
+        for out, (agg, expr) in measures.items():
+            if agg not in _AGGS:
+                raise ValueError(f"measure {out!r}: unsupported aggregate {agg!r} (mergeable set: {_AGGS})")
+            if out in dims:
+                raise ValueError(f"measure {out!r} collides with a dim column")
+        if set(order_by) != {left, right}:
+            raise ValueError("order_by must map BOTH source tables to their append orderings")
+        engine.catalog.set_matview_spec(
+            name,
+            {
+                "type": "join",
+                "left": left,
+                "right": right,
+                "on": list(on),
+                "order_by": dict(order_by),
+                "dims": list(dims),
+                "measures": {k: list(v) for k, v in measures.items()},
+                "where": where,
+            },
+        )
+        return cls(engine, name)
+
     # -- refresh ---------------------------------------------------------
 
-    def _source_df(self) -> DataFrame | None:
+    def _table_df(self, table: str) -> DataFrame | None:
+        """Current snapshot of a source table through the engine's read
+        boundary (logical schema, column mapping applied)."""
         cat = self.engine.catalog
-        src = self.spec["source"]
-        av = cat.get_active_version(src)
-        if av is None or not cat.version_has_data(src, av):
+        av = cat.get_active_version(table)
+        if av is None or not cat.version_has_data(table, av):
             return None
-        ddl = (cat.table_meta(src) or {}).get("schema_ddl")
-        reader = self.engine.spark.read
-        if ddl:
-            from pyspark.sql import types as T
+        from .node import TableVersion
 
-            try:
-                return reader.schema(T.StructType.fromDDL(ddl)).parquet(cat.version_dir(src, av))
-            except Exception:
-                pass
-        return reader.option("mergeSchema", "true").parquet(cat.version_dir(src, av))
+        return TableVersion(self.engine, table, av).as_dataframe()
+
+    def _source_df(self) -> DataFrame | None:
+        return self._table_df(self.spec["source"])
 
     def refresh(self, full: bool = False) -> int:
+        if self.spec.get("type") == "join":
+            return self._refresh_join(full)
+        return self._refresh_single(full)
+
+    def _refresh_single(self, full: bool = False) -> int:
         """Fold source rows appended since the last refresh into the
         view; returns the number of delta rows applied (0 = no-op, no
         new version). ``full=True`` recomputes from the whole source
@@ -152,45 +198,114 @@ class MaterializedView:
                 return 0
             new_cursor = stats["m"]
 
-            out_cols = [*dims, *measures]
-            fresh = partial.select(*out_cols)
-            merged = fresh
-            if not full and active is not None and cat.version_has_data(self.name, active):
-                old = self.engine.spark.read.parquet(cat.version_dir(self.name, active))
-                # full outer join on dims: untouched groups pass through
-                # from the old side, new groups from the partial, touched
-                # groups combine mergeably. The join input is O(|view| +
-                # |delta groups|) — never the source.
-                o, p = old.alias("o"), fresh.alias("p")
-                # grand-total views (no dims) are a 1x1 full outer join
-                cond = [o[d].eqNullSafe(p[d]) for d in dims] if dims else [F.lit(True)]
-                joined = o.join(p, on=cond, how="full_outer")
-                merged = joined.select(
-                    *[F.coalesce(o[d], p[d]).alias(d) for d in dims],
-                    *[_combine(measures[c][0], o[c], p[c]).alias(c) for c in measures],
-                )
-
-            vid = cat.create_new_version(self.name)
-            out_dir = cat.version_dir(self.name, vid)
-            merged.write.mode("overwrite").parquet(out_dir)
-            n_rows = self.engine.spark.read.parquet(out_dir).count()
-            cat.set_record_count(self.name, vid, n_rows)
-            cat.update_table_meta(
-                self.name,
-                schema_ddl=",".join(
-                    f"{f.name} {f.dataType.simpleString()}"
-                    for f in self.engine.spark.read.parquet(out_dir).schema.fields
-                ),
-            )
-            # cursor rides the version: flip below makes (version, cursor)
-            # visible atomically
-            cat.set_matview_cursor(self.name, vid, new_cursor)
-            cat.set_active_version(self.name, vid)
-            cat.gc_versions(self.name)
-            cat.append_event(self.name, "update", node_id=f"__mv__{self.name}")
+            fresh = partial.select(*[*dims, *measures])
+            self._fold_and_flip(fresh, dims, measures, full, active, new_cursor)
             return n_delta
         finally:
             partial.unpersist()
+
+    def _fold_and_flip(self, fresh: DataFrame, dims, measures, full: bool, active, new_cursor) -> None:
+        """Shared tail: mergeable full-outer fold of the delta partial
+        into the stored aggregate, then the atomic (version, cursor)
+        flip. The join input is O(|view| + |delta groups|) — never the
+        source."""
+        cat = self.engine.catalog
+        merged = fresh
+        if not full and active is not None and cat.version_has_data(self.name, active):
+            old = self.engine.spark.read.parquet(cat.version_dir(self.name, active))
+            # full outer join on dims: untouched groups pass through
+            # from the old side, new groups from the partial, touched
+            # groups combine mergeably.
+            o, p = old.alias("o"), fresh.alias("p")
+            # grand-total views (no dims) are a 1x1 full outer join
+            cond = [o[d].eqNullSafe(p[d]) for d in dims] if dims else [F.lit(True)]
+            joined = o.join(p, on=cond, how="full_outer")
+            merged = joined.select(
+                *[F.coalesce(o[d], p[d]).alias(d) for d in dims],
+                *[_combine(measures[c][0], o[c], p[c]).alias(c) for c in measures],
+            )
+
+        vid = cat.create_new_version(self.name)
+        out_dir = cat.version_dir(self.name, vid)
+        merged.write.mode("overwrite").parquet(out_dir)
+        n_rows = self.engine.spark.read.parquet(out_dir).count()
+        cat.set_record_count(self.name, vid, n_rows)
+        cat.update_table_meta(
+            self.name,
+            schema_ddl=",".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in self.engine.spark.read.parquet(out_dir).schema.fields
+            ),
+        )
+        # cursor rides the version: flip below makes (version, cursor)
+        # visible atomically
+        cat.set_matview_cursor(self.name, vid, new_cursor)
+        cat.set_active_version(self.name, vid)
+        cat.gc_versions(self.name)
+        cat.append_event(self.name, "update", node_id=f"__mv__{self.name}")
+
+    def _refresh_join(self, full: bool = False) -> int:
+        """IVM delta rule for a two-source join view:
+        ΔM = ΔL ⋈ R_snapshot ∪ L_old ⋈ ΔR, folded mergeably. Each
+        (l, r) pair is produced exactly once across all refreshes: the
+        first term owns every pair whose L row is new (including
+        ΔL x ΔR), the second term's L_old excludes ΔL. Snapshot
+        consistency comes from reading ONE active version per source;
+        the cursor pair {left: max(ob_l), right: max(ob_r)} rides the
+        MV version, so a crash replays the same delta into a NEW
+        version instead of double-counting (same exactly-once story as
+        the single-source fold)."""
+        cat = self.engine.catalog
+        spec = self.spec
+        left_df = self._table_df(spec["left"])
+        right_df = self._table_df(spec["right"])
+        if left_df is None or right_df is None:
+            return 0
+        ob_l = spec["order_by"][spec["left"]]
+        ob_r = spec["order_by"][spec["right"]]
+        dims, measures, on = spec["dims"], spec["measures"], spec["on"]
+        active = cat.get_active_version(self.name)
+        cursors = None if (full or active is None) else cat.get_matview_cursor(self.name, active)
+        cl = (cursors or {}).get("left")
+        cr = (cursors or {}).get("right")
+
+        dl = left_df.filter(F.col(ob_l) > F.lit(cl)) if cl is not None else left_df
+        dr = right_df.filter(F.col(ob_r) > F.lit(cr)) if cr is not None else right_df
+        l_old = left_df.filter(F.col(ob_l) <= F.lit(cl)) if cl is not None else None
+
+        # cursor advance covers UNMATCHED delta rows too: maxes come
+        # from the source deltas, never from the joined pairs
+        dstat = dl.agg(F.max(ob_l).alias("m"), F.count(F.lit(1)).alias("n")).collect()[0]
+        rstat = dr.agg(F.max(ob_r).alias("m"), F.count(F.lit(1)).alias("n")).collect()[0]
+        n_delta = int(dstat["n"] or 0) + int(rstat["n"] or 0)
+        if n_delta == 0:
+            return 0
+        new_cursor = {
+            "left": dstat["m"] if dstat["m"] is not None else cl,
+            "right": rstat["m"] if rstat["m"] is not None else cr,
+        }
+
+        # order columns have done their job (delta slicing + cursor
+        # maxes); drop them before pairing so identically named
+        # orderings on both sides (e.g. add_monotonic_id on each) don't
+        # collide in the join output. Other shared non-join column
+        # names are the caller's contract to avoid.
+        keep = set(dims) | set(on)
+
+        def _strip(df, ob):
+            return df.drop(ob) if (ob in df.columns and ob not in keep) else df
+
+        pairs = _strip(dl, ob_l).join(_strip(right_df, ob_r), on=on)
+        if l_old is not None:
+            pairs = pairs.unionByName(_strip(l_old, ob_l).join(_strip(dr, ob_r), on=on))
+        if spec.get("where"):
+            pairs = pairs.filter(F.expr(spec["where"]))
+
+        fresh = pairs.groupBy(*dims).agg(
+            *[_partial(agg, expr, out) for out, (agg, expr) in measures.items()]
+        )
+        self._fold_and_flip(fresh, dims, measures, full, active, new_cursor)
+        return n_delta
 
     # -- read ------------------------------------------------------------
 

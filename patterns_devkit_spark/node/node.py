@@ -2270,6 +2270,25 @@ class Engine:
 
         return MaterializedView.create(self, name, source, order_by, dims, measures, where)
 
+    def create_materialized_join_view(
+        self,
+        name: str,
+        left: str,
+        right: str,
+        on: list[str],
+        order_by: dict[str, str],
+        dims: list[str],
+        measures: dict[str, tuple],
+        where: str | None = None,
+    ):
+        """Declare a two-source incremental JOIN view (node/matview.py
+        IVM delta rule ΔL ⋈ R ∪ L_old ⋈ ΔR): both sources append-only,
+        each with its own strictly-monotonic ordering; the cursor PAIR
+        rides the MV version for exactly-once folds."""
+        from .matview import MaterializedView
+
+        return MaterializedView.create_join(self, name, left, right, on, order_by, dims, measures, where)
+
     def materialized_view(self, name: str):
         from .matview import MaterializedView
 

@@ -275,3 +275,125 @@ def test_validation_errors(engine):
         )
     with pytest.raises(KeyError, match="no materialized view"):
         MaterializedView(engine, "nope")
+
+
+# -- two-source incremental JOIN views (IVM delta rule) ----------------
+
+def _jmv(engine, name="rev_by_cat"):
+    return engine.create_materialized_join_view(
+        name,
+        left="orders_t",
+        right="items_t",
+        on=["oid"],
+        order_by={"orders_t": "mid", "items_t": "mid"},
+        dims=["cat"],
+        measures={"revenue": ("sum", "qty * price"), "n_pairs": ("count", "*")},
+    )
+
+
+def _full_join_expect(engine):
+    with engine.node_context("r", inputs={"a": "orders_t", "b": "items_t"}):
+        a = Table("a", "r").read_spark()
+        b = Table("b", "r").read_spark()
+    j = a.join(b, "oid").groupBy("cat").agg(
+        __import__("pyspark.sql.functions", fromlist=["sum"]).sum(
+            __import__("pyspark.sql.functions", fromlist=["expr"]).expr("qty * price")
+        ).alias("revenue"),
+        __import__("pyspark.sql.functions", fromlist=["count"]).count(
+            __import__("pyspark.sql.functions", fromlist=["lit"]).lit(1)
+        ).alias("n_pairs"),
+    )
+    return sorted(tuple(r) for r in j.collect())
+
+
+def test_join_mv_staggered_appends_equal_full_recompute(engine):
+    """Left-only, right-only, and both-sides batches — after every
+    refresh the folded view equals the from-scratch join aggregate
+    (the IVM invariant). Late-arriving right rows joining OLD left
+    rows exercise the L_old x ΔR term."""
+    _append(engine, "orders_t", [{"oid": 1, "cat": "x", "price": 10}, {"oid": 2, "cat": "y", "price": 5}])
+    _append(engine, "items_t", [{"oid": 1, "qty": 2}])
+    mv = _jmv(engine)
+    assert mv.refresh() == 3
+    assert _mv_rows(mv) == _full_join_expect(engine) == [("x", 20, 1)]
+
+    # right-only batch: joins ONLY pre-cursor left rows (L_old x dR)
+    _append(engine, "items_t", [{"oid": 2, "qty": 3}, {"oid": 1, "qty": 1}])
+    assert mv.refresh() == 2
+    assert _mv_rows(mv) == _full_join_expect(engine) == [("x", 30, 2), ("y", 15, 1)]
+
+    # both-sides batch: dL x dR pairs must land exactly once
+    _append(engine, "orders_t", [{"oid": 3, "cat": "x", "price": 100}])
+    _append(engine, "items_t", [{"oid": 3, "qty": 4}, {"oid": 2, "qty": 1}])
+    assert mv.refresh() == 3
+    assert _mv_rows(mv) == _full_join_expect(engine) == [("x", 430, 3), ("y", 20, 2)]
+
+    # idempotent no-op
+    v = engine.catalog.get_active_version("rev_by_cat")
+    assert mv.refresh() == 0
+    assert engine.catalog.get_active_version("rev_by_cat") == v
+
+
+def test_join_mv_crash_replay_exactly_once(engine):
+    """Flip back to the previous MV version (simulated crash before
+    the pointer flip): its paired CURSOR PAIR re-applies the same
+    two-source delta without double-counting."""
+    _append(engine, "orders_t", [{"oid": 1, "cat": "x", "price": 10}])
+    _append(engine, "items_t", [{"oid": 1, "qty": 1}])
+    mv = _jmv(engine, "j2")
+    mv.refresh()
+    v1 = engine.catalog.get_active_version("j2")
+    _append(engine, "items_t", [{"oid": 1, "qty": 5}])
+    mv.refresh()
+    engine.catalog.set_active_version("j2", v1)
+    assert mv.refresh() == 1
+    assert _mv_rows(mv) == [("x", 60, 2)]
+
+
+def test_join_mv_unmatched_delta_advances_cursor(engine):
+    """A delta row with no join partner contributes nothing but MUST
+    advance the cursor — when its partner arrives later, the pair is
+    produced by the other delta term, not reprocessed twice."""
+    _append(engine, "orders_t", [{"oid": 7, "cat": "z", "price": 2}])
+    _append(engine, "items_t", [{"oid": 99, "qty": 1}])  # no partner either
+    mv = _jmv(engine, "j3")
+    assert mv.refresh() == 2  # both unmatched rows consumed as delta
+    assert _mv_rows(mv) == []
+    _append(engine, "items_t", [{"oid": 7, "qty": 6}])
+    assert mv.refresh() == 1  # pair produced by L_old x dR, exactly once
+    assert _mv_rows(mv) == [("z", 12, 1)]
+    assert mv.refresh() == 0
+
+
+def test_graph_runner_refreshes_join_mv_on_either_source(engine, tmp_path):
+    """run_all folds a join MV when EITHER source table gets a data
+    event."""
+    import os
+
+    gdir = tmp_path / "g"
+    os.makedirs(gdir)
+    (gdir / "graph.yml").write_text(
+        "functions:\n"
+        "  - node_file: feed.py\n"
+        "    id: aaaaaaa1\n"
+        "    outputs: {o: orders_t, i: items_t}\n"
+        "stores:\n"
+        "  - table: orders_t\n"
+        "  - table: items_t\n"
+    )
+    (gdir / "feed.py").write_text(
+        "from patterns_devkit_spark import Table\n"
+        "ot = Table('o', 'w')\n"
+        "it = Table('i', 'w')\n"
+        "ot.init(add_monotonic_id='mid')\n"
+        "it.init(add_monotonic_id='mid')\n"
+        "ot.append({'oid': 1, 'cat': 'x', 'price': 3})\n"
+        "it.append({'oid': 1, 'qty': 2})\n"
+    )
+    _jmv(engine, "jg")
+    from patterns_devkit_spark.graph.runner import GraphRunner
+
+    r = GraphRunner(engine, str(gdir))
+    r.run_all()
+    mv = engine.materialized_view("jg")
+    assert _mv_rows(mv) == [("x", 6, 1)]
