@@ -1004,3 +1004,181 @@ def q220(spark, sf_dir):
         .crossJoin(F.broadcast(at))
         .select("n_events", "final_cum", "max_drawdown_cents", "at_event_id")
     )
+
+
+# =====================================================================
+# q221 — group-wise closed-form OLS regression (integer-exact rational)
+# =====================================================================
+
+@query(
+    "q221_groupwise_regression",
+    """
+    WITH pts AS (
+      SELECT o_orderpriority AS grp,
+             CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS xd,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS y
+      FROM orders
+    ),
+    ctr AS (SELECT grp, min(xd) AS x0 FROM pts GROUP BY grp),
+    s AS (
+      SELECT p.grp,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(p.xd - c.x0) AS sx,
+             sum(p.y) AS sy,
+             sum((p.xd - c.x0) * p.y) AS sxy,
+             sum((p.xd - c.x0) * (p.xd - c.x0)) AS sxx
+      FROM pts p JOIN ctr c ON c.grp = p.grp
+      GROUP BY p.grp
+    ),
+    big AS (
+      SELECT grp, n,
+             CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+               - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS num,
+             CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+               - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS den,
+             CAST(sx AS HUGEINT) AS hsx, CAST(sy AS HUGEINT) AS hsy
+      FROM s
+    )
+    SELECT grp, n,
+           CAST((1000 * num) // den AS BIGINT) AS slope_milli_cents_per_day,
+           CAST((1000 * hsy - ((1000 * num) // den) * hsx) // (1000 * CAST(n AS HUGEINT)) AS BIGINT) AS intercept_cents
+    FROM big
+    ORDER BY grp
+    """,
+)
+def q221(spark, sf_dir):
+    """Group-wise closed-form least squares: per order priority, the
+    OLS slope of order value (cents) over time (days) as an EXACT
+    rational (numerator n*Sxy - Sx*Sy over denominator n*Sxx - Sx^2,
+    both bigint) plus a milli-cents-per-day truncated quotient — the
+    per-segment trend fit feature pipelines compute, with zero float
+    accumulation (the order of summation cannot change the answer).
+    x is centered at the per-group min date so the moment sums stay
+    well inside bigint; both engines' integer division truncates
+    toward zero, so the quotient matches bit-for-bit.
+
+    100 TB shape: one hash-agg computes all five moment sums in a
+    single pass (map-side combine); the centering join broadcasts the
+    per-group minima. The n*Sxy cross terms grow as N^2 and WOULD
+    overflow int64 at sf0.1 already, so they are computed in
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — exact to 38 digits,
+    which covers 1e10-row groups with room to spare; only the small
+    quotients return to bigint. Both engines' integer division
+    truncates toward zero, so negative slopes match bit-for-bit."""
+    pts = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")).cast("long").alias("xd"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+    )
+    ctr = pts.groupBy("grp").agg(F.min("xd").alias("x0"))
+    s = (
+        pts.join(F.broadcast(ctr), "grp")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("xd") - F.col("x0")).alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum((F.col("xd") - F.col("x0")) * F.col("y")).alias("sxy"),
+            F.sum((F.col("xd") - F.col("x0")) * (F.col("xd") - F.col("x0"))).alias("sxx"),
+        )
+    )
+    big = s.select(
+        "grp", "n",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * CAST(sxy AS DECIMAL(38,0))"
+            " - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))"
+        ).alias("num"),
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0))"
+            " - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))"
+        ).alias("den"),
+        F.expr("CAST(sx AS DECIMAL(38,0))").alias("hsx"),
+        F.expr("CAST(sy AS DECIMAL(38,0))").alias("hsy"),
+    )
+    return big.select(
+        "grp", "n",
+        F.expr("CAST((1000 * num) div den AS BIGINT)").alias("slope_milli_cents_per_day"),
+        F.expr(
+            "CAST((1000 * hsy - ((1000 * num) div den) * hsx) div (1000 * CAST(n AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("intercept_cents"),
+    ).orderBy("grp")
+
+
+# =====================================================================
+# q222 — association rules over order baskets (support/confidence/lift)
+# =====================================================================
+
+_AR_MINSUP = 10  # min baskets containing the pair
+
+
+@query(
+    "q222_association_rules",
+    f"""
+    WITH basket AS (
+      SELECT DISTINCT l.l_orderkey AS oid, p.p_brand AS item
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    nb AS (SELECT CAST(count(DISTINCT oid) AS BIGINT) AS n_baskets FROM basket),
+    ia AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM basket GROUP BY item),
+    pair AS (
+      SELECT a.item AS item_a, b.item AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+      FROM basket a JOIN basket b ON b.oid = a.oid AND a.item < b.item
+      GROUP BY a.item, b.item
+      HAVING count(*) >= {_AR_MINSUP}
+    )
+    SELECT p.item_a, p.item_b, p.n_ab,
+           ia.n AS n_a, ib.n AS n_b,
+           CAST((1000 * p.n_ab) // nb.n_baskets AS BIGINT) AS support_permille,
+           CAST((1000 * p.n_ab) // ia.n AS BIGINT) AS confidence_permille,
+           CAST((1000 * p.n_ab * nb.n_baskets) // (ia.n * ib.n) AS BIGINT) AS lift_milli
+    FROM pair p
+    JOIN ia ON ia.item = p.item_a
+    JOIN ia ib ON ib.item = p.item_b
+    CROSS JOIN nb
+    ORDER BY lift_milli DESC, p.item_a, p.item_b LIMIT 50
+    """,
+)
+def q222(spark, sf_dir):
+    """Association-rule mining over order baskets at brand grain:
+    support, confidence, and lift for co-purchased brand pairs, all
+    integer permille/milli (floor division on cross-multiplied bigint
+    counts — no float ratios). The min-support HAVING prunes the pair
+    table before any ratio math, the same guard q204's collocations
+    use.
+
+    100 TB shape: baskets reduce to DISTINCT (order, brand) in one
+    hash-agg; the pairwise stage is a self-equi-join on the order key
+    whose output is bounded by sum(basket_brand_count^2) — brand
+    grain caps the item domain (open item domains pre-prune by item
+    support first). Singleton counts and the basket total broadcast
+    into the 300-row pair table. Top-50 by lift is a TakeOrdered."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    basket = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("oid"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    nb = basket.agg(F.countDistinct("oid").cast("long").alias("n_baskets"))
+    ia = basket.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a, b = basket.alias("a"), basket.alias("b")
+    pair = (
+        a.join(b, (F.col("b.oid") == F.col("a.oid")) & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= _AR_MINSUP)
+    )
+    ia_a = ia.select(F.col("item").alias("item_a"), F.col("n").alias("n_a"))
+    ia_b = ia.select(F.col("item").alias("item_b"), F.col("n").alias("n_b"))
+    out = (
+        pair.join(F.broadcast(ia_a), "item_a")
+        .join(F.broadcast(ia_b), "item_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "item_a", "item_b", "n_ab", "n_a", "n_b",
+            F.expr("CAST((1000 * n_ab) DIV n_baskets AS BIGINT)").alias("support_permille"),
+            F.expr("CAST((1000 * n_ab) DIV n_a AS BIGINT)").alias("confidence_permille"),
+            F.expr("CAST((1000 * n_ab * n_baskets) DIV (n_a * n_b) AS BIGINT)").alias("lift_milli"),
+        )
+    )
+    return out.orderBy(F.desc("lift_milli"), "item_a", "item_b").limit(50)
