@@ -125,6 +125,27 @@ class Catalog:
     def table_names(self) -> list[str]:
         return sorted(self._doc["tables"])
 
+    # -- SQL views (engine extension) -----------------------------------
+    def set_view(self, name: str, sql: str) -> None:
+        """Register a named SQL view (template text with {{ refs }});
+        expanded at render time by Engine.render_sql."""
+        with self._lock:
+            self._doc.setdefault("views", {})[name] = sql
+            self._persist()
+
+    def get_view(self, name: str) -> str | None:
+        return (self._doc.get("views") or {}).get(name)
+
+    def drop_view(self, name: str) -> None:
+        with self._lock:
+            views = self._doc.get("views") or {}
+            if name in views:
+                del views[name]
+                self._persist()
+
+    def view_names(self) -> list[str]:
+        return sorted(self._doc.get("views") or {})
+
     def update_table_meta(self, name: str, **updates: Any) -> None:
         with self._lock:
             meta = self.ensure_table(name)

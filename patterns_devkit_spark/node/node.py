@@ -1138,6 +1138,17 @@ class Table:
         → new version + create; INSERT INTO ... → append + update."""
         if not self.is_connected:
             return
+        # views intercept BEFORE rendering: the definition stores the
+        # {{ ref }} TEMPLATE so expansion late-binds to the versions
+        # active at query time, not at CREATE VIEW time
+        m_cv = re.match(r"\s*create\s+(?:or\s+replace\s+)?view\s+(\w+)\s+as\s+(.*?)\s*;?\s*$", sql, re.I | re.S)
+        m_dv = re.match(r"\s*drop\s+view\s+(\w+)\s*;?\s*$", sql, re.I)
+        if m_cv:
+            self._engine.create_view(m_cv.group(1), m_cv.group(2))
+            return
+        if m_dv:
+            self._engine.drop_view(m_dv.group(1))
+            return
         rendered = self._engine.render_sql(sql, this=self)
         m_ctas = re.match(r"\s*create\s+(?:or\s+replace\s+)?table\s+(\S+)\s+as\s+(.*)", rendered, re.I | re.S)
         m_ins = re.match(r"\s*insert\s+into\s+(\S+)\s+(.*)", rendered, re.I | re.S)
@@ -2298,11 +2309,19 @@ class Engine:
         """Refresh every registered MV; returns {name: delta_rows}."""
         return {n: self.materialized_view(n).refresh() for n in self.catalog.matview_names()}
 
-    def render_sql(self, sql: str, this: Table | None = None, parameters: dict[str, Any] | None = None) -> str:
+    def render_sql(
+        self,
+        sql: str,
+        this: Table | None = None,
+        parameters: dict[str, Any] | None = None,
+        _seen_views: frozenset = frozenset(),
+    ) -> str:
         """Render ``{{ ref }}`` templates: a ref that names a store → its
-        active version's sql_name; a parameter → typed SQL literal; the
-        literal 'table'/'this' → the executing table (node.py:364-368,
-        create.py:239-244)."""
+        active version's sql_name; a registered SQL VIEW → a temp view
+        over its (recursively rendered) definition; a parameter → typed
+        SQL literal; the literal 'table'/'this' → the executing table
+        (node.py:364-368, create.py:239-244). Version reads go through
+        TableVersion.as_dataframe, so column mapping applies in SQL."""
         params = parameters or {}
 
         def sub(m: re.Match) -> str:
@@ -2323,19 +2342,42 @@ class Engine:
                     if vid not in versions:
                         raise KeyError(f"unknown version {want!r} of table {store!r} in template")
                     view = f"{store}__{vid}"
-                    self.spark.read.parquet(self.catalog.version_dir(store, vid)).createOrReplaceTempView(view)
+                    TableVersion(self, store, vid).as_dataframe().createOrReplaceTempView(view)
                     return f"`{view}`"
             meta = self.catalog.table_meta(ref)
             if meta is not None:
                 av = self.catalog.get_active_version(ref)
                 if av and self.catalog.version_has_data(ref, av):
                     view = f"{ref}__{av}"
-                    self.spark.read.parquet(self.catalog.version_dir(ref, av)).createOrReplaceTempView(view)
+                    TableVersion(self, ref, av).as_dataframe().createOrReplaceTempView(view)
                     return f"`{view}`"
                 return ref
+            vsql = self.catalog.get_view(ref)
+            if vsql is not None:
+                if ref in _seen_views:
+                    raise ValueError(f"circular view reference: {ref!r}")
+                rendered = self.render_sql(
+                    vsql, this=this, parameters=parameters, _seen_views=_seen_views | {ref}
+                )
+                view = f"{ref}__view"
+                self.spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW `{view}` AS {rendered}")
+                return f"`{view}`"
             raise KeyError(f"unresolved template reference {{{{ {ref} }}}}")
 
         return re.sub(r"\{\{\s*([^}]+?)\s*\}\}", sub, sql)
+
+    def create_view(self, name: str, sql: str) -> None:
+        """Register a named SQL view over the warehouse ({{ refs }} to
+        stores / other views allowed; expansion is recursive with a
+        cycle guard). Views are catalog metadata — nothing is
+        materialized; see create_materialized_view for the folded
+        form."""
+        if self.catalog.table_meta(name) is not None:
+            raise ValueError(f"{name!r} already names a table")
+        self.catalog.set_view(name, sql)
+
+    def drop_view(self, name: str) -> None:
+        self.catalog.drop_view(name)
 
     def register_system_views(self) -> list[str]:
         """Register information_schema-style `__sys_*` temp views over

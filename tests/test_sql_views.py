@@ -1,0 +1,76 @@
+"""Catalog-registered SQL views: {{ ref }} templates stored as text,
+expanded recursively at query time (late-bound to the versions active
+THEN), cycle-guarded, persisted across engine reloads and both catalog
+backends."""
+import pytest
+
+from patterns_devkit_spark import Table
+
+
+def _write(engine, store, rows):
+    with engine.node_context("w", outputs={"out": store}):
+        tb = Table("out", "w")
+        tb.append(rows)
+        tb.flush()
+
+
+def test_view_basic_and_late_binding(engine):
+    _write(engine, "sales", [{"g": "a", "v": 10}, {"g": "b", "v": 5}])
+    engine.create_view("big_sales", "SELECT g, v FROM {{ sales }} WHERE v >= 10")
+    with engine.node_context("r", inputs={"in": "sales"}):
+        tb = Table("in", "r")
+        rows = tb.read_sql("SELECT g, v FROM {{ big_sales }} ORDER BY g")
+        assert rows == [{"g": "a", "v": 10}]
+        # late binding: new data appears through the view without
+        # re-creating it
+    _write(engine, "sales", [{"g": "c", "v": 70}])
+    with engine.node_context("r", inputs={"in": "sales"}):
+        rows = Table("in", "r").read_sql("SELECT g, v FROM {{ big_sales }} ORDER BY g")
+        assert rows == [{"g": "a", "v": 10}, {"g": "c", "v": 70}]
+
+
+def test_view_over_view_and_cycle_guard(engine):
+    _write(engine, "t1", [{"x": 1}, {"x": 2}, {"x": 3}])
+    engine.create_view("v1", "SELECT x FROM {{ t1 }} WHERE x > 1")
+    engine.create_view("v2", "SELECT sum(x) AS s FROM {{ v1 }}")
+    with engine.node_context("r", inputs={"in": "t1"}):
+        assert Table("in", "r").read_sql("SELECT s FROM {{ v2 }}") == [{"s": 5}]
+    engine.create_view("c1", "SELECT * FROM {{ c2 }}")
+    engine.create_view("c2", "SELECT * FROM {{ c1 }}")
+    with engine.node_context("r", inputs={"in": "t1"}):
+        with pytest.raises(Exception, match="circular"):
+            Table("in", "r").read_sql("SELECT * FROM {{ c1 }}")
+
+
+def test_view_sql_surface_and_persistence(engine):
+    _write(engine, "t2", [{"x": 4}])
+    with engine.node_context("w", outputs={"out": "t2"}):
+        tb = Table("out", "w")
+        tb.execute_sql("CREATE VIEW doubled AS SELECT x * 2 AS y FROM {{ t2 }}")
+    # survives an engine reload (catalog persistence)
+    from patterns_devkit_spark import Engine
+
+    eng2 = Engine(engine.catalog.root, spark=engine.spark)
+    assert "doubled" in eng2.catalog.view_names()
+    with eng2.node_context("r", inputs={"in": "t2"}):
+        assert Table("in", "r").read_sql("SELECT y FROM {{ doubled }}") == [{"y": 8}]
+    with eng2.node_context("w", outputs={"out": "t2"}):
+        Table("out", "w").execute_sql("DROP VIEW doubled")
+    assert eng2.catalog.view_names() == []
+
+
+def test_view_name_collision_with_table(engine):
+    _write(engine, "t3", [{"x": 1}])
+    with pytest.raises(ValueError, match="already names a table"):
+        engine.create_view("t3", "SELECT 1")
+
+
+def test_view_sees_renamed_columns(engine):
+    """Views compose with zero-copy ALTER: the store ref inside the
+    view resolves through the logical projection."""
+    _write(engine, "t4", [{"a": 1, "b": 10}])
+    with engine.node_context("w", outputs={"out": "t4"}):
+        Table("out", "w").rename_column("b", "amount")
+    engine.create_view("t4v", "SELECT a, amount FROM {{ t4 }}")
+    with engine.node_context("r", inputs={"in": "t4"}):
+        assert Table("in", "r").read_sql("SELECT amount FROM {{ t4v }}") == [{"amount": 10}]
