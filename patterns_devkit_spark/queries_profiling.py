@@ -1182,3 +1182,199 @@ def q222(spark, sf_dir):
         )
     )
     return out.orderBy(F.desc("lift_milli"), "item_a", "item_b").limit(50)
+
+
+# =====================================================================
+# q223 — k-hop BFS reachability over the co-purchase graph
+# =====================================================================
+
+@query(
+    "q223_bfs_khop",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= 2
+    ),
+    e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+    src AS (SELECT min(u) AS s FROM e),
+    f0 AS (SELECT s AS node FROM src),
+    f1 AS (
+      SELECT DISTINCT e.v AS node FROM e JOIN f0 ON e.u = f0.node
+      WHERE e.v NOT IN (SELECT node FROM f0)
+    ),
+    f2 AS (
+      SELECT DISTINCT e.v AS node FROM e JOIN f1 ON e.u = f1.node
+      WHERE e.v NOT IN (SELECT node FROM f0 UNION ALL SELECT node FROM f1)
+    ),
+    f3 AS (
+      SELECT DISTINCT e.v AS node FROM e JOIN f2 ON e.u = f2.node
+      WHERE e.v NOT IN (SELECT node FROM f0 UNION ALL SELECT node FROM f1
+                        UNION ALL SELECT node FROM f2)
+    ),
+    lvl AS (
+      SELECT 1 AS hop, node FROM f1
+      UNION ALL SELECT 2, node FROM f2
+      UNION ALL SELECT 3, node FROM f3
+    )
+    SELECT hop,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(node) % 1000000007 AS BIGINT) AS node_checksum
+    FROM lvl GROUP BY hop ORDER BY hop
+    """,
+)
+def q223(spark, sf_dir):
+    """3-hop BFS from a deterministic source over the
+    support-thresholded co-purchase graph (q165's sparsifier): each
+    hop is one frontier-edge join + a visited anti-join — exact
+    shortest-path levels with per-hop node counts and checksums. The
+    frontier-expansion pattern generalizes to friend-of-friend
+    features, blast-radius analyses, and bounded graph neighborhoods.
+
+    100 TB shape: per hop, one equi-join of the (small) frontier with
+    the edge list — broadcastable while the frontier is small, a
+    hash-join shuffle keyed on int node ids once it isn't — plus an
+    anti-join against the visited set (ints only, never attributes).
+    Hop count bounds the iteration; the edge list is the support>=2
+    sparsified graph (SCALE.md §30), not the raw near-complete
+    co-occurrence."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey")) & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    e = e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    src = e.agg(F.min("u").alias("node"))
+    frontiers = [src]
+    visited = src
+    for _ in range(3):
+        prev = frontiers[-1]
+        nxt = (
+            e.join(F.broadcast(prev.select(F.col("node").alias("u"))), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+        )
+        frontiers.append(nxt)
+        visited = visited.unionAll(nxt)
+    lvl = None
+    for hop, f in enumerate(frontiers[1:], start=1):
+        part = f.select(F.lit(hop).alias("hop"), "node")
+        lvl = part if lvl is None else lvl.unionAll(part)
+    return (
+        lvl.groupBy("hop")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            (F.sum("node") % F.lit(1000000007)).cast("long").alias("node_checksum"),
+        )
+        .orderBy("hop")
+    )
+
+
+# =====================================================================
+# q224 — FIFO lot matching (receipts vs returns, interval overlap)
+# =====================================================================
+
+@query(
+    "q224_fifo_matching",
+    """
+    WITH rec AS (
+      SELECT l_partkey, l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty,
+             sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rc
+      FROM lineitem WHERE l_returnflag <> 'R'
+    ),
+    iss AS (
+      SELECT l_partkey, l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty,
+             sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ic
+      FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    m AS (
+      SELECT r.l_partkey,
+             least(r.rc, i.ic) - greatest(r.rc - r.qty, i.ic - i.qty) AS matched
+      FROM rec r JOIN iss i
+        ON i.l_partkey = r.l_partkey
+       AND r.rc > i.ic - i.qty AND r.rc - r.qty < i.ic
+    ),
+    tot AS (
+      SELECT l_partkey,
+             CAST(sum(matched) AS BIGINT) AS matched_qty,
+             CAST(count(*) AS BIGINT) AS n_matches
+      FROM m GROUP BY l_partkey
+    ),
+    itot AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS issue_qty FROM iss GROUP BY l_partkey)
+    SELECT t.l_partkey, t.n_matches, t.matched_qty,
+           i.issue_qty - t.matched_qty AS unmatched_issue_qty
+    FROM tot t JOIN itot i ON i.l_partkey = t.l_partkey
+    ORDER BY t.matched_qty DESC, t.l_partkey LIMIT 50
+    """,
+)
+def q224(spark, sf_dir):
+    """FIFO lot matching — the inventory/cost-basis primitive: per
+    part, shipped lots (receipts) and returns (issues) each get a
+    cumulative-quantity interval via a PARTITIONED running sum; lot i
+    funds issue j by exactly the overlap of their intervals, which is
+    the closed-form FIFO allocation (no loops, no state machine).
+    Matched/unmatched totals per part fall out of one aggregation.
+
+    100 TB shape: the running sums are part-partitioned windows
+    (per-key sequences, never a global sort); the overlap join is an
+    equi-join on part plus interval predicates whose OUTPUT is linear
+    (consecutive intervals overlap a contiguous run) — at extreme
+    per-key depth the banding trick from q115's interval join applies
+    unchanged (bucket by cumulative-quantity range). Everything is
+    bigint quantities."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+
+    def cum(df):
+        w = Window.partitionBy("l_partkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        return df.select(
+            "l_partkey",
+            F.col("l_quantity").cast("long").alias("qty"),
+            F.sum(F.col("l_quantity").cast("long")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).alias("c"),
+        )
+
+    rec = cum(li.filter(F.col("l_returnflag") != "R")).withColumnRenamed("c", "rc")
+    iss = cum(li.filter(F.col("l_returnflag") == "R")).withColumnRenamed("c", "ic")
+    r, i = rec.alias("r"), iss.alias("i")
+    m = (
+        r.join(
+            i,
+            (F.col("i.l_partkey") == F.col("r.l_partkey"))
+            & (F.col("r.rc") > F.col("i.ic") - F.col("i.qty"))
+            & (F.col("r.rc") - F.col("r.qty") < F.col("i.ic")),
+        )
+        .select(
+            F.col("r.l_partkey").alias("l_partkey"),
+            (
+                F.least(F.col("r.rc"), F.col("i.ic"))
+                - F.greatest(F.col("r.rc") - F.col("r.qty"), F.col("i.ic") - F.col("i.qty"))
+            ).alias("matched"),
+        )
+    )
+    tot = m.groupBy("l_partkey").agg(
+        F.sum("matched").cast("long").alias("matched_qty"),
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+    )
+    itot = iss.groupBy("l_partkey").agg(F.sum("qty").cast("long").alias("issue_qty"))
+    return (
+        tot.join(itot, "l_partkey")
+        .select(
+            "l_partkey", "n_matches", "matched_qty",
+            (F.col("issue_qty") - F.col("matched_qty")).alias("unmatched_issue_qty"),
+        )
+        .orderBy(F.desc("matched_qty"), "l_partkey")
+        .limit(50)
+    )
