@@ -397,6 +397,53 @@ def cmd_mv(args) -> int:
     return 0
 
 
+def cmd_view(args) -> int:
+    """SQL views: create (stores the {{ ref }} template, late-bound at
+    query time), list, or drop (Engine.create_view)."""
+    engine = _engine(args)
+    if args.action == "create":
+        if not (args.name and args.sql):
+            print("create requires NAME SQL", file=sys.stderr)
+            return 2
+        engine.create_view(args.name, args.sql)
+        print(f"created view {args.name}")
+        return 0
+    if args.action == "drop":
+        if not args.name:
+            print("drop requires NAME", file=sys.stderr)
+            return 2
+        engine.drop_view(args.name)
+        print(f"dropped view {args.name}")
+        return 0
+    for name in engine.catalog.view_names():
+        print(f"{name}: {engine.catalog.get_view(name)}")
+    return 0
+
+
+def cmd_alter(args) -> int:
+    """Zero-copy ALTER TABLE: add/rename/drop a column — metadata-only
+    (node/evolution.py column mapping; files are never rewritten)."""
+    engine = _engine(args)
+    with engine.node_context("__alter__", outputs={"out": args.table}):
+        from .node.node import Table
+
+        tb = Table("out", "w")
+        if args.action == "add":
+            if not (args.column and args.type):
+                print("add requires COLUMN --type", file=sys.stderr)
+                return 2
+            tb.add_column(args.column, args.type, default=args.default)
+        elif args.action == "rename":
+            if not (args.column and args.to):
+                print("rename requires COLUMN --to", file=sys.stderr)
+                return 2
+            tb.rename_column(args.column, args.to)
+        else:
+            tb.drop_column(args.column)
+    print(f"altered {args.table}")
+    return 0
+
+
 def cmd_config(args) -> int:
     print(json.dumps({"warehouse": _warehouse(args)}))
     return 0
@@ -555,6 +602,21 @@ def main(argv: list[str] | None = None) -> int:
     mv.add_argument("--where", default=None, help="source filter (create)")
     mv.add_argument("--full", action="store_true", help="full recompute (refresh)")
     mv.set_defaults(fn=cmd_mv)
+
+    vw = sub.add_parser("view", help="create/list/drop catalog SQL views")
+    vw.add_argument("action", choices=["create", "list", "drop"])
+    vw.add_argument("name", nargs="?", default=None)
+    vw.add_argument("sql", nargs="?", default=None, help="view SQL with {{ refs }} (create)")
+    vw.set_defaults(fn=cmd_view)
+
+    al = sub.add_parser("alter", help="zero-copy ALTER TABLE (add/rename/drop column)")
+    al.add_argument("action", choices=["add", "rename", "drop"])
+    al.add_argument("table")
+    al.add_argument("column")
+    al.add_argument("--type", default=None, help="column type DDL (add)")
+    al.add_argument("--default", default=None, help="SQL literal default (add)")
+    al.add_argument("--to", default=None, help="new name (rename)")
+    al.set_defaults(fn=cmd_alter)
 
     cfg = sub.add_parser("config", help="show configuration")
     cfg.set_defaults(fn=cmd_config)

@@ -74,3 +74,48 @@ def test_view_sees_renamed_columns(engine):
     engine.create_view("t4v", "SELECT a, amount FROM {{ t4 }}")
     with engine.node_context("r", inputs={"in": "t4"}):
         assert Table("in", "r").read_sql("SELECT amount FROM {{ t4v }}") == [{"amount": 10}]
+
+
+def test_cli_view_and_alter(tmp_path):
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run_cli(args, cwd):
+        env = {**os.environ, "PYTHONPATH": repo}
+        return subprocess.run(
+            [sys.executable, "-m", "patterns_devkit_spark.cli", *args],
+            cwd=cwd, env=env, capture_output=True, text=True, timeout=180,
+        )
+
+    wh = str(tmp_path / "wh")
+    app = tmp_path / "vapp"
+    app.mkdir()
+    (app / "graph.yml").write_text(
+        "functions:\n  - node_file: gen.py\n    id: gen00001\n    outputs: {out: tt}\nstores:\n  - table: tt\n"
+    )
+    (app / "gen.py").write_text(
+        "from patterns import Table\n"
+        "t = Table('out', 'w')\n"
+        "t.append([{'a': 1, 'b': 2}])\n"
+    )
+    r = run_cli(["--warehouse", wh, "trigger", "gen00001"], str(app))
+    assert r.returncode == 0, r.stdout + r.stderr
+    r = run_cli(["--warehouse", wh, "view", "create", "vv", "SELECT a FROM {{ tt }}"], str(app))
+    assert r.returncode == 0 and "created view vv" in r.stdout, r.stdout + r.stderr
+    r = run_cli(["--warehouse", wh, "view", "list"], str(app))
+    assert "vv: SELECT a FROM" in r.stdout
+    r = run_cli(["--warehouse", wh, "alter", "rename", "tt", "b", "--to", "bee"], str(app))
+    assert r.returncode == 0, r.stdout + r.stderr
+    r = run_cli(["--warehouse", wh, "alter", "add", "tt", "c", "--type", "string", "--default", "'x'"], str(app))
+    assert r.returncode == 0, r.stdout + r.stderr
+    r = run_cli(["--warehouse", wh, "view", "drop", "vv"], str(app))
+    assert r.returncode == 0 and "dropped" in r.stdout
+    # the alters landed in the catalog
+    import json
+
+    cat = json.load(open(os.path.join(wh, "catalog.json")))
+    ddl = cat["tables"]["tt"]["schema_ddl"]
+    assert "bee" in ddl and "c string" in ddl.lower()
