@@ -1753,12 +1753,19 @@ class Table:
             if k
             in (
                 "schema",
+                "schema_ddl",
+                "schema_hints",
                 "unique_on",
                 "partition_by",
                 "strictly_monotonic_ordering",
                 "created_ordering",
                 "auto_indexes",
                 "cluster_by",
+                # zero-copy ALTER state: the linked files carry PHYSICAL
+                # column names, so the clone needs the same mapping
+                "colmap",
+                "dropped_cols",
+                "column_defaults",
             )
             and v is not None
         }

@@ -158,3 +158,26 @@ def test_rename_survives_upsert_and_versions(engine):
         for f in _files(engine, "t"):
             cols = _footer_cols(f)
             assert "v" in cols and "score" not in cols
+
+
+def test_maintenance_ops_after_rename(engine):
+    """compact and clone must stay consistent with the column mapping:
+    compact rewrites PHYSICAL files untouched by the rename, clone
+    carries the mapping so linked files still read logically."""
+    with engine.node_context("w", outputs={"out": "t"}):
+        tb = Table("out", "w")
+        for i in range(3):  # several small appends -> multiple files
+            tb.append(engine.spark.createDataFrame([(i, i * 1.0)], "id long, amount double").coalesce(1))
+            tb.flush()
+        tb.rename_column("amount", "price")
+        tb.compact()
+        rows = sorted(tb.read(), key=lambda r: r["id"])
+        assert [r["price"] for r in rows] == [0.0, 1.0, 2.0]
+        newest = max(_files(engine, "t"), key=os.path.getmtime)
+        cols = _footer_cols(newest)
+        assert "amount" in cols and "price" not in cols  # compacted file still physical
+    with engine.node_context("w2", outputs={"out": "t_clone"}):
+        cl = Table("out", "w")
+        cl.clone_from("t")
+        rows = sorted(cl.read(), key=lambda r: r["id"])
+        assert [r["price"] for r in rows] == [0.0, 1.0, 2.0]  # mapping travels with the clone
