@@ -117,20 +117,39 @@ def system_dataframes(engine: "Engine") -> dict[str, DataFrame]:
         cur = cat.get_matview_cursor(name, active)
         # staleness from catalog metadata alone: the source's write-time
         # order HWM vs the applied cursor (no scan; None = unknown)
-        src = spec.get("source")
-        src_active = cat.get_active_version(src) if src else None
-        hwm = cat.get_order_hwm(src, src_active) if src_active else None
-        stale = None
-        if hwm is not None:
-            try:
-                stale = cur is None or hwm > cur
-            except TypeError:
-                stale = None
+        if spec.get("type") == "join":
+            # two-source join view: sources/orderings joined for display;
+            # staleness = either source's HWM past its paired cursor
+            src = f"{spec.get('left')}+{spec.get('right')}"
+            ob_disp = ",".join(f"{k}:{v}" for k, v in (spec.get("order_by") or {}).items())
+            stale = None
+            for side, tbl in (("left", spec.get("left")), ("right", spec.get("right"))):
+                t_active = cat.get_active_version(tbl) if tbl else None
+                hwm_s = cat.get_order_hwm(tbl, t_active) if t_active else None
+                c_s = (cur or {}).get(side) if isinstance(cur, dict) else None
+                if hwm_s is not None:
+                    try:
+                        side_stale = c_s is None or hwm_s > c_s
+                    except TypeError:
+                        side_stale = None
+                    stale = side_stale if stale is None else (stale or side_stale)
+            hwm = None
+        else:
+            src = spec.get("source")
+            ob_disp = spec.get("order_by")
+            src_active = cat.get_active_version(src) if src else None
+            hwm = cat.get_order_hwm(src, src_active) if src_active else None
+            stale = None
+            if hwm is not None:
+                try:
+                    stale = cur is None or hwm > cur
+                except TypeError:
+                    stale = None
         m_rows.append(
             (
                 name,
                 src,
-                spec.get("order_by"),
+                ob_disp,
                 ",".join(spec.get("dims") or []),
                 ",".join(f"{k}={a}({e})" for k, (a, e) in (spec.get("measures") or {}).items()),
                 spec.get("where"),
@@ -141,7 +160,10 @@ def system_dataframes(engine: "Engine") -> dict[str, DataFrame]:
             )
         )
 
+    vw_rows = [(n, cat.get_view(n)) for n in cat.view_names()]
+
     return {
+        "__sys_views": spark.createDataFrame(vw_rows, "view_name string, sql string"),
         "__sys_matviews": spark.createDataFrame(m_rows, _M),
         "__sys_tables": spark.createDataFrame(t_rows, _T),
         "__sys_versions": spark.createDataFrame(v_rows, _V),

@@ -244,6 +244,7 @@ def global_running_max(
     value_col: str,
     out_col: str = "runmax",
     num_buckets: int | None = None,
+    exclusive: bool = False,
 ) -> DataFrame:
     """Exact global running MAX over a total order, without a
     single-partition sort: bucket-local running max combined (via
@@ -251,7 +252,9 @@ def global_running_max(
     prior-bucket maxima are a cumulative fold of the O(buckets)
     per-bucket totals on the driver — max is not additive, so this
     cannot reuse _two_pass's additive offsets. Composes with
-    global_prefix_sum for running-peak / max-drawdown shapes."""
+    global_prefix_sum for running-peak / max-drawdown shapes.
+    ``exclusive=True`` gives the strictly-before max (NULL on the
+    global first row) — the domination test skylines need."""
     p = num_buckets or _default_buckets(df)
     bnds = _boundaries(df, bucket_key, p)
     dfb = df.withColumn(_B, _bucket_expr(F.col(bucket_key), bnds, ascending))
@@ -267,14 +270,15 @@ def global_running_max(
         if totals[b] is not None:
             acc = totals[b] if acc is None else max(acc, totals[b])
     w = Window.partitionBy(_B).orderBy(*order_exprs)
-    local = F.max(value_col).over(w)
+    frame = w.rowsBetween(Window.unboundedPreceding, -1 if exclusive else 0)
+    local = F.max(value_col).over(frame)
     if offsets:
         pairs: list[Column] = []
         for b in sorted(offsets):
             pairs.append(F.lit(int(b)))
             pairs.append(F.lit(int(offsets[b])))
         prior = F.element_at(F.create_map(*pairs), F.col(_B)).cast("long")
-        out = F.greatest(local, prior)  # greatest skips the NULL prior of bucket 0
+        out = F.greatest(local, prior)  # greatest skips NULLs (bucket 0 / first row)
     else:
         out = local
     return dfb.withColumn(out_col, out.cast("long")).drop(_B)

@@ -73,7 +73,9 @@ def q209(spark, sf_dir):
     TakeOrdered top-50."""
     n = _SPAN_N
     docs = t(spark, sf_dir, "documents")
-    base = docs.select(
+    # single-file fixture = 1 scan partition: spread docs before the
+    # explode/hash work (CLAUDE.md trap; dedup.py does the same)
+    base = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
         "doc_id", tokens("text").alias("toks")
     ).select("doc_id", "toks", F.size("toks").cast("long").alias("n_tokens"))
     occ = (
@@ -624,7 +626,7 @@ def q215(spark, sf_dir):
         .agg(F.min("v").alias("value_cents"))
     )
     return (
-        hit.join(ks.select("qname", "n"), "qname")
+        hit.join(F.broadcast(ks.select("qname", "n")), "qname")
         .select("qname", "n", "k", "value_cents")
         .orderBy("qname")
     )
@@ -1377,4 +1379,150 @@ def q224(spark, sf_dir):
         )
         .orderBy(F.desc("matched_qty"), "l_partkey")
         .limit(50)
+    )
+
+
+# =====================================================================
+# q225 — 2D skyline (Pareto frontier) via exclusive global running max
+# =====================================================================
+
+@query(
+    "q225_skyline",
+    """
+    WITH pts AS (
+      SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS psize,
+             CAST(count(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY 1, 2
+    ),
+    scan AS (
+      SELECT price_cents, psize, n_parts,
+             max(psize) OVER (ORDER BY price_cents, psize DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mexcl
+      FROM pts
+    )
+    SELECT price_cents, psize, n_parts
+    FROM scan
+    WHERE mexcl IS NULL OR mexcl < psize
+    ORDER BY price_cents, psize
+    """,
+)
+def q225(spark, sf_dir):
+    """2D skyline / Pareto frontier (minimize price, maximize size):
+    over DISTINCT (price, size) pairs ordered by (price asc, size
+    desc), a pair is dominated exactly when the STRICTLY-BEFORE
+    running max of size reaches it — one linear pass instead of the
+    naive all-pairs domination join. The distinct-pair pre-aggregation
+    is the other half of the trick: duplicates collapse before any
+    ordered work (multiplicity re-attached as n_parts).
+
+    100 TB shape: one hash-agg to pair grain, then the EXCLUSIVE
+    global running max runs on the two-pass range-partitioned
+    operator (operators/windows.global_running_max(exclusive=True)) —
+    no single-partition sort (plan-gated). The same shape extends to
+    d>2 via repeated passes or block-nested skylines; 2D is the
+    closed-form case."""
+    from .operators.windows import global_running_max
+
+    pts = (
+        t(spark, sf_dir, "part")
+        .groupBy(
+            F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+            F.col("p_size").cast("long").alias("psize"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+    )
+    order = [F.col("price_cents").asc(), F.col("psize").desc()]
+    scan = global_running_max(
+        pts, "price_cents", True, order, "psize", out_col="mexcl", exclusive=True
+    )
+    return (
+        scan.filter(F.col("mexcl").isNull() | (F.col("mexcl") < F.col("psize")))
+        .select("price_cents", "psize", "n_parts")
+        .orderBy("price_cents", "psize")
+    )
+
+
+# =====================================================================
+# q226 — exact weighted quantiles (histogram narrowing on weights)
+# =====================================================================
+
+@query(
+    "q226_weighted_median",
+    """
+    WITH vals AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+             CAST(l_quantity AS BIGINT) AS wt
+      FROM lineitem
+    ),
+    meta AS (SELECT CAST(sum(wt) AS BIGINT) AS tw FROM vals),
+    ks AS (
+      SELECT q.qname, ((meta.tw - 1) * q.pct) // 100 + 1 AS k, meta.tw
+      FROM (SELECT 'p50' AS qname, 50 AS pct UNION ALL SELECT 'p90', 90) q, meta
+    ),
+    ordered AS (
+      SELECT v, sum(wt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cw
+      FROM (SELECT v, sum(wt) AS wt FROM vals GROUP BY v)
+    )
+    SELECT ks.qname, ks.tw, ks.k,
+           (SELECT min(o.v) FROM ordered o WHERE o.cw >= ks.k) AS value_cents
+    FROM ks
+    ORDER BY ks.qname
+    """,
+)
+def q226(spark, sf_dir):
+    """Exact WEIGHTED quantiles (weight = quantity): the k-th unit of
+    weight, k = floor((W-1)*pct/100)+1 — the order statistic of the
+    weight-expanded multiset, computed WITHOUT expanding it. Same
+    two-pass histogram narrowing as q215 but every count becomes a
+    weight sum: pass 1 bins weights into 4096 buckets and locates the
+    bucket holding the k-th unit; pass 2 rescans only that bucket and
+    finds the answer by per-value weight accumulation. The oracle is
+    again a different algorithm (full sort + running weight).
+
+    100 TB shape: two narrow scans with map-side combine; windows
+    only over the bounded 4096-bucket frame and the candidate
+    bucket's value domain. Weighted medians power robust aggregation
+    (e.g. per-segment price indices) where plain medians misweight
+    multi-unit rows."""
+    from pyspark.sql import Window
+
+    vals = t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    meta = vals.agg(
+        F.sum("wt").cast("long").alias("tw"),
+        F.min("v").alias("vmin"),
+        (F.max("v") - F.min("v") + 1).alias("w"),
+    )
+    qs = spark.createDataFrame([("p50", 50), ("p90", 90)], "qname string, pct int")
+    ks = qs.crossJoin(F.broadcast(meta)).select(
+        "qname", "tw", "vmin", "w", F.expr("((tw - 1) * pct) DIV 100 + 1").alias("k")
+    )
+    binned = vals.crossJoin(F.broadcast(meta.select("vmin", "w"))).select(
+        "v", "wt", F.expr(f"least(CAST({_SEL_B - 1} AS BIGINT), ((v - vmin) * {_SEL_B}) DIV w)").alias("bin")
+    )
+    bins = binned.groupBy("bin").agg(F.sum("wt").alias("cnt"))
+    wb = Window.orderBy("bin")  # bounded: <= 4096 rows
+    bins_c = bins.withColumn("cum", F.sum("cnt").over(wb)).withColumn(
+        "cum_prev", F.col("cum") - F.col("cnt")
+    )
+    cand = ks.join(
+        F.broadcast(bins_c), (F.col("cum") >= F.col("k")) & (F.col("cum_prev") < F.col("k"))
+    ).select("qname", "tw", "k", "bin", "cum_prev")
+    in_bin = binned.join(F.broadcast(cand.select("qname", "k", "bin", "cum_prev")), "bin")
+    perv = in_bin.groupBy("qname", "k", "cum_prev", "v").agg(F.sum("wt").alias("c"))
+    wv = Window.partitionBy("qname").orderBy("v")
+    hit = (
+        perv.withColumn("cumv", F.sum("c").over(wv) + F.col("cum_prev"))
+        .filter(F.col("cumv") >= F.col("k"))
+        .groupBy("qname", "k")
+        .agg(F.min("v").alias("value_cents"))
+    )
+    return (
+        hit.join(F.broadcast(ks.select("qname", "tw")), "qname")
+        .select("qname", "tw", "k", "value_cents")
+        .orderBy("qname")
     )

@@ -108,3 +108,14 @@ def test_global_running_max_matches_naive(df, buckets):
     got = W.global_running_max(sdf, "k", True, order, "x", out_col="m", num_buckets=buckets)
     for r in got.collect():
         assert r["m"] == expect[r["id"]], f"id={r['id']} buckets={buckets}"
+
+
+@pytest.mark.parametrize("buckets", [1, 3, None])
+def test_global_running_max_exclusive_matches_naive(df, buckets):
+    sdf = df.select("id", "k", (F.col("v") * 13 % 19 - 9).alias("x"))
+    order = [F.col("k").asc(), F.col("id").asc()]
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+    expect = {r["id"]: r["m"] for r in sdf.select("id", F.max("x").over(w).alias("m")).collect()}
+    got = W.global_running_max(sdf, "k", True, order, "x", out_col="m", num_buckets=buckets, exclusive=True)
+    for r in got.collect():
+        assert r["m"] == expect[r["id"]], f"id={r['id']} buckets={buckets}"

@@ -365,3 +365,12 @@ def test_q220_two_pass_running_peak(spark, sf_dir):
     df = QUERIES["q220_max_drawdown"](spark, sf_dir)
     assert single_partition_windows(df) == 0
     assert not has_cartesian(df)
+
+
+def test_q225_skyline_two_pass(spark, sf_dir):
+    """Skyline rides the exclusive two-pass running max — zero
+    single-partition windows."""
+    from patterns_devkit_spark.plans.inspect import single_partition_windows
+
+    df = QUERIES["q225_skyline"](spark, sf_dir)
+    assert single_partition_windows(df) == 0

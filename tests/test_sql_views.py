@@ -113,9 +113,30 @@ def test_cli_view_and_alter(tmp_path):
     assert r.returncode == 0, r.stdout + r.stderr
     r = run_cli(["--warehouse", wh, "view", "drop", "vv"], str(app))
     assert r.returncode == 0 and "dropped" in r.stdout
-    # the alters landed in the catalog
-    import json
+    # the alters landed in the catalog (backend-agnostic read)
+    from patterns_devkit_spark.catalog.catalog import Catalog
 
-    cat = json.load(open(os.path.join(wh, "catalog.json")))
-    ddl = cat["tables"]["tt"]["schema_ddl"]
+    ddl = (Catalog(wh).table_meta("tt") or {})["schema_ddl"]
     assert "bee" in ddl and "c string" in ddl.lower()
+
+
+def test_sys_views_and_join_mv_listing(engine):
+    """__sys_views lists catalog SQL views; __sys_matviews renders a
+    two-source join view (dict ordering/cursor stringified, staleness
+    from either side)."""
+    _write(engine, "l1", [{"k": 1, "mid": 1}])
+    _write(engine, "r1", [{"k": 1, "v": 2, "mid": 1}])
+    engine.create_view("sv", "SELECT 1 AS one")
+    engine.create_materialized_join_view(
+        "jmv", left="l1", right="r1", on=["k"],
+        order_by={"l1": "mid", "r1": "mid"},
+        dims=[], measures={"s": ("sum", "v")},
+    )
+    engine.materialized_view("jmv").refresh()
+    engine.register_system_views()
+    vs = {r["view_name"]: r["sql"] for r in engine.spark.sql("SELECT * FROM __sys_views").collect()}
+    assert vs.get("sv") == "SELECT 1 AS one"
+    m = {r["view_name"] if "view_name" in r.__fields__ else r["mv_name"]: r
+         for r in engine.spark.sql("SELECT * FROM __sys_matviews").collect()}
+    row = list(m.values())[0]
+    assert "l1+r1" in str(tuple(row))
