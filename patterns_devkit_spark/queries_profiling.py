@@ -1526,3 +1526,90 @@ def q226(spark, sf_dir):
         .select("qname", "tw", "k", "value_cents")
         .orderBy("qname")
     )
+
+
+# =====================================================================
+# sdk13 — incremental join MV + SQL view through the engine
+# =====================================================================
+
+@query(
+    "sdk13_join_mv_view",
+    """
+    WITH j AS (
+      SELECT c.c_nationkey, CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    agg AS (
+      SELECT c_nationkey,
+             CAST(sum(cents) AS BIGINT) AS revenue_cents,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM j GROUP BY c_nationkey
+    )
+    SELECT n.n_name AS nation, a.revenue_cents, a.n_orders
+    FROM agg a JOIN nation n ON n.n_nationkey = a.c_nationkey
+    ORDER BY nation
+    """,
+)
+def sdk13(spark, sf_dir):
+    """Incremental JOIN materialized view + SQL view, end-to-end
+    through the engine and under the driver's hash gate: customers
+    load fully, orders arrive in TWO batches with an incremental
+    refresh after each (the second fold applies ΔL ⋈ R only), and the
+    result is read through a catalog SQL view that joins nation names
+    at query time. The oracle states the equivalent one-shot join
+    aggregate over the raw fixtures — so the driver verifies that two
+    incremental IVM folds plus late-bound view expansion equal the
+    from-scratch answer bit-for-bit.
+
+    100 TB shape: each refresh is delta-sized (SCALE.md §51), the
+    view expansion is metadata (§52), and the final read is one
+    broadcast join of the 25-nation dim."""
+    from .node.node import Table
+    from .queries import _temp_engine
+
+    eng = _temp_engine(spark)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    with eng.node_context("wc", outputs={"out": "cust_t"}):
+        tc = Table("out", "w")
+        tc.init(add_monotonic_id="mid")
+        tc.append(cust)
+        tc.flush()
+    with eng.node_context("wn", outputs={"out": "nation_t"}):
+        tn = Table("out", "w")
+        tn.append(nat)
+        tn.flush()
+    with eng.node_context("wo", outputs={"out": "orders_t"}):
+        to = Table("out", "w")
+        to.init(add_monotonic_id="mid")
+        to.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+        to.flush()
+    mv = eng.create_materialized_join_view(
+        "rev_by_nat",
+        left="orders_t",
+        right="cust_t",
+        on=["c_custkey"],
+        order_by={"orders_t": "mid", "cust_t": "mid"},
+        dims=["c_nationkey"],
+        measures={"revenue_cents": ("sum", "cents"), "n_orders": ("count", "*")},
+    )
+    mv.refresh()
+    with eng.node_context("wo", outputs={"out": "orders_t"}):
+        to = Table("out", "w")
+        to.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+        to.flush()
+    mv.refresh()  # second fold: dL x R only
+    eng.create_view(
+        "rev_named",
+        "SELECT n.n_name AS nation, a.revenue_cents, a.n_orders "
+        "FROM {{ rev_by_nat }} a JOIN {{ nation_t }} n ON n.n_nationkey = a.c_nationkey",
+    )
+    rendered = eng.render_sql(
+        "SELECT nation, revenue_cents, n_orders FROM {{ rev_named }} ORDER BY nation"
+    )
+    return spark.sql(rendered)
