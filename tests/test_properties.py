@@ -211,3 +211,66 @@ def test_interval_join_equiv_naive_random(spark, intervals, points):
     assert {(r.iid, r.pid) for r in fast.collect()} == {
         (r.iid, r.pid) for r in naive.collect()
     }
+
+
+@given(
+    schedule=st.lists(
+        st.tuples(
+            st.sampled_from(["L", "R", "B"]),  # which side(s) get a batch
+            st.lists(st.tuples(st.integers(0, 4), st.integers(1, 9)), min_size=1, max_size=4),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    refresh_each=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_join_mv_any_schedule_equals_full_recompute(mk_engine, schedule, refresh_each):
+    """IVM law: for ANY interleaving of left/right/both appends and any
+    refresh cadence (per-batch or once at the end), the folded join
+    view equals the from-scratch join aggregate."""
+    from pyspark.sql import functions as F
+
+    engine = mk_engine()
+
+    def append(store, rows):
+        with engine.node_context("w", outputs={"out": store}):
+            tb = Table("out", "w")
+            tb.init(add_monotonic_id="mid")
+            tb.append(rows)
+            tb.flush()
+
+    mv = engine.create_materialized_join_view(
+        "jp",
+        left="lt",
+        right="rt",
+        on=["k"],
+        order_by={"lt": "mid", "rt": "mid"},
+        dims=["k"],
+        measures={"s": ("sum", "lv * rv"), "n": ("count", "*")},
+    )
+    for side, pairs in schedule:
+        if side in ("L", "B"):
+            append("lt", [{"k": k, "lv": v} for k, v in pairs])
+        if side in ("R", "B"):
+            append("rt", [{"k": k, "rv": v + 10} for k, v in pairs])
+        if refresh_each:
+            mv.refresh()
+    mv.refresh()
+
+    got = mv.read_spark()
+    got_rows = sorted(tuple(r) for r in got.collect()) if got is not None else []
+    with engine.node_context("r", inputs={"a": "lt", "b": "rt"}):
+        l_df = Table("a", "r").read_spark()
+        r_df = Table("b", "r").read_spark()
+    if "k" not in l_df.columns or "k" not in r_df.columns:
+        # one side never received data: the join view must be empty
+        assert got_rows == []
+        return
+    expect = (
+        l_df.join(r_df, "k")
+        .groupBy("k")
+        .agg(F.sum(F.expr("lv * rv")).alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    expect_rows = sorted(tuple(r) for r in expect.collect())
+    assert got_rows == expect_rows
