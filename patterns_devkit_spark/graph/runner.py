@@ -86,7 +86,9 @@ class GraphRunner:
         'sub.' namespace; exposed ports bind to the outer store."""
         out: list[NodeSpec] = []
         self._stores_flat = getattr(self, "_stores_flat", set())
-        self._stores_flat |= {prefix + s for s in spec.store_names()}
+        # views are catalog SQL (Engine.create_view), not tables: never
+        # ensure_table them or create_view would see a name collision
+        self._stores_flat |= {prefix + s.name for s in spec.stores if s.kind != "view"}
         for st in spec.stores:
             if st.schema is not None:
                 self._store_schemas[prefix + st.name] = st.schema

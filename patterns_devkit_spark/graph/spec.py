@@ -115,6 +115,11 @@ def parse_graph(path: str, rng: random.Random | None = None) -> GraphSpec:
             spec.stores.append(StoreSpec("table", entry["table"], entry.get("schema")))
         elif "stream" in entry:
             spec.stores.append(StoreSpec("stream", entry["stream"], entry.get("schema")))
+        elif "view" in entry:
+            # a catalog SQL view created at runtime (Engine.create_view):
+            # declared so template validation knows the name; the runner
+            # never ensure_table()s it
+            spec.stores.append(StoreSpec("view", entry["view"], None))
     exposes = doc.get("exposes") or {}
     spec.exposes_inputs = list(exposes.get("inputs") or [])
     spec.exposes_outputs = list(exposes.get("outputs") or [])
