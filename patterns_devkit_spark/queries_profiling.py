@@ -1613,3 +1613,168 @@ def sdk13(spark, sf_dir):
         "SELECT nation, revenue_cents, n_orders FROM {{ rev_named }} ORDER BY nation"
     )
     return spark.sql(rendered)
+
+
+# =====================================================================
+# q227 — per-node graph features (degree / wedges / triangles / lcc)
+# =====================================================================
+
+@query(
+    "q227_node_graph_features",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= 2
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) t
+      GROUP BY node
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    ntri AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+      FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) t
+      GROUP BY node
+    )
+    SELECT d.node, d.degree,
+           CAST(d.degree * (d.degree - 1) // 2 AS BIGINT) AS wedges,
+           COALESCE(t.n_tri, 0) AS triangles,
+           CASE WHEN d.degree >= 2
+                THEN CAST((1000 * COALESCE(t.n_tri, 0)) // (d.degree * (d.degree - 1) // 2) AS BIGINT)
+                ELSE 0 END AS lcc_permille
+    FROM deg d LEFT JOIN ntri t ON t.node = d.node
+    ORDER BY d.degree DESC, d.node LIMIT 50
+    """,
+)
+def q227(spark, sf_dir):
+    """Node-grain graph featurization over the sparsified co-purchase
+    graph: degree, wedge count, per-node triangle membership, and
+    local clustering coefficient in integer permille — the feature
+    vector graph-ML pipelines attach to every entity before training
+    (q165 reports the same quantities at GRAPH grain; this is the
+    per-node breakdown).
+
+    100 TB shape: identical join skeleton to q165 (support>=2
+    sparsifier bounds the edge list; the triangle enumeration is the
+    standard oriented three-way join), plus two int-keyed hash-aggs
+    to node grain. Top-50 by degree is a TakeOrdered."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey")) & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c"))
+    )
+    ntri = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    out = (
+        deg.join(ntri, "node", "left")
+        .select(
+            "node", "degree",
+            F.expr("CAST(degree * (degree - 1) DIV 2 AS BIGINT)").alias("wedges"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("triangles"),
+            F.expr(
+                "CASE WHEN degree >= 2 THEN CAST((1000 * coalesce(n_tri, 0)) DIV (degree * (degree - 1) DIV 2) AS BIGINT) ELSE 0 END"
+            ).alias("lcc_permille"),
+        )
+    )
+    return out.orderBy(F.desc("degree"), "node").limit(50)
+
+
+# =====================================================================
+# q228 — SCD type-2 dimension build (change-compressed intervals)
+# =====================================================================
+
+@query(
+    "q228_scd2_build",
+    """
+    WITH obs AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+             min(o_orderpriority) AS prio
+      FROM orders GROUP BY o_custkey, CAST(o_orderdate AS DATE)
+    ),
+    chg AS (
+      SELECT o_custkey, d, prio,
+             lag(prio) OVER (PARTITION BY o_custkey ORDER BY d) AS prev
+      FROM obs
+    ),
+    ver AS (
+      SELECT o_custkey, d AS valid_from, prio,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY d) AS version_no,
+             lead(d) OVER (PARTITION BY o_custkey ORDER BY d) AS next_from
+      FROM chg WHERE prev IS NULL OR prev <> prio
+    )
+    SELECT o_custkey, CAST(version_no AS BIGINT) AS version_no, prio,
+           strftime(valid_from, '%Y-%m-%d') AS valid_from,
+           COALESCE(strftime(next_from, '%Y-%m-%d'), '9999-12-31') AS valid_to
+    FROM ver
+    WHERE o_custkey % 97 = 0
+    ORDER BY o_custkey, version_no
+    """,
+)
+def q228(spark, sf_dir):
+    """Slowly-changing-dimension type-2 build: per customer, compress
+    the observed attribute series (order priority by order date) to
+    its CHANGE POINTS, then derive half-open validity intervals
+    [valid_from, valid_to) with lead() — the standard SCD2
+    construction (change compression -> interval derivation) behind
+    every point-in-time dimension join (q186's training matrix is the
+    consumer side). Dates are emitted as ISO strings on both engines
+    (the raw-DATE comparator trap).
+
+    100 TB shape: one hash-agg to (customer, day) grain, then
+    customer-PARTITIONED windows (per-key sequences — parallel, never
+    a global sort). The % 97 slice keeps the driver-compared output
+    bounded; the build itself is full-table."""
+    from pyspark.sql import Window
+
+    obs = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.min("o_orderpriority").alias("prio"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    chg = obs.withColumn("prev", F.lag("prio").over(w)).filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("prio"))
+    )
+    ver = chg.select(
+        "o_custkey",
+        F.col("d").alias("valid_from"),
+        "prio",
+        F.row_number().over(w).cast("long").alias("version_no"),
+        F.lead("d").over(w).alias("next_from"),
+    )
+    return (
+        ver.filter(F.col("o_custkey") % 97 == 0)
+        .select(
+            "o_custkey", "version_no", "prio",
+            F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+            F.coalesce(F.date_format("next_from", "yyyy-MM-dd"), F.lit("9999-12-31")).alias("valid_to"),
+        )
+        .orderBy("o_custkey", "version_no")
+    )
