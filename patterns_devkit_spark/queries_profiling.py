@@ -1778,3 +1778,179 @@ def q228(spark, sf_dir):
         )
         .orderBy("o_custkey", "version_no")
     )
+
+
+# =====================================================================
+# q229 — point-in-time join INTO the SCD2 dimension (as-of semantics)
+# =====================================================================
+
+@query(
+    "q229_scd2_pit_join",
+    """
+    WITH obs AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+             min(o_orderpriority) AS prio
+      FROM orders GROUP BY o_custkey, CAST(o_orderdate AS DATE)
+    ),
+    chg AS (
+      SELECT o_custkey, d, prio,
+             lag(prio) OVER (PARTITION BY o_custkey ORDER BY d) AS prev
+      FROM obs
+    ),
+    dim AS (
+      SELECT o_custkey, d AS valid_from, prio,
+             COALESCE(lead(d) OVER (PARTITION BY o_custkey ORDER BY d), DATE '9999-12-31') AS valid_to
+      FROM chg WHERE prev IS NULL OR prev <> prio
+    ),
+    facts AS (
+      SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS od,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    pit AS (
+      SELECT f.o_orderkey, f.cents, dim.prio AS prio_at_order
+      FROM facts f JOIN dim
+        ON dim.o_custkey = f.o_custkey
+       AND f.od >= dim.valid_from AND f.od < dim.valid_to
+    )
+    SELECT prio_at_order,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           CAST(sum(o_orderkey) % 1000000007 AS BIGINT) AS key_checksum
+    FROM pit GROUP BY prio_at_order
+    ORDER BY prio_at_order
+    """,
+)
+def q229(spark, sf_dir):
+    """Point-in-time join into the SCD2 dimension q228 builds: every
+    fact row picks the dimension version whose [valid_from, valid_to)
+    interval contains its date — the consumer half of SCD2 and the
+    leakage-free alternative to joining current attributes onto
+    historical facts. Every fact matches EXACTLY one version (the
+    intervals partition time), which the per-priority rollup
+    cross-checks via the key checksum.
+
+    100 TB shape: the dim is change-compressed (tiny vs facts); the
+    join is an equi-join on the entity key plus interval predicates —
+    at extreme version depth the q115 banding applies. Windows only
+    on the customer-partitioned dim build."""
+    from pyspark.sql import Window
+
+    orders = t(spark, sf_dir, "orders")
+    obs = orders.groupBy("o_custkey", F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.min("o_orderpriority").alias("prio")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    chg = obs.withColumn("prev", F.lag("prio").over(w)).filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("prio"))
+    )
+    dim = chg.select(
+        "o_custkey",
+        F.col("d").alias("valid_from"),
+        "prio",
+        F.coalesce(F.lead("d").over(w), F.lit("9999-12-31").cast("date")).alias("valid_to"),
+    )
+    facts = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    pit = facts.join(
+        dim,
+        (dim["o_custkey"] == facts["o_custkey"])
+        & (facts["od"] >= dim["valid_from"])
+        & (facts["od"] < dim["valid_to"]),
+    ).select("o_orderkey", "cents", F.col("prio").alias("prio_at_order"))
+    return (
+        pit.groupBy("prio_at_order")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+            (F.sum("o_orderkey") % F.lit(1000000007)).cast("long").alias("key_checksum"),
+        )
+        .orderBy("prio_at_order")
+    )
+
+
+# =====================================================================
+# q230 — interval union length (sweep-line merge of overlapping spans)
+# =====================================================================
+
+@query(
+    "q230_interval_union",
+    """
+    WITH iv AS (
+      SELECT l_suppkey,
+             CAST(date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS s,
+             CAST(date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS BIGINT)
+               + CAST(l_quantity AS BIGINT) % 10 AS e
+      FROM lineitem
+    ),
+    swept AS (
+      SELECT l_suppkey, s, e,
+             max(e) OVER (PARTITION BY l_suppkey ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM iv
+    ),
+    isl AS (
+      SELECT l_suppkey, s, e,
+             sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+               OVER (PARTITION BY l_suppkey ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM swept
+    ),
+    merged AS (
+      SELECT l_suppkey, island, min(s) AS ms, max(e) AS me
+      FROM isl GROUP BY l_suppkey, island
+    )
+    SELECT l_suppkey,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(me - ms + 1) AS BIGINT) AS covered_days
+    FROM merged
+    GROUP BY l_suppkey
+    ORDER BY covered_days DESC, l_suppkey LIMIT 50
+    """,
+)
+def q230(spark, sf_dir):
+    """Interval union per supplier (total days with at least one
+    shipment in transit, transit span derived deterministically from
+    quantity since the fixture has no receipt date): the classic
+    sweep-line merge — sort spans,
+    flag a NEW island whenever a span starts after the running max of
+    previous ends, number islands with a running sum of flags, then
+    aggregate each island to its hull. Two partitioned window passes
+    turn an O(n^2) overlap problem into a linear sweep — the
+    gaps-and-islands pattern behind downtime accounting, in-transit
+    exposure, and coverage metrics.
+
+    100 TB shape: both windows are supplier-PARTITIONED per-key
+    sequences (parallel across keys, never a global sort); integer
+    day arithmetic end to end."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    sday = F.datediff(F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")).cast("long")
+    iv = li.select(
+        "l_suppkey",
+        sday.alias("s"),
+        (sday + F.col("l_quantity").cast("long") % 10).alias("e"),
+    )
+    w = Window.partitionBy("l_suppkey").orderBy("s", "e")
+    swept = iv.withColumn("prev_max", F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+    isl = swept.withColumn(
+        "island",
+        F.sum(
+            F.when(F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")), 1).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = isl.groupBy("l_suppkey", "island").agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+    return (
+        merged.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_islands"),
+            F.sum(F.col("me") - F.col("ms") + 1).cast("long").alias("covered_days"),
+        )
+        .orderBy(F.desc("covered_days"), "l_suppkey")
+        .limit(50)
+    )
