@@ -71,8 +71,12 @@ def _fake_decode(payload: bytes) -> dict:
     if payload is None:
         return {"feat_mean": None, "feat_head": None}
     arr = list(payload[:8])
+    # raw double mean (sum/len, ONE float rounding): a decimal re-round
+    # here would diverge from any SQL replay (Python round() is
+    # banker's; engines' round() is half-up) — quantization belongs to
+    # the caller (q43 emits micros-bigint)
     mean = sum(payload) / len(payload) if len(payload) else 0.0
-    return {"feat_mean": round(mean, 6), "feat_head": arr}
+    return {"feat_mean": mean, "feat_head": arr}
 
 
 FRAME_SCHEMA = T.StructType(

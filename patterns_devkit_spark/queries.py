@@ -1021,9 +1021,9 @@ def q42(spark, sf_dir):
     SELECT doc_id AS media_id,
            'text/plain' AS mime,
            CAST(length(text) AS BIGINT) AS n_bytes,
-           CAST(round(list_sum(list_transform(range(1, length(text) + 1),
-                                              i -> ascii(text[i]))) * 1000000.0
-                      / length(text), 0) AS BIGINT) AS feat_mean_micros,
+           CAST(round((CAST(list_sum(list_transform(range(1, length(text) + 1),
+                                                    i -> ascii(text[i]))) AS DOUBLE)
+                       / length(text)) * 1000000.0, 0) AS BIGINT) AS feat_mean_micros,
            to_json(list_transform(range(1, 9), i -> ascii(text[i]))) AS feat_head
     FROM documents
     """,

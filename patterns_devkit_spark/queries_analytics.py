@@ -1257,7 +1257,7 @@ def sdk07(spark, sf_dir):
     "q113_attribution",
     """
     WITH e AS (
-      SELECT event_id, user_id, event_type, CAST(epoch(ts) AS BIGINT) AS es FROM events
+      SELECT event_id, user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
     ),
     w AS (
       SELECT event_id, event_type,

@@ -581,7 +581,7 @@ def q124(spark, sf_dir):
     "q125_centroid",
     """
     WITH e AS (
-      SELECT label, u.pos, embedding[u.pos + 1] AS v
+      SELECT label, u.pos, CAST(embedding[u.pos + 1] AS DOUBLE) AS v
       FROM embeddings, unnest(range(len(embedding))) AS u(pos)
     )
     SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
@@ -602,7 +602,7 @@ def q125(spark, sf_dir):
         F.posexplode("embedding").alias("pos", "v"),
     )
     return e.groupBy("label", F.col("pos").cast("long").alias("pos")).agg(
-        F.sum(F.round(F.col("v") * 1000).cast("long")).cast("long").alias("sum_milli"),
+        F.sum(F.round(F.col("v").cast("double") * 1000).cast("long")).cast("long").alias("sum_milli"),
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
     )
 

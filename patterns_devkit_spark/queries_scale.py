@@ -39,8 +39,8 @@ _BLOOM_BITS = 1024  # 16 x 64-bit words
       SELECT c_custkey FROM customer WHERE c_acctbal > 9900
     ),
     bloom AS (
-      SELECT (CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT) % {_BLOOM_BITS}) // 64 AS w,
-             bit_or(CAST(1 AS BIGINT) << CAST((CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT) % {_BLOOM_BITS}) % 64 AS INT)) AS mask
+      SELECT (CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT) % {_BLOOM_BITS}) // 63 AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST((CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT) % {_BLOOM_BITS}) % 63 AS INT)) AS mask
       FROM dim GROUP BY 1
     ),
     probe AS (
@@ -51,8 +51,8 @@ _BLOOM_BITS = 1024  # 16 x 64-bit words
     ),
     cand AS (
       SELECT pr.o_orderpriority, pr.o_custkey, pr.cents
-      FROM probe pr JOIN bloom b ON pr.p // 64 = b.w
-      WHERE (b.mask >> CAST(pr.p % 64 AS INT)) & 1 = 1
+      FROM probe pr JOIN bloom b ON pr.p // 63 = b.w
+      WHERE (b.mask >> CAST(pr.p % 63 AS INT)) & 1 = 1
     )
     SELECT c.o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_candidates,
@@ -68,7 +68,7 @@ def q159(spark, sf_dir):
     small dimension key set (high-balance customers), probe the fact
     scan with it BEFORE the join, then resolve exactly. At 100 TB this
     is the semi-join pushdown that keeps a selective dim join from
-    shuffling the full fact table: the bitmap is a 16-row broadcast,
+    shuffling the full fact table: the bitmap is a 17-row broadcast (63-bit words: DuckDB rejects signed 1<<63, the q164 convention),
     the probe is map-side bit math, and only bloom survivors reach the
     exact join. Spark's own bloom runtime filters aren't SQL-exposed
     (might_contain is internal), so the filter is built from the
@@ -84,8 +84,8 @@ def q159(spark, sf_dir):
     bloom = (
         dim.select(p_dim.alias("p"))
         .select(
-            F.expr("p DIV 64").alias("w"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("bitval"),
+            F.expr("p DIV 63").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 63 AS INT))").alias("bitval"),
         )
         .groupBy("w")
         .agg(F.expr("bit_or(bitval)").alias("mask"))
@@ -98,8 +98,8 @@ def q159(spark, sf_dir):
         p_fact.alias("p"),
     )
     cand = (
-        probe.join(F.broadcast(bloom), F.expr("p DIV 64") == F.col("w"))
-        .filter(F.expr("(shiftright(mask, CAST(p % 64 AS INT)) & 1) = 1"))
+        probe.join(F.broadcast(bloom), F.expr("p DIV 63") == F.col("w"))
+        .filter(F.expr("(shiftright(mask, CAST(p % 63 AS INT)) & 1) = 1"))
         .select("o_orderpriority", "o_custkey", "cents")
     )
     marked = cand.join(
