@@ -1791,6 +1791,54 @@ class Table:
         self.signal_create()
         return TableVersion(self._engine, self.store_name, vid)
 
+    def change_feed(
+        self,
+        version_a: str,
+        version_b: str | None = None,
+        key_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """CDC-OUT: the row-level change batch that transforms
+        ``version_a`` into ``version_b`` (default: the active
+        version) — 'I' rows for new keys (version_b's row), 'U' for
+        keys whose non-key columns changed (version_b's row), 'D' for
+        keys that disappeared (version_a's row, so the key columns are
+        present). The output feeds DIRECTLY into another table's
+        apply_cdc — the replication pair: changes flow out of one
+        warehouse and merge into another without shipping snapshots.
+
+        Keys default to the table's unique_on. Like diff_versions, the
+        comparison shuffles keys + row fingerprints, never full rows;
+        full rows are joined back only for the (small) changed set."""
+        meta = self._engine.catalog.table_meta(self.store_name) or {}
+        keys = list(key_cols or meta.get("unique_on") or [])
+        if not keys:
+            raise ValueError(
+                f"change_feed on table {self.store_name!r} requires key_cols (or unique_on in Table.init)"
+            )
+        a = self.read_spark(version=version_a)
+        b = self.read_spark(version=version_b) if version_b else self.read_spark()
+
+        def fp(df: DataFrame, cols: list[str]) -> Column:
+            return F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols],
+                )
+            )
+
+        val_cols = [c for c in b.columns if c not in keys]
+        fa = a.select(*keys, fp(a, val_cols).alias("__fa"))
+        fb = b.select(*keys, fp(b, val_cols).alias("__fb"))
+        j = fa.join(fb, on=keys, how="full_outer").withColumn(
+            "op",
+            F.when(F.col("__fa").isNull(), F.lit("I"))
+            .when(F.col("__fb").isNull(), F.lit("D"))
+            .when(F.col("__fa") != F.col("__fb"), F.lit("U")),
+        ).filter(F.col("op").isNotNull())
+        upserts = j.filter(F.col("op") != "D").select("op", *keys).join(b, on=keys)
+        deletes = j.filter(F.col("op") == "D").select("op", *keys).join(a, on=keys)
+        return upserts.select("op", *b.columns).unionByName(deletes.select("op", *b.columns))
+
     def diff_versions(
         self,
         version_a: str,
