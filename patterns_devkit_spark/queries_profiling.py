@@ -1954,3 +1954,79 @@ def q230(spark, sf_dir):
         .orderBy(F.desc("covered_days"), "l_suppkey")
         .limit(50)
     )
+
+
+# =====================================================================
+# q231 — dedup-cluster representative selection (keep-best-of-cluster)
+# =====================================================================
+
+@query(
+    "q231_cluster_representative",
+    """
+    WITH norm AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST('0x' || substr(md5(array_to_string(
+               string_split_regex(trim(lower(text)), '\\s+')[1:3], ' ')), 1, 15) AS BIGINT) AS fp
+      FROM documents
+    ),
+    clus AS (
+      SELECT fp, CAST(count(*) AS BIGINT) AS cluster_size, max(n_chars) AS best_chars
+      FROM norm GROUP BY fp HAVING count(*) >= 2
+    ),
+    rep AS (
+      SELECT n.fp, min(n.doc_id) AS rep_doc_id
+      FROM norm n JOIN clus c ON c.fp = n.fp AND n.n_chars = c.best_chars
+      GROUP BY n.fp
+    )
+    SELECT c.fp, c.cluster_size, r.rep_doc_id, c.best_chars,
+           c.cluster_size - 1 AS n_discarded
+    FROM clus c JOIN rep r ON r.fp = c.fp
+    ORDER BY c.cluster_size DESC, c.fp LIMIT 50
+    """,
+)
+def q231(spark, sf_dir):
+    """Representative selection for dedup clusters — the step between
+    detection (q33/q34/q58) and curation: cluster documents by a
+    normalized 3-word-prefix blocking fingerprint (lowercase,
+    whitespace-split — the sorted-neighborhood key near-dup pipelines
+    canonicalize within), then keep one canonical doc
+    per cluster by the deterministic policy (longest text, then
+    smallest id) and count what gets discarded. The argmax is the
+    cross-engine two-aggregate form (max score per cluster, then min
+    id among the tied best) — no window, no nondeterministic FIRST.
+
+    100 TB shape: normalization + hashing are map-side (60-bit
+    fingerprints shuffle, never text); the policy join touches only
+    clusters with >=2 members. Top-50 by size is a TakeOrdered."""
+    docs = t(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        md5_long(
+            F.concat_ws(" ", F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 3))
+        ).alias("fp"),
+    )
+    clus = (
+        norm.groupBy("fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"), F.max("n_chars").alias("best_chars"))
+        .filter(F.col("cluster_size") >= 2)
+    )
+    n_a = norm.alias("n")
+    c_a = clus.alias("c")
+    rep = (
+        n_a.join(
+            c_a,
+            (F.col("n.fp") == F.col("c.fp")) & (F.col("n.n_chars") == F.col("c.best_chars")),
+        )
+        .groupBy(F.col("n.fp").alias("rfp"))
+        .agg(F.min("doc_id").alias("rep_doc_id"))
+    )
+    return (
+        clus.join(rep, clus["fp"] == rep["rfp"])
+        .select(
+            "fp", "cluster_size", "rep_doc_id", "best_chars",
+            (F.col("cluster_size") - 1).alias("n_discarded"),
+        )
+        .orderBy(F.desc("cluster_size"), "fp")
+        .limit(50)
+    )
