@@ -2421,6 +2421,12 @@ class Engine:
 
         return re.sub(r"\{\{\s*([^}]+?)\s*\}\}", sub, sql)
 
+    def sql(self, query: str, parameters: dict[str, Any] | None = None) -> DataFrame:
+        """Engine-level ad-hoc SQL: render {{ refs }} (stores, views,
+        time travel, parameters) and run — the notebook/REPL entry
+        point that needs no node context. Returns a lazy DataFrame."""
+        return self.spark.sql(self.render_sql(query, parameters=parameters))
+
     def create_view(self, name: str, sql: str) -> None:
         """Register a named SQL view over the warehouse ({{ refs }} to
         stores / other views allowed; expansion is recursive with a

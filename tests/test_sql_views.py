@@ -140,3 +140,19 @@ def test_sys_views_and_join_mv_listing(engine):
          for r in engine.spark.sql("SELECT * FROM __sys_matviews").collect()}
     row = list(m.values())[0]
     assert "l1+r1" in str(tuple(row))
+
+
+def test_engine_level_sql(engine):
+    """engine.sql(): ad-hoc rendered SQL without a node context —
+    stores, views, parameters, and time travel all resolve."""
+    _write(engine, "tq", [{"a": 1}, {"a": 2}])
+    v1 = engine.catalog.get_active_version("tq")
+    with engine.node_context("w", outputs={"out": "tq"}):
+        tb = Table("out", "w")
+        tb.replace([{"a": 1}, {"a": 2}, {"a": 3}])  # new version; v1 keeps 2 rows
+        tb.flush()
+    engine.create_view("tq_big", "SELECT a FROM {{ tq }} WHERE a >= {{ lo }}")
+    rows = engine.sql("SELECT sum(a) AS s FROM {{ tq_big }}", parameters={"lo": 2}).collect()
+    assert rows[0]["s"] == 5
+    pinned = engine.sql("SELECT count(*) AS n FROM {{ tq@%s }}" % v1).collect()
+    assert pinned[0]["n"] == 2
