@@ -290,6 +290,7 @@ def test_system_views_reflect_catalog(engine):
         "__sys_streams",
         "__sys_tables",
         "__sys_versions",
+        "__sys_views",
     ]
 
     trow = engine.spark.sql(
