@@ -2030,3 +2030,75 @@ def q231(spark, sf_dir):
         .orderBy(F.desc("cluster_size"), "fp")
         .limit(50)
     )
+
+
+# =====================================================================
+# q232 — audience overlap matrix (bitmap AND + popcount, exact)
+# =====================================================================
+
+@query(
+    "q232_audience_overlap",
+    """
+    WITH bm AS (
+      SELECT event_type, user_id // 63 AS bucket,
+             bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT)) AS m
+      FROM events GROUP BY event_type, user_id // 63
+    ),
+    pair AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             sum(bit_count(a.m & b.m)) AS n_overlap
+      FROM bm a JOIN bm b ON a.bucket = b.bucket AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    ),
+    sz AS (
+      SELECT event_type, CAST(sum(bit_count(m)) AS BIGINT) AS n_users FROM bm GROUP BY event_type
+    )
+    SELECT p.type_a, p.type_b,
+           sa.n_users AS n_a, sb.n_users AS n_b,
+           CAST(p.n_overlap AS BIGINT) AS n_overlap,
+           CAST((1000 * p.n_overlap) // least(sa.n_users, sb.n_users) AS BIGINT) AS containment_permille
+    FROM pair p
+    JOIN sz sa ON sa.event_type = p.type_a
+    JOIN sz sb ON sb.event_type = p.type_b
+    ORDER BY p.type_a, p.type_b
+    """,
+)
+def q232(spark, sf_dir):
+    """Exact audience-overlap matrix: per event type, the user set as
+    63-bit bitmap words (the q164 encoding); every pair's intersection
+    is popcount(AND) summed over co-located buckets — |A∩B| for all
+    type pairs in ONE pass over the bitmaps, plus a containment
+    permille against the smaller audience. The bitmap-AND form is why
+    mergeable bitmap indexes beat count(distinct) for overlap
+    reporting: k audiences need k bitmaps, not k^2 distinct-counts.
+
+    100 TB shape: user ids reduce to (bucket, 64-bit word) — 63
+    users per row — so the pairwise join is bitmap-sized, not
+    user-sized, co-partitioned on bucket; popcount is JVM bit math.
+    Audience sizes fall out of the same bitmaps for free."""
+    ev = t(spark, sf_dir, "events")
+    bm = (
+        ev.select("event_type", F.expr("user_id DIV 63").alias("bucket"),
+                  F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))").alias("bit"))
+        .groupBy("event_type", "bucket")
+        .agg(F.expr("bit_or(bit)").alias("m"))
+    )
+    a, b = bm.alias("a"), bm.alias("b")
+    pair = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.event_type") < F.col("b.event_type")))
+        .groupBy(F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b"))
+        .agg(F.sum(F.expr("bit_count(a.m & b.m)")).alias("n_overlap"))
+    )
+    sz = bm.groupBy("event_type").agg(F.sum(F.expr("bit_count(m)")).cast("long").alias("n_users"))
+    sa = sz.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a"))
+    sb = sz.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b"))
+    return (
+        pair.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a", "type_b", "n_a", "n_b",
+            F.col("n_overlap").cast("long").alias("n_overlap"),
+            F.expr("CAST((1000 * n_overlap) DIV least(n_a, n_b) AS BIGINT)").alias("containment_permille"),
+        )
+        .orderBy("type_a", "type_b")
+    )
