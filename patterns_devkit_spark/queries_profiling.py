@@ -2102,3 +2102,83 @@ def q232(spark, sf_dir):
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# =====================================================================
+# q233 — strict-order funnel (signup -> click -> purchase chain)
+# =====================================================================
+
+@query(
+    "q233_ordered_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t1
+      WHERE e.event_type = 'click'
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t2
+      WHERE e.event_type = 'purchase'
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_signup,
+           CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_clicked_after,
+           CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_purchased_after,
+           CAST((SELECT sum(CAST(floor(epoch(t2)) AS BIGINT) - CAST(floor(epoch(t1)) AS BIGINT))
+                 FROM s2 JOIN s1 ON s1.user_id = s2.user_id) AS BIGINT) AS sum_s1_to_s2_secs,
+           CAST((SELECT sum(CAST(floor(epoch(t3)) AS BIGINT) - CAST(floor(epoch(t2)) AS BIGINT))
+                 FROM s3 JOIN s2 ON s2.user_id = s3.user_id) AS BIGINT) AS sum_s2_to_s3_secs
+    """,
+)
+def q233(spark, sf_dir):
+    """Strict-ORDER funnel: users who signed up, then clicked strictly
+    AFTER their first signup, then purchased strictly after that
+    click — the min-timestamp chain (t1 < t2 < t3), which plain
+    'did all three events' set intersection over-counts. Latency sums
+    ride along in integer seconds (floored epoch on both engines —
+    the q113 trap).
+
+    100 TB shape: three user-grain hash-aggs chained by equi-joins on
+    user_id — each stage's frame shrinks monotonically, nothing
+    row-grain survives the first aggregation. The same chain extends
+    to k steps linearly (one agg + join per step), the scalable form
+    of funnel queries that window-function PATTERN matching cannot
+    partition."""
+    ev = t(spark, sf_dir, "events")
+    s1 = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    lat12 = (
+        s2.join(s1, "user_id")
+        .agg(F.sum(F.unix_timestamp("t2").cast("long") - F.unix_timestamp("t1").cast("long")).alias("d12"))
+    )
+    lat23 = (
+        s3.join(s2, "user_id")
+        .agg(F.sum(F.unix_timestamp("t3").cast("long") - F.unix_timestamp("t2").cast("long")).alias("d23"))
+    )
+    c1 = s1.agg(F.count(F.lit(1)).cast("long").alias("n_signup"))
+    c2 = s2.agg(F.count(F.lit(1)).cast("long").alias("n_clicked_after"))
+    c3 = s3.agg(F.count(F.lit(1)).cast("long").alias("n_purchased_after"))
+    return (
+        c1.crossJoin(F.broadcast(c2))
+        .crossJoin(F.broadcast(c3))
+        .crossJoin(F.broadcast(lat12.select(F.col("d12").cast("long").alias("sum_s1_to_s2_secs"))))
+        .crossJoin(F.broadcast(lat23.select(F.col("d23").cast("long").alias("sum_s2_to_s3_secs"))))
+    )
