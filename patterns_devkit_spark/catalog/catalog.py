@@ -100,6 +100,7 @@ class Catalog:
         self.root = os.path.abspath(warehouse_dir)
         os.makedirs(os.path.join(self.root, "tables"), exist_ok=True)
         self._lock = threading.RLock()
+        self._snapshots: list[dict] = []
         self._backend = resolve_backend(self.root, backend)
         if self._backend.exists():
             self._doc = self._backend.load()
@@ -155,6 +156,7 @@ class Catalog:
     def create_new_version(self, name: str) -> str:
         """Allocate a new TableVersion id and its (empty) directory.
         Reference: Table.create_new_version, node.py:375-379."""
+        self._refuse_write_in_snapshot()
         with self._lock:
             meta = self.ensure_table(name)
             meta["version_counter"] += 1
@@ -166,6 +168,7 @@ class Catalog:
 
     def set_active_version(self, name: str, version: str | None) -> None:
         """Atomic active-pointer flip (node.py:381-385)."""
+        self._refuse_write_in_snapshot()
         with self._lock:
             meta = self.ensure_table(name)
             if version is not None and version not in meta["versions"]:
@@ -174,8 +177,36 @@ class Catalog:
             self._persist()
 
     def get_active_version(self, name: str) -> str | None:
+        if self._snapshots:
+            snap = self._snapshots[-1]
+            if name in snap:
+                return snap[name]
         meta = self.table_meta(name)
         return meta["active_version"] if meta else None
+
+    # -- snapshot isolation (engine extension) ----------------------------
+    def push_snapshot(self) -> dict:
+        """Pin EVERY table's active version: reads inside the snapshot
+        resolve through this map (repeatable read across tables);
+        writes are refused while a snapshot is active (guards below).
+        Tables created after the pin fall through to the live pointer."""
+        snap = {n: (self.table_meta(n) or {}).get("active_version") for n in self.table_names()}
+        self._snapshots.append(snap)
+        return snap
+
+    def pop_snapshot(self) -> None:
+        self._snapshots.pop()
+
+    @property
+    def in_snapshot(self) -> bool:
+        return bool(self._snapshots)
+
+    def _refuse_write_in_snapshot(self) -> None:
+        if self._snapshots:
+            raise RuntimeError(
+                "catalog is inside a read snapshot (Engine.snapshot()): "
+                "writes would race the pinned reads — perform them outside"
+            )
 
     def version_dir(self, name: str, version: str) -> str:
         return os.path.join(self.root, "tables", name, version)
@@ -223,6 +254,7 @@ class Catalog:
         atomically: json tmp+rename / sqlite transaction). The
         cross-table commit primitive under staged write-audit-publish
         (node.py Table.write_staged/publish)."""
+        self._refuse_write_in_snapshot()
         with self._lock:
             for name, version in flips.items():
                 meta = self.ensure_table(name)

@@ -2393,7 +2393,7 @@ class Engine:
                 meta_tt = self.catalog.table_meta(store)
                 if meta_tt is not None:
                     versions = meta_tt.get("versions") or []
-                    vid = meta_tt.get("active_version") if want == "latest" else want
+                    vid = self.catalog.get_active_version(store) if want == "latest" else want
                     if vid not in versions:
                         raise KeyError(f"unknown version {want!r} of table {store!r} in template")
                     view = f"{store}__{vid}"
@@ -2420,6 +2420,35 @@ class Engine:
             raise KeyError(f"unresolved template reference {{{{ {ref} }}}}")
 
         return re.sub(r"\{\{\s*([^}]+?)\s*\}\}", sub, sql)
+
+    def snapshot(self):
+        """Read-only SNAPSHOT ISOLATION across the whole warehouse:
+        pins every table's active version on entry, so every read —
+        read/read_spark/read_sql, Engine.sql, SQL views, register_views
+        — inside the block sees one consistent multi-table state even
+        while concurrent writers keep flipping pointers (their flips
+        become visible after exit). Writes INSIDE the block raise
+        (the catalog's version mutators refuse), which is what makes
+        the guarantee honest rather than best-effort. Retention GC of
+        a pinned version is bounded by retention_keep — hold snapshots
+        shorter than the retention window (same rule as time travel).
+
+            with engine.snapshot():
+                facts = engine.sql("SELECT ... FROM {{ orders_t }}")
+                dims  = engine.sql("SELECT ... FROM {{ cust_t }}")
+                # facts and dims are mutually consistent
+        """
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _snap():
+            self.catalog.push_snapshot()
+            try:
+                yield self
+            finally:
+                self.catalog.pop_snapshot()
+
+        return _snap()
 
     def sql(self, query: str, parameters: dict[str, Any] | None = None) -> DataFrame:
         """Engine-level ad-hoc SQL: render {{ refs }} (stores, views,
