@@ -2182,3 +2182,57 @@ def q233(spark, sf_dir):
         .crossJoin(F.broadcast(lat12.select(F.col("d12").cast("long").alias("sum_s1_to_s2_secs"))))
         .crossJoin(F.broadcast(lat23.select(F.col("d23").cast("long").alias("sum_s2_to_s3_secs"))))
     )
+
+
+# =====================================================================
+# q234 — DAU/WAU stickiness (exact distincts, integer permille)
+# =====================================================================
+
+@query(
+    "q234_stickiness",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, user_id FROM events GROUP BY 1, 2
+    ),
+    dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM d GROUP BY day),
+    wk AS (
+      SELECT CAST(date_diff('day', DATE '2024-01-01', day) AS BIGINT) // 7 AS week, user_id
+      FROM d GROUP BY 1, 2
+    ),
+    wau AS (SELECT week, CAST(count(*) AS BIGINT) AS wau FROM wk GROUP BY week)
+    SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+           CAST((1000 * dau.dau) // wau.wau AS BIGINT) AS stickiness_permille
+    FROM dau
+    JOIN wau ON wau.week = CAST(date_diff('day', DATE '2024-01-01', dau.day) AS BIGINT) // 7
+    ORDER BY day
+    """,
+)
+def q234(spark, sf_dir):
+    """DAU/WAU stickiness — the engagement ratio product analytics
+    watches daily: exact distinct users per day over exact distinct
+    users in that day's (calendar-aligned) week, integer permille.
+    Both distincts come from ONE (day, user) dedup pass re-rolled to
+    each grain — never two scans of the raw events.
+
+    100 TB shape: the (day, user) dedup is the only row-grain
+    aggregate (map-side combine); day and week rollups are bounded-
+    domain hash-aggs, and the final join is day-grain x week-grain —
+    report-sized. The q174 bitmap/GROUPING SETS form is the
+    single-pass variant when even the dedup pass must not repeat."""
+    ev = t(spark, sf_dir, "events")
+    d = ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    d = d.withColumn(
+        "week", F.expr("CAST(datediff(day, DATE '2024-01-01') AS BIGINT) DIV 7")
+    )
+    dau = d.groupBy("day", "week").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    wk = d.select("week", "user_id").distinct()
+    wau = wk.groupBy("week").agg(F.count(F.lit(1)).cast("long").alias("wau"))
+    return (
+        dau.join(F.broadcast(wau), "week")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau", "wau",
+            F.expr("CAST((1000 * dau) DIV wau AS BIGINT)").alias("stickiness_permille"),
+        )
+        .orderBy("day")
+    )
