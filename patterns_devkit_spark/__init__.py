@@ -7,6 +7,7 @@ State, Parameter, Connection, respond_to_request — plus the engine
 pieces the reference keeps server-side (Engine, Catalog, GraphSpec,
 GraphRunner) and the north-star operator library (operators/).
 """
+from .catalog.catalog import ConcurrentWriteError
 from .node.matview import MaterializedView
 from .node.node import (
     CheckConstraintViolation,
@@ -27,6 +28,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "CheckConstraintViolation",
+    "ConcurrentWriteError",
     "MaterializedView",
     "Connection",
     "Engine",

@@ -95,6 +95,11 @@ _EMPTY_TABLE_META: dict[str, Any] = {
 DEFAULT_RETENTION = 3
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer advanced a table's active pointer between a
+    read-modify-write's read and its compare-and-swap flip."""
+
+
 class Catalog:
     def __init__(self, warehouse_dir: str, backend: str | None = None):
         self.root = os.path.abspath(warehouse_dir)
@@ -158,6 +163,17 @@ class Catalog:
         Reference: Table.create_new_version, node.py:375-379."""
         self._refuse_write_in_snapshot()
         with self._lock:
+            # read-latest-then-modify: a second handle on the same
+            # warehouse may have advanced the catalog since this one
+            # loaded; reloading here both avoids clobbering its state
+            # on persist and allocates a version id after ITS counter —
+            # which is what lets the compare-and-swap pointer flip
+            # (set_active_version expected_parent) actually observe a
+            # concurrent writer instead of overwriting it.
+            try:
+                self._doc = self._backend.load()
+            except Exception:
+                pass
             meta = self.ensure_table(name)
             meta["version_counter"] += 1
             vid = f"v{meta['version_counter']:07d}"
@@ -166,10 +182,31 @@ class Catalog:
             self._persist()
             return vid
 
-    def set_active_version(self, name: str, version: str | None) -> None:
-        """Atomic active-pointer flip (node.py:381-385)."""
+    def set_active_version(
+        self, name: str, version: str | None, expected_parent: Any = "__unchecked__"
+    ) -> None:
+        """Atomic active-pointer flip (node.py:381-385). With
+        ``expected_parent`` (the version a read-modify-write path READ
+        before computing its rewrite), the flip is a COMPARE-AND-SWAP:
+        the catalog reloads from its backend and refuses with
+        ConcurrentWriteError if another writer advanced the pointer in
+        between — optimistic concurrency for MERGE/DELETE/UPDATE
+        (Delta-style). Transactional under the sqlite backend (one
+        reload+persist inside the catalog lock per process, WAL across
+        processes); best-effort under the plain json file."""
         self._refuse_write_in_snapshot()
         with self._lock:
+            if expected_parent != "__unchecked__":
+                try:
+                    self._doc = self._backend.load()  # fresh view of other writers
+                except Exception:
+                    pass
+                live = (self._doc["tables"].get(name) or {}).get("active_version")
+                if live != expected_parent:
+                    raise ConcurrentWriteError(
+                        f"table {name!r}: active version moved {expected_parent!r} -> "
+                        f"{live!r} since this write read its base — retry on the new base"
+                    )
             meta = self.ensure_table(name)
             if version is not None and version not in meta["versions"]:
                 raise KeyError(f"unknown version {version!r} of table {name!r}")

@@ -1011,7 +1011,12 @@ class Table:
             n = self._engine.spark.read.parquet(out_dir).count()
             catalog.set_record_count(self.store_name, new_version, n)
             self._track_write_stats(out_dir, meta, new_version)
-            catalog.set_active_version(self.store_name, new_version)
+            # MERGE is read-modify-write: compare-and-swap against the
+            # base version this upsert READ (optimistic concurrency)
+            catalog.set_active_version(
+                self.store_name, new_version,
+                expected_parent=av.version_id if av is not None else None,
+            )
             catalog.gc_versions(self.store_name)
         else:
             if created:
@@ -1455,7 +1460,8 @@ class Table:
         new_n = old_n - n_matched if assignments is None else old_n
         catalog.set_record_count(self.store_name, new_version, new_n)
         self._track_write_stats(out_dir, meta, new_version)
-        catalog.set_active_version(self.store_name, new_version)
+        # DELETE/UPDATE is read-modify-write: CAS against the read base
+        catalog.set_active_version(self.store_name, new_version, expected_parent=av.version_id)
         catalog.gc_versions(self.store_name)
         self.signal_update()
         return n_matched
