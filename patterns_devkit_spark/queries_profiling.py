@@ -2236,3 +2236,171 @@ def q234(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+# =====================================================================
+# q235 — leave-one-out target encoding (leakage-free, integer-exact)
+# =====================================================================
+
+@query(
+    "q235_loo_target_encoding",
+    """
+    WITH pts AS (
+      SELECT o_orderkey, o_orderpriority AS cat,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS y
+      FROM orders
+    ),
+    g AS (
+      SELECT cat, CAST(sum(y) AS BIGINT) AS sy, CAST(count(*) AS BIGINT) AS n
+      FROM pts GROUP BY cat
+    )
+    SELECT p.o_orderkey, p.cat,
+           CAST(CASE WHEN g.n > 1 THEN (g.sy - p.y) // (g.n - 1) ELSE 0 END AS BIGINT)
+             AS loo_mean_cents
+    FROM pts p JOIN g ON g.cat = p.cat
+    WHERE p.o_orderkey % 101 = 0
+    ORDER BY p.o_orderkey
+    """,
+)
+def q235(spark, sf_dir):
+    """Leave-one-out target encoding — the leakage-free categorical
+    feature: each row's encoding is its category's mean target
+    EXCLUDING the row itself ((sum - y_i) / (n - 1), exact integer
+    floor), so the feature never contains the row's own label. One
+    per-category aggregate broadcasts back over the scan; singleton
+    categories encode 0 (the deterministic fallback a real pipeline
+    would blend with a prior).
+
+    100 TB shape: one hash-agg to category grain (tiny — broadcasts),
+    one map-side join-and-arithmetic pass over the facts; nothing
+    row-grain shuffles twice. The % 101 slice bounds the compared
+    output; the encoding itself is computed for every row."""
+    pts = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("cat"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+    )
+    g = pts.groupBy("cat").agg(
+        F.sum("y").cast("long").alias("sy"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        pts.join(F.broadcast(g), "cat")
+        .select(
+            "o_orderkey", "cat",
+            F.expr(
+                "CAST(CASE WHEN n > 1 THEN (sy - y) DIV (n - 1) ELSE 0 END AS BIGINT)"
+            ).alias("loo_mean_cents"),
+        )
+        .filter(F.col("o_orderkey") % 101 == 0)
+        .orderBy("o_orderkey")
+    )
+
+
+# =====================================================================
+# q236 — centroid-classifier eval: confusion matrix + precision/recall
+# =====================================================================
+
+@query(
+    "q236_classifier_eval",
+    """
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS ei
+      FROM embeddings
+    ),
+    ep AS (
+      SELECT vec_id, label, CAST(i AS INT) AS d, ei[CAST(i AS INT)] AS v
+      FROM e, unnest(range(1, 65)) AS u(i)
+    ),
+    cent AS (
+      SELECT label AS clabel, d,
+             CAST((sum(v) - ((sum(v) % count(*) + count(*)) % count(*))) // count(*) AS BIGINT) AS c
+      FROM ep GROUP BY label, d
+    ),
+    dist AS (
+      SELECT ep.vec_id, ep.label, cent.clabel,
+             sum((ep.v - cent.c) * (ep.v - cent.c)) AS dist
+      FROM ep JOIN cent ON ep.d = cent.d
+      GROUP BY ep.vec_id, ep.label, cent.clabel
+    ),
+    md AS (SELECT vec_id, min(dist) AS m FROM dist GROUP BY vec_id),
+    pred AS (
+      SELECT d.vec_id, min(d.label) AS true_label, min(d.clabel) AS pred_label
+      FROM dist d JOIN md ON md.vec_id = d.vec_id AND d.dist = md.m
+      GROUP BY d.vec_id
+    ),
+    cm AS (
+      SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY true_label, pred_label
+    ),
+    per AS (
+      SELECT cl.label,
+             COALESCE((SELECT n FROM cm WHERE true_label = cl.label AND pred_label = cl.label), 0) AS tp,
+             COALESCE((SELECT sum(n) FROM cm WHERE pred_label = cl.label), 0) AS pred_n,
+             COALESCE((SELECT sum(n) FROM cm WHERE true_label = cl.label), 0) AS true_n
+      FROM (SELECT DISTINCT label FROM embeddings) cl
+    )
+    SELECT label, CAST(tp AS BIGINT) AS tp,
+           CAST(pred_n AS BIGINT) AS pred_n, CAST(true_n AS BIGINT) AS true_n,
+           CAST(CASE WHEN pred_n > 0 THEN (1000 * tp) // pred_n ELSE 0 END AS BIGINT) AS precision_permille,
+           CAST(CASE WHEN true_n > 0 THEN (1000 * tp) // true_n ELSE 0 END AS BIGINT) AS recall_permille
+    FROM per ORDER BY label
+    """,
+)
+def q236(spark, sf_dir):
+    """Classifier evaluation harness: predict each embedding's label
+    with the nearest own-vs-other centroid (q167's integer-exact
+    distance machinery, argmin with min-min tie-break), then the
+    confusion-matrix rollup — per-class true positives, prediction
+    counts, support, precision and recall in integer permille. The
+    eval half of every train/serve loop, here with the oracle
+    replaying the CLASSIFIER itself, not just the metric arithmetic
+    (training-set resubstitution — centroids see all rows; a held-out
+    variant splits by q149's hash folds first).
+
+    100 TB shape: identical linear scans as q167 (centroids
+    broadcast, per-(vector,label) distance agg), then the confusion
+    matrix is a k x k aggregate — report-sized. No pairwise vectors,
+    no floats."""
+    from .operators.det_hash import quantized_embedding
+
+    emb = t(spark, sf_dir, "embeddings")
+    ep = emb.select(
+        "vec_id", "label", F.posexplode(quantized_embedding("embedding")).alias("d0", "v")
+    ).select("vec_id", "label", (F.col("d0") + 1).cast("int").alias("d"), "v")
+    cent = ep.groupBy(F.col("label").alias("clabel"), "d").agg(
+        F.expr("CAST((sum(v) - pmod(sum(v), count(*))) DIV count(*) AS BIGINT)").alias("c")
+    )
+    dist = (
+        ep.join(F.broadcast(cent), "d")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("dist"))
+    )
+    md = dist.groupBy("vec_id").agg(F.min("dist").alias("m"))
+    pred = (
+        dist.join(md, "vec_id")
+        .filter(F.col("dist") == F.col("m"))
+        .groupBy("vec_id")
+        .agg(F.min("label").alias("true_label"), F.min("clabel").alias("pred_label"))
+    )
+    cm = pred.groupBy("true_label", "pred_label").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    labels = emb.select(F.col("label").alias("lbl")).distinct()
+    tp = cm.filter(F.col("true_label") == F.col("pred_label")).select(
+        F.col("true_label").alias("lbl"), F.col("n").alias("tp")
+    )
+    pn = cm.groupBy(F.col("pred_label").alias("lbl")).agg(F.sum("n").alias("pred_n"))
+    tn = cm.groupBy(F.col("true_label").alias("lbl")).agg(F.sum("n").alias("true_n"))
+    per = (
+        labels.join(tp, "lbl", "left").join(pn, "lbl", "left").join(tn, "lbl", "left")
+        .select(
+            F.col("lbl").alias("label"),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+            F.coalesce("pred_n", F.lit(0)).cast("long").alias("pred_n"),
+            F.coalesce("true_n", F.lit(0)).cast("long").alias("true_n"),
+        )
+    )
+    return per.select(
+        "label", "tp", "pred_n", "true_n",
+        F.expr("CAST(CASE WHEN pred_n > 0 THEN (1000 * tp) DIV pred_n ELSE 0 END AS BIGINT)").alias("precision_permille"),
+        F.expr("CAST(CASE WHEN true_n > 0 THEN (1000 * tp) DIV true_n ELSE 0 END AS BIGINT)").alias("recall_permille"),
+    ).orderBy("label")
