@@ -2404,3 +2404,200 @@ def q236(spark, sf_dir):
         F.expr("CAST(CASE WHEN pred_n > 0 THEN (1000 * tp) DIV pred_n ELSE 0 END AS BIGINT)").alias("precision_permille"),
         F.expr("CAST(CASE WHEN true_n > 0 THEN (1000 * tp) DIV true_n ELSE 0 END AS BIGINT)").alias("recall_permille"),
     ).orderBy("label")
+
+
+# =====================================================================
+# q237 — k-fold cross-validation of the centroid classifier
+# =====================================================================
+
+_CV_K = 3
+
+
+@query(
+    "q237_crossval_accuracy",
+    f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) % {_CV_K} AS fold,
+             list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS ei
+      FROM embeddings
+    ),
+    ep AS (
+      SELECT vec_id, label, fold, CAST(i AS INT) AS d, ei[CAST(i AS INT)] AS v
+      FROM e, unnest(range(1, 65)) AS u(i)
+    ),
+    folds AS (SELECT unnest(range({_CV_K})) AS f),
+    cent AS (
+      SELECT folds.f, ep.label AS clabel, ep.d,
+             CAST((sum(ep.v) - ((sum(ep.v) % count(*) + count(*)) % count(*))) // count(*) AS BIGINT) AS c
+      FROM ep, folds WHERE ep.fold <> folds.f
+      GROUP BY folds.f, ep.label, ep.d
+    ),
+    dist AS (
+      SELECT ep.vec_id, ep.label, cent.clabel,
+             sum((ep.v - cent.c) * (ep.v - cent.c)) AS dist
+      FROM ep JOIN cent ON cent.d = ep.d AND cent.f = ep.fold
+      GROUP BY ep.vec_id, ep.label, cent.clabel
+    ),
+    md AS (SELECT vec_id, min(dist) AS m FROM dist GROUP BY vec_id),
+    pred AS (
+      SELECT d.vec_id, min(d.label) AS true_label, min(d.clabel) AS pred_label
+      FROM dist d JOIN md ON md.vec_id = d.vec_id AND d.dist = md.m
+      GROUP BY d.vec_id
+    )
+    SELECT e.fold,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN p.pred_label = p.true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST((1000 * sum(CASE WHEN p.pred_label = p.true_label THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+             AS accuracy_permille
+    FROM pred p JOIN e ON e.vec_id = p.vec_id
+    GROUP BY e.fold ORDER BY e.fold
+    """,
+)
+def q237(spark, sf_dir):
+    """TRUE k-fold cross-validation of the nearest-centroid classifier
+    (the held-out counterpart of q236's resubstitution eval): folds
+    come from the deterministic md5 hash (q149's split discipline),
+    each fold's centroids are trained on the OTHER folds only
+    (ep x folds with fold <> f — all k trainings in one aggregation),
+    and every vector is scored against its own held-out model. Per-
+    fold accuracy in integer permille; the oracle replays folds,
+    training, and prediction bit-for-bit.
+
+    100 TB shape: one (fold-crossed) centroid aggregate — k*labels*64
+    rows, a broadcast — and the same linear distance aggregation as
+    q167/q236 with a k-wide map-side fan-out. Cross-validation costs
+    k trainings by CONSTRUCTION; here they share a single shuffle."""
+    from .operators.det_hash import quantized_embedding
+
+    emb = t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label",
+        (md5_long(F.col("vec_id").cast("string")) % _CV_K).alias("fold"),
+        quantized_embedding("embedding").alias("ei"),
+    )
+    ep = e.select(
+        "vec_id", "label", "fold", F.posexplode("ei").alias("d0", "v")
+    ).select("vec_id", "label", "fold", (F.col("d0") + 1).cast("int").alias("d"), "v")
+    folds = spark.range(_CV_K).select(F.col("id").alias("f"))
+    cent = (
+        ep.crossJoin(F.broadcast(folds))
+        .filter(F.col("fold") != F.col("f"))
+        .groupBy("f", F.col("label").alias("clabel"), "d")
+        .agg(F.expr("CAST((sum(v) - pmod(sum(v), count(*))) DIV count(*) AS BIGINT)").alias("c"))
+    )
+    ep_a, cent_a = ep.alias("ep"), cent.alias("ct")
+    dist = (
+        ep_a.join(
+            F.broadcast(cent_a),
+            (F.col("ep.d") == F.col("ct.d")) & (F.col("ep.fold") == F.col("ct.f")),
+        )
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("dist"))
+    )
+    md = dist.groupBy("vec_id").agg(F.min("dist").alias("m"))
+    pred = (
+        dist.join(md, "vec_id")
+        .filter(F.col("dist") == F.col("m"))
+        .groupBy("vec_id")
+        .agg(F.min("label").alias("true_label"), F.min("clabel").alias("pred_label"))
+    )
+    return (
+        pred.join(e.select("vec_id", "fold"), "vec_id")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0))
+            .cast("long").alias("n_correct"),
+            F.expr(
+                "CAST((1000 * sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)) DIV count(*) AS BIGINT)"
+            ).alias("accuracy_permille"),
+        )
+        .orderBy("fold")
+    )
+
+
+# =====================================================================
+# q238 — decile gains table (two-pass global ntile over a score)
+# =====================================================================
+
+@query(
+    "q238_gains_table",
+    """
+    WITH scored AS (
+      SELECT c.c_custkey,
+             CAST(round(c.c_acctbal * 100) AS BIGINT) AS score,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000
+             ) THEN 1 ELSE 0 END AS positive
+      FROM customer c
+    ),
+    ranked AS (
+      SELECT c_custkey, score, positive,
+             ntile(10) OVER (ORDER BY score DESC, c_custkey) AS decile
+      FROM scored
+    ),
+    agg AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(positive) AS BIGINT) AS n_pos
+      FROM ranked GROUP BY decile
+    ),
+    tot AS (SELECT sum(n_pos) AS p FROM agg)
+    SELECT a.decile, a.n, a.n_pos,
+           CAST((1000 * a.n_pos) // a.n AS BIGINT) AS rate_permille,
+           CAST((1000 * sum(a.n_pos) OVER (ORDER BY a.decile
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) // t.p AS BIGINT)
+             AS cum_capture_permille
+    FROM agg a, tot t
+    ORDER BY a.decile
+    """,
+)
+def q238(spark, sf_dir):
+    """Decile gains table — the targeting-model report: rank customers
+    by a score (account balance standing in for a model score), split
+    into10 deciles, and show per-decile positive rate plus cumulative
+    capture of all positives (how much of the outcome the top-k
+    deciles reach). The Spark decile comes from the scale-safe
+    two-pass global_ntile (bucket-local ranks + closed-form tile
+    arithmetic — plan-gated no single-partition window); the oracle
+    uses a plain window. The cumulative pass runs over 10 rows.
+
+    100 TB shape: outcome flags are one semi-join aggregate; the
+    ranking is the two-pass operator; everything after is decile
+    grain."""
+    from pyspark.sql import Window
+    from .operators.windows import global_ntile
+
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("c_custkey")
+    ).distinct()
+    scored = (
+        cust.join(big.withColumn("__hit", F.lit(1)), "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("score"),
+            F.coalesce(F.col("__hit"), F.lit(0)).alias("positive"),
+        )
+    )
+    ranked = global_ntile(
+        scored, "score", False,
+        [F.col("score").desc(), F.col("c_custkey").asc()], 10, out_col="decile",
+    )
+    agg = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("positive").cast("long").alias("n_pos"),
+    )
+    tot = agg.agg(F.sum("n_pos").alias("p"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)  # 10 rows
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .withColumn("cum_pos", F.sum("n_pos").over(w))
+        .select(
+            "decile", "n", "n_pos",
+            F.expr("CAST((1000 * n_pos) DIV n AS BIGINT)").alias("rate_permille"),
+            F.expr("CAST((1000 * cum_pos) DIV p AS BIGINT)").alias("cum_capture_permille"),
+        )
+        .orderBy("decile")
+    )
