@@ -2601,3 +2601,129 @@ def q238(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+# =====================================================================
+# q239 — per-document keyword extraction (integer TF x floor-log2 IDF)
+# =====================================================================
+
+@query(
+    "q239_keyword_extraction",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE w <> '' GROUP BY doc_id, w
+    ),
+    df AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY w),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.w,
+             tf.tf * (CAST(length(bin(nd.n // df.df)) AS BIGINT)) AS score
+      FROM tf JOIN df ON df.w = tf.w CROSS JOIN nd
+    ),
+    ranked AS (
+      SELECT doc_id, w, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rk
+      FROM scored
+    )
+    SELECT doc_id, w AS keyword, CAST(score AS BIGINT) AS score, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3 AND doc_id % 11 = 0
+    ORDER BY doc_id, rk
+    """,
+)
+def q239(spark, sf_dir):
+    """Per-document keyword extraction: top-3 terms by integer
+    TF x floor-log2(N/df) — the classic TF-IDF ranking with the
+    bin()-length log trick (q198's idf discipline), so both engines
+    score every term identically at any corpus size. The per-doc
+    top-k window is DOC-partitioned (per-key sequences, parallel);
+    ties break on the term itself.
+
+    100 TB shape: term frequencies and document frequencies are two
+    hash-aggs (map-side combine); the df table joins back keyed on
+    the term; N broadcasts as a 1-row scalar. Keyword extraction at
+    corpus scale is exactly this shape — no vocabulary ever sits on
+    one node. The % 11 slice bounds the compared output."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("w")).filter(F.col("w") != "")
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    df = tf.groupBy("w").agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    scored = (
+        tf.join(df, "w")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id", "w",
+            (F.col("tf") * F.length(F.expr("bin(n DIV df)")).cast("long")).alias("score"),
+        )
+    )
+    w_rk = Window.partitionBy("doc_id").orderBy(F.desc("score"), "w")
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rk).cast("long"))
+        .filter((F.col("rk") <= 3) & (F.col("doc_id") % 11 == 0))
+        .select("doc_id", F.col("w").alias("keyword"), F.col("score").cast("long").alias("score"), "rk")
+        .orderBy("doc_id", "rk")
+    )
+
+
+# =====================================================================
+# q240 — daily new-vs-returning user split
+# =====================================================================
+
+@query(
+    "q240_new_vs_returning",
+    """
+    WITH d AS (
+      SELECT user_id, CAST(ts AS DATE) AS day FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    first_seen AS (SELECT user_id, min(day) AS f FROM d GROUP BY user_id)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(sum(CASE WHEN d.day = fs.f THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+           CAST(sum(CASE WHEN d.day > fs.f THEN 1 ELSE 0 END) AS BIGINT) AS returning_users,
+           CAST(sum(sum(CASE WHEN d.day = fs.f THEN 1 ELSE 0 END))
+                OVER (ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cumulative_known_users
+    FROM d JOIN first_seen fs ON fs.user_id = d.user_id
+    GROUP BY d.day
+    ORDER BY day
+    """,
+)
+def q240(spark, sf_dir):
+    """The daily new-vs-returning headline: each (user, day) active
+    pair classifies against the user's first-seen day, and the
+    running total of first appearances is the cumulative known-user
+    curve. Two user-grain aggregates and a day-grain rollup — the
+    growth-accounting primitive under every 'net new users' chart.
+
+    100 TB shape: the (user, day) dedup and first-seen aggregates are
+    the only row-grain work (map-side combine, shuffled on user ids);
+    the cumulative window runs over DAY grain — bounded domain. The
+    join is user-keyed with first_seen tiny relative to activity."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    d = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    fs = d.groupBy("user_id").agg(F.min("day").alias("f"))
+    day = (
+        d.join(fs, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("f"), 1).otherwise(0)).cast("long").alias("new_users"),
+            F.sum(F.when(F.col("day") > F.col("f"), 1).otherwise(0)).cast("long").alias("returning_users"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)  # day grain: bounded
+    return (
+        day.withColumn("cumulative_known_users", F.sum("new_users").over(w).cast("long"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "new_users", "returning_users", "cumulative_known_users",
+        )
+        .orderBy("day")
+    )
