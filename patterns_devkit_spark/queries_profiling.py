@@ -2727,3 +2727,147 @@ def q240(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+# =====================================================================
+# q241 — categorical association screen (integer PMI-weighted MI score)
+# =====================================================================
+
+@query(
+    "q241_feature_association",
+    """
+    WITH pairs AS (
+      SELECT o_orderpriority AS x, o_orderstatus AS y FROM orders
+    ),
+    nxy AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy FROM pairs GROUP BY x, y),
+    nx AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x FROM nxy GROUP BY x),
+    ny AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y FROM nxy GROUP BY y),
+    nn AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM nxy)
+    SELECT c.x, c.y, c.n_xy,
+           CAST(length(bin(c.n_xy * nn.n)) AS BIGINT)
+             - CAST(length(bin(nx.n_x * ny.n_y)) AS BIGINT) AS pmi_log2,
+           CAST(c.n_xy * (CAST(length(bin(c.n_xy * nn.n)) AS BIGINT)
+                          - CAST(length(bin(nx.n_x * ny.n_y)) AS BIGINT)) AS BIGINT)
+             AS mi_contribution
+    FROM nxy c JOIN nx ON nx.x = c.x JOIN ny ON ny.y = c.y CROSS JOIN nn
+    ORDER BY abs(mi_contribution) DESC, c.x, c.y LIMIT 50
+    """,
+)
+def q241(spark, sf_dir):
+    """Categorical-association screen: per (priority, status) cell,
+    the integer floor-log2 PMI (the q204 trick at contingency-table
+    grain) and its count-weighted mutual-information contribution —
+    the feature-relevance check run before one categorical is used to
+    predict another (cells with large |contribution| carry the
+    dependence). All counts stay bigint; both engines agree
+    bit-for-bit at any N.
+
+    100 TB shape: one hash-agg to the contingency table (bounded by
+    the category-domain product), marginals re-rolled from the TINY
+    cell table, everything after is report-sized."""
+    pairs = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("x"), F.col("o_orderstatus").alias("y")
+    )
+    nxy = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+    nx = nxy.groupBy("x").agg(F.sum("n_xy").cast("long").alias("n_x"))
+    ny = nxy.groupBy("y").agg(F.sum("n_xy").cast("long").alias("n_y"))
+    nn = nxy.agg(F.sum("n_xy").cast("long").alias("n"))
+    out = (
+        nxy.join(F.broadcast(nx), "x")
+        .join(F.broadcast(ny), "y")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "x", "y", "n_xy",
+            (
+                F.length(F.expr("bin(n_xy * n)")).cast("long")
+                - F.length(F.expr("bin(n_x * n_y)")).cast("long")
+            ).alias("pmi_log2"),
+        )
+        .withColumn("mi_contribution", (F.col("n_xy") * F.col("pmi_log2")).cast("long"))
+    )
+    return out.orderBy(F.abs(F.col("mi_contribution")).desc(), "x", "y").limit(50)
+
+
+# =====================================================================
+# q242 — header/detail reconciliation (order total vs line items)
+# =====================================================================
+
+@query(
+    "q242_header_detail_recon",
+    """
+    WITH detail AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS line_cents,
+             CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    recon AS (
+      SELECT o.o_orderkey,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS header_cents,
+             COALESCE(d.line_cents, 0) AS line_cents,
+             COALESCE(d.n_lines, 0) AS n_lines
+      FROM orders o LEFT JOIN detail d ON d.l_orderkey = o.o_orderkey
+    ),
+    classified AS (
+      SELECT *,
+             CASE
+               WHEN n_lines = 0 THEN 'no_lines'
+               WHEN header_cents = line_cents THEN 'exact'
+               WHEN abs(header_cents - line_cents) * 100 <= header_cents THEN 'within_1pct'
+               WHEN abs(header_cents - line_cents) * 4 <= header_cents THEN 'within_25pct'
+               ELSE 'divergent'
+             END AS bucket
+      FROM recon
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(abs(header_cents - line_cents)) AS BIGINT) AS abs_gap_cents,
+           CAST(min(o_orderkey) AS BIGINT) AS sample_orderkey
+    FROM classified GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q242(spark, sf_dir):
+    """Header/detail reconciliation — the ERP audit: does each order's
+    header total match the sum of its line items? Orders bucket into
+    exact / within-1% / within-25% / divergent / no-lines via integer
+    cross-multiplied tolerance tests (abs(gap)*100 <= header is
+    'within 1%' with zero float division), with the total absolute
+    gap and a deterministic sample key per bucket. TPC-H totals
+    include tax/discount so divergence is EXPECTED — the audit
+    quantifies the distribution rather than asserting zero.
+
+    100 TB shape: one detail aggregate shuffled on the order key, one
+    key join against headers, one bounded-bucket rollup. The shape
+    every financial close process runs nightly."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    detail = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("long").alias("line_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+    recon = (
+        orders.select("o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("header_cents"))
+        .join(detail, "o_orderkey", "left")
+        .select(
+            "o_orderkey", "header_cents",
+            F.coalesce("line_cents", F.lit(0)).cast("long").alias("line_cents"),
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+        )
+    )
+    classified = recon.withColumn(
+        "bucket",
+        F.when(F.col("n_lines") == 0, "no_lines")
+        .when(F.col("header_cents") == F.col("line_cents"), "exact")
+        .when(F.abs(F.col("header_cents") - F.col("line_cents")) * 100 <= F.col("header_cents"), "within_1pct")
+        .when(F.abs(F.col("header_cents") - F.col("line_cents")) * 4 <= F.col("header_cents"), "within_25pct")
+        .otherwise("divergent"),
+    )
+    return (
+        classified.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.abs(F.col("header_cents") - F.col("line_cents"))).cast("long").alias("abs_gap_cents"),
+            F.min("o_orderkey").cast("long").alias("sample_orderkey"),
+        )
+        .orderBy("bucket")
+    )
