@@ -2871,3 +2871,131 @@ def q242(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+# =====================================================================
+# q243 — Zipf rank-frequency audit (two-pass global rank over vocab)
+# =====================================================================
+
+@query(
+    "q243_zipf_audit",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
+    ),
+    freq AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok WHERE w <> '' GROUP BY w),
+    ranked AS (
+      SELECT w, f, CAST(row_number() OVER (ORDER BY f DESC, w) AS BIGINT) AS rank
+      FROM freq
+    )
+    SELECT rank, w, f,
+           CAST(length(bin(rank)) AS BIGINT) AS log2_rank,
+           CAST(length(bin(f)) AS BIGINT) AS log2_freq,
+           CAST(rank * f AS BIGINT) AS rank_x_freq
+    FROM ranked WHERE rank <= 50
+    ORDER BY rank
+    """,
+)
+def q243(spark, sf_dir):
+    """Zipf rank-frequency audit of the corpus vocabulary: rank every
+    term by frequency and report floor-log2 rank/frequency plus the
+    rank x freq product (constant-ish under Zipf's law — drift flags
+    synthetic, truncated, or boilerplate-heavy corpora before
+    tokenizer training trusts the distribution). The Spark rank is
+    the TWO-PASS global_row_number (rank the whole vocabulary with
+    no single-partition sort); the oracle uses a plain window.
+
+    100 TB shape: one token hash-agg to vocab grain, then the
+    two-pass rank (range-partitioned on frequency, offsets
+    broadcast); output is the top of the curve via a pushed rank
+    filter."""
+    from .operators.windows import global_row_number
+
+    docs = t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    ranked = global_row_number(
+        freq, "f", False, [F.col("f").desc(), F.col("w").asc()], out_col="rank"
+    )
+    return (
+        ranked.filter(F.col("rank") <= 50)
+        .select(
+            "rank", "w", "f",
+            F.length(F.expr("bin(rank)")).cast("long").alias("log2_rank"),
+            F.length(F.expr("bin(f)")).cast("long").alias("log2_freq"),
+            (F.col("rank") * F.col("f")).cast("long").alias("rank_x_freq"),
+        )
+        .orderBy("rank")
+    )
+
+
+# =====================================================================
+# q244 — price-volume-mix revenue bridge (exact integer decomposition)
+# =====================================================================
+
+_PVM_SPLIT = "1995-01-01"
+
+
+@query(
+    "q244_revenue_bridge",
+    f"""
+    WITH per AS (
+      SELECT o_orderpriority AS grp,
+             CASE WHEN o_orderdate < DATE '{_PVM_SPLIT}' THEN 1 ELSE 2 END AS period,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    s AS (
+      SELECT grp,
+             CAST(sum(CASE WHEN period = 1 THEN cents ELSE 0 END) AS BIGINT) AS r1,
+             CAST(sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS q1,
+             CAST(sum(CASE WHEN period = 2 THEN cents ELSE 0 END) AS BIGINT) AS r2,
+             CAST(sum(CASE WHEN period = 2 THEN 1 ELSE 0 END) AS BIGINT) AS q2
+      FROM per GROUP BY grp
+    )
+    SELECT grp, r1, q1, r2, q2,
+           r2 - r1 AS delta_cents,
+           CAST(CASE WHEN q1 > 0 THEN (r1 * (q2 - q1)) // q1 ELSE 0 END AS BIGINT) AS volume_effect_cents,
+           CAST(r2 - r1 - (CASE WHEN q1 > 0 THEN (r1 * (q2 - q1)) // q1 ELSE 0 END) AS BIGINT)
+             AS price_mix_effect_cents
+    FROM s ORDER BY grp
+    """,
+)
+def q244(spark, sf_dir):
+    """Price-volume-mix revenue bridge: per segment, the
+    period-over-period revenue delta decomposed into a volume effect
+    (old average price x order-count change, exact integer floor) and
+    the complementary price/mix effect (delta minus volume — the
+    decomposition sums EXACTLY by construction, no float residue).
+    The finance waterfall behind every 'why did revenue move' review.
+
+    100 TB shape: one hash-agg computes both periods' sums in a
+    single scan (conditional aggregation, map-side combine); the
+    bridge arithmetic runs on segment-grain rows. r1*(q2-q1) stays
+    far inside bigint at these magnitudes; the DECIMAL(38) upgrade
+    (q221) applies verbatim if it ever would not."""
+    per = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.when(F.col("o_orderdate") < F.lit(_PVM_SPLIT).cast("date"), 1).otherwise(2).alias("period"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    s = per.groupBy("grp").agg(
+        F.sum(F.when(F.col("period") == 1, F.col("cents")).otherwise(0)).cast("long").alias("r1"),
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).cast("long").alias("q1"),
+        F.sum(F.when(F.col("period") == 2, F.col("cents")).otherwise(0)).cast("long").alias("r2"),
+        F.sum(F.when(F.col("period") == 2, 1).otherwise(0)).cast("long").alias("q2"),
+    )
+    return s.select(
+        "grp", "r1", "q1", "r2", "q2",
+        (F.col("r2") - F.col("r1")).alias("delta_cents"),
+        F.expr("CAST(CASE WHEN q1 > 0 THEN (r1 * (q2 - q1)) DIV q1 ELSE 0 END AS BIGINT)").alias(
+            "volume_effect_cents"
+        ),
+        F.expr(
+            "CAST(r2 - r1 - (CASE WHEN q1 > 0 THEN (r1 * (q2 - q1)) DIV q1 ELSE 0 END) AS BIGINT)"
+        ).alias("price_mix_effect_cents"),
+    ).orderBy("grp")
