@@ -2999,3 +2999,155 @@ def q244(spark, sf_dir):
             "CAST(r2 - r1 - (CASE WHEN q1 > 0 THEN (r1 * (q2 - q1)) DIV q1 ELSE 0 END) AS BIGINT)"
         ).alias("price_mix_effect_cents"),
     ).orderBy("grp")
+
+
+# =====================================================================
+# q245 — one-way ANOVA / eta-squared (exact variance decomposition)
+# =====================================================================
+
+@query(
+    "q245_variance_decomposition",
+    """
+    WITH y AS (
+      SELECT o_orderpriority AS grp, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    ),
+    g AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS s,
+             sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS ss
+      FROM y GROUP BY grp
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS s,
+             sum(ss) AS ss
+      FROM g
+    ),
+    big AS (
+      SELECT
+        -- N-scaled sums of squares (exact in HUGEINT):
+        --   SST*N = N*sum(v^2) - (sum v)^2
+        --   SSB*N = N*sum_g(s_g^2 * N / n_g)/N ... computed as
+        --           N * sum_g(s_g^2 // n_g-free form): use exact
+        --           per-group s^2*N // n accumulated in HUGEINT
+        (SELECT CAST(tot.n AS HUGEINT) * CAST(tot.ss AS HUGEINT)
+                - CAST(tot.s AS HUGEINT) * CAST(tot.s AS HUGEINT) FROM tot) AS sst_n,
+        (SELECT sum((CAST(g.s AS HUGEINT) * CAST(g.s AS HUGEINT) * CAST(tot.n AS HUGEINT))
+                     // CAST(g.n AS HUGEINT)) FROM g, tot) AS ssb_acc,
+        (SELECT CAST(tot.s AS HUGEINT) * CAST(tot.s AS HUGEINT) FROM tot) AS s2
+    )
+    SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n,
+           CAST((SELECT count(*) FROM g) AS BIGINT) AS k,
+           CAST((1000 * (ssb_acc - s2)) // sst_n AS BIGINT) AS eta2_permille
+    FROM big
+    """,
+)
+def q245(spark, sf_dir):
+    """One-way ANOVA effect size (eta-squared): how much of order
+    value variance the priority segment explains. Everything is the
+    exact N-scaled identity — SST*N = N*Σv² − (Σv)², SSB*N =
+    Σ_g(s_g²·N/n_g) − (Σv)² — computed in HUGEINT/DECIMAL(38) (the
+    q221 discipline: these cross terms overflow int64 at sf0.1), so
+    the permille effect size matches bit-for-bit across engines. Per-group
+    quotients exceed int64, so the Spark floor division is the exact
+    decimal identity (a - a % b) / b — `div` would silently wrap. The variance
+    screen run before trusting a segmentation.
+
+    100 TB shape: ONE hash-agg computes n/Σv/Σv² per group (map-side
+    combine); the decomposition runs on k rows. Nothing else scans
+    data."""
+    y = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    g = y.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.expr("CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))")).alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("s").cast("long").alias("ts"),
+        F.sum("ss").cast("decimal(38,0)").alias("tss"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    big = (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "tn", "ts", "tss", "k",
+            # quotient ~1e24 exceeds int64, so `div` (returns BIGINT)
+            # would wrap: exact decimal floor-div = (a - a % b) / b —
+            # the division has no remainder, so the decimal result is
+            # exact and integral
+            F.expr(
+                "CAST((CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)) * CAST(tn AS DECIMAL(38,0))"
+                " - (CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)) * CAST(tn AS DECIMAL(38,0)))"
+                "   % CAST(n AS DECIMAL(38,0)))"
+                " / CAST(n AS DECIMAL(38,0)) AS DECIMAL(38,0))"
+            ).alias("ssb_term"),
+        )
+        .groupBy("tn", "ts", "tss", "k")
+        .agg(F.sum("ssb_term").alias("ssb_acc"))
+    )
+    return big.select(
+        F.col("tn").alias("n"),
+        "k",
+        F.expr(
+            "CAST((1000 * (ssb_acc - CAST(ts AS DECIMAL(38,0)) * CAST(ts AS DECIMAL(38,0))))"
+            " div (CAST(tn AS DECIMAL(38,0)) * tss"
+            "      - CAST(ts AS DECIMAL(38,0)) * CAST(ts AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("eta2_permille"),
+    )
+
+
+# =====================================================================
+# q246 — k-anonymity audit over quasi-identifiers
+# =====================================================================
+
+_KANON_K = 5
+
+
+@query(
+    "q246_k_anonymity",
+    f"""
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_band,
+             CAST(count(*) AS BIGINT) AS class_size
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(CASE WHEN class_size < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_classes,
+           CAST(sum(CASE WHEN class_size < {_KANON_K} THEN class_size ELSE 0 END) AS BIGINT) AS n_risky_rows,
+           CAST(min(class_size) AS BIGINT) AS k_actual,
+           CAST(sum(CASE WHEN class_size = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_rows
+    FROM qi
+    """,
+)
+def q246(spark, sf_dir):
+    """k-anonymity audit: group rows by their quasi-identifier tuple
+    (nation, segment, $1000 balance band) and measure the equivalence
+    -class size distribution — the actual k, how many classes and
+    rows fall under the target k=5, and how many rows are
+    UNIQUE on the quasi-identifiers (directly re-identifiable). The
+    privacy gate run before sharing 'anonymized' extracts; shrinking
+    n_risky_rows is what generalization/suppression iterates on.
+
+    100 TB shape: one hash-agg to equivalence-class grain, one
+    bounded rollup — the audit costs a groupBy regardless of table
+    size. Banding is integer floor division (no float binning)."""
+    qi = (
+        t(spark, sf_dir, "customer")
+        .groupBy(
+            "c_nationkey", "c_mktsegment",
+            F.expr("CAST(round(c_acctbal * 100) AS BIGINT) DIV 100000").alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+    )
+    return qi.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum(F.when(F.col("class_size") < _KANON_K, 1).otherwise(0)).cast("long").alias("n_risky_classes"),
+        F.sum(F.when(F.col("class_size") < _KANON_K, F.col("class_size")).otherwise(0)).cast("long").alias("n_risky_rows"),
+        F.min("class_size").cast("long").alias("k_actual"),
+        F.sum(F.when(F.col("class_size") == 1, 1).otherwise(0)).cast("long").alias("n_unique_rows"),
+    )
