@@ -1193,6 +1193,7 @@ from . import queries_scale  # noqa: E402,F401  (registration side effect)
 from . import queries_sketch  # noqa: E402,F401  (registration side effect)
 from . import queries_corpus  # noqa: E402,F401  (registration side effect)
 from . import queries_profiling  # noqa: E402,F401  (registration side effect)
+from . import queries_stats  # noqa: E402,F401  (registration side effect)
 
 
 def entry(spark: SparkSession) -> DataFrame:

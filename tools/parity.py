@@ -75,6 +75,9 @@ _REGISTRY_FILES = [
     "patterns_devkit_spark/queries_pipeline.py",
     "patterns_devkit_spark/queries_scale.py",
     "patterns_devkit_spark/queries_sketch.py",
+    "patterns_devkit_spark/queries_corpus.py",
+    "patterns_devkit_spark/queries_profiling.py",
+    "patterns_devkit_spark/queries_stats.py",
 ]
 
 
@@ -109,7 +112,18 @@ def _changed_query_names() -> set[str]:
     import subprocess
 
     names: set[str] = set()
+    untracked = set(
+        subprocess.run(
+            ["git", "ls-files", "--others", "--exclude-standard"],
+            capture_output=True, text=True, cwd=".",
+        ).stdout.split()
+    )
     for path in _REGISTRY_FILES:
+        if path in untracked:
+            # brand-new registry file: git diff HEAD shows nothing —
+            # every block in it is by definition changed
+            names.update(n for n, _, _ in _query_blocks(path))
+            continue
         diff = subprocess.run(
             ["git", "diff", "HEAD", "-U0", "--", path],
             capture_output=True, text=True, cwd=".",
