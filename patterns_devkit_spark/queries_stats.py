@@ -232,3 +232,215 @@ def q248(spark, sf_dir):
             ).alias("ks_stat"),
         )
     )
+
+
+# =====================================================================
+# q249 — Spearman rank correlation (customer spend vs order count)
+# =====================================================================
+
+
+@query(
+    "q249_spearman_rank_corr",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ),
+    xg AS (
+      SELECT spend AS v, CAST(count(*) AS BIGINT) AS c FROM cust GROUP BY spend
+    ),
+    xr AS (
+      SELECT v, 2 * (CAST(sum(c) OVER (ORDER BY v) AS BIGINT) - c) + c + 1 AS dr
+      FROM xg
+    ),
+    yg AS (
+      SELECT n_orders AS v, CAST(count(*) AS BIGINT) AS c FROM cust GROUP BY n_orders
+    ),
+    yr AS (
+      SELECT v, 2 * (CAST(sum(c) OVER (ORDER BY v) AS BIGINT) - c) + c + 1 AS dr
+      FROM yg
+    ),
+    ranked AS (
+      SELECT xr.dr AS dx, yr.dr AS dy
+      FROM cust
+      JOIN xr ON xr.v = cust.spend
+      JOIN yr ON yr.v = cust.n_orders
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(dx AS HUGEINT)) AS sx,
+             sum(CAST(dy AS HUGEINT)) AS sy,
+             sum(CAST(dx AS HUGEINT) * dx) AS sxx,
+             sum(CAST(dy AS HUGEINT) * dy) AS syy,
+             sum(CAST(dx AS HUGEINT) * dy) AS sxy
+      FROM ranked
+    )
+    SELECT n,
+           round(
+             CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                    * CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)),
+             6) AS rho
+    FROM m
+    """,
+)
+def q249(spark, sf_dir):
+    """Spearman rank correlation between a customer's total spend and
+    their order count — the monotone-association companion to q79's
+    Pearson (outlier-robust, scale-free). Tie-averaged ranks doubled
+    (2C + c + 1 at distinct-value grain) stay integral, so all five
+    moment sums are exact DECIMAL(38)/HUGEINT quantities and rho is
+    one shared-association double expression, rounded once.
+
+    100 TB shape: one hash-agg to customer grain; each measure's rank
+    map is a distinct-value-grain aggregate + two-pass
+    range-partitioned prefix sum (operators/windows.global_prefix_sum
+    — no single-partition sort) joined back by value equality (plain
+    hash joins on the value key); the correlation is a one-row
+    reduce of five DECIMAL(38) sums. HUGEINT/DECIMAL because the
+    cross terms ~4n^3 pass int64 near n ~ 1e5 customers."""
+    from .operators.windows import global_prefix_sum
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cust = t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.sum(cents).cast("long").alias("spend"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+
+    def _rank_map(col: str):
+        vg = cust.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        cc = global_prefix_sum(vg, "v", True, [F.col("v")], "c", out_col="cc")
+        return cc.select(
+            "v", (2 * (F.col("cc") - F.col("c")) + F.col("c") + 1).alias("dr")
+        )
+
+    xr, yr = _rank_map("spend"), _rank_map("n_orders")
+    ranked = (
+        cust.join(xr, cust["spend"] == xr["v"])
+        .drop("v")
+        .withColumnRenamed("dr", "dx")
+        .join(yr, cust["n_orders"] == yr["v"])
+        .drop("v")
+        .withColumnRenamed("dr", "dy")
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("CAST(dx AS DECIMAL(38,0))")).alias("sx"),
+        F.sum(F.expr("CAST(dy AS DECIMAL(38,0))")).alias("sy"),
+        F.sum(F.expr("CAST(dx AS DECIMAL(38,0)) * dx")).alias("sxx"),
+        F.sum(F.expr("CAST(dy AS DECIMAL(38,0)) * dy")).alias("syy"),
+        F.sum(F.expr("CAST(dx AS DECIMAL(38,0)) * dy")).alias("sxy"),
+    )
+    return m.select(
+        "n",
+        F.expr(
+            "round("
+            " CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)"
+            " / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)"
+            "        * CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE)),"
+            " 6)"
+        ).alias("rho"),
+    )
+
+
+# =====================================================================
+# q250 — CUSUM change-point detection on daily revenue
+# =====================================================================
+
+
+@query(
+    "q250_cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM orders GROUP BY day
+    ),
+    seq AS (
+      SELECT day, x,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS idx,
+             CAST(sum(x) OVER (ORDER BY day) AS BIGINT) AS pre
+      FROM daily
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS total FROM daily
+    ),
+    dev AS (
+      SELECT day,
+             CAST(tot.n AS HUGEINT) * pre - CAST(idx AS HUGEINT) * tot.total AS s_n
+      FROM seq, tot
+    ),
+    mx AS (SELECT max(abs(s_n)) AS d_max FROM dev)
+    SELECT (SELECT n FROM tot) AS n_days,
+           strftime((SELECT min(day) FROM dev, mx WHERE abs(s_n) = d_max),
+                    '%Y-%m-%d') AS changepoint_day,
+           CAST((SELECT CASE WHEN s_n >= 0 THEN 1 ELSE -1 END FROM dev, mx
+                 WHERE abs(s_n) = d_max ORDER BY day LIMIT 1) AS BIGINT) AS direction,
+           CAST((SELECT (1000 * d_max) // (CAST(tot.n AS HUGEINT) * tot.total)
+                 FROM mx, tot) AS BIGINT) AS excursion_permille
+    """,
+)
+def q250(spark, sf_dir):
+    """CUSUM change-point scan over daily revenue: the day where the
+    cumulative deviation from the global mean peaks — the classic
+    level-shift detector (complement to q142's seasonal z-scores,
+    which flag points, not regime changes). Mean-free integer form:
+    S_d * n = n * prefix_d - idx_d * total, so the argmax day, its
+    direction, and the permille excursion are exact
+    HUGEINT/DECIMAL(38) quantities (prefix * n passes int64 at
+    warehouse scale); ties break to the earliest day.
+
+    100 TB shape: the only full scan is the hash-agg to DAY grain
+    (map-side combined). The prefix/index windows then run at
+    calendar grain — a few thousand rows bounded by the date span,
+    not the data volume — so an unpartitioned window here is a
+    deliberate post-aggregation choice (same reasoning as q122/q169),
+    not the row-grain anti-pattern."""
+    from pyspark.sql.window import Window
+
+    daily = t(spark, sf_dir, "orders").groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("x"))
+    w = Window.orderBy("day")
+    seq = daily.select(
+        "day",
+        "x",
+        F.row_number().over(w).cast("long").alias("idx"),
+        F.sum("x").over(w).cast("long").alias("pre"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("total"),
+    )
+    dev = seq.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n",
+        "total",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * pre - CAST(idx AS DECIMAL(38,0)) * total"
+        ).alias("s_n"),
+    )
+    mx = dev.agg(F.max(F.abs(F.col("s_n"))).alias("d_max"))
+    hit = (
+        dev.crossJoin(F.broadcast(mx))
+        .where(F.abs(F.col("s_n")) == F.col("d_max"))
+        .groupBy("n", "total", "d_max")
+        .agg(
+            F.min("day").alias("cp_day"),
+            F.min_by(
+                F.when(F.col("s_n") >= 0, 1).otherwise(-1), F.col("day")
+            ).cast("long").alias("direction"),
+        )
+    )
+    return hit.select(
+        F.col("n").alias("n_days"),
+        F.date_format("cp_day", "yyyy-MM-dd").alias("changepoint_day"),
+        "direction",
+        F.expr(
+            "CAST((1000 * d_max) div (CAST(n AS DECIMAL(38,0)) * total) AS BIGINT)"
+        ).alias("excursion_permille"),
+    )
