@@ -444,3 +444,196 @@ def q250(spark, sf_dir):
             "CAST((1000 * d_max) div (CAST(n AS DECIMAL(38,0)) * total) AS BIGINT)"
         ).alias("excursion_permille"),
     )
+
+
+# =====================================================================
+# q251 — repeat-purchase survival: risk sets, censoring, hazard
+# =====================================================================
+
+
+@query(
+    "q251_survival_hazard",
+    """
+    WITH o AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS day FROM orders
+    ),
+    horizon AS (SELECT max(day) AS maxday FROM o),
+    firsts AS (SELECT o_custkey, min(day) AS d1 FROM o GROUP BY o_custkey),
+    seconds AS (
+      SELECT f.o_custkey, min(o.day) AS d2
+      FROM firsts f JOIN o ON o.o_custkey = f.o_custkey AND o.day > f.d1
+      GROUP BY f.o_custkey
+    ),
+    subj AS (
+      SELECT f.o_custkey,
+             CASE WHEN s.d2 IS NOT NULL THEN date_diff('day', f.d1, s.d2)
+                  ELSE date_diff('day', f.d1, (SELECT maxday FROM horizon))
+             END AS t,
+             CASE WHEN s.d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM firsts f LEFT JOIN seconds s ON s.o_custkey = f.o_custkey
+    ),
+    tg AS (
+      SELECT CAST(t AS BIGINT) AS t,
+             CAST(sum(ev) AS BIGINT) AS d_events,
+             CAST(sum(1 - ev) AS BIGINT) AS c_censored
+      FROM subj GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d_events, c_censored,
+             CAST((SELECT count(*) FROM subj) AS BIGINT)
+               - CAST(sum(d_events + c_censored) OVER (ORDER BY t) AS BIGINT)
+               + (d_events + c_censored) AS n_risk
+      FROM tg
+    )
+    SELECT t AS t_days, n_risk, d_events, c_censored,
+           CAST((1000 * d_events) // n_risk AS BIGINT) AS hazard_permille
+    FROM risk ORDER BY t LIMIT 30
+    """,
+)
+def q251(spark, sf_dir):
+    """Discrete-time survival analysis of repeat purchase: for each
+    duration t (days from a customer's first order day to their next
+    LATER order day), the risk set n_t (customers still unresolved at
+    t), events d_t (repeat at t), right-censored exits c_t (never
+    reordered; censored at the dataset horizon), and the exact
+    integer hazard floor(1000*d_t/n_t) — the life-table q88's cohort
+    retention cannot express because it ignores censoring. Same-day
+    repeat orders count as the first purchase event (duration is
+    day-grain by construction).
+
+    100 TB shape: two hash-aggs to customer grain (first day; min
+    later day via a self-join on the customer key — a co-partitioned
+    shuffle join) plus a scalar horizon broadcast. The risk-set
+    cumsum then runs at DURATION grain — bounded by the calendar span
+    like q250, so the unpartitioned window is a post-aggregation
+    choice, not the row-grain anti-pattern."""
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("day")
+    )
+    horizon = o.agg(F.max("day").alias("maxday"))
+    firsts = o.groupBy("o_custkey").agg(F.min("day").alias("d1"))
+    seconds = (
+        firsts.join(o, "o_custkey")
+        .where(F.col("day") > F.col("d1"))
+        .groupBy("o_custkey")
+        .agg(F.min("day").alias("d2"))
+    )
+    subj = (
+        firsts.join(seconds, "o_custkey", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("d2").isNotNull(), F.datediff(F.col("d2"), F.col("d1"))
+            )
+            .otherwise(F.datediff(F.col("maxday"), F.col("d1")))
+            .cast("long")
+            .alias("t"),
+            F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    tg = subj.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("d_events"),
+        F.sum(1 - F.col("ev")).cast("long").alias("c_censored"),
+    )
+    total = subj.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    w = Window.orderBy("t")
+    risk = (
+        tg.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total")
+            - F.sum(F.col("d_events") + F.col("c_censored")).over(w).cast("long")
+            + (F.col("d_events") + F.col("c_censored")),
+        )
+    )
+    return (
+        risk.select(
+            F.col("t").alias("t_days"),
+            "n_risk",
+            "d_events",
+            "c_censored",
+            F.expr("CAST((1000 * d_events) DIV n_risk AS BIGINT)").alias(
+                "hazard_permille"
+            ),
+        )
+        .orderBy("t_days")
+        .limit(30)
+    )
+
+
+# =====================================================================
+# q252 — readability scoring (integer-exact Flesch variant)
+# =====================================================================
+
+
+@query(
+    "q252_readability",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  w -> w <> '')) AS BIGINT) AS words,
+             greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+                      1) AS sentences,
+             greatest(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT),
+                      1) AS syllables
+      FROM documents
+    )
+    SELECT doc_id, words, sentences, syllables,
+           CAST(206835000 - (1015000000 * words) // sentences
+                          - (84600000 * syllables) // words AS BIGINT) AS flesch_micro
+    FROM m
+    WHERE words > 0
+    ORDER BY flesch_micro, doc_id LIMIT 25
+    """,
+)
+def q252(spark, sf_dir):
+    """Flesch reading-ease scoring over the corpus — the readability
+    axis of the text-quality family (q40 stats, q70 quality score,
+    q41 lang-id): words per sentence + syllables per word, with
+    syllable nuclei approximated as maximal [aeiouy]+ runs (the
+    standard codec-free heuristic). The score is kept integer-exact
+    in micro-units via floor division — 206.835e6 − 1.015e9·W/S −
+    84.6e6·Y/W — so the bottom-25 selection and every output value
+    hash identically across engines (no float boundary risk at the
+    LIMIT edge). Returns the 25 hardest-to-read docs.
+
+    100 TB shape: embarrassingly parallel — three codegen'd regexp
+    counters per row, zero joins, zero shuffles except the final
+    TakeOrdered(25) (partial per-partition top-k, driver merges 25
+    rows per partition)."""
+    d = t(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != F.lit("")
+            )
+        )
+        .cast("long")
+        .alias("words"),
+        F.greatest(
+            F.regexp_count(F.col("text"), F.lit(r"[.!?]+")).cast("long"), F.lit(1)
+        ).alias("sentences"),
+        F.greatest(
+            F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")).cast("long"),
+            F.lit(1),
+        ).alias("syllables"),
+    )
+    return (
+        m.where(F.col("words") > 0)
+        .select(
+            "doc_id",
+            "words",
+            "sentences",
+            "syllables",
+            F.expr(
+                "CAST(206835000 - (1015000000 * words) DIV sentences"
+                " - (84600000 * syllables) DIV words AS BIGINT)"
+            ).alias("flesch_micro"),
+        )
+        .orderBy("flesch_micro", "doc_id")
+        .limit(25)
+    )
