@@ -637,3 +637,255 @@ def q252(spark, sf_dir):
         .orderBy("flesch_micro", "doc_id")
         .limit(25)
     )
+
+
+# =====================================================================
+# q253 — randomization test (deterministic hash relabeling)
+# =====================================================================
+
+from .operators.det_hash import MINHASH_PRIME as _P
+from .operators.det_hash import minhash_params as _affine_params
+
+_PERM_R = 64  # null replicates
+_PERM_AB = _affine_params(_PERM_R, seed=17)
+_PERM_A = "[" + ",".join(str(a) for a, _ in _PERM_AB) + "]"
+_PERM_B = "[" + ",".join(str(b) for _, b in _PERM_AB) + "]"
+_PERM_A_SQL = "array(" + _PERM_A[1:-1] + ")"
+_PERM_B_SQL = "array(" + _PERM_B[1:-1] + ")"
+
+
+@query(
+    "q253_randomization_test",
+    f"""
+    WITH y AS (
+      SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+               % {_P} AS h,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_a,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    obs AS (
+      SELECT abs(CAST(sum(CASE WHEN is_a = 1 THEN v END) AS DOUBLE)
+                   / sum(CASE WHEN is_a = 1 THEN 1 END)
+                 - CAST(sum(CASE WHEN is_a = 0 THEN v END) AS DOUBLE)
+                   / sum(CASE WHEN is_a = 0 THEN 1 END)) AS d_obs
+      FROM y
+    ),
+    relabeled AS (
+      SELECT r.r,
+             (({_PERM_A}[CAST(r.r AS INT) + 1] * h + {_PERM_B}[CAST(r.r AS INT) + 1])
+              % {_P}) % 2 AS g,
+             v
+      FROM y, unnest(range({_PERM_R})) AS r(r)
+    ),
+    nulls AS (
+      SELECT r,
+             abs(CAST(sum(CASE WHEN g = 1 THEN v END) AS DOUBLE)
+                   / sum(CASE WHEN g = 1 THEN 1 END)
+                 - CAST(sum(CASE WHEN g = 0 THEN v END) AS DOUBLE)
+                   / sum(CASE WHEN g = 0 THEN 1 END)) AS d_null
+      FROM relabeled GROUP BY r
+    )
+    SELECT round((SELECT d_obs FROM obs) / 100.0, 6) AS obs_diff_dollars,
+           CAST({_PERM_R} AS BIGINT) AS n_replicates,
+           CAST(1 + (SELECT count(*) FROM nulls, obs WHERE d_null >= d_obs)
+                AS BIGINT) AS p_numer,
+           round(CAST(1 + (SELECT count(*) FROM nulls, obs WHERE d_null >= d_obs)
+                      AS DOUBLE) / ({_PERM_R} + 1), 6) AS p_value
+    """,
+)
+def q253(spark, sf_dir):
+    """Randomization test for the urgent-vs-low mean order value gap:
+    rebuild the null distribution by RELABELING every order with a
+    deterministic coin per replicate, recompute the absolute mean
+    difference, and count how often the null beats the observed gap —
+    p = (1 + #{d_null >= d_obs})/(R+1). No RNG anywhere: one md5 per
+    ROW (not per draw) reduced mod 2^31-1, then each replicate's coin
+    is an affine remix (a_r*h + b_r) mod p from the det_hash LCG
+    literal family (the q35/q38 discipline) — products stay below
+    2^62, so the identical int64 arithmetic runs on both engines and
+    the p-value is oracle-exact. Means are doubles built from exact
+    cents sums with shared association.
+
+    100 TB shape: R=64 replicates are a generated-column explode
+    feeding ONE hash-agg keyed (replicate, coin) — map-side combine
+    collapses each partition to 2R partial sums, so the shuffle is
+    O(partitions * 2R) rows regardless of data size; per-row CPU is
+    one md5 + R multiply-adds, the irreducible price of resampling.
+    No replicate ever materializes a resampled table."""
+    from .operators.det_hash import md5_long
+
+    y = t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        (md5_long(F.col("o_orderkey").cast("string")) % _P).alias("h"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("is_a"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    obs = y.agg(
+        F.expr(
+            "abs(CAST(sum(CASE WHEN is_a = 1 THEN v END) AS DOUBLE)"
+            "      / sum(CASE WHEN is_a = 1 THEN 1 END)"
+            "    - CAST(sum(CASE WHEN is_a = 0 THEN v END) AS DOUBLE)"
+            "      / sum(CASE WHEN is_a = 0 THEN 1 END))"
+        ).alias("d_obs")
+    )
+    relabeled = y.withColumn(
+        "r", F.explode(F.sequence(F.lit(0), F.lit(_PERM_R - 1)))
+    ).select(
+        "r",
+        F.expr(
+            f"((element_at({_PERM_A_SQL}, CAST(r AS INT) + 1) * h"
+            f"  + element_at({_PERM_B_SQL}, CAST(r AS INT) + 1)) % {_P}) % 2"
+        ).alias("g"),
+        "v",
+    )
+    nulls = relabeled.groupBy("r").agg(
+        F.expr(
+            "abs(CAST(sum(CASE WHEN g = 1 THEN v END) AS DOUBLE)"
+            "      / sum(CASE WHEN g = 1 THEN 1 END)"
+            "    - CAST(sum(CASE WHEN g = 0 THEN v END) AS DOUBLE)"
+            "      / sum(CASE WHEN g = 0 THEN 1 END))"
+        ).alias("d_null")
+    )
+    beat = (
+        nulls.crossJoin(F.broadcast(obs))
+        .where(F.col("d_null") >= F.col("d_obs"))
+        .agg(F.count(F.lit(1)).alias("n_beat"))
+    )
+    return beat.crossJoin(F.broadcast(obs)).select(
+        F.expr("round(d_obs / 100.0, 6)").alias("obs_diff_dollars"),
+        F.lit(_PERM_R).cast("long").alias("n_replicates"),
+        (1 + F.col("n_beat")).cast("long").alias("p_numer"),
+        F.expr(f"round(CAST(1 + n_beat AS DOUBLE) / ({_PERM_R} + 1), 6)").alias(
+            "p_value"
+        ),
+    )
+
+
+# =====================================================================
+# q254 — Poisson bootstrap confidence interval (deterministic)
+# =====================================================================
+
+_BOOT_R = 40  # bootstrap replicates
+_BOOT_AB = _affine_params(_BOOT_R, seed=19)
+_BOOT_A = "[" + ",".join(str(a) for a, _ in _BOOT_AB) + "]"
+_BOOT_B = "[" + ",".join(str(b) for _, b in _BOOT_AB) + "]"
+_BOOT_A_SQL = "array(" + _BOOT_A[1:-1] + ")"
+_BOOT_B_SQL = "array(" + _BOOT_B[1:-1] + ")"
+
+# Poisson(1) CDF thresholds for inverse-transform sampling: P(X<=k)
+_POIS_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+]
+
+
+def _pois_case(u_expr: str) -> str:
+    """Shared-SQL inverse-CDF when-chain: Poisson(1) draw from a
+    uniform in [0,1). Identical expression text on both engines."""
+    branches = " ".join(
+        f"WHEN {u_expr} < {c!r} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"CASE {branches} ELSE {len(_POIS_CDF)} END"
+
+
+@query(
+    "q254_poisson_bootstrap",
+    f"""
+    WITH y AS (
+      SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+               % {_P} AS h,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    ),
+    draws AS (
+      SELECT r.r, v,
+             {_pois_case(f"(CAST(({_BOOT_A}[CAST(r.r AS INT) + 1] * h + {_BOOT_B}[CAST(r.r AS INT) + 1]) % {_P} AS DOUBLE) / {_P})")} AS w
+      FROM y, unnest(range({_BOOT_R})) AS r(r)
+    ),
+    reps AS (
+      SELECT r,
+             CAST(sum(CAST(w AS BIGINT) * v) AS DOUBLE) / sum(CAST(w AS BIGINT)) AS m
+      FROM draws GROUP BY r
+    ),
+    ranked AS (
+      SELECT m, row_number() OVER (ORDER BY m) AS i FROM reps
+    ),
+    pt AS (SELECT CAST(sum(v) AS DOUBLE) / count(*) AS mean_cents,
+                  CAST(count(*) AS BIGINT) AS n FROM y)
+    SELECT (SELECT n FROM pt) AS n,
+           CAST({_BOOT_R} AS BIGINT) AS n_replicates,
+           round((SELECT mean_cents FROM pt) / 100.0, 6) AS mean_dollars,
+           round((SELECT m FROM ranked WHERE i = 2) / 100.0, 6) AS ci_lo_dollars,
+           round((SELECT m FROM ranked WHERE i = {_BOOT_R - 1}) / 100.0, 6) AS ci_hi_dollars
+    """,
+)
+def q254(spark, sf_dir):
+    """95% bootstrap confidence interval for the mean order value via
+    the POISSON bootstrap — the resampling scheme that actually works
+    distributed: instead of drawing n rows with replacement (global
+    coordination), each row independently receives a Poisson(1)
+    multiplicity per replicate, drawn by inverse-CDF from a
+    deterministic uniform. The uniform is one md5 per ROW reduced mod
+    2^31-1, affine-remixed per replicate with det_hash LCG literals
+    (int64-safe products — the q253/q35 family), then divided by p:
+    identical doubles on both engines, so the interval is
+    oracle-exact. R=40 replicate means; the CI is the 2nd / 39th
+    order statistic (~2.5% / 97.5%). (Kleiner et al.'s
+    scalable-bootstrap motivation; per-row independence is the
+    standard streaming form.)
+
+    100 TB shape: same as q253 — explode R generated replicates into
+    ONE hash-agg with map-side combine (shuffle O(partitions * R));
+    order statistics over R rows ride a 40-row sort. The when-chain
+    inverse-CDF and the affine remix are codegen'd JVM arithmetic."""
+    from .operators.det_hash import md5_long
+    from pyspark.sql.window import Window
+
+    y = t(spark, sf_dir, "orders").select(
+        (md5_long(F.col("o_orderkey").cast("string")) % _P).alias("h"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    draws = y.withColumn(
+        "r", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1)))
+    ).select(
+        "r",
+        "v",
+        F.expr(
+            _pois_case(
+                f"(CAST((element_at({_BOOT_A_SQL}, CAST(r AS INT) + 1) * h"
+                f" + element_at({_BOOT_B_SQL}, CAST(r AS INT) + 1)) % {_P} AS DOUBLE)"
+                f" / {_P})"
+            )
+        ).alias("w"),
+    )
+    reps = draws.groupBy("r").agg(
+        F.expr("CAST(sum(CAST(w AS BIGINT) * v) AS DOUBLE) / sum(CAST(w AS BIGINT))").alias("m")
+    )
+    pt = y.agg(
+        F.expr("CAST(sum(v) AS DOUBLE) / count(*)").alias("mean_cents"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    ranked = reps.select(
+        "m", F.row_number().over(Window.orderBy("m")).alias("i")
+    )
+    lo = ranked.where(F.col("i") == 2).select(F.col("m").alias("lo"))
+    hi = ranked.where(F.col("i") == _BOOT_R - 1).select(F.col("m").alias("hi"))
+    return (
+        pt.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n",
+            F.lit(_BOOT_R).cast("long").alias("n_replicates"),
+            F.expr("round(mean_cents / 100.0, 6)").alias("mean_dollars"),
+            F.expr("round(lo / 100.0, 6)").alias("ci_lo_dollars"),
+            F.expr("round(hi / 100.0, 6)").alias("ci_hi_dollars"),
+        )
+    )
