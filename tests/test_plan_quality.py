@@ -374,3 +374,44 @@ def test_q225_skyline_two_pass(spark, sf_dir):
 
     df = QUERIES["q225_skyline"](spark, sf_dir)
     assert single_partition_windows(df) == 0
+
+
+def test_stats_batch_plans(spark, sf_dir):
+    """q247-q249: value-grain rank/ECDF machinery rides the two-pass
+    prefix-sum operator — zero single-partition windows at row/value
+    grain (the VERDICT r2 anti-pattern must not reappear); q252 is a
+    pure TakeOrdered scan with no shuffle-heavy machinery."""
+    from patterns_devkit_spark.plans.inspect import single_partition_windows
+
+    for name in (
+        "q247_mann_whitney",
+        "q248_ks_two_sample",
+        "q249_spearman_rank_corr",
+    ):
+        df = QUERIES[name](spark, sf_dir)
+        assert single_partition_windows(df) == 0, name
+        assert not has_cartesian(df), name
+
+    q252 = QUERIES["q252_readability"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in explain_str(q252)
+    assert single_partition_windows(q252) == 0
+
+
+def test_resampling_batch_plans(spark, sf_dir):
+    """q253/q254: replicate fan-out must stay a generated-column
+    explode into ONE map-side-combined hash-agg — partial aggregation
+    present, no cartesian, and the only window in q254 runs on R=40
+    replicate rows (post-aggregation grain, allowed)."""
+    from patterns_devkit_spark.plans.inspect import single_partition_windows
+
+    q253 = QUERIES["q253_randomization_test"](spark, sf_dir)
+    assert not has_cartesian(q253)
+    assert single_partition_windows(q253) == 0
+    s = explain_str(q253)
+    assert "partial" in s.lower()  # map-side combine before the replicate shuffle
+
+    q254 = QUERIES["q254_poisson_bootstrap"](spark, sf_dir)
+    assert not has_cartesian(q254)
+    # the single-partition window is the 40-row replicate ranking —
+    # bounded by R, not by data volume
+    assert single_partition_windows(q254) <= 1
