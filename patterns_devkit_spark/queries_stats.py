@@ -889,3 +889,286 @@ def q254(spark, sf_dir):
             F.expr("round(hi / 100.0, 6)").alias("ci_hi_dollars"),
         )
     )
+
+
+# =====================================================================
+# q255 — Theil-Sen robust trend slope (daily revenue)
+# =====================================================================
+
+
+@query(
+    "q255_theil_sen",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM orders GROUP BY day
+    ),
+    pairs AS (
+      SELECT CAST(a.x - b.x AS DOUBLE) / date_diff('day', b.day, a.day) AS slope
+      FROM daily a JOIN daily b ON a.day > b.day
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             quantile_cont(slope, 0.5) AS med
+      FROM pairs
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+           n_pairs,
+           round(med / 100.0, 6) AS slope_dollars_per_day
+    FROM m
+    """,
+)
+def q255(spark, sf_dir):
+    """Theil-Sen estimator of the revenue trend: the MEDIAN of all
+    pairwise day-to-day slopes — the robust line fit that a single
+    promotional spike cannot drag the way q162's least-squares slope
+    can (breakdown point 29%). Slopes are dy/dx doubles built from
+    exact integers (cents delta over day delta); both engines sort
+    the same doubles and take the same interpolated median
+    (percentile == quantile_cont semantics), rounded once.
+
+    100 TB shape: the fact scan collapses to DAY grain first, so the
+    pairwise self-join is calendar^2 — ~3M pairs for a 7-year span,
+    CONSTANT in data volume (the q253 trick: grain before anything
+    quadratic). The median is exact order-statistic SELECTION via the
+    two-pass global_row_number (bucket-local ranks + broadcast
+    offsets), not Spark's object-hash `percentile` collect (10s ->
+    ~1s on the same pairs); the bounded pair set is localCheckpointed
+    once so the selection's boundary/total/rank passes don't re-run
+    the nested-loop join. n_pairs is the closed form C(n_days, 2) —
+    days are distinct by construction. The ORACLE verifies with a
+    genuinely different algorithm (quantile_cont over a full sort) —
+    an independent cross-check, not a replay (the q215 discipline)."""
+    from .operators.windows import global_row_number
+
+    daily = t(spark, sf_dir, "orders").groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("x"))
+    a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    pairs = a.join(b, F.col("da") > F.col("db")).select(
+        (
+            (F.col("xa") - F.col("xb")).cast("double")
+            / F.datediff(F.col("da"), F.col("db"))
+        ).alias("slope")
+    ).localCheckpoint()  # bounded (calendar^2); reused by 3 selection passes
+    ranked = global_row_number(pairs, "slope", True, [F.col("slope")], out_col="rn")
+    nd = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days")).select(
+        "n_days",
+        (F.col("n_days") * (F.col("n_days") - 1) / 2).cast("long").alias("n_pairs"),
+        # interpolated median = mean of the order statistics at
+        # positions (N+1)//2 and (N+2)//2 (equal when N is odd)
+        F.expr("(n_days * (n_days - 1) DIV 2 + 1) DIV 2").alias("k1"),
+        F.expr("(n_days * (n_days - 1) DIV 2 + 2) DIV 2").alias("k2"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(nd))
+        .where((F.col("rn") == F.col("k1")) | (F.col("rn") == F.col("k2")))
+        .groupBy("n_days", "n_pairs")
+        .agg(F.expr("round(avg(slope) / 100.0, 6)").alias("slope_dollars_per_day"))
+        .select("n_days", "n_pairs", "slope_dollars_per_day")
+    )
+
+
+# =====================================================================
+# q256 — Benjamini-Hochberg FDR screen over randomization p-values
+# =====================================================================
+
+_FDR_R = 64  # null replicates per hypothesis family
+_FDR_AB = _affine_params(_FDR_R, seed=23)
+_FDR_A = "[" + ",".join(str(a) for a, _ in _FDR_AB) + "]"
+_FDR_B = "[" + ",".join(str(b) for _, b in _FDR_AB) + "]"
+_FDR_A_SQL = "array(" + _FDR_A[1:-1] + ")"
+_FDR_B_SQL = "array(" + _FDR_B[1:-1] + ")"
+# BH level alpha = 1/_FDR_ALPHA_INV (kept integral for the exact test)
+_FDR_ALPHA_INV = 10
+
+
+@query(
+    "q256_fdr_screen",
+    f"""
+    WITH y AS (
+      SELECT CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+               % {_P} AS h,
+             n.n_name AS nation,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS v
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(v) AS BIGINT) AS ss FROM y
+    ),
+    obs AS (
+      SELECT nation, CAST(count(*) AS BIGINT) AS n_i, CAST(sum(v) AS BIGINT) AS s_i
+      FROM y GROUP BY nation
+    ),
+    obs_d AS (
+      SELECT o.nation,
+             abs(CAST(o.s_i AS DOUBLE) / o.n_i
+                 - CAST(t.ss - o.s_i AS DOUBLE) / (t.nn - o.n_i)) AS d_obs
+      FROM obs o, tot t
+    ),
+    bands AS (
+      SELECT nation,
+             CAST(sum(n_i) OVER (ORDER BY nation) - n_i AS DOUBLE)
+               / (SELECT nn FROM tot) AS lo,
+             CAST(sum(n_i) OVER (ORDER BY nation) AS DOUBLE)
+               / (SELECT nn FROM tot) AS hi
+      FROM obs
+    ),
+    draws AS (
+      SELECT r.r,
+             CAST(({_FDR_A}[CAST(r.r AS INT) + 1] * y.h + {_FDR_B}[CAST(r.r AS INT) + 1])
+                  % {_P} AS DOUBLE) / {_P} AS frac,
+             y.v
+      FROM y, unnest(range({_FDR_R})) AS r(r)
+    ),
+    null_groups AS (
+      SELECT d.r, b.nation,
+             CAST(count(*) AS BIGINT) AS n_ir, CAST(sum(d.v) AS BIGINT) AS s_ir
+      FROM draws d JOIN bands b ON d.frac >= b.lo AND d.frac < b.hi
+      GROUP BY d.r, b.nation
+    ),
+    null_d AS (
+      SELECT g.nation,
+             abs(CAST(g.s_ir AS DOUBLE) / g.n_ir
+                 - CAST(t.ss - g.s_ir AS DOUBLE) / (t.nn - g.n_ir)) AS d_null
+      FROM null_groups g, tot t
+    ),
+    pvals AS (
+      SELECT o.nation,
+             CAST(1 + (SELECT count(*) FROM null_d nd
+                       WHERE nd.nation = o.nation AND nd.d_null >= o.d_obs)
+                  AS BIGINT) AS p_numer
+      FROM obs_d o
+    ),
+    ranked AS (
+      SELECT nation, p_numer,
+             CAST(row_number() OVER (ORDER BY p_numer, nation) AS BIGINT) AS k,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM pvals
+    ),
+    kstar AS (
+      SELECT COALESCE(max(k), 0) AS k_max FROM ranked
+      WHERE p_numer * {_FDR_ALPHA_INV} * m <= k * {_FDR_R + 1}
+    )
+    SELECT nation, k AS p_rank, p_numer,
+           round(CAST(p_numer AS DOUBLE) / {_FDR_R + 1}, 6) AS p_value,
+           CAST(CASE WHEN k <= (SELECT k_max FROM kstar) THEN 1 ELSE 0 END
+                AS BIGINT) AS rejected
+    FROM ranked ORDER BY p_rank, nation
+    """,
+)
+def q256(spark, sf_dir):
+    """Benjamini-Hochberg FDR screen over 25 simultaneous hypotheses
+    — "which nations' mean order value differs from the rest?" — with
+    EXACT arithmetic end to end: each per-nation p-value comes from
+    the q253 randomization machinery (R=64 deterministic relabelings;
+    null nation labels drawn from the observed nation distribution by
+    inverting its empirical CDF with the shared affine-LCG uniform),
+    so p = p_numer/(R+1) is a rational, and the BH step-up test
+    p_(k) <= alpha*k/m runs as the integer cross-multiplication
+    p_numer*alpha_inv*m <= k*(R+1) — no float boundary anywhere in
+    the accept/reject decision.
+
+    100 TB shape: the R-replicate fan-out is the q253 explode into
+    ONE hash-agg at (replicate, nation) grain — map-side combine
+    bounds the shuffle at O(partitions * R * m); the CDF-band lookup
+    is a 25-row broadcast range join; everything after is m-row
+    (25) arithmetic. Dimension joins (customer -> nation) are the
+    standard broadcast star shape."""
+    from .operators.det_hash import md5_long
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    y = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            (md5_long(F.col("o_orderkey").cast("string")) % _P).alias("h"),
+            F.col("n_name").alias("nation"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        )
+    )
+    tot = y.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum("v").cast("long").alias("ss"),
+    )
+    obs = y.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_i"),
+        F.sum("v").cast("long").alias("s_i"),
+    )
+    obs_d = obs.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        F.expr(
+            "abs(CAST(s_i AS DOUBLE) / n_i - CAST(ss - s_i AS DOUBLE) / (nn - n_i))"
+        ).alias("d_obs"),
+    )
+    wb = Window.orderBy("nation")
+    bands = obs.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        ((F.sum("n_i").over(wb) - F.col("n_i")).cast("double") / F.col("nn")).alias("lo"),
+        (F.sum("n_i").over(wb).cast("double") / F.col("nn")).alias("hi"),
+    )
+    draws = y.withColumn(
+        "r", F.explode(F.sequence(F.lit(0), F.lit(_FDR_R - 1)))
+    ).select(
+        "r",
+        F.expr(
+            f"CAST((element_at({_FDR_A_SQL}, CAST(r AS INT) + 1) * h"
+            f" + element_at({_FDR_B_SQL}, CAST(r AS INT) + 1)) % {_P} AS DOUBLE) / {_P}"
+        ).alias("frac"),
+        "v",
+    )
+    null_groups = (
+        draws.join(
+            F.broadcast(bands),
+            (F.col("frac") >= F.col("lo")) & (F.col("frac") < F.col("hi")),
+        )
+        .groupBy("r", "nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ir"),
+            F.sum("v").cast("long").alias("s_ir"),
+        )
+    )
+    null_d = null_groups.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        F.expr(
+            "abs(CAST(s_ir AS DOUBLE) / n_ir - CAST(ss - s_ir AS DOUBLE) / (nn - n_ir))"
+        ).alias("d_null"),
+    )
+    beats = (
+        null_d.join(F.broadcast(obs_d), "nation")
+        .where(F.col("d_null") >= F.col("d_obs"))
+        .groupBy("nation")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_beat"))
+    )
+    pvals = obs_d.join(beats, "nation", "left").select(
+        "nation",
+        (1 + F.coalesce(F.col("n_beat"), F.lit(0))).cast("long").alias("p_numer"),
+    )
+    wr = Window.orderBy("p_numer", "nation")
+    ranked = pvals.select(
+        "nation",
+        "p_numer",
+        F.row_number().over(wr).cast("long").alias("k"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("m"),
+    )
+    kstar = ranked.where(
+        F.col("p_numer") * _FDR_ALPHA_INV * F.col("m") <= F.col("k") * (_FDR_R + 1)
+    ).agg(F.coalesce(F.max("k"), F.lit(0)).cast("long").alias("k_max"))
+    return (
+        ranked.crossJoin(F.broadcast(kstar))
+        .select(
+            "nation",
+            F.col("k").alias("p_rank"),
+            "p_numer",
+            F.expr(f"round(CAST(p_numer AS DOUBLE) / {_FDR_R + 1}, 6)").alias("p_value"),
+            F.when(F.col("k") <= F.col("k_max"), 1).otherwise(0).cast("long").alias("rejected"),
+        )
+        .orderBy("p_rank", "nation")
+    )
