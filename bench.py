@@ -91,6 +91,11 @@ BENCH_QUERIES = [
     "q209_dup_span_coverage",
     "q215_exact_quantile_select",
     "q220_max_drawdown",
+    # statistics batch: exact two-sample KS (two two-pass ECDF sweeps
+    # over the value domain), Poisson bootstrap CI (replicate explode
+    # into one map-side-combined agg, affine-LCG draws)
+    "q248_ks_two_sample",
+    "q254_poisson_bootstrap",
     "sdk02_upsert",  # engine write path: full-table MERGE + version flip
     "sdk06_upsert_partitioned",  # bounded rewrite: touched partition only, rest hardlinked
     "sdk07_compact",  # maintenance: 4-file hot append table -> 1 coalesced file

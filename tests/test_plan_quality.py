@@ -415,3 +415,24 @@ def test_resampling_batch_plans(spark, sf_dir):
     # the single-partition window is the 40-row replicate ranking —
     # bounded by R, not by data volume
     assert single_partition_windows(q254) <= 1
+
+
+def test_q255_bounded_pairwise_and_selection(spark, sf_dir):
+    """Theil-Sen: the pairwise join runs at day grain (bounded), the
+    median is two-pass order-statistic selection — no data-sized
+    single-partition window, no percentile object-agg."""
+    from patterns_devkit_spark.plans.inspect import single_partition_windows
+
+    df = QUERIES["q255_theil_sen"](spark, sf_dir)
+    assert single_partition_windows(df) == 0
+    assert "Percentile" not in explain_str(df)
+
+
+def test_q256_fdr_broadcast_bands(spark, sf_dir):
+    """FDR screen: the empirical-CDF band lookup must be a broadcast
+    join (25-row bands), the replicate fan-out map-side combined."""
+    df = QUERIES["q256_fdr_screen"](spark, sf_dir)
+    s = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in s or has_broadcast_join(df)
+    assert "partial" in s.lower()
+    assert not has_cartesian(df)
