@@ -204,6 +204,46 @@ def global_prefix_sum(
     ).drop(_B, "__pdk_local")
 
 
+def global_prefix_sum_multi(
+    df: DataFrame,
+    bucket_key: str,
+    ascending: bool,
+    order_exprs: list[Column],
+    value_cols: list[str],
+    out_cols: list[str],
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """`global_prefix_sum` for SEVERAL integral columns in ONE sweep:
+    same bucketing, ONE per-bucket totals job (k sums per bucket) and
+    ONE bucket-partitioned window shuffle computing all k running
+    sums — vs k full two-pass sweeps (k input re-evaluations, k
+    shuffles) when called column-by-column. The ECDF/rank-pair shape
+    (e.g. two-sample tests: cumulative counts of both arms over one
+    value order) is the motivating caller."""
+    if len(value_cols) != len(out_cols):
+        raise ValueError("value_cols and out_cols must align")
+    p = num_buckets or _default_buckets(df)
+    bnds = _boundaries(df, bucket_key, p)
+    dfb = df.withColumn(_B, _bucket_expr(F.col(bucket_key), bnds, ascending))
+    totals_rows = (
+        dfb.groupBy(_B)
+        .agg(*[F.sum(c).alias(f"__t{i}") for i, c in enumerate(value_cols)])
+        .collect()
+    )
+    w = Window.partitionBy(_B).orderBy(*order_exprs)
+    out = dfb
+    for i, (vc, oc) in enumerate(zip(value_cols, out_cols)):
+        offsets: dict[int, int] = {}
+        acc = 0
+        for r in sorted(totals_rows, key=lambda r: r[_B]):
+            offsets[r[_B]] = acc
+            acc += int(r[f"__t{i}"])
+        out = out.withColumn(
+            oc, (F.sum(vc).over(w).cast("long") + _offset_expr(offsets))
+        )
+    return out.drop(_B)
+
+
 def global_ntile(
     df: DataFrame,
     bucket_key: str,

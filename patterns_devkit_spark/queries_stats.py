@@ -189,11 +189,12 @@ def q248(spark, sf_dir):
     `ks_at_cents` breaks ties by smallest value.
 
     100 TB shape: rows collapse to distinct-value grain in one
-    hash-agg; the two ECDFs are two two-pass range-partitioned prefix
-    sums (bucket-local windows + broadcast offsets — both parallel,
-    no single-partition sort); the max and argmax are one-row
-    reduces broadcast back. Nothing re-scans the fact table."""
-    from .operators.windows import global_prefix_sum
+    hash-agg; BOTH ECDFs ride a single two-pass range-partitioned
+    sweep (operators/windows.global_prefix_sum_multi — one bucketing,
+    one window shuffle computing both running counts; no
+    single-partition sort); the max and argmax are one-row reduces
+    broadcast back. Nothing re-scans the fact table."""
+    from .operators.windows import global_prefix_sum_multi
 
     y = t(spark, sf_dir, "lineitem").select(
         F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_a"),
@@ -203,8 +204,9 @@ def q248(spark, sf_dir):
         F.sum("is_a").cast("long").alias("ca"),
         F.sum(1 - F.col("is_a")).cast("long").alias("cb"),
     )
-    c1 = global_prefix_sum(vg, "v", True, [F.col("v")], "ca", out_col="cum_a")
-    c2 = global_prefix_sum(c1, "v", True, [F.col("v")], "cb", out_col="cum_b")
+    c2 = global_prefix_sum_multi(
+        vg, "v", True, [F.col("v")], ["ca", "cb"], ["cum_a", "cum_b"]
+    )
     tot = vg.agg(
         F.sum("ca").cast("long").alias("n_a"),
         F.sum("cb").cast("long").alias("n_b"),

@@ -119,3 +119,22 @@ def test_global_running_max_exclusive_matches_naive(df, buckets):
     got = W.global_running_max(sdf, "k", True, order, "x", out_col="m", num_buckets=buckets, exclusive=True)
     for r in got.collect():
         assert r["m"] == expect[r["id"]], f"id={r['id']} buckets={buckets}"
+
+
+@pytest.mark.parametrize("buckets", [1, 2, 7, None])
+def test_prefix_sum_multi_matches_single(spark, df, buckets):
+    """One multi-column sweep == two single-column sweeps, for every
+    bucket count (incl. ties forcing co-bucketing)."""
+    d2 = df.withColumn("v2", (F.col("id") % 4) + 1)
+    order = [F.col("k").asc(), F.col("id").asc()]
+    multi = {
+        r["id"]: (r["c1"], r["c2"])
+        for r in W.global_prefix_sum_multi(
+            d2, "k", True, order, ["v", "v2"], ["c1", "c2"], num_buckets=buckets
+        ).collect()
+    }
+    s1 = {r["id"]: r["c"] for r in W.global_prefix_sum(d2, "k", True, order, "v", "c", num_buckets=buckets).collect()}
+    s2 = {r["id"]: r["c"] for r in W.global_prefix_sum(d2, "k", True, order, "v2", "c", num_buckets=buckets).collect()}
+    assert len(multi) == 200
+    for i, (c1, c2) in multi.items():
+        assert (c1, c2) == (s1[i], s2[i]), i
