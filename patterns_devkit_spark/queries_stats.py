@@ -1174,3 +1174,162 @@ def q256(spark, sf_dir):
         )
         .orderBy("p_rank", "nation")
     )
+
+
+# =====================================================================
+# q257 — Kendall tau-b (daily revenue vs daily order count)
+# =====================================================================
+
+
+@query(
+    "q257_kendall_tau",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM orders GROUP BY day
+    ),
+    pairs AS (
+      SELECT CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END AS conc,
+             CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END AS disc,
+             CASE WHEN a.x = b.x AND a.y <> b.y THEN 1 ELSE 0 END AS tie_x,
+             CASE WHEN a.y = b.y AND a.x <> b.x THEN 1 ELSE 0 END AS tie_y
+      FROM daily a JOIN daily b ON a.day > b.day
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n0,
+             CAST(sum(conc) AS BIGINT) AS c,
+             CAST(sum(disc) AS BIGINT) AS d,
+             CAST(sum(tie_x) AS BIGINT) AS tx,
+             CAST(sum(tie_y) AS BIGINT) AS ty
+      FROM pairs
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+           c AS concordant, d AS discordant,
+           round(CAST(c - d AS DOUBLE)
+                 / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)),
+                 6) AS tau_b
+    FROM m
+    """,
+)
+def q257(spark, sf_dir):
+    """Kendall tau-b between daily revenue and daily order volume —
+    the concordance-based companion to q249's Spearman (robust to any
+    monotone transform, interpretable as P(concordant) −
+    P(discordant)). Every pair is classified with pure integer sign
+    tests, so C, D and the tie counts are exact and tau-b is one
+    shared-association double expression over five bigints. Tie
+    handling is the full tau-b denominator sqrt((n0−tx)(n0−ty)).
+
+    100 TB shape: the q255 pattern — collapse the fact scan to DAY
+    grain first, so the quadratic pair stage is calendar^2 (~3M
+    pairs, CONSTANT in data volume) and the whole statistic is one
+    hash-agg over it. Row-grain Kendall is O(n^2) and never
+    materializes here; for entity-grain tau use the q249 rank maps
+    plus a merge-sort inversion count instead."""
+    daily = t(spark, sf_dir, "orders").groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("x"),
+        F.count(F.lit(1)).cast("long").alias("y"),
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select(F.col("day").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pairs = a.join(b, F.col("da") > F.col("db")).select(
+        F.expr("CASE WHEN (xa - xb) * (ya - yb) > 0 THEN 1 ELSE 0 END").alias("conc"),
+        F.expr("CASE WHEN (xa - xb) * (ya - yb) < 0 THEN 1 ELSE 0 END").alias("disc"),
+        F.expr("CASE WHEN xa = xb AND ya <> yb THEN 1 ELSE 0 END").alias("tie_x"),
+        F.expr("CASE WHEN ya = yb AND xa <> xb THEN 1 ELSE 0 END").alias("tie_y"),
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum("conc").cast("long").alias("c"),
+        F.sum("disc").cast("long").alias("d"),
+        F.sum("tie_x").cast("long").alias("tx"),
+        F.sum("tie_y").cast("long").alias("ty"),
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return m.crossJoin(F.broadcast(nd)).select(
+        "n_days",
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.expr(
+            "round(CAST(c - d AS DOUBLE)"
+            " / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)), 6)"
+        ).alias("tau_b"),
+    )
+
+
+# =====================================================================
+# q258 — seasonal-naive forecast backtest (MASE)
+# =====================================================================
+
+
+@query(
+    "q258_forecast_backtest",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM orders GROUP BY day
+    ),
+    lagged AS (
+      SELECT day, x,
+             lag(x, 7) OVER (ORDER BY day) AS x_wk,
+             lag(x, 1) OVER (ORDER BY day) AS x_d1
+      FROM daily
+    ),
+    m AS (
+      SELECT CAST(count(x_wk) AS BIGINT) AS n_scored,
+             CAST(sum(abs(x - x_wk)) AS BIGINT) AS sae_seasonal,
+             CAST(sum(CASE WHEN x_wk IS NOT NULL THEN abs(x - x_d1) END)
+                  AS BIGINT) AS sae_naive
+      FROM lagged
+    )
+    SELECT n_scored,
+           round(CAST(sae_seasonal AS DOUBLE) / n_scored / 100.0, 6) AS mae_dollars,
+           round(CAST(sae_seasonal AS DOUBLE) / sae_naive, 6) AS mase
+    FROM m
+    """,
+)
+def q258(spark, sf_dir):
+    """Forecast-quality backtest: score the SEASONAL-NAIVE forecast
+    (predict each day with the same weekday last week) against the
+    one-step naive baseline via MASE = sum|x_t − x_{t−7}| /
+    sum|x_t − x_{t−1}| over the common scored window — the
+    scale-free forecast metric (MASE < 1 beats the naive walk;
+    Hyndman & Koehler's recommended default). Both error sums are
+    exact cents bigints; the two output ratios are single
+    shared-association double expressions. The evaluation harness
+    any forecasting node plugs into — swap the lag-7 column for a
+    model's prediction column and the metric machinery is unchanged.
+
+    100 TB shape: one hash-agg to day grain, then lags at CALENDAR
+    grain (the q250/q251 post-aggregation exemption) and a one-row
+    reduce. Nothing beyond the first agg touches data volume."""
+    from pyspark.sql.window import Window
+
+    daily = t(spark, sf_dir, "orders").groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("x"))
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "x",
+        F.lag("x", 7).over(w).alias("x_wk"),
+        F.lag("x", 1).over(w).alias("x_d1"),
+    )
+    m = lagged.agg(
+        F.count("x_wk").cast("long").alias("n_scored"),
+        F.sum(F.abs(F.col("x") - F.col("x_wk"))).cast("long").alias("sae_seasonal"),
+        F.sum(
+            F.when(F.col("x_wk").isNotNull(), F.abs(F.col("x") - F.col("x_d1")))
+        ).cast("long").alias("sae_naive"),
+    )
+    return m.select(
+        "n_scored",
+        F.expr("round(CAST(sae_seasonal AS DOUBLE) / n_scored / 100.0, 6)").alias(
+            "mae_dollars"
+        ),
+        F.expr("round(CAST(sae_seasonal AS DOUBLE) / sae_naive, 6)").alias("mase"),
+    )
