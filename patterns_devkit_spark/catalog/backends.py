@@ -64,6 +64,28 @@ class JsonFileBackend:
             json.dump(doc, f, indent=1)
         os.replace(tmp, self._path)  # atomic pointer flip
 
+    def mutate(self, fn):
+        """Cross-process atomic read-modify-write: take an exclusive
+        flock, load the LATEST document, apply fn's delta, save, release.
+        This is the single commit point the round-3 ADVICE asked for —
+        an intermediate mutator can no longer clobber another process's
+        committed flip with a stale whole-document persist. fn raising
+        aborts without persisting. Returns (fn result, post-commit doc)."""
+        import fcntl
+
+        lock_path = os.path.join(self.root, "catalog.lock")
+        with open(lock_path, "a") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                doc = self.load() if self.exists() else {}
+                for s in _SECTIONS[:3]:
+                    doc.setdefault(s, {})
+                out = fn(doc)
+                self.save(doc)
+                return out, doc
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
+
     def append_event(self, evt: dict) -> None:
         with open(self._events_path, "a") as f:
             f.write(json.dumps(evt) + "\n")
@@ -132,6 +154,33 @@ class SqliteBackend:
                     (name, json.dumps(body)),
                 )
             db.commit()
+        except BaseException:
+            db.rollback()
+            raise
+
+    def mutate(self, fn):
+        """Transactional read-modify-write: BEGIN IMMEDIATE takes the
+        cross-process write lock up front, the document is read INSIDE
+        the transaction, fn's delta applied, all sections written, one
+        COMMIT — a concurrent writer can never be clobbered by a stale
+        in-memory view (round-3 ADVICE). fn raising rolls back.
+        Returns (fn result, post-commit doc)."""
+        db = self._db()
+        db.execute("BEGIN IMMEDIATE")
+        try:
+            rows = db.execute("SELECT name, body FROM sections").fetchall()
+            doc: dict[str, Any] = {name: json.loads(body) for name, body in rows}
+            for s in _SECTIONS[:3]:
+                doc.setdefault(s, {})
+            out = fn(doc)
+            for name, body in doc.items():
+                db.execute(
+                    "INSERT INTO sections(name, body) VALUES(?, ?) "
+                    "ON CONFLICT(name) DO UPDATE SET body=excluded.body",
+                    (name, json.dumps(body)),
+                )
+            db.commit()
+            return out, doc
         except BaseException:
             db.rollback()
             raise

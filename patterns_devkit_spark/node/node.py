@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from ..catalog.catalog import Catalog
+from ..catalog.catalog import Catalog, ConcurrentWriteError
 from .ids import encode_base32, encode_base32_col
 from .schema import (
     apply_schema_hints,
@@ -1012,11 +1012,18 @@ class Table:
             catalog.set_record_count(self.store_name, new_version, n)
             self._track_write_stats(out_dir, meta, new_version)
             # MERGE is read-modify-write: compare-and-swap against the
-            # base version this upsert READ (optimistic concurrency)
-            catalog.set_active_version(
-                self.store_name, new_version,
-                expected_parent=av.version_id if av is not None else None,
-            )
+            # base version this upsert READ (optimistic concurrency).
+            # On CAS refusal the just-written version is an orphan —
+            # drop it before re-raising so repeated retries don't
+            # accumulate inactive version dirs/metadata (ADVICE r3).
+            try:
+                catalog.set_active_version(
+                    self.store_name, new_version,
+                    expected_parent=av.version_id if av is not None else None,
+                )
+            except ConcurrentWriteError:
+                catalog.drop_version(self.store_name, new_version)
+                raise
             catalog.gc_versions(self.store_name)
         else:
             if created:
@@ -1154,6 +1161,16 @@ class Table:
         if m_dv:
             self._engine.drop_view(m_dv.group(1))
             return
+        # a CREATE/DROP VIEW whose name is qualified or quoted would
+        # otherwise fall through template rendering into raw spark.sql
+        # and create a session-scoped temp view — a silent semantic
+        # divergence; reject it explicitly instead (ADVICE r3)
+        if re.match(r"\s*(create\s+(or\s+replace\s+)?|drop\s+)view\b", sql, re.I):
+            raise ValueError(
+                "catalog views support plain identifiers only "
+                "(CREATE [OR REPLACE] VIEW <name> AS ... / DROP VIEW <name>); "
+                f"qualified or quoted view names are not supported: {sql.strip()[:80]!r}"
+            )
         rendered = self._engine.render_sql(sql, this=self)
         m_ctas = re.match(r"\s*create\s+(?:or\s+replace\s+)?table\s+(\S+)\s+as\s+(.*)", rendered, re.I | re.S)
         m_ins = re.match(r"\s*insert\s+into\s+(\S+)\s+(.*)", rendered, re.I | re.S)
@@ -1460,8 +1477,13 @@ class Table:
         new_n = old_n - n_matched if assignments is None else old_n
         catalog.set_record_count(self.store_name, new_version, new_n)
         self._track_write_stats(out_dir, meta, new_version)
-        # DELETE/UPDATE is read-modify-write: CAS against the read base
-        catalog.set_active_version(self.store_name, new_version, expected_parent=av.version_id)
+        # DELETE/UPDATE is read-modify-write: CAS against the read base;
+        # a refused flip drops the orphan version before re-raising
+        try:
+            catalog.set_active_version(self.store_name, new_version, expected_parent=av.version_id)
+        except ConcurrentWriteError:
+            catalog.drop_version(self.store_name, new_version)
+            raise
         catalog.gc_versions(self.store_name)
         self.signal_update()
         return n_matched
@@ -2205,10 +2227,15 @@ class NodeContext:
 class Engine:
     """Catalog + SparkSession + the node-execution entry point."""
 
-    def __init__(self, warehouse_dir: str, spark: SparkSession | None = None):
+    def __init__(
+        self,
+        warehouse_dir: str,
+        spark: SparkSession | None = None,
+        catalog_backend: str | None = None,
+    ):
         from ..session import get_spark
 
-        self.catalog = Catalog(warehouse_dir)
+        self.catalog = Catalog(warehouse_dir, backend=catalog_backend)
         self.spark = spark or get_spark()
         self._responses: dict[str, Any] = {}
 

@@ -434,8 +434,17 @@ def q165(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_co"))
         .filter(F.col("n_co") >= 2)
         .select("u", "v")
-    )  # no persist: the e subtree repeats in ONE plan, so its shuffle
-    # dedupes via ReusedExchange — nothing pinned for the session
+        # The ~3.5k-row supported-edge set feeds FIVE consumers (deg,
+        # e1/e2/e3, n_edges). Round 2 relied on ReusedExchange to
+        # dedupe the repeated subtree, but canonicalization proved
+        # fragile (r3 bench regressed 1.1s -> 2.4-3.0s when the reuse
+        # didn't fire). localCheckpoint materializes the tiny edge set
+        # once and truncates lineage — every consumer reads the cached
+        # blocks, no plan-identity gamble (same pattern as q255's
+        # selection passes; VERDICT r3 item 3). Cost: O(edges) memory,
+        # bounded by the support sparsifier at any sf.
+        .localCheckpoint()
+    )
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))

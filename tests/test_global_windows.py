@@ -138,3 +138,37 @@ def test_prefix_sum_multi_matches_single(spark, df, buckets):
     assert len(multi) == 200
     for i, (c1, c2) in multi.items():
         assert (c1, c2) == (s1[i], s2[i]), i
+
+
+def test_large_bucket_count_plan_stays_flat(spark):
+    """VERDICT r3 item 2: at cluster-scale bucket counts (num_buckets
+    defaults to defaultParallelism — thousands on a real cluster) the
+    bucket machinery must not plan O(buckets) expression terms (64KB
+    JVM codegen method limit, constant-folding blowup). Above
+    _WHEN_CHAIN_MAX boundaries the bucket id comes from an
+    Arrow-vectorized binary search (flat plan, O(log B)/row); above
+    _LITERAL_MAP_MAX buckets the offsets ride a broadcast join instead
+    of a literal map. Gate: the 4096-bucket plan compiles, is no larger
+    than ~2x the 8-bucket plan, and the results are identical."""
+    df = spark.range(20000).select(
+        ((F.col("id") * 37) % 19997).cast("double").alias("v"), F.col("id").alias("k")
+    )
+    order = [F.col("v").asc(), F.col("k").asc()]
+    plan_lens = {}
+    results = {}
+    for nb in (8, 4096):
+        out = W.global_row_number(df, "v", True, order, "rn", num_buckets=nb)
+        plan_lens[nb] = len(out._jdf.queryExecution().executedPlan().toString())
+        results[nb] = sorted((r.v, r.k, r.rn) for r in out.collect())
+    assert results[8] == results[4096]
+    assert plan_lens[4096] < 2 * plan_lens[8], plan_lens
+    # banded: the halo replication must likewise stay O(1) in the plan
+    df2 = spark.range(5000).select(((F.col("id") * 7919 % 104729) / 100.0).alias("p"))
+    outs = {
+        nb: W.banded_range_count(df2, "p", -5, 0, "c", num_buckets=nb) for nb in (8, 2000)
+    }
+    got = {nb: sorted((r.p, r.c) for r in o.collect()) for nb, o in outs.items()}
+    assert got[8] == got[2000]
+    pl8 = len(outs[8]._jdf.queryExecution().executedPlan().toString())
+    pl2000 = len(outs[2000]._jdf.queryExecution().executedPlan().toString())
+    assert pl2000 < 2 * pl8, (pl8, pl2000)

@@ -397,3 +397,47 @@ def test_graph_runner_refreshes_join_mv_on_either_source(engine, tmp_path):
     r.run_all()
     mv = engine.materialized_view("jg")
     assert _mv_rows(mv) == [("x", 6, 1)]
+
+
+def test_join_mv_where_references_order_column(engine):
+    """ADVICE r3: a join-MV whose `where` (or a measure) references a
+    source's ordering column used to drop that column before the join
+    and raise AnalysisException on every refresh. Referenced ordering
+    columns are now carried through when unambiguous; the same name
+    ordering BOTH sides is rejected up front at create_join."""
+    import pytest as _pytest
+
+    _append(engine, "orders_t", [{"oid": 1, "cat": "x", "price": 10}])
+    # right source with a DISTINCT ordering name so the reference is
+    # unambiguous after the join
+    with engine.node_context("w", outputs={"out": "items2_t"}):
+        t = Table("out", "w")
+        t.init(add_monotonic_id="imid")
+        t.append([{"oid": 1, "qty": 2}])
+        t.flush()
+    mv = engine.create_materialized_join_view(
+        "rev_ord_ref",
+        left="orders_t",
+        right="items2_t",
+        on=["oid"],
+        order_by={"orders_t": "mid", "items2_t": "imid"},
+        dims=["cat"],
+        measures={"revenue": ("sum", "qty * price")},
+        where="imid >= 0",  # references the right source's ordering column
+    )
+    assert mv.refresh() == 2
+    assert _mv_rows(mv) == [("x", 20)]
+
+    # ambiguous case: `mid` orders BOTH sides -> rejected with guidance
+    _append(engine, "items_t", [{"oid": 1, "qty": 2}])
+    with _pytest.raises(ValueError, match="ambiguous"):
+        engine.create_materialized_join_view(
+            "rev_ord_bad",
+            left="orders_t",
+            right="items_t",
+            on=["oid"],
+            order_by={"orders_t": "mid", "items_t": "mid"},
+            dims=["cat"],
+            measures={"revenue": ("sum", "qty * price")},
+            where="mid >= 0",
+        )

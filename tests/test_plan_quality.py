@@ -436,3 +436,22 @@ def test_q256_fdr_broadcast_bands(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in s or has_broadcast_join(df)
     assert "partial" in s.lower()
     assert not has_cartesian(df)
+
+
+def test_q165_edge_set_single_evaluation(spark, sf_dir):
+    """VERDICT r3 item 3: the supported-edge subtree feeds five
+    consumers; it must be materialized ONCE (localCheckpoint), never
+    re-evaluated per consumer. With the checkpoint, every consumer
+    scans the cached edge RDD and the plan carries only the handful of
+    post-edge shuffles (~6); a re-introduced per-consumer evaluation
+    re-plans the distinct+self-join+agg pipeline 5x (~20+ exchanges)
+    and trips the ceiling."""
+    import re as _re
+
+    from patterns_devkit_spark.plans.inspect import explain_str
+
+    df = QUERIES["q165_triangle_count"](spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    n_exchanges = len(_re.findall(r"Exchange (?:hash|range|Single)", plan))
+    assert n_exchanges <= 10, f"q165 plans {n_exchanges} exchanges (edge subtree re-evaluated?)"
+    assert "Scan ExistingRDD" in plan, "edge set no longer checkpointed"

@@ -156,3 +156,25 @@ def test_engine_level_sql(engine):
     assert rows[0]["s"] == 5
     pinned = engine.sql("SELECT count(*) AS n FROM {{ tq@%s }}" % v1).collect()
     assert pinned[0]["n"] == 2
+
+
+def test_qualified_or_quoted_view_name_rejected(engine):
+    """ADVICE r3: a CREATE/DROP VIEW whose name doesn't fit the plain
+    \\w+ form must be REJECTED, not fall through template rendering
+    into a session-scoped Spark temp view (silent divergence)."""
+    import pytest as _pytest
+
+    from patterns_devkit_spark import Table
+
+    with engine.node_context("w", outputs={"out": "vt"}):
+        tb = Table("out", "w")
+        tb.append([{"a": 1}])
+        tb.flush()
+        for bad in (
+            'CREATE VIEW "quoted name" AS SELECT 1',
+            "CREATE VIEW cat.schema.v AS SELECT 1",
+            "CREATE OR REPLACE VIEW `tick` AS SELECT 1",
+            "DROP VIEW cat.v",
+        ):
+            with _pytest.raises(ValueError, match="plain identifiers"):
+                tb.execute_sql(bad)
