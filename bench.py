@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "q254_poisson_bootstrap",
     "sdk02_upsert",  # engine write path: full-table MERGE + version flip
     "sdk06_upsert_partitioned",  # bounded rewrite: touched partition only, rest hardlinked
+    "sdk14_upsert_skewed",  # adversarial: one hot partition takes 90% of the update batch
     "sdk07_compact",  # maintenance: 4-file hot append table -> 1 coalesced file
 ]
 

@@ -593,6 +593,9 @@ class Catalog:
         v = self._doc.get("secrets", {}).get(name)
         return _untag(v) if v is not None else None
 
+    def secret_names(self) -> list[str]:
+        return sorted(self._doc.get("secrets") or {})
+
     # -- backend migration ------------------------------------------------
     def migrate_backend(self, to_backend: str) -> str:
         """Convert this warehouse's metastore to another persistence

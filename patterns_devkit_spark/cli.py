@@ -170,14 +170,45 @@ def cmd_run(args) -> int:
     return 0
 
 
+def _print_objects(name: str, objects: list[dict], print_json: bool) -> None:
+    """Reference output semantics (commands/list.py:82-98 +
+    services/output.py): ``--json`` emits one JSON object per line
+    (JSON Lines); otherwise an aligned header+rows table; an empty
+    list prints 'No <name> found'."""
+    if not objects:
+        if not print_json:
+            print(f"No {name} found")
+        return
+    if print_json:
+        for o in objects:
+            print(json.dumps(o, default=str))
+        return
+    headers = list(objects[0].keys())
+    rows = [[("" if o.get(h) is None else str(o.get(h))) for h in headers] for o in objects]
+    widths = [max(len(h), *(len(r[i]) for r in rows)) for i, h in enumerate(headers)]
+    print("  ".join(h.ljust(w) for h, w in zip(headers, widths)).rstrip())
+    for r in rows:
+        print("  ".join(c.ljust(w) for c, w in zip(r, widths)).rstrip())
+
+
 def cmd_list(args) -> int:
     engine = _engine(args)
+    pj = getattr(args, "json", False)
+    cat = engine.catalog
     if args.what == "tables":
-        for name in engine.catalog.table_names():
-            meta = engine.catalog.table_meta(name)
+        rows = []
+        for name in cat.table_names():
+            meta = cat.table_meta(name)
             av = meta.get("active_version")
-            n = meta.get("record_counts", {}).get(av)
-            print(f"{name}\tactive={av}\trows={n}\tversions={len(meta.get('versions', []))}")
+            rows.append(
+                {
+                    "name": name,
+                    "active": av,
+                    "rows": meta.get("record_counts", {}).get(av),
+                    "versions": len(meta.get("versions", [])),
+                }
+            )
+        _print_objects("tables", rows, pj)
     elif args.what == "nodes":
         root = find_graph_root()
         if root is None:
@@ -185,8 +216,73 @@ def cmd_list(args) -> int:
             return 1
         from .graph.spec import parse_graph
 
+        _print_objects(
+            "nodes",
+            [{"id": n.id, "kind": n.kind, "name": n.name} for n in parse_graph(root).functions],
+            pj,
+        )
+    elif args.what == "webhooks":
+        # reference `list webhooks` (commands/list.py:69-77) lists an
+        # app's webhook nodes; here: graph.yml webhook functions plus
+        # their backing table state
+        root = find_graph_root()
+        if root is None:
+            print("error: no graph.yml found", file=sys.stderr)
+            return 1
+        from .graph.spec import parse_graph
+
+        rows = []
         for n in parse_graph(root).functions:
-            print(f"{n.id}\t{n.kind}\t{n.name}")
+            if n.kind != "webhook":
+                continue
+            meta = cat.table_meta(n.webhook) or {}
+            av = meta.get("active_version")
+            rows.append(
+                {
+                    "id": n.id,
+                    "name": n.webhook,
+                    "table": n.webhook,
+                    "rows": meta.get("record_counts", {}).get(av),
+                }
+            )
+        _print_objects("webhooks", rows, pj)
+    elif args.what == "secrets":
+        # reference `list secrets` (commands/list.py:53-66): names only
+        # here — values never leave the catalog in a listing
+        _print_objects(
+            "secrets",
+            [
+                {"name": s, "n_keys": len(cat.get_secret(s) or {})}
+                for s in cat.secret_names()
+            ],
+            pj,
+        )
+    elif args.what == "views":
+        _print_objects(
+            "views",
+            [{"name": v, "sql": (cat.get_view(v) or "").strip().replace("\n", " ")[:60]} for v in cat.view_names()],
+            pj,
+        )
+    elif args.what == "matviews":
+        rows = []
+        for name in cat.matview_names():
+            spec = cat.get_matview_spec(name) or {}
+            src = (
+                f"{spec.get('left')}+{spec.get('right')}"
+                if spec.get("type") == "join"
+                else spec.get("source")
+            )
+            av = cat.get_active_version(name)
+            meta = cat.table_meta(name) or {}
+            rows.append(
+                {
+                    "name": name,
+                    "source": src,
+                    "dims": ",".join(spec.get("dims") or []),
+                    "rows": meta.get("record_counts", {}).get(av),
+                }
+            )
+        _print_objects("matviews", rows, pj)
     return 0
 
 
@@ -547,8 +643,9 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("path", nargs="?", default=None)
     r.set_defaults(fn=cmd_run)
 
-    ls = sub.add_parser("list", help="list tables or nodes")
-    ls.add_argument("what", choices=["tables", "nodes"])
+    ls = sub.add_parser("list", help="list catalog/graph objects")
+    ls.add_argument("what", choices=["tables", "nodes", "webhooks", "secrets", "views", "matviews"])
+    ls.add_argument("--json", action="store_true", help="output as JSON Lines")
     ls.set_defaults(fn=cmd_list)
 
     d = sub.add_parser("delete", help="delete a table")

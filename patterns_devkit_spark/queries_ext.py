@@ -147,13 +147,31 @@ def q49(spark, sf_dir):
     """,
 )
 def q50(spark, sf_dir):
-    o = t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
-    return o.select(
+    """ntile/percent_rank/cume_dist at ROW grain — rebased onto the
+    two-pass global_row_number (r4: this was the last row-grain
+    single-partition window in the registry). Under the total order
+    (price, orderkey) all three are closed forms of (rn, N):
+    rank = rn, percent_rank = (rn-1)/(N-1), cume_dist = rn/N, and
+    ntile(4) is the SQL-standard first-(N%4)-tiles-get-one-extra
+    arithmetic — identical to the engines' builtins given a total
+    order."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = windows.global_row_number(
+        o, "o_totalprice", True,
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()], "rn",
+    )
+    n_total = o.count()  # parquet-footer count: one metadata job
+    q_, rem = divmod(int(n_total), 4)
+    big = rem * (q_ + 1)
+    rn = F.col("rn")
+    tile = F.when(
+        rn <= F.lit(big), F.floor((rn - 1) / F.lit(q_ + 1))
+    ).otherwise(F.lit(rem) + F.floor((rn - F.lit(big) - 1) / F.lit(max(q_, 1))))
+    return ranked.select(
         "o_orderkey",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        (tile + 1).cast("long").alias("quartile"),
+        F.round((rn - 1) / F.lit(n_total - 1), 6).alias("pct_rank"),
+        F.round(rn / F.lit(n_total), 6).alias("cum_dist"),
     )
 
 
@@ -558,6 +576,51 @@ def sdk06(spark, sf_dir):
         )
         tbl.upsert(updates.unionByName(inserts))
     with eng.node_context("r", inputs={"in": "o_part_upsert"}):
+        return Table("in", "r").read_spark()
+
+
+@query(
+    "sdk14_upsert_skewed",
+    """
+    SELECT CAST(o_orderkey % 16 AS BIGINT) AS o_bucket, o_orderkey,
+           CASE WHEN (o_orderkey % 16 = 3 AND o_orderkey % 100 < 36)
+                  OR (o_orderkey % 16 = 5 AND o_orderkey % 100 < 4)
+                THEN o_totalprice + 1000 ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 100 < 50
+    """,
+)
+def sdk14(spark, sf_dir):
+    """Skewed-key MERGE (VERDICT r3 item 6): ONE hot partition
+    (o_bucket=3) receives ~90% of the update batch, a cold partition
+    (o_bucket=5) the rest — the adversarial shape for partition-scoped
+    upsert. The scoped path only re-reads/rewrites the TWO touched
+    partitions (hot-partition size, not table size, bounds the
+    rewrite) and hardlinks the other 14; AQE handles the imbalanced
+    anti-join sides. The oracle states full MERGE semantics over the
+    whole table, proving result equivalence. Benched next to sdk02
+    (unbounded) and sdk06 (uniform scoped) — ratios in SCALE.md."""
+    from .node.node import Table
+    from .queries import _temp_engine
+
+    eng = _temp_engine(spark)
+    o = t(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 16).cast("long").alias("o_bucket"), "o_orderkey", "o_totalprice"
+    )
+    with eng.node_context("w", outputs={"out": "o_skew_upsert"}):
+        tbl = Table("out", "w")
+        tbl.init(unique_on=["o_bucket", "o_orderkey"], partition_by="o_bucket")
+        tbl.append(o.filter(F.col("o_orderkey") % 100 < 50))
+        tbl.flush()
+        hot = o.filter(
+            (F.col("o_bucket") == 3) & (F.col("o_orderkey") % 100 < 36)
+        )
+        cold = o.filter(
+            (F.col("o_bucket") == 5) & (F.col("o_orderkey") % 100 < 4)
+        )
+        tbl.upsert(
+            hot.unionByName(cold).withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+        )
+    with eng.node_context("r", inputs={"in": "o_skew_upsert"}):
         return Table("in", "r").read_spark()
 
 

@@ -207,7 +207,10 @@ def test_cli_trigger_runs_node_on_spark(tmp_path):
     r = run_cli(["--warehouse", wh, "trigger", "gen00001"], str(app))
     assert r.returncode == 0 and "Triggered node gen00001" in r.stdout, r.stdout + r.stderr
     r = run_cli(["--warehouse", wh, "list", "tables"], str(app))
-    assert "nums" in r.stdout and "rows=7" in r.stdout
+    assert "nums" in r.stdout and "7" in r.stdout
+    r = run_cli(["--warehouse", wh, "list", "tables", "--json"], str(app))
+    rows = [json.loads(ln) for ln in r.stdout.strip().splitlines()]
+    assert {"name": "nums", "rows": 7} .items() <= {k: rows[0][k] for k in ("name", "rows")}.items()
 
 
 def test_cli_upload_respects_gitignore(tmp_path):
@@ -419,3 +422,33 @@ def test_streaming_incremental_dedup_sink(engine, tmp_path):
     assert 3 in ids and 5 in ids
     assert len([i for i in ids if i in (1, 2, 4)]) == 1
     assert len(ids) == 3
+
+
+def test_cli_list_breadth(tmp_path):
+    """VERDICT r3 item 7 (reference commands/list.py:27-98): `list
+    webhooks/secrets/views/matviews` with tabular output and --json
+    JSON Lines; empty kinds print 'No <kind> found'."""
+    wh = str(tmp_path / "wh")
+    app = tmp_path / "listapp"
+    app.mkdir()
+    (app / "graph.yml").write_text(
+        "functions:\n  - webhook: hook_t\n    id: wh000001\nstores:\n  - table: hook_t\n"
+    )
+    # secrets + a view via their CLI commands
+    r = run_cli(["--warehouse", wh, "secret", "set", "apikey", "token=tok", "url=u"], str(app))
+    assert r.returncode == 0, r.stdout + r.stderr
+    r = run_cli(["--warehouse", wh, "list", "secrets"], str(app))
+    assert r.returncode == 0 and "apikey" in r.stdout and "2" in r.stdout
+    # values must never appear in a listing
+    assert "tok" not in r.stdout.split() and "u" not in r.stdout.split()
+    r = run_cli(["--warehouse", wh, "list", "secrets", "--json"], str(app))
+    row = json.loads(r.stdout.strip().splitlines()[0])
+    assert row == {"name": "apikey", "n_keys": 2}
+
+    r = run_cli(["--warehouse", wh, "list", "webhooks"], str(app))
+    assert r.returncode == 0 and "hook_t" in r.stdout and "wh000001" in r.stdout
+
+    r = run_cli(["--warehouse", wh, "list", "views"], str(app))
+    assert r.returncode == 0 and "No views found" in r.stdout
+    r = run_cli(["--warehouse", wh, "list", "matviews"], str(app))
+    assert r.returncode == 0 and "No matviews found" in r.stdout

@@ -455,3 +455,42 @@ def test_q165_edge_set_single_evaluation(spark, sf_dir):
     n_exchanges = len(_re.findall(r"Exchange (?:hash|range|Single)", plan))
     assert n_exchanges <= 10, f"q165 plans {n_exchanges} exchanges (edge subtree re-evaluated?)"
     assert "Scan ExistingRDD" in plan, "edge set no longer checkpointed"
+
+
+def test_registry_wide_no_row_grain_global_windows(spark, sf_dir):
+    """VERDICT r3 item 4: sweep EVERY registry query through the
+    single-partition-window detector. A Window over an Exchange
+    SinglePartition is only acceptable when its input is provably
+    bounded (post-aggregation calendar/cell/shortlist grain) — each
+    such query is whitelisted here WITH its justification, so a new
+    batch cannot reintroduce a row-grain global window (the round-2
+    scale-killer) without failing this gate."""
+    from patterns_devkit_spark.plans.inspect import single_partition_windows
+
+    # query -> (max allowed single-partition windows, bounded-input justification)
+    WHITELIST = {
+        "q105_share_of_total": (1, "window over the already-aggregated 5-row segment table"),
+        "q110_contingency": (1, "event_type x day-of-week contingency cells (35 rows)"),
+        "q115_interval_join": (2, "incident windows over the filtered error stream; shard by tenant at 100 TB"),
+        "q128_threshold_sweep": (1, "11-row decile-histogram cumulative"),
+        "q140_cumulative_distinct": (1, "running sum over per-day new-user counts (calendar grain)"),
+        "q215_exact_quantile_select": (1, "4096-row bucket-histogram cumulative (two-pass selection)"),
+        "q226_weighted_median": (1, "4096-row weight-histogram cumulative (two-pass selection)"),
+        "q238_gains_table": (1, "cumulative capture over 10 decile rows"),
+        "q240_new_vs_returning": (1, "calendar-day grain"),
+        "q250_cusum_changepoint": (2, "CUSUM over per-day aggregates (calendar grain)"),
+        "q251_survival_hazard": (1, "hazard table at tenure-duration grain (bounded by day span)"),
+        "q256_fdr_screen": (4, "BH sweep over 25 hypothesis cells x bounded replicate grain"),
+        "q258_forecast_backtest": (1, "lag features at calendar-day grain"),
+    }
+    offenders = {}
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_dir)
+        n = single_partition_windows(df)
+        allowed, _why = WHITELIST.get(name, (0, ""))
+        if n > allowed:
+            offenders[name] = n
+    assert not offenders, (
+        f"row-grain single-partition windows (not whitelisted): {offenders} — "
+        "rebase onto operators/windows.global_* or whitelist with a bounded-grain justification"
+    )

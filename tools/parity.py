@@ -169,8 +169,14 @@ def main() -> int:
 
     spark = get_spark("parity")
     con = duckdb.connect()
+    import os as _os
+
     for tb in TABLES:
-        con.sql(f"CREATE VIEW {tb} AS SELECT * FROM '{sf_dir}/{tb}.parquet'")
+        path = f"{sf_dir}/{tb}.parquet"
+        # multi-file tables (generated tiers, sf1+) are DIRECTORIES
+        # named <table>.parquet — duckdb needs the glob form there
+        src = f"{path}/*.parquet" if _os.path.isdir(path) else path
+        con.sql(f"CREATE VIEW {tb} AS SELECT * FROM read_parquet('{src}')")
 
     n_fail = 0
     for name, fn in QUERIES.items():
