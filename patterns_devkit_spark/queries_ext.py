@@ -508,7 +508,8 @@ def q62(spark, sf_dir):
       FROM toks, unnest(range(1, greatest(len(w)-1, 1))) AS u(i)
       WHERE sh <> ''
     ), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-    hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 20),
+    hot AS (SELECT sh FROM sh GROUP BY sh
+           HAVING count(*) > greatest(20, (SELECT count(*) FROM documents) // 250)),
     sh2 AS (SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -531,11 +532,21 @@ def q62(spark, sf_dir):
 )
 def q63(spark, sf_dir):
     """Benched representative of n-gram dedup: the pipeline SCALE.md
-    prescribes (exact dedup -> max_df=20 stop-shingle cap -> 0.1
-    jaccard threshold), not the uncapped pairwise call."""
+    prescribes (exact dedup -> stop-shingle cap -> 0.1 jaccard
+    threshold), not the uncapped pairwise call. The cap is
+    CORPUS-SCALED, max(20, n_docs/250): a fixed absolute cap silently
+    excludes EVERY shingle once average shingle df passes it (the sf1
+    sweep caught q63 returning zero pairs on the 50k-doc fixture,
+    whose 31-word vocabulary makes all shingles hot — SCALE.md §65);
+    a df cap that grows with the corpus keeps the stop-shingle
+    semantics (drop non-discriminative shingles) without erasing the
+    index. The oracle computes the same scaled cap via a scalar
+    subquery."""
     from .operators import dedup as dedup_ops
 
-    return dedup_ops.dedup_pipeline(t(spark, sf_dir, "documents"))
+    docs = t(spark, sf_dir, "documents")
+    cap = max(20, docs.count() // 250)  # parquet-footer count
+    return dedup_ops.dedup_pipeline(docs, max_df=cap)
 
 
 @query(
