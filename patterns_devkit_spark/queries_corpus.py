@@ -588,6 +588,113 @@ def q206(spark, sf_dir):
 
 
 # =====================================================================
+# q259 — prefix-filter join at t=0.8 (prefix-budget scale control)
+# =====================================================================
+
+
+@query(
+    "q259_prefix_filter_t80",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[CAST(i AS BIGINT):CAST(i + 2 AS BIGINT)], ' ') AS sh
+      FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS u(i)
+      WHERE len(w) >= 3
+    ),
+    dfreq AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY sh),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+    ordered AS (
+      SELECT sh.doc_id, sh.sh,
+             row_number() OVER (PARTITION BY sh.doc_id ORDER BY d.df, sh.sh) AS pos
+      FROM sh JOIN dfreq d ON d.sh = sh.sh
+    ),
+    prefix AS (
+      SELECT o.doc_id, o.sh
+      FROM ordered o JOIN sizes s ON s.doc_id = o.doc_id
+      WHERE o.pos <= s.n_sh - ((4 * s.n_sh + 4) // 5) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.id_a
+      JOIN sh y ON y.doc_id = c.id_b AND y.sh = x.sh
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b, i.n_inter,
+           sa.n_sh + sb.n_sh - i.n_inter AS n_union,
+           CAST((1000 * i.n_inter) // (sa.n_sh + sb.n_sh - i.n_inter) AS BIGINT) AS jac_millis
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE 9 * i.n_inter >= 4 * (sa.n_sh + sb.n_sh)
+    ORDER BY id_a, id_b
+    """,
+)
+def q259(spark, sf_dir):
+    """Prefix-filter join at threshold t=0.8 — the prefix-BUDGET
+    control the sf1 sweep showed matters (SCALE.md §65): at t=1/2 the
+    prefix is ~n/2 shingles per doc and a bounded-vocabulary corpus
+    explodes the candidate join; at t=0.8 the prefix is
+    L = n - ceil(0.8n) + 1 ≈ n/5 — a 5x smaller index, ~25x fewer
+    candidate pairs, with completeness INTACT for J >= 0.8 (two sets
+    that similar must share a rarest-L-prefix element, Xiao et al.
+    2008). The near-dup retrieval target for training-data curation is
+    usually 0.8-0.9, so the tight threshold is also the realistic one.
+    Verification stays exact and integer (J >= 4/5 <=> 9*inter >=
+    4*(|a|+|b|)); the oracle replays candidates AND verdicts. This is
+    the query that stays tractable at sf1 where q206's t=1/2 prefix
+    grinds — the measured pair is the design evidence."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    sh = distinct_shingles(docs, "doc_id", "text", 3)
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    w = Window.partitionBy("id").orderBy("df", "sh")
+    ordered = sh.join(dfreq, "sh").withColumn("pos", F.row_number().over(w))
+    prefix = (
+        ordered.join(sizes, "id")
+        .filter(F.col("pos") <= F.col("n_sh") - F.expr("(4 * n_sh + 4) DIV 5") + 1)
+        .select("id", "sh")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    x = sh.select(F.col("id").alias("id_a"), "sh")
+    y = sh.select(F.col("id").alias("__yb"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(x, "id_a")
+        .join(y, (F.col("id_b") == F.col("__yb")) & (F.col("sh") == F.col("sh_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(9 * F.col("n_inter") >= 4 * (F.col("na") + F.col("nb")))
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            (F.col("na") + F.col("nb") - F.col("n_inter")).alias("n_union"),
+            F.expr("CAST((1000 * n_inter) DIV (na + nb - n_inter) AS BIGINT)").alias("jac_millis"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+# =====================================================================
 # sdk11 — incremental dedup vs the historical corpus, THROUGH the engine
 # =====================================================================
 

@@ -295,9 +295,13 @@ def test_triangle_count_sparsifier_bounds_two_hop(spark, sf_dir):
 
     df = QUERIES["q165_triangle_count"](spark, sf_dir)
     plan = explain_str(df)
-    # static gate: the sparsifying filter is planned (feeds every edge
-    # alias; exchange reuse may dedupe repeats)
-    assert "n_co" in plan and ">= 2" in plan
+    # static gate (r4 form): the edge set is materialized ONCE via
+    # localCheckpoint — the sparsifying filter ran while building the
+    # checkpointed RDD, so the final plan shows the (tiny) cached scan
+    # instead of the filter expression; the single-evaluation gate is
+    # test_q165_edge_set_single_evaluation, and the sparsifier's
+    # effect is asserted at runtime below.
+    assert "ExistingRDD" in plan
     # runtime gate: supported edges are a strict fraction of raw pairs
     li = load(spark, sf_dir, "lineitem")
     lo = li.select("l_orderkey", "l_partkey").distinct()

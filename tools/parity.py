@@ -155,6 +155,18 @@ def main() -> int:
     changed_mode = "--changed" in argv
     if changed_mode:
         argv.remove("--changed")
+    budget = None
+    for a in list(argv):
+        # --budget=SECONDS: per-query wall budget for large generated
+        # tiers — the SPARK side always runs to completion; if spark +
+        # oracle would exceed the budget the DUCKDB side is interrupted
+        # and the query reported as BUDGET (checked at a smaller tier
+        # instead). Keeps a full-registry sf1 sweep finite when a
+        # single-node oracle replay (exact pairwise, O(N^2) baselines)
+        # is the slow half.
+        if a.startswith("--budget="):
+            budget = float(a.split("=", 1)[1])
+            argv.remove(a)
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     if changed_mode:
@@ -193,12 +205,27 @@ def main() -> int:
         if name not in ORACLES:
             print(f"ROWS  {name}: {len(spdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
+        timer = None
+        timed_out = []
+        if budget is not None:
+            import threading as _th
+
+            remaining = max(5.0, budget - (time.time() - t0))
+            timer = _th.Timer(remaining, lambda: (timed_out.append(1), con.interrupt()))
+            timer.start()
         try:
             dpdf = con.sql(ORACLES[name]).df()
         except Exception as e:
+            if timer is not None:
+                timer.cancel()
+            if timed_out:
+                print(f"BUDGET {name}: oracle exceeded {budget}s (spark side: {len(spdf)} rows) [{time.time()-t0:.1f}s]")
+                continue
             print(f"FAIL  {name}: duckdb raised {type(e).__name__}: {e}")
             n_fail += 1
             continue
+        if timer is not None:
+            timer.cancel()
         problems = compare(name, spdf, dpdf)
         hard = [p for p in problems if not p.startswith("DTYPE-WARN")]
         if hard:
