@@ -19,10 +19,14 @@ that proof. Two backends:
   session the reference engine holds against its metastore; writer
   handoff (open-after-commit) is exact and tested.
 
-Selection: ``Catalog(dir, backend=...)`` explicitly, else the
-``PDS_CATALOG_BACKEND`` env var, else auto-detect whichever store
-already exists in the warehouse (so a warehouse keeps the format it
-was created with), else JSON.
+Selection: an EXISTING store always wins — a warehouse keeps the
+format it was created with, and ``PDS_CATALOG_BACKEND`` is only
+consulted when creating a NEW warehouse (an env var must never make
+an existing catalog invisible: a process that inherited the var and
+opened a json warehouse as sqlite would see an empty catalog, fork a
+parallel metastore, and vacuum from the wrong view). An explicit
+``Catalog(dir, backend=...)`` that contradicts the existing store is
+a hard error naming ``patterns catalog migrate``.
 
 On a real cluster neither file lives on local disk — the same
 interface fronts a shared DB or object store with conditional put;
@@ -210,19 +214,40 @@ class SqliteBackend:
 _BACKENDS = {"json": JsonFileBackend, "sqlite": SqliteBackend}
 
 
+def make_backend(root: str, name: str):
+    """Construct a backend by name with NO store detection — the escape
+    hatch `migrate_backend` needs to build its target while the old
+    store still exists. Everything else should go through
+    resolve_backend."""
+    try:
+        return _BACKENDS[name.lower()](root)
+    except KeyError:
+        raise ValueError(
+            f"unknown catalog backend {name!r}; options: {sorted(_BACKENDS)}"
+        ) from None
+
+
 def resolve_backend(root: str, backend: str | None = None):
-    """Pick the backend: explicit arg > PDS_CATALOG_BACKEND env var >
-    whichever store already exists in the warehouse > json."""
-    choice = backend or os.environ.get("PDS_CATALOG_BACKEND")
-    if choice:
-        try:
-            return _BACKENDS[choice.lower()](root)
-        except KeyError:
-            raise ValueError(
-                f"unknown catalog backend {choice!r}; options: {sorted(_BACKENDS)}"
-            ) from None
+    """Pick the backend: whichever store already EXISTS in the
+    warehouse > explicit arg > PDS_CATALOG_BACKEND env var > json.
+
+    An existing store always wins so a warehouse keeps the format it
+    was created with. The env var is silently ignored for existing
+    warehouses (it only picks the format of NEW ones); an explicit
+    `backend=` argument that contradicts the existing store raises —
+    the caller said what they want and the store disagrees, which is
+    exactly what `patterns catalog migrate` exists to reconcile."""
     for cls in (SqliteBackend, JsonFileBackend):
         b = cls(root)
         if b.exists():
+            if backend and backend.lower() != b.name:
+                raise ValueError(
+                    f"warehouse at {root!r} already uses the {b.name!r} catalog "
+                    f"backend but backend={backend!r} was requested; run "
+                    f"`patterns catalog migrate {backend.lower()}` to convert it"
+                )
             return b
+    choice = backend or os.environ.get("PDS_CATALOG_BACKEND")
+    if choice:
+        return make_backend(root, choice)
     return JsonFileBackend(root)

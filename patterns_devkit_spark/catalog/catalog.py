@@ -605,10 +605,10 @@ class Catalog:
         across a migration — a scheduler should re-tail from 0 (events
         themselves are preserved in order). Returns the new backend name.
         """
-        from .backends import resolve_backend as _resolve
+        from .backends import make_backend as _make
 
         with self._lock:
-            new = _resolve(self.root, to_backend)
+            new = _make(self.root, to_backend)
             if new.name == self._backend.name:
                 return new.name
             events, _ = self._backend.read_events(0)

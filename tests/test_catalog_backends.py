@@ -105,6 +105,46 @@ def test_env_var_selects_backend(tmp_path, monkeypatch):
         Catalog(str(tmp_path / "w2"))
 
 
+def test_env_var_never_shadows_existing_store(tmp_path, backend, monkeypatch):
+    """Split-brain regression (round-4 verdict, What's wrong #1): a
+    process that inherits PDS_CATALOG_BACKEND pointing at the OTHER
+    format and opens an EXISTING warehouse must still see the real
+    catalog — not an empty parallel one. The env var only picks the
+    format of new warehouses."""
+    monkeypatch.delenv("PDS_CATALOG_BACKEND", raising=False)
+    w = str(tmp_path / "w")
+    cat = Catalog(w, backend=backend)
+    cat.ensure_table("t")
+    v = cat.create_new_version("t")
+    cat.set_active_version("t", v)
+
+    other = "sqlite" if backend == "json" else "json"
+    monkeypatch.setenv("PDS_CATALOG_BACKEND", other)
+    reopened = Catalog(w)
+    assert reopened._backend.name == backend  # existing store wins
+    assert reopened.table_names() == ["t"]
+    assert reopened.get_active_version("t") == v
+    # and no second parallel store appeared on disk
+    assert not (
+        os.path.exists(os.path.join(w, "catalog.json"))
+        and os.path.exists(os.path.join(w, "catalog.db"))
+    )
+
+
+def test_explicit_backend_mismatch_raises(tmp_path, backend, monkeypatch):
+    """An explicit backend= that contradicts the existing store is a
+    hard error pointing at `patterns catalog migrate` — never a silent
+    empty catalog."""
+    monkeypatch.delenv("PDS_CATALOG_BACKEND", raising=False)
+    w = str(tmp_path / "w")
+    Catalog(w, backend=backend).ensure_table("t")
+    other = "sqlite" if backend == "json" else "json"
+    with pytest.raises(ValueError, match="catalog migrate"):
+        Catalog(w, backend=other)
+    # matching explicit choice still fine
+    assert Catalog(w, backend=backend).table_names() == ["t"]
+
+
 def test_migrate_backend_roundtrip(tmp_path, backend, monkeypatch):
     """json -> sqlite -> json (or the reverse) preserves the whole
     document and the ordered event log; auto-detect then opens the

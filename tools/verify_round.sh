@@ -1,0 +1,30 @@
+#!/usr/bin/env bash
+# Round-level verification gate (wired per round-4 verdict item 1 so the
+# dual-backend sweep can't rot):
+#   1. full pytest under the default (json) catalog backend
+#   2. full pytest under PDS_CATALOG_BACKEND=sqlite — the env var must
+#      never shadow an existing store (split-brain regression class)
+#   3. driver-gate parity mimic at sf0.01
+# Usage: tools/verify_round.sh [--fast]   (--fast: write-path suites only
+# for the sqlite sweep, like CLAUDE.md's 2.5-min variant)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+WRITE_PATH_SUITES="tests/test_catalog_backends.py tests/test_snapshot_isolation.py \
+tests/test_optimistic_concurrency.py tests/test_wap.py tests/test_table_sdk.py \
+tests/test_delete_update.py tests/test_schema_evolution.py tests/test_stream_state.py"
+
+echo "== [1/3] full suite, default backend =="
+python -m pytest tests/ -q
+
+echo "== [2/3] sqlite-backend sweep =="
+if [[ "${1:-}" == "--fast" ]]; then
+  PDS_CATALOG_BACKEND=sqlite python -m pytest $WRITE_PATH_SUITES -q
+else
+  PDS_CATALOG_BACKEND=sqlite python -m pytest tests/ -q
+fi
+
+echo "== [3/3] oracle parity at sf0.01 =="
+PYTHONPATH=. python tools/parity.py /root/testdata/sf0.01
+
+echo "ALL GATES GREEN"
