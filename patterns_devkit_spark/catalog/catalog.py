@@ -33,7 +33,6 @@ from __future__ import annotations
 import datetime as dt
 import json
 import os
-import shutil
 import threading
 import time
 from typing import Any
@@ -340,6 +339,12 @@ class Catalog:
         return self.version_dir(name, v) if v else None
 
     def version_has_data(self, name: str, version: str) -> bool:
+        # manifest-bearing versions (node/manifest.py): the manifest IS
+        # the file list — a reference-mode clone has data while its own
+        # directory is empty
+        m = self.get_manifest(name, version)
+        if m is not None:
+            return bool(m)
         d = self.version_dir(name, version)
         if not os.path.isdir(d):
             return False
@@ -348,6 +353,65 @@ class Catalog:
             if any(fn.endswith(".parquet") for fn in files):
                 return True
         return False
+
+    # -- file manifests (node/manifest.py; version = list of file refs) --
+    def set_manifest(self, name: str, version: str, files: list[str]) -> None:
+        """Record a version's file manifest: refs relative to
+        <warehouse>/tables/ ("<table>/<version>/<partition dirs>/
+        <file>.parquet"). The manifest is the version's authoritative
+        file list; refs may point into OTHER versions' (or tables')
+        directories — zero-copy carries. GC ref-counts these before
+        deleting any file."""
+
+        def fn(doc):
+            _ensure_meta(doc, name).setdefault("manifests", {})[version] = list(files)
+
+        self._mutate(fn)
+
+    def get_manifest(self, name: str, version: str) -> list[str] | None:
+        """The version's file manifest, or None for legacy versions
+        predating manifests (directory-is-the-version semantics)."""
+        meta = self.table_meta(name)
+        m = (meta or {}).get("manifests", {}).get(version)
+        return list(m) if m is not None else None
+
+    @staticmethod
+    def _all_live_refs(doc: dict, exclude: set[tuple[str, str]]) -> set[str]:
+        """Every file ref held by any retained version's manifest in
+        ANY table (clones may reference across tables), minus versions
+        in ``exclude`` — the survivor set GC must not delete."""
+        refs: set[str] = set()
+        for tname, meta in doc["tables"].items():
+            mans = (meta or {}).get("manifests") or {}
+            for v in meta.get("versions", []):
+                if (tname, v) not in exclude:
+                    refs.update(mans.get(v) or [])
+        return refs
+
+    def _delete_version_files(self, name: str, version: str, live_refs: set[str]) -> None:
+        """Physically reclaim a doomed version's directory, sparing any
+        file a surviving manifest still references (reference-mode
+        carries keep parent files alive — the manifest analogue of the
+        hardlink inode refcount). Directories that still hold live
+        files simply stay."""
+        vdir = self.version_dir(name, version)
+        if not os.path.isdir(vdir):
+            return
+        troot = os.path.join(self.root, "tables")
+        for root, _dirs, files in os.walk(vdir, topdown=False):
+            for fn in files:
+                full = os.path.join(root, fn)
+                ref = os.path.relpath(full, troot).replace(os.sep, "/")
+                if fn.endswith(".parquet") and ref in live_refs:
+                    continue
+                try:
+                    os.remove(full)
+                except OSError:
+                    pass
+            try:
+                os.rmdir(root)
+            except OSError:
+                pass
 
     def set_record_count(self, name: str, version: str, count: int) -> None:
         def fn(doc):
@@ -483,13 +547,13 @@ class Catalog:
             inactive = [v for v in meta["versions"] if v != active]
             doomed = inactive[:-keep] if keep else inactive
             doomed = [v for v in doomed if v not in pinned]
+            live = self._all_live_refs(doc, {(name, v) for v in doomed})
             for v in doomed:
-                shutil.rmtree(self.version_dir(name, v), ignore_errors=True)
+                self._delete_version_files(name, v, live)
                 meta["versions"].remove(v)
                 meta["record_counts"].pop(v, None)
-                meta.get("order_hwms", {}).pop(v, None)
-                meta.get("file_stats", {}).pop(v, None)
-                meta.get("column_stats", {}).pop(v, None)
+                for key in ("order_hwms", "file_stats", "column_stats", "manifests"):
+                    meta.get(key, {}).pop(v, None)
             return doomed
 
         return self._mutate(fn)
@@ -509,11 +573,35 @@ class Catalog:
                 raise ValueError(f"cannot drop the active version {version!r} of {name!r}")
             if version not in meta["versions"]:
                 return
-            shutil.rmtree(self.version_dir(name, version), ignore_errors=True)
+            live = self._all_live_refs(doc, {(name, version)})
+            self._delete_version_files(name, version, live)
             meta["versions"].remove(version)
             meta["record_counts"].pop(version, None)
-            for key in ("order_hwms", "file_stats", "column_stats"):
+            for key in ("order_hwms", "file_stats", "column_stats", "manifests"):
                 meta.get(key, {}).pop(version, None)
+
+        self._mutate(fn)
+
+    def drop_table(self, name: str) -> None:
+        """Remove a table entirely: metadata and physical files, the
+        latter ref-counted against every OTHER table's retained
+        manifests (a reference-mode clone keeps its source files alive
+        even through DROP TABLE of the source)."""
+
+        def fn(doc):
+            meta = doc["tables"].get(name)
+            if meta is None:
+                return
+            exclude = {(name, v) for v in meta.get("versions", [])}
+            live = self._all_live_refs(doc, exclude)
+            for v in meta.get("versions", []):
+                self._delete_version_files(name, v, live)
+            doc["tables"].pop(name, None)
+            tdir = os.path.join(self.root, "tables", name)
+            try:
+                os.rmdir(tdir)
+            except OSError:
+                pass  # still holds files a clone references
 
         self._mutate(fn)
 

@@ -76,8 +76,20 @@ def system_dataframes(engine: "Engine") -> dict[str, DataFrame]:
             )
         )
         for vid in versions:
-            d = cat.version_dir(name, vid)
-            nf, nb = _version_files(d) if os.path.isdir(d) else (0, 0)
+            refs = (meta.get("manifests") or {}).get(vid)
+            if refs is not None:
+                # manifest version: census the real file set (refs may
+                # point into other versions' dirs — node/manifest.py)
+                troot = os.path.join(cat.root, "tables")
+                nf, nb = len(refs), 0
+                for ref in refs:
+                    try:
+                        nb += os.path.getsize(os.path.join(troot, ref))
+                    except OSError:
+                        pass
+            else:
+                d = cat.version_dir(name, vid)
+                nf, nb = _version_files(d) if os.path.isdir(d) else (0, 0)
             v_rows.append((name, vid, vid == active, nf > 0, counts.get(vid), nf, nb))
 
     s_rows = [

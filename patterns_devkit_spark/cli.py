@@ -288,16 +288,12 @@ def cmd_list(args) -> int:
 
 def cmd_delete(args) -> int:
     engine = _engine(args)
-    import shutil
-
     meta = engine.catalog.table_meta(args.table)
     if meta is None:
         print(f"error: no table {args.table!r}", file=sys.stderr)
         return 1
-    for v in list(meta.get("versions", [])):
-        shutil.rmtree(engine.catalog.version_dir(args.table, v), ignore_errors=True)
-    engine.catalog._doc["tables"].pop(args.table, None)
-    engine.catalog._persist()
+    # ref-counted: files a clone in another table still references survive
+    engine.catalog.drop_table(args.table)
     print(f"Deleted table {args.table}")
     return 0
 

@@ -242,6 +242,9 @@ class MaterializedView:
         vid = cat.create_new_version(self.name)
         out_dir = cat.version_dir(self.name, vid)
         merged.write.mode("overwrite").parquet(out_dir)
+        from . import manifest as _mf
+
+        _mf.record(cat, self.name, vid)  # MV versions are always own-dir
         n_rows = self.engine.spark.read.parquet(out_dir).count()
         cat.set_record_count(self.name, vid, n_rows)
         cat.update_table_meta(

@@ -212,7 +212,9 @@ class TableVersion:
             return cached
         if not self.exists:
             return None
-        n = self._engine.spark.read.parquet(self.storage).count()
+        # as_dataframe, not a raw dir read: a manifest version's files
+        # may live in other versions' directories (node/manifest.py)
+        n = self.as_dataframe().count()
         self._engine.catalog.set_record_count(self.table_name, self.version_id, n)
         return n
 
@@ -240,10 +242,25 @@ class TableVersion:
         read would sample one file's schema nondeterministically.
         Explicit schema also skips footer merging at scale. Files are
         read with PHYSICAL column names and projected to the LOGICAL
-        schema (node/evolution.py column mapping) — zero-copy ALTER."""
+        schema (node/evolution.py column mapping) — zero-copy ALTER.
+
+        Manifest versions whose refs point OUTSIDE the version's own
+        directory (reference-mode carries, node/manifest.py) resolve
+        through the grouped-by-source-directory file read instead of a
+        directory scan."""
+        from . import manifest
+
+        cat = self._engine.catalog
+        if manifest.has_external_refs(cat, self.table_name, self.version_id):
+            return _read_version_files(
+                self._engine,
+                self.table_name,
+                self.version_id,
+                manifest.version_refs(cat, self.table_name, self.version_id),
+            )
         from . import evolution
 
-        meta = self._engine.catalog.table_meta(self.table_name) or {}
+        meta = cat.table_meta(self.table_name) or {}
         ddl = meta.get("schema_ddl")
         reader = self._engine.spark.read
         if ddl:
@@ -262,6 +279,53 @@ class TableVersion:
             except Exception:
                 pass
         return df
+
+
+def _read_version_files(engine: "Engine", table: str, version: str, keys: list[str]) -> DataFrame:
+    """Read an explicit file subset of a table version — manifest refs
+    and/or legacy version-relative keys — grouped by SOURCE version
+    directory so each group's ``basePath`` keeps hive partition columns
+    resolving, then unioned. Schema is pinned to the catalog's merged
+    DDL (physical names; logical projection applied once at the end),
+    so groups from different source versions union positionally clean.
+    This is the read half of the manifest contract (node/manifest.py):
+    at object-storage scale a version IS a file list, never a
+    directory."""
+    from . import evolution, manifest
+
+    cat = engine.catalog
+    meta = cat.table_meta(table) or {}
+    ddl = meta.get("schema_ddl")
+    struct = None
+    if ddl:
+        try:
+            struct = T.StructType.fromDDL(ddl)
+        except Exception:
+            struct = None
+    groups: dict[str, list[str]] = {}
+    for key in keys:
+        if manifest.is_ref(key):
+            t, v = manifest.ref_source(key)
+            base = cat.version_dir(t, v)
+        else:
+            base = cat.version_dir(table, version)
+        groups.setdefault(base, []).append(manifest.resolve(cat, table, version, key))
+    dfs = []
+    for base, paths in groups.items():
+        reader = engine.spark.read.option("basePath", base)
+        if struct is not None:
+            reader = reader.schema(evolution.physical_struct(meta, struct))
+        else:
+            reader = reader.option("mergeSchema", "true")
+        dfs.append(reader.parquet(*paths))
+    if not dfs:
+        return engine.spark.createDataFrame([], struct or T.StructType([]))
+    df = dfs[0]
+    for other in dfs[1:]:
+        df = df.unionByName(other, allowMissingColumns=True)
+    if struct is not None and evolution.has_mapping(meta):
+        df = evolution.logical_projection(df, meta, struct)
+    return df
 
 
 class Table:
@@ -375,6 +439,15 @@ class Table:
         self._engine.catalog.set_file_stats(self.store_name, version, stats)
         if ob:
             mx = _stats_col_max(stats, ob)
+            # never LOWER a version's hwm: the walk covers only the
+            # version's own directory, and carried (reference-mode)
+            # files may hold the real max — appends only raise it
+            prior = self._engine.catalog.get_order_hwm(self.store_name, version)
+            if prior is not None:
+                try:
+                    mx = prior if mx is None or prior > mx else mx
+                except TypeError:
+                    pass
             if mx is not None:
                 self._engine.catalog.set_order_hwm(self.store_name, version, mx)
 
@@ -592,31 +665,74 @@ class Table:
         """Catalog file stats for a version, covering `cols` — lazily
         backfilled (one footer-only walk, then cached) for versions
         created off the buffered write path (compact/recluster/clone/
-        restore) or for columns outside the write-time stat set."""
-        from . import skipping
+        restore) or for columns outside the write-time stat set.
+
+        Manifest versions (node/manifest.py) must cover every manifest
+        FILE too — carried files live in other versions' directories,
+        and a stats index missing them would make read_pruned silently
+        drop their rows. Stats keys follow manifest.stats_key
+        (version-relative for own files, full refs for carries)."""
+        from . import manifest, skipping
 
         cat = self._engine.catalog
         stats = cat.get_file_stats(self.store_name, version_id)
+        refs = cat.get_manifest(self.store_name, version_id)
         have: set[str] = set()
         if stats:
             for entry in stats.values():
                 have.update((entry.get("cols") or {}).keys())
-        missing = [c for c in cols if c not in have]
-        if stats is not None and not missing:
+        missing_cols = [c for c in cols if c not in have]
+        if refs is None:
+            if stats is not None and not missing_cols:
+                return stats
+            storage = cat.version_dir(self.store_name, version_id)
+            try:
+                fresh = skipping.collect_file_stats(storage, missing_cols or cols)
+            except Exception:
+                return stats
+            if stats:
+                for rel, entry in fresh.items():
+                    base = stats.setdefault(rel, {"rows": entry["rows"], "cols": {}})
+                    base["cols"].update(entry["cols"])
+            else:
+                stats = fresh
+            cat.set_file_stats(self.store_name, version_id, stats)
             return stats
-        storage = cat.version_dir(self.store_name, version_id)
-        try:
-            fresh = skipping.collect_file_stats(storage, missing or cols)
-        except Exception:
+        keys = {manifest.stats_key(r, self.store_name, version_id): r for r in refs}
+        missing_files = [k for k in keys if not stats or k not in stats]
+        if stats is not None and not missing_cols and not missing_files:
+            # drop entries for files no longer in the manifest (e.g. a
+            # truncate rewrote the version in place)
+            if any(k not in keys for k in stats):
+                stats = {k: v for k, v in stats.items() if k in keys}
+                cat.set_file_stats(self.store_name, version_id, stats)
             return stats
-        if stats:
-            for rel, entry in fresh.items():
-                base = stats.setdefault(rel, {"rows": entry["rows"], "cols": {}})
-                base["cols"].update(entry["cols"])
-        else:
-            stats = fresh
-        cat.set_file_stats(self.store_name, version_id, stats)
-        return stats
+        # harvest grouped by SOURCE version directory (footer-only)
+        by_src: dict[str, list[tuple[str, str]]] = {}
+        for k in keys:
+            if manifest.is_ref(k):
+                t, v = manifest.ref_source(k)
+                src_dir, rel = cat.version_dir(t, v), manifest.ref_relpath(k)
+            else:
+                src_dir, rel = cat.version_dir(self.store_name, version_id), k
+            by_src.setdefault(src_dir, []).append((k, rel))
+        fresh = {}
+        for src_dir, pairs in by_src.items():
+            try:
+                got = skipping.collect_file_stats(src_dir, cols)
+            except Exception:
+                continue
+            for k, rel in pairs:
+                if rel in got:
+                    fresh[k] = got[rel]
+        merged = {k: v for k, v in (stats or {}).items() if k in keys}
+        for k, entry in fresh.items():
+            base = merged.setdefault(k, {"rows": entry["rows"], "cols": {}})
+            base["cols"].update(entry["cols"])
+        if any(k not in merged for k in keys):
+            return None  # incomplete coverage: caller must full-scan
+        cat.set_file_stats(self.store_name, version_id, merged)
+        return merged
 
     def prune_files(self, predicates: list[tuple], version: str | None = None) -> tuple[list[str], int]:
         """(kept_relpaths, total_files) for a conjunction of
@@ -667,23 +783,12 @@ class Table:
         kept, total = self.prune_files(predicates, version=vid)
         if not total or len(kept) == total:
             return self.read_spark(version=version).filter(cond)
-        storage = self._engine.catalog.version_dir(self.store_name, vid)
         schema = self.schema
         if not kept:
             return self._engine.spark.createDataFrame([], schema or T.StructType([])).filter(cond)
-        import os
-
-        from . import evolution
-
-        meta = self._engine.catalog.table_meta(self.store_name) or {}
-        reader = self._engine.spark.read.option("basePath", storage)
-        if schema is not None:
-            reader = reader.schema(evolution.physical_struct(meta, schema))
-        else:
-            reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(*[os.path.join(storage, rel) for rel in kept])
-        if schema is not None and evolution.has_mapping(meta):
-            df = evolution.logical_projection(df, meta, schema)
+        # kept keys are manifest refs and/or version-relative paths;
+        # _read_version_files resolves + groups them by source dir
+        df = _read_version_files(self._engine, self.store_name, vid, kept)
         return df.filter(cond)
 
     _ANALYZE_ORDERABLE = (
@@ -809,6 +914,14 @@ class Table:
         schema = av.schema
         empty = self._engine.spark.createDataFrame([], schema)
         empty.write.mode("overwrite").parquet(av.storage)
+        from . import manifest as _mf
+
+        # the overwrite replaced the version's files in place: the
+        # manifest drops any carried refs, and the stale skipping
+        # index / ordering hwm are cleared with it
+        _mf.record(self._engine.catalog, self.store_name, av.version_id)
+        self._engine.catalog.set_file_stats(self.store_name, av.version_id, {})
+        self._engine.catalog.set_order_hwm(self.store_name, av.version_id, None)
         self._engine.catalog.set_record_count(self.store_name, av.version_id, 0)
         self.signal_update()
 
@@ -942,17 +1055,27 @@ class Table:
             else:
                 w = Window.partitionBy(*keys).orderBy(F.monotonically_increasing_id().desc())
             df = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+            from . import manifest as _mf
+
             part_cols = meta.get("partition_by") or []
+            old_refs: list[str] = []
             scoped = (
                 av is not None
                 and av.exists
                 and len(part_cols) == 1
                 and part_cols[0] in df.columns
-                # a flat (pre-partition_by) version has no 'col=' dirs to
-                # hardlink: the scoped path would silently DROP all old
-                # rows outside touched partitions — full merge instead
-                and self._has_hive_layout(av.storage, part_cols[0])
             )
+            if scoped:
+                old_refs = _mf.version_refs(catalog, self.store_name, av.version_id)
+                # EVERY old data file must carry a `pc=` hive segment: a
+                # flat or MIXED layout (files written before partition_by
+                # was declared) holds rows of arbitrary partitions, so a
+                # partition-scoped carry would silently drop them — full
+                # merge instead. (The old dir-listing check passed on
+                # mixed layouts; the per-file manifest check is exact.)
+                scoped = bool(old_refs) and all(
+                    _mf.partition_segment_value(r, part_cols[0]) is not None for r in old_refs
+                )
             touched: list = []
             if scoped:
                 pc = part_cols[0]
@@ -995,10 +1118,12 @@ class Table:
             elif scoped:
                 # PARTITION-SCOPED MERGE: only partitions the batch (or a
                 # key-move) touches are re-read and rewritten; untouched
-                # partition directories are hardlinked file-by-file into
-                # the new version (O(files) metadata ops, zero data
-                # movement) — the Spark-side analogue of partition-level
-                # MERGE.
+                # files are CARRIED into the new version as manifest refs
+                # (node/manifest.py) — hardlinked file-by-file on the
+                # local fast path, a pure metadata edit in reference
+                # (object-storage) mode. O(files) metadata ops, zero data
+                # movement either way — the Spark-side analogue of
+                # partition-level MERGE.
                 old_touched = old.filter(F.col(pc).isin(touched))
                 survivors = old_touched.join(df.select(*keys), on=keys, how="left_anti")
                 df = survivors.unionByName(df)
@@ -1006,11 +1131,23 @@ class Table:
             out_dir = catalog.version_dir(self.store_name, new_version)
             df = self._sorted_for_write(df, meta)
             self._writer(df, meta).mode("overwrite").parquet(out_dir)
+            carried: list[str] = []
             if scoped:
-                self._link_untouched_partitions(av.storage, out_dir, part_cols[0], touched)
-            n = self._engine.spark.read.parquet(out_dir).count()
+                touched_strs = {self._hive_value_str(v) for v in touched}
+                untouched = [
+                    r for r in old_refs
+                    if _mf.partition_segment_value(r, part_cols[0]) not in touched_strs
+                ]
+                carried = _mf.carry(catalog, self.store_name, new_version, untouched)
+            _mf.record(catalog, self.store_name, new_version, carried)
+            if _mf.has_external_refs(catalog, self.store_name, new_version):
+                n = TableVersion(self._engine, self.store_name, new_version).as_dataframe().count()
+            else:
+                n = self._engine.spark.read.parquet(out_dir).count()
             catalog.set_record_count(self.store_name, new_version, n)
             self._track_write_stats(out_dir, meta, new_version)
+            if scoped:
+                self._carry_order_hwm(new_version, self.store_name, av.version_id)
             # MERGE is read-modify-write: compare-and-swap against the
             # base version this upsert READ (optimistic concurrency).
             # On CAS refusal the just-written version is an orphan —
@@ -1039,10 +1176,31 @@ class Table:
                     # write_dataframe_as_new_version): count the stored
                     # data BEFORE appending, or record_count would
                     # silently underreport as just the batch size
-                    prev = self._engine.spark.read.parquet(av.storage).count()
+                    prev = av.as_dataframe().count()
             else:
                 prev = 0
-            self._writer(df, meta).mode("append").parquet(av.storage)
+            from . import manifest as _mf
+
+            write_meta = meta
+            if existed:
+                pbs = meta.get("partition_by") or []
+                refs0 = _mf.version_refs(catalog, self.store_name, av.version_id) if pbs else []
+                if refs0 and not all(
+                    all(_mf.partition_segment_value(r, pc) is not None for pc in pbs)
+                    for r in refs0
+                ):
+                    # the stored version predates partition_by (flat
+                    # layout): appending hive dirs into it would MIX root
+                    # files with partition dirs — a dataset Spark cannot
+                    # read consistently (flat rows silently drop). Keep
+                    # the version's layout; the next full rewrite
+                    # (upsert/replace/compact) adopts the partitioning.
+                    write_meta = {**meta, "partition_by": []}
+            # refs carried from other versions (a reference-mode clone
+            # being appended to) must survive the manifest refresh
+            ext = _mf.external_refs(catalog, self.store_name, av.version_id)
+            self._writer(df, write_meta).mode("append").parquet(av.storage)
+            _mf.record(catalog, self.store_name, av.version_id, ext)
             batch_n = df.count()
             catalog.set_record_count(self.store_name, av.version_id, prev + batch_n)
             self._track_write_stats(av.storage, meta, av.version_id)
@@ -1059,18 +1217,22 @@ class Table:
         else:
             self.signal_update()
 
-    @staticmethod
-    def _has_hive_layout(version_dir: str, part_col: str) -> bool:
-        """True iff the stored version uses hive `col=value` dirs for
-        part_col — i.e. it was written after partition_by was declared.
-        A flat (pre-partition_by) layout has nothing to hardlink, so the
-        scoped upsert must fall back to the full merge."""
-        import os
-
+    def _carry_order_hwm(self, new_version: str, src_name: str, src_version: str) -> None:
+        """Propagate the ordering high-water mark through a zero-copy
+        carry: carried files may hold the table's max order value, and
+        the own-directory footer walk (_track_write_stats) cannot see
+        them in reference mode. The new version's hwm becomes
+        max(own-walk hwm, source version hwm)."""
+        cat = self._engine.catalog
+        src = cat.get_order_hwm(src_name, src_version)
+        if src is None:
+            return
+        cur = cat.get_order_hwm(self.store_name, new_version)
         try:
-            return any(e.startswith(f"{part_col}=") for e in os.listdir(version_dir))
-        except OSError:
-            return False
+            best = src if cur is None or src > cur else cur
+        except TypeError:
+            return
+        cat.set_order_hwm(self.store_name, new_version, best)
 
     @staticmethod
     def _hive_value_str(v) -> str:
@@ -1080,33 +1242,6 @@ class Table:
         if isinstance(v, bool):
             return "true" if v else "false"
         return str(v)
-
-    @staticmethod
-    def _link_untouched_partitions(old_dir: str, new_dir: str, part_col: str, touched: list) -> None:
-        """Hardlink every `col=value` partition dir the upsert batch did
-        NOT touch from the old version into the new one. Hardlinks make
-        version GC safe (inode refcounts) and cost no data movement; on
-        object storage this becomes a server-side copy/manifest entry."""
-        import os
-        from urllib.parse import unquote
-
-        touched_strs = {Table._hive_value_str(v) for v in touched}
-        prefix = f"{part_col}="
-        for entry in os.listdir(old_dir):
-            if not entry.startswith(prefix):
-                continue
-            if unquote(entry[len(prefix):]) in touched_strs:
-                continue
-            src, dst = os.path.join(old_dir, entry), os.path.join(new_dir, entry)
-            os.makedirs(dst, exist_ok=True)
-            for fn in os.listdir(src):
-                if fn.endswith(".parquet") or fn == "_SUCCESS":
-                    try:
-                        os.link(os.path.join(src, fn), os.path.join(dst, fn))
-                    except OSError:
-                        import shutil
-
-                        shutil.copy2(os.path.join(src, fn), os.path.join(dst, fn))
 
     def _sorted_for_write(self, df: DataFrame, meta: dict) -> DataFrame:
         """Write versions sorted by the declared ordering so Parquet
@@ -1338,6 +1473,9 @@ class Table:
         vid = catalog.create_new_version(self.store_name)
         out = catalog.version_dir(self.store_name, vid)
         self._writer(self._sorted_for_write(df, meta), meta).mode("overwrite").parquet(out)
+        from . import manifest as _mf
+
+        _mf.record(catalog, self.store_name, vid)
         n = self._engine.spark.read.parquet(out).count()
         catalog.set_record_count(self.store_name, vid, n)
         self._track_write_stats(out, meta, vid)
@@ -1470,13 +1608,29 @@ class Table:
         new_version = catalog.create_new_version(self.store_name)
         out_dir = catalog.version_dir(self.store_name, new_version)
         self._writer(self._sorted_for_write(new_touched, meta), meta).mode("overwrite").parquet(out_dir)
-        self._link_untouched_files(av.storage, out_dir, touched_paths)
+        from . import manifest as _mf
+
+        # carry every file the rewrite did NOT touch into the new
+        # version: hardlinks on the local fast path, manifest refs in
+        # reference (object-storage) mode — node/manifest.py
+        old_refs = _mf.version_refs(catalog, self.store_name, av.version_id)
+        untouched = []
+        for ref in old_refs:
+            src = _mf.resolve(catalog, self.store_name, av.version_id, ref)
+            if src in touched_paths or os.path.realpath(src) in touched_paths:
+                continue
+            untouched.append(ref)
+        carried = _mf.carry(catalog, self.store_name, new_version, untouched)
+        _mf.record(catalog, self.store_name, new_version, carried)
         old_n = catalog.get_record_count(self.store_name, av.version_id)
         if old_n is None:
             old_n = old.count()
         new_n = old_n - n_matched if assignments is None else old_n
         catalog.set_record_count(self.store_name, new_version, new_n)
         self._track_write_stats(out_dir, meta, new_version)
+        # hwm carry is conservative-high after a DELETE of the max row
+        # (a high-water mark, same as retained parquet footer stats)
+        self._carry_order_hwm(new_version, self.store_name, av.version_id)
         # DELETE/UPDATE is read-modify-write: CAS against the read base;
         # a refused flip drops the orphan version before re-raising
         try:
@@ -1488,34 +1642,6 @@ class Table:
         self.signal_update()
         return n_matched
 
-    @staticmethod
-    def _link_untouched_files(old_dir: str, new_dir: str, touched_paths: set) -> None:
-        """Hardlink every parquet file the rewrite did NOT touch from
-        the old version dir into the new one, preserving relative
-        (partition-dir) structure. Same inode-refcount GC safety as
-        _link_untouched_partitions; on object storage this is a
-        manifest entry, not a copy."""
-        import os
-        import shutil
-
-        for root, _dirs, files in os.walk(old_dir):
-            rel = os.path.relpath(root, old_dir)
-            for fn in files:
-                if not fn.endswith(".parquet"):
-                    continue
-                src = os.path.join(root, fn)
-                if os.path.realpath(src) in touched_paths or src in touched_paths:
-                    continue
-                dst_dir = new_dir if rel == "." else os.path.join(new_dir, rel)
-                os.makedirs(dst_dir, exist_ok=True)
-                dst = os.path.join(dst_dir, fn)
-                if os.path.exists(dst):
-                    continue
-                try:
-                    os.link(src, dst)
-                except OSError:
-                    shutil.copy2(src, dst)
-
     def write_dataframe_as_new_version(self, df: DataFrame) -> TableVersion:
         """Engine extension (used by SQL nodes / CTAS): write df as a
         fresh version and flip the active pointer atomically."""
@@ -1525,6 +1651,9 @@ class Table:
         out = catalog.version_dir(self.store_name, vid)
         meta = catalog.table_meta(self.store_name) or {}
         self._writer(self._sorted_for_write(df, meta), meta).mode("overwrite").parquet(out)
+        from . import manifest as _mf
+
+        _mf.record(catalog, self.store_name, vid)
         catalog.set_active_version(self.store_name, vid)
         catalog.update_table_meta(
             self.store_name,
@@ -1563,23 +1692,29 @@ class Table:
         import math
         import os
 
-        nfiles, total = 0, 0
-        for root, _dirs, files in os.walk(av.storage):
-            for fn in files:
-                if fn.endswith(".parquet"):
-                    nfiles += 1
-                    total += os.path.getsize(os.path.join(root, fn))
+        from . import manifest as _mf
+
+        catalog = self._engine.catalog
+        # file census from the manifest: a reference-mode version's
+        # files live across source directories, not under av.storage
+        refs = _mf.version_refs(catalog, self.store_name, av.version_id)
+        nfiles, total = len(refs), 0
+        for ref in refs:
+            try:
+                total += os.path.getsize(_mf.resolve(catalog, self.store_name, av.version_id, ref))
+            except OSError:
+                pass
         if target_files is None:
             target_files = max(1, math.ceil(total / file_bytes))
         if nfiles <= target_files:
             return av
-        n_before = self._engine.catalog.get_record_count(self.store_name, av.version_id)
+        n_before = catalog.get_record_count(self.store_name, av.version_id)
         df = av.as_dataframe().coalesce(target_files)
-        catalog = self._engine.catalog
         vid = catalog.create_new_version(self.store_name)
         out = catalog.version_dir(self.store_name, vid)
         meta = catalog.table_meta(self.store_name) or {}
         self._writer(self._sorted_for_write(df, meta), meta).mode("overwrite").parquet(out)
+        _mf.record(catalog, self.store_name, vid)
         catalog.set_active_version(self.store_name, vid)
         if n_before is not None:
             catalog.set_record_count(self.store_name, vid, n_before)
@@ -1625,6 +1760,9 @@ class Table:
         out = catalog.version_dir(self.store_name, created_vid)
         # bypass _sorted_for_write: the layout IS the sort here
         self._writer(out_df, meta).mode("overwrite").parquet(out)
+        from . import manifest as _mf
+
+        _mf.record(catalog, self.store_name, created_vid)
         catalog.set_active_version(self.store_name, created_vid)
         if n_before is not None:
             catalog.set_record_count(self.store_name, created_vid, n_before)
@@ -1716,14 +1854,15 @@ class Table:
     def restore(self, version_id: str) -> "TableVersion | None":
         """Time-travel WRITE (Delta-style RESTORE): make a retained
         older version's content the active table again — materialized
-        as a NEW version hardlinking the old one's files, so history
-        stays linear (the restore itself is undoable and the restored
-        source remains subject to normal retention GC). O(files)
-        metadata work, no data copied."""
+        as a NEW version CARRYING the old one's files (node/manifest.py:
+        hardlinks on the local fast path, pure manifest refs in
+        reference/object-storage mode), so history stays linear (the
+        restore itself is undoable and the restored source remains
+        subject to normal retention GC — ref-counting keeps shared
+        files alive). O(files) metadata work, no data copied."""
         if not self.is_connected:
             return None
-        import os
-        import shutil
+        from . import manifest as _mf
 
         catalog = self._engine.catalog
         src = self.get_version(version_id)
@@ -1732,39 +1871,35 @@ class Table:
                 f"restore: version {version_id!r} of {self.store_name!r} is not retained"
             )
         vid = catalog.create_new_version(self.store_name)
-        out = catalog.version_dir(self.store_name, vid)
-        for root, _dirs, files in os.walk(src.storage):
-            rel = os.path.relpath(root, src.storage)
-            dst_root = out if rel == "." else os.path.join(out, rel)
-            os.makedirs(dst_root, exist_ok=True)
-            for fn in files:
-                try:
-                    os.link(os.path.join(root, fn), os.path.join(dst_root, fn))
-                except OSError:
-                    shutil.copy2(os.path.join(root, fn), os.path.join(dst_root, fn))
+        src_refs = _mf.version_refs(catalog, self.store_name, version_id)
+        carried = _mf.carry(catalog, self.store_name, vid, src_refs)
+        _mf.record(catalog, self.store_name, vid, carried)
         catalog.set_active_version(self.store_name, vid)
         n = catalog.get_record_count(self.store_name, version_id)
         if n is not None:
             catalog.set_record_count(self.store_name, vid, n)
+        self._carry_order_hwm(vid, self.store_name, version_id)
         catalog.gc_versions(self.store_name)
         self.signal_update()
         return TableVersion(self._engine, self.store_name, vid)
 
     def clone_from(self, source_table: str) -> "TableVersion | None":
         """Zero-copy clone (Delta/Iceberg 'shallow clone'): make THIS
-        table's new active version by HARDLINKING every parquet file of
+        table's new active version by CARRYING every parquet file of
         ``source_table``'s active version — no data moves, O(files)
-        metadata work regardless of table size. Hardlinks stay valid
-        even if the source's version is later retention-GC'd (unlink
-        only drops a name), so the clone owns its data from t0 while
-        sharing the physical bytes. Schema/ordering metadata and the
-        cached record count are copied; subsequent writes diverge
-        normally (new versions never mutate linked files — every write
-        path here is copy-on-new-version)."""
+        metadata work regardless of table size. On the local fast path
+        the carry hardlinks (inode refcounts keep bytes alive through
+        source GC); in reference/object-storage mode the clone's
+        manifest references the source files directly and retention GC
+        ref-counts them ACROSS tables (catalog.gc_versions), so the
+        clone owns its data from t0 while sharing the physical bytes.
+        Schema/ordering metadata and the cached record count are
+        copied; subsequent writes diverge normally (new versions never
+        mutate shared files — every write path here is
+        copy-on-new-version)."""
         if not self.is_connected:
             return None
-        import os
-        import shutil
+        from . import manifest as _mf
 
         catalog = self._engine.catalog
         src_meta = catalog.table_meta(source_table)
@@ -1773,7 +1908,6 @@ class Table:
         src_av = catalog.get_active_version(source_table)
         if src_av is None:
             raise ValueError(f"clone_from: {source_table!r} has no active version")
-        src_dir = catalog.version_dir(source_table, src_av)
         catalog.ensure_table(self.store_name)
         meta_copy = {
             k: v
@@ -1800,22 +1934,14 @@ class Table:
         if meta_copy:
             catalog.update_table_meta(self.store_name, **meta_copy)
         vid = catalog.create_new_version(self.store_name)
-        out = catalog.version_dir(self.store_name, vid)
-        for root, _dirs, files in os.walk(src_dir):
-            rel = os.path.relpath(root, src_dir)
-            dst_root = out if rel == "." else os.path.join(out, rel)
-            os.makedirs(dst_root, exist_ok=True)
-            for fn in files:
-                src_f = os.path.join(root, fn)
-                dst_f = os.path.join(dst_root, fn)
-                try:
-                    os.link(src_f, dst_f)
-                except OSError:
-                    shutil.copy2(src_f, dst_f)  # cross-device fallback
+        src_refs = _mf.version_refs(catalog, source_table, src_av)
+        carried = _mf.carry(catalog, self.store_name, vid, src_refs)
+        _mf.record(catalog, self.store_name, vid, carried)
         catalog.set_active_version(self.store_name, vid)
         n = catalog.get_record_count(source_table, src_av)
         if n is not None:
             catalog.set_record_count(self.store_name, vid, n)
+        self._carry_order_hwm(vid, source_table, src_av)
         self.signal_create()
         return TableVersion(self._engine, self.store_name, vid)
 
@@ -2326,6 +2452,9 @@ class Engine:
                             os.link(os.path.join(root, fn), os.path.join(dst_dir, fn))
                         except OSError:
                             shutil.copy2(os.path.join(root, fn), os.path.join(dst_dir, fn))
+                from . import manifest as _mf
+
+                _mf.record(self.catalog, name, vid)
                 df = self.spark.read.parquet(out)
                 n = df.count()
                 self.catalog.update_table_meta(

@@ -492,8 +492,9 @@ def q207(spark, sf_dir):
     ),
     dfreq AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY sh),
     sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+    cap AS (SELECT greatest(20, count(*) // 250) AS c FROM documents),
     ordered AS (
-      SELECT sh.doc_id, sh.sh,
+      SELECT sh.doc_id, sh.sh, d.df,
              row_number() OVER (PARTITION BY sh.doc_id ORDER BY d.df, sh.sh) AS pos
       FROM sh JOIN dfreq d ON d.sh = sh.sh
     ),
@@ -501,6 +502,7 @@ def q207(spark, sf_dir):
       SELECT o.doc_id, o.sh
       FROM ordered o JOIN sizes s ON s.doc_id = o.doc_id
       WHERE o.pos <= s.n_sh - ((s.n_sh + 1) // 2) + 1
+        AND o.df <= (SELECT c FROM cap)
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -539,13 +541,25 @@ def q206(spark, sf_dir):
 
     100 TB shape: the prefix join's fan-out is bounded by RARE-token
     df (the quadratic blowup lives in frequent tokens, all excluded
-    from prefixes — the same reason q63 needs max_df, obtained here
-    without dropping any true pair); the per-doc ordering window is
+    from prefixes — the same reason q63 needs max_df). On OPEN-
+    vocabulary corpora that alone bounds candidates without dropping
+    any true pair; on bounded-vocabulary corpora (this fixture's
+    31-word domain — the adversarial case, SCALE.md §65) even prefix
+    positions hold hot shingles and candidates go quadratic, so the
+    prefix index additionally drops postings with df > max(20,
+    n_docs/250) — q63's corpus-scaled budget, replayed by the oracle
+    via the same scalar subquery. The cap bounds per-posting fan-out
+    at df^2 with df = O(n_docs) only through the corpus-proportional
+    term; completeness then holds for pairs connected by at least one
+    sub-cap prefix token (exact on open vocabularies, where prefix
+    tokens are rare by construction). The per-doc ordering window is
     PARTITIONED by doc. Everything else is hash-aggs and equi-joins;
     the oracle replays candidates AND verification bit-for-bit."""
     from pyspark.sql import Window
 
     docs = t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    cap = max(20, n_docs // 250)
     sh = distinct_shingles(docs, "doc_id", "text", 3)
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).cast("long").alias("df"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
@@ -553,7 +567,10 @@ def q206(spark, sf_dir):
     ordered = sh.join(dfreq, "sh").withColumn("pos", F.row_number().over(w))
     prefix = (
         ordered.join(sizes, "id")
-        .filter(F.col("pos") <= F.col("n_sh") - F.expr("(n_sh + 1) DIV 2") + 1)
+        .filter(
+            (F.col("pos") <= F.col("n_sh") - F.expr("(n_sh + 1) DIV 2") + 1)
+            & (F.col("df") <= F.lit(cap))
+        )
         .select("id", "sh")
     )
     a, b = prefix.alias("a"), prefix.alias("b")

@@ -182,44 +182,69 @@ def q196(spark, sf_dir):
 
 
 # =====================================================================
-# q197 — SemDeDup: embedding-cluster semantic dedup (exact replay)
+# q197 — SemDeDup: corpus-scaled k-means clusters + in-cluster dedup
 # =====================================================================
 
 # cos >= 0.95  <=>  dot > 0 AND 400*dot^2 >= 361*|a|^2*|b|^2  (19/20)^2
 _SEM_NUM2, _SEM_DEN2 = 361, 400
+
+# k scales with the corpus so |cluster| stays bounded (~1000 vectors):
+# k = max(16, n // 1000). A FIXED k is a latent scale-killer — per-
+# cluster pairwise work grows as (n/k)^2, measured 5.1x wall-clock at
+# the 10x tier before this rebase (SCALE.md).
+_SEM_KMIN, _SEM_PER = 16, 1000
+
+_SEM_ASSIGN = """
+    d{i}_ AS (
+      SELECT ep.vec_id, c.cluster, sum((ep.v - c.c) * (ep.v - c.c)) AS dist
+      FROM ep JOIN cent{j} c ON ep.d = c.d
+      GROUP BY ep.vec_id, c.cluster
+    ),
+    m{i}_ AS (SELECT vec_id, min(dist) AS md FROM d{i}_ GROUP BY vec_id),
+    a{i}_ AS (
+      SELECT d.vec_id, min(d.cluster) AS cluster, min(d.dist) AS dist
+      FROM d{i}_ d JOIN m{i}_ m ON m.vec_id = d.vec_id AND d.dist = m.md
+      GROUP BY d.vec_id
+    )"""
 
 
 @query(
     "q197_semdedup",
     f"""
     WITH e AS (
-      SELECT vec_id, label,
+      SELECT vec_id,
              list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS ei
       FROM embeddings
     ),
     ep AS (
-      SELECT vec_id, label, CAST(i AS INT) AS d, ei[CAST(i AS INT)] AS v
+      SELECT vec_id, CAST(i AS INT) AS d, ei[CAST(i AS INT)] AS v
       FROM e, unnest(range(1, 65)) AS u(i)
     ),
-    cent AS (
-      SELECT label AS clabel, d,
-             CAST((sum(v) - ((sum(v) % count(*) + count(*)) % count(*))) // count(*) AS BIGINT) AS c
-      FROM ep GROUP BY label, d
+    kk AS (
+      SELECT greatest({_SEM_KMIN}, count(*) // {_SEM_PER}) AS k FROM embeddings
     ),
-    dist AS (
-      SELECT ep.vec_id, cent.clabel,
-             sum((ep.v - cent.c) * (ep.v - cent.c)) AS dist
-      FROM ep JOIN cent ON ep.d = cent.d GROUP BY 1, 2
+    seed AS (
+      SELECT vec_id, CAST(rn - 1 AS BIGINT) AS cluster FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) AS rn FROM (
+          SELECT vec_id,
+                 CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+          FROM embeddings)
+      ) WHERE rn <= (SELECT k FROM kk)
     ),
-    assign AS (
-      SELECT vec_id, clabel AS cid FROM (
-        SELECT vec_id, clabel,
-               row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rn
-        FROM dist) WHERE rn = 1
+    cent0 AS (
+      SELECT s.cluster, ep.d, ep.v AS c FROM seed s JOIN ep ON ep.vec_id = s.vec_id
     ),
+    {_SEM_ASSIGN.format(i=1, j=0)},
+    cent1 AS (
+      SELECT a.cluster, ep.d,
+             CAST((sum(ep.v) - ((sum(ep.v) % count(*) + count(*)) % count(*))) // count(*) AS BIGINT) AS c
+      FROM a1_ a JOIN ep ON ep.vec_id = a.vec_id
+      GROUP BY a.cluster, ep.d
+    ),
+    {_SEM_ASSIGN.format(i=2, j=1)},
     epc AS (
-      SELECT a.cid, ep.vec_id, ep.d, ep.v
-      FROM ep JOIN assign a ON a.vec_id = ep.vec_id
+      SELECT a.cluster AS cid, ep.vec_id, ep.d, ep.v
+      FROM ep JOIN a2_ a ON a.vec_id = ep.vec_id
     ),
     nrm AS (SELECT vec_id, sum(v * v) AS nrm FROM epc GROUP BY 1),
     dots AS (
@@ -237,53 +262,111 @@ _SEM_NUM2, _SEM_DEN2 = 361, 400
             >= {_SEM_NUM2} * CAST(nl.nrm AS HUGEINT) * nr.nrm
       GROUP BY 1
     )
-    SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
+    SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cid,
            CAST(CASE WHEN dup.dup_of IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup,
            CAST(coalesce(dup.dup_of, -1) AS BIGINT) AS dup_of
-    FROM assign a LEFT JOIN dup ON dup.rid = a.vec_id
+    FROM a2_ a LEFT JOIN dup ON dup.rid = a.vec_id
     """,
 )
 def q197(spark, sf_dir):
-    """SemDeDup (Abbas et al. 2023 pattern): cluster embeddings, then
-    drop near-duplicates WITHIN each cluster — pairwise similarity is
-    bounded by cluster size, never corpus-wide. Clusters come from the
-    exact-integer label centroids (same construction as q167's
-    confident-learning audit: micro-quantized vectors, true bigint
-    floor-mean, nearest-centroid assignment with (dist, label)
-    tie-break), and the in-cluster cos >= 0.95 test is done squared in
-    HUGEINT/decimal-38 (dot > 0 and 400*dot^2 >= 361*|a|^2*|b|^2), so
-    there is no sqrt and no float anywhere — DuckDB replays cluster
-    membership AND every duplicate verdict bit-for-bit. A vector is a
-    dup of the SMALLEST lower id in its cluster that clears the
-    threshold (deterministic survivor = min id, matching the q33/q58
-    dedup family convention).
+    """SemDeDup (Abbas et al. 2023 pattern): cluster embeddings with
+    CORPUS-SCALED k-means, then drop near-duplicates WITHIN each
+    cluster — pairwise similarity is bounded by cluster size, never
+    corpus-wide. k = max(16, n // 1000), so |cluster| stays ~1000 as
+    the corpus grows — the earlier fixed-label clustering grew
+    per-cluster work quadratically (5.1x wall-clock at the 10x tier;
+    SCALE.md) and is exactly the latent scale-killer this rebase
+    removes. Clustering is q210's exact-replay Lloyd loop (seeds = k
+    smallest md5(vec_id), micro-quantized vectors, bigint squared-L2,
+    pmod floor-mean centroids, (dist, cluster) min-min tie-break; two
+    assignment rounds), and the in-cluster cos >= 0.95 test is done
+    squared in HUGEINT/decimal-38 (dot > 0 and 400*dot^2 >=
+    361*|a|^2*|b|^2) — no sqrt, no float anywhere, so DuckDB replays
+    SEEDING, cluster membership, AND every duplicate verdict
+    bit-for-bit. A vector is a dup of the SMALLEST lower id in its
+    cluster that clears the threshold (deterministic survivor = min
+    id, matching the q33/q58 dedup family convention).
 
-    100 TB shape: centroid model is O(labels x dims) — broadcast; the
-    pairwise stage shuffles each vector ONCE (on its cluster id) and
-    runs an int64 GEMM per cluster inside applyInPandas — cost is sum
-    over clusters of |cluster|^2 * dims of vectorized multiply, with
-    no exploded (pair, dim) rows on the wire (3-4x over the
-    equivalent (cid, d) self-join at sf0.1). The SemDeDup trade:
-    cluster count scales with corpus so |cluster| stays bounded
-    (here: 10 label centroids over the fixture's 500-5000 vectors;
-    production uses k-means with k ~ N/1000 — same dataflow).
+    100 TB shape: the centroid model is O(k x dims) rows in the
+    catalog's terms — tiny — but the ASSIGNMENT must not be the
+    exploded (vec, dim) x centroid join (N*64*k shuffle rows is
+    quadratic once k ~ N/1000): each round is ONE mapInPandas pass
+    with the centroid int64 matrix broadcast, computing all N x k
+    distances as a numpy GEMM per Arrow batch — zero shuffle, exact
+    int64. Centroid recompute is one hash-agg; the driver only ever
+    holds k x 64 integers. The pairwise stage shuffles each vector
+    ONCE (on its cluster id) and runs an int64 GEMM per cluster
+    inside applyInPandas — sum over clusters of |cluster|^2 * dims
+    vectorized multiplies, no exploded pair rows on the wire.
     Complements the lexical near-dup family (q34 n-gram, q35 MinHash,
     q36 SimHash) with the embedding-space member the curation stage
     needs."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators.det_hash import md5_long
+
     emb = t(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", "label", quantized_embedding("embedding").alias("ei"))
-    ep = e.select("vec_id", "label", F.posexplode("ei").alias("d", "v"))
-    cent = ep.groupBy(F.col("label").alias("clabel"), "d").agg(
-        F.expr("CAST((sum(v) - pmod(sum(v), count(*))) DIV count(*) AS BIGINT)").alias("c")
+    n = emb.count()
+    k = max(_SEM_KMIN, n // _SEM_PER)
+    e = emb.select("vec_id", quantized_embedding("embedding").alias("ei"))
+    ep = e.select("vec_id", F.posexplode("ei").alias("d0", "v")).select(
+        "vec_id", (F.col("d0") + 1).cast("int").alias("d"), "v"
     )
-    dist = (
-        ep.join(F.broadcast(cent), "d")
-        .groupBy("vec_id", "clabel")
-        .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("dist"))
+    # seeds: k smallest md5(vec_id) — k rows collected, no global window
+    seed_ids = [
+        r["vec_id"]
+        for r in emb.select("vec_id", md5_long(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .collect()
+    ]
+    seed_rows = {
+        r["vec_id"]: r["ei"]
+        for r in e.filter(F.col("vec_id").isin(seed_ids)).collect()
+    }
+    C0 = np.array([seed_rows[v] for v in seed_ids], dtype="int64")
+    ids0 = np.arange(len(seed_ids), dtype="int64")  # cluster = seed rank
+
+    def gemm_assign(C: "np.ndarray", cids: "np.ndarray"):
+        """Nearest-centroid assignment as an int64 GEMM per Arrow
+        batch. cids is ASCENDING, so numpy argmin's first-min rule IS
+        the (dist, cluster) min-min tie-break of the oracle."""
+
+        def fn(it):
+            cn = (C * C).sum(axis=1)[None, :]
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                V = np.vstack(pdf["ei"].to_numpy()).astype("int64")
+                D = (V * V).sum(axis=1)[:, None] - 2 * (V @ C.T) + cn
+                j = D.argmin(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(),
+                        "cluster": cids[j],
+                        "dist": D[np.arange(len(j)), j],
+                    }
+                )
+
+        return fn
+
+    a1 = e.mapInPandas(gemm_assign(C0, ids0), schema="vec_id long, cluster long, dist long")
+    cent1 = (
+        a1.select("vec_id", "cluster")
+        .join(ep, "vec_id")
+        .groupBy("cluster", "d")
+        .agg(F.expr("CAST((sum(v) - pmod(sum(v), count(*))) DIV count(*) AS BIGINT)").alias("c"))
     )
-    assign = dist.groupBy("vec_id").agg(F.min(F.struct("dist", "clabel")).alias("m")).select(
-        "vec_id", F.col("m.clabel").alias("cid")
-    )
+    # k x 64 integers to the driver: the whole centroid model
+    c1_rows = cent1.collect()
+    c1_map: dict[int, dict[int, int]] = {}
+    for r in c1_rows:
+        c1_map.setdefault(r["cluster"], {})[r["d"]] = r["c"]
+    ids1 = np.array(sorted(c1_map), dtype="int64")
+    C1 = np.array([[c1_map[c][d] for d in range(1, 65)] for c in ids1.tolist()], dtype="int64")
+    a2 = e.mapInPandas(gemm_assign(C1, ids1), schema="vec_id long, cluster long, dist long")
+    assign = a2.select("vec_id", F.col("cluster").alias("cid"))
     # Pairwise stage as a per-cluster integer GEMM (applyInPandas):
     # the DataFrame form (self-join on (cid, d) -> 13M exploded rows at
     # sf0.1) is expressible but pays O(pairs x dims) shuffle rows; one
@@ -293,8 +376,6 @@ def q197(spark, sf_dir):
     # — bit-identical to the oracle's HUGEINT form. This is the
     # repo's documented pandas exception (q56 GEMM precedent): built-ins
     # express the semantics, numpy expresses the efficiency.
-    import numpy as np
-    import pandas as pd
 
     def _cluster_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("vec_id")
