@@ -78,9 +78,13 @@ BENCH_QUERIES = [
     "q189_minhash_calibration",
     "q191_token_budget",
     # sketch batch: mergeable count-min heavy hitters over the token
-    # stream, embedding-cluster SemDeDup (cluster-bounded pairwise)
+    # stream, embedding-cluster SemDeDup (corpus-scaled k-means,
+    # k = max(16, n/1000): cluster-bounded pairwise at any corpus size)
     "q195_countmin_heavy_hitters",
     "q197_semdedup",
+    # PPJoin scale control: t=0.8 prefix budget (5x smaller prefixes,
+    # ~25x fewer candidates than q206's t=1/2 on bounded vocabularies)
+    "q259_prefix_filter_t80",
     # corpus batch: DSIR hashed-ngram importance weighting (broadcast
     # 4096-bucket weight table over the token scan)
     "q201_dsir_importance",

@@ -549,14 +549,21 @@ class Catalog:
             doomed = [v for v in doomed if v not in pinned]
             live = self._all_live_refs(doc, {(name, v) for v in doomed})
             for v in doomed:
-                self._delete_version_files(name, v, live)
                 meta["versions"].remove(v)
                 meta["record_counts"].pop(v, None)
                 for key in ("order_hwms", "file_stats", "column_stats", "manifests"):
                     meta.get(key, {}).pop(v, None)
-            return doomed
+            return doomed, live
 
-        return self._mutate(fn)
+        # metadata commits FIRST, physical deletion after: a crash in
+        # between leaves harmless orphan FILES (no retained manifest
+        # references them), never a retained version with dangling
+        # refs. Found by tests/test_concurrency_fuzz.py (kill -9
+        # between the in-commit delete and the save).
+        doomed, live = self._mutate(fn)
+        for v in doomed:
+            self._delete_version_files(name, v, live)
+        return doomed
 
     def drop_version(self, name: str, version: str) -> None:
         """Remove a retained NON-ACTIVE version (WAP abandon / targeted
@@ -572,15 +579,17 @@ class Catalog:
             if version == meta.get("active_version"):
                 raise ValueError(f"cannot drop the active version {version!r} of {name!r}")
             if version not in meta["versions"]:
-                return
+                return None
             live = self._all_live_refs(doc, {(name, version)})
-            self._delete_version_files(name, version, live)
             meta["versions"].remove(version)
             meta["record_counts"].pop(version, None)
             for key in ("order_hwms", "file_stats", "column_stats", "manifests"):
                 meta.get(key, {}).pop(version, None)
+            return live
 
-        self._mutate(fn)
+        live = self._mutate(fn)
+        if live is not None:  # metadata first, files after (crash-safe)
+            self._delete_version_files(name, version, live)
 
     def drop_table(self, name: str) -> None:
         """Remove a table entirely: metadata and physical files, the
@@ -591,19 +600,23 @@ class Catalog:
         def fn(doc):
             meta = doc["tables"].get(name)
             if meta is None:
-                return
+                return None
             exclude = {(name, v) for v in meta.get("versions", [])}
             live = self._all_live_refs(doc, exclude)
-            for v in meta.get("versions", []):
-                self._delete_version_files(name, v, live)
+            versions = list(meta.get("versions", []))
             doc["tables"].pop(name, None)
-            tdir = os.path.join(self.root, "tables", name)
-            try:
-                os.rmdir(tdir)
-            except OSError:
-                pass  # still holds files a clone references
+            return versions, live
 
-        self._mutate(fn)
+        out = self._mutate(fn)
+        if out is None:
+            return
+        versions, live = out  # metadata first, files after (crash-safe)
+        for v in versions:
+            self._delete_version_files(name, v, live)
+        try:
+            os.rmdir(os.path.join(self.root, "tables", name))
+        except OSError:
+            pass  # still holds files a clone references
 
     def allocate_monotonic_block(self, name: str, n: int) -> int:
         """Reserve n dense monotonic ids for a flush; returns the first.

@@ -193,7 +193,16 @@ def q248(spark, sf_dir):
     sweep (operators/windows.global_prefix_sum_multi — one bucketing,
     one window shuffle computing both running counts; no
     single-partition sort); the max and argmax are one-row reduces
-    broadcast back. Nothing re-scans the fact table."""
+    broadcast back. The single evaluation is STRUCTURAL, not an AQE
+    accident: the distinct-cents grain is localCheckpointed before its
+    four consumers (boundary sample, bucket totals, window sweep,
+    grand totals), so the fact table is scanned exactly once — plan-
+    gated in test_plan_quality (q165 precedent). (Measured: also
+    checkpointing the derived diff table costs MORE than the window
+    recompute it saves — the diff consumers re-run only the ~100k-row
+    distinct-grain window over the checkpointed input, while a second
+    checkpoint materializes DECIMAL(38) rows; 3.8s vs 2.8s warm at
+    sf0.1.)"""
     from .operators.windows import global_prefix_sum_multi
 
     y = t(spark, sf_dir, "lineitem").select(
@@ -203,7 +212,7 @@ def q248(spark, sf_dir):
     vg = y.groupBy("v").agg(
         F.sum("is_a").cast("long").alias("ca"),
         F.sum(1 - F.col("is_a")).cast("long").alias("cb"),
-    )
+    ).localCheckpoint()  # bounded: distinct price-cents grain
     c2 = global_prefix_sum_multi(
         vg, "v", True, [F.col("v")], ["ca", "cb"], ["cum_a", "cum_b"]
     )

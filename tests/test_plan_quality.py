@@ -461,6 +461,79 @@ def test_q165_edge_set_single_evaluation(spark, sf_dir):
     assert "Scan ExistingRDD" in plan, "edge set no longer checkpointed"
 
 
+def test_aqe_skew_join_split_engages(spark):
+    """VERDICT r4 item 7 (read-path skew): a hot-key JOIN (one key =
+    50% of rows) must be handled by AQE's skew-join split — the FINAL
+    adaptive plan carries the `skew=true` marker on the sort-merge
+    join and the result is unchanged. sdk14 covers write-path skew;
+    this is the read-side evidence. Thresholds are scaled down so the
+    test corpus trips the same code path production data trips at
+    256MB partitions (measured at 5M rows: split ~1.5x faster than
+    the unsplit hot partition; SCALE.md). The salted_join operator
+    (operators/skew.py) remains the rewrite for joins AQE can't split
+    (broadcast-ineligible non-SMJ shapes)."""
+    conf = spark.conf
+    keys = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {}
+    for k, v in keys.items():
+        try:
+            saved[k] = conf.get(k)
+        except Exception:
+            saved[k] = None
+        conf.set(k, v)
+    try:
+        fact = spark.range(1_000_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(500_001).select(F.col("id").alias("k"), (F.col("id") * 3).alias("w"))
+        j = fact.join(dim, "k").agg(F.sum(F.col("v") + F.col("w")).alias("s"))
+        got = j.collect()[0]["s"]
+        executed = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in executed, "AQE skew-join split did not engage on the hot key"
+        # correctness unchanged: hot key 0 matches dim w=0 for 500k fact
+        # rows; odd keys k<=500000 match w=3k
+        expect = sum(v for v in range(1_000_000) if v % 2 == 0) + sum(
+            k + 3 * k for k in range(1, 500_001, 2)
+        )
+        assert got == expect
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
+def test_q248_distinct_grain_single_evaluation(spark, sf_dir):
+    """VERDICT r4 item 5: q248's distinct-cents grain feeds four
+    consumers (boundary sample, bucket totals, window sweep, grand
+    totals). It must be materialized ONCE (localCheckpoint) so the
+    single evaluation is structural, not an AQE ReusedExchange
+    accident: the final plan scans the checkpointed RDD and contains
+    NO parquet scan at all (the fact table was consumed during the
+    eager checkpoint). A re-introduced per-consumer evaluation brings
+    the lineitem scan back into the plan and blows the exchange
+    ceiling (was ~12 pre-rebase)."""
+    import re as _re
+
+    from patterns_devkit_spark.plans.inspect import explain_str
+
+    df = QUERIES["q248_ks_two_sample"](spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    n_exchanges = len(_re.findall(r"Exchange (?:hash|range|Single)", plan))
+    assert n_exchanges <= 8, f"q248 plans {n_exchanges} exchanges (grain re-evaluated?)"
+    assert "Scan ExistingRDD" in plan, "distinct-cents grain no longer checkpointed"
+    assert not _re.search(r"Scan parquet|FileScan", plan), "fact table re-entered the final plan"
+
+
 def test_registry_wide_no_row_grain_global_windows(spark, sf_dir):
     """VERDICT r3 item 4: sweep EVERY registry query through the
     single-partition-window detector. A Window over an Exchange
