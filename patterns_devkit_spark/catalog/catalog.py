@@ -591,6 +591,60 @@ class Catalog:
         if live is not None:  # metadata first, files after (crash-safe)
             self._delete_version_files(name, version, live)
 
+    def vacuum_orphans(self, grace_seconds: float = 3600.0) -> list[str]:
+        """Sweep ORPHAN FILES: physical files no retained manifest
+        references. Two sources produce them by design:
+        - the crash-safe delete ordering (gc/drop/drop_table commit
+          metadata FIRST, unlink after — a kill in between leaves the
+          files behind with no metadata pointing at them);
+        - writers that died between landing parquet files and
+          recording the manifest.
+        Files younger than ``grace_seconds`` are kept (an in-flight
+        writer lands data before its manifest/commit), as are all
+        files of legacy versions without manifests (there the
+        directory IS the version). Version directories no longer
+        registered are removed once empty. Returns swept refs."""
+        troot = os.path.join(self.root, "tables")
+        with self._lock:
+            doc = json.loads(json.dumps(self._backend.load() if self._backend.exists() else self._doc))
+        live = self._all_live_refs(doc, set())
+        cutoff = time.time() - grace_seconds
+        removed: list[str] = []
+        for tname, meta in doc["tables"].items():
+            tdir = os.path.join(troot, tname)
+            if not os.path.isdir(tdir):
+                continue
+            registered = set(meta.get("versions", []))
+            manifests = meta.get("manifests") or {}
+            for vid in sorted(os.listdir(tdir)):
+                vdir = os.path.join(tdir, vid)
+                if not os.path.isdir(vdir):
+                    continue
+                unregistered = vid not in registered
+                if not unregistered and vid not in manifests:
+                    continue  # legacy version: directory IS the version
+                for root, _dirs, files in os.walk(vdir, topdown=False):
+                    for fn in files:
+                        full = os.path.join(root, fn)
+                        ref = os.path.relpath(full, troot).replace(os.sep, "/")
+                        if ref in live:
+                            continue
+                        if not unregistered and not fn.endswith(".parquet"):
+                            continue  # _SUCCESS markers of live versions
+                        try:
+                            if os.path.getmtime(full) > cutoff:
+                                continue
+                            os.remove(full)
+                            removed.append(ref)
+                        except OSError:
+                            continue
+                    if unregistered:
+                        try:
+                            os.rmdir(root)
+                        except OSError:
+                            pass
+        return removed
+
     def drop_table(self, name: str) -> None:
         """Remove a table entirely: metadata and physical files, the
         latter ref-counted against every OTHER table's retained

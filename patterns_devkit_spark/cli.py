@@ -392,12 +392,18 @@ def cmd_secret(args) -> int:
 
 def cmd_vacuum(args) -> int:
     """Retention GC: drop inactive table versions beyond each table's
-    retention policy (reference node.py:403-404)."""
+    retention policy (reference node.py:403-404). With --orphans,
+    also sweep files no retained manifest references (crash leftovers
+    of the metadata-first delete ordering), honoring --grace."""
     engine = _engine(args)
     for name in engine.catalog.table_names():
         dropped = engine.catalog.gc_versions(name)
         if dropped:
             print(f"{name}: dropped {dropped}")
+    if getattr(args, "orphans", False):
+        swept = engine.catalog.vacuum_orphans(grace_seconds=args.grace)
+        if swept:
+            print(f"orphan files swept: {len(swept)}")
     print("vacuum complete")
     return 0
 
@@ -665,6 +671,8 @@ def main(argv: list[str] | None = None) -> int:
     sec.set_defaults(fn=cmd_secret)
 
     v = sub.add_parser("vacuum", help="garbage-collect inactive table versions")
+    v.add_argument("--orphans", action="store_true", help="also sweep unreferenced crash-leftover files")
+    v.add_argument("--grace", type=float, default=3600.0, help="seconds a file must be old before orphan sweep (default 3600)")
     v.set_defaults(fn=cmd_vacuum)
 
     an = sub.add_parser("analyze", help="compute + store per-column table statistics")

@@ -508,20 +508,21 @@ def q207(spark, sf_dir):
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc_id < b.doc_id
     ),
+    docsh AS (SELECT doc_id, list(sh ORDER BY sh) AS shl FROM sh GROUP BY doc_id),
     inter AS (
-      SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
+      SELECT c.id_a, c.id_b, sa.n_sh AS na, sb.n_sh AS nb,
+             CAST(len(list_intersect(da.shl, db.shl)) AS BIGINT) AS n_inter
       FROM cand c
-      JOIN sh x ON x.doc_id = c.id_a
-      JOIN sh y ON y.doc_id = c.id_b AND y.sh = x.sh
-      GROUP BY c.id_a, c.id_b
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b AND 2 * least(sa.n_sh, sb.n_sh) >= greatest(sa.n_sh, sb.n_sh)
+      JOIN docsh da ON da.doc_id = c.id_a
+      JOIN docsh db ON db.doc_id = c.id_b
     )
     SELECT i.id_a, i.id_b, i.n_inter,
-           sa.n_sh + sb.n_sh - i.n_inter AS n_union,
-           CAST((1000 * i.n_inter) // (sa.n_sh + sb.n_sh - i.n_inter) AS BIGINT) AS jac_millis
+           i.na + i.nb - i.n_inter AS n_union,
+           CAST((1000 * i.n_inter) // (i.na + i.nb - i.n_inter) AS BIGINT) AS jac_millis
     FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.id_a
-    JOIN sizes sb ON sb.doc_id = i.id_b
-    WHERE 2 * i.n_inter >= sa.n_sh + sb.n_sh - i.n_inter
+    WHERE 2 * i.n_inter >= i.na + i.nb - i.n_inter
     ORDER BY id_a, id_b
     """,
 )
@@ -579,20 +580,34 @@ def q206(spark, sf_dir):
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    x = sh.select(F.col("id").alias("id_a"), "sh")
-    y = sh.select(F.col("id").alias("__yb"), F.col("sh").alias("sh_b"))
-    inter = (
-        cand.join(x, "id_a")
-        .join(y, (F.col("id_b") == F.col("__yb")) & (F.col("sh") == F.col("sh_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
-    )
+    # verification at CANDIDATE grain, not (candidate x shingle):
+    # per-doc shingle sets ride as arrays and each candidate pair
+    # costs ONE array_intersect — the (cand JOIN sh JOIN sh) form
+    # shuffles |cand| x |doc shingles| rows and is what actually
+    # melts on bounded-vocabulary corpora (48.5M candidates at the
+    # 100x tier). The PPJoin size filter (2*min >= max for t=1/2)
+    # drops provably-failing pairs before the intersect.
+    docsh = sh.groupBy("id").agg(F.sort_array(F.collect_list("sh")).alias("shl"))
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
-    return (
-        inter.join(sa, "id_a")
+    da = docsh.select(F.col("id").alias("id_a"), F.col("shl").alias("sha"))
+    db = docsh.select(F.col("id").alias("id_b"), F.col("shl").alias("shb"))
+    inter = (
+        cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .filter(2 * F.col("n_inter") >= F.col("na") + F.col("nb") - F.col("n_inter"))
+        .filter(2 * F.least("na", "nb") >= F.greatest("na", "nb"))
+        .join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "na",
+            "nb",
+            F.size(F.array_intersect("sha", "shb")).cast("long").alias("n_inter"),
+        )
+    )
+    return (
+        inter.filter(2 * F.col("n_inter") >= F.col("na") + F.col("nb") - F.col("n_inter"))
         .select(
             "id_a",
             "id_b",

@@ -188,11 +188,11 @@ def q196(spark, sf_dir):
 # cos >= 0.95  <=>  dot > 0 AND 400*dot^2 >= 361*|a|^2*|b|^2  (19/20)^2
 _SEM_NUM2, _SEM_DEN2 = 361, 400
 
-# k scales with the corpus so |cluster| stays bounded (~1000 vectors):
-# k = max(16, n // 1000). A FIXED k is a latent scale-killer — per-
+# k scales with the corpus so |cluster| stays bounded (~500 vectors):
+# k = max(16, n // 500). A FIXED k is a latent scale-killer — per-
 # cluster pairwise work grows as (n/k)^2, measured 5.1x wall-clock at
 # the 10x tier before this rebase (SCALE.md).
-_SEM_KMIN, _SEM_PER = 16, 1000
+_SEM_KMIN, _SEM_PER = 16, 500
 
 _SEM_ASSIGN = """
     d{i}_ AS (
@@ -242,15 +242,21 @@ _SEM_ASSIGN = """
       GROUP BY a.cluster, ep.d
     ),
     {_SEM_ASSIGN.format(i=2, j=1)},
-    epc AS (
-      SELECT a.cluster AS cid, ep.vec_id, ep.d, ep.v
-      FROM ep JOIN a2_ a ON a.vec_id = ep.vec_id
+    epv AS (
+      -- pairwise on WHOLE vectors (one row per pair, list_inner_product),
+      -- not the exploded (cid, d) join (64 rows per pair): exact in
+      -- double at these magnitudes (|v| <= 1e6 -> products <= 1e12,
+      -- dots <= 6.4e13 < 2^53), cast back to BIGINT
+      SELECT a.cluster AS cid, e.vec_id, e.ei::DOUBLE[] AS ed
+      FROM e JOIN a2_ a ON a.vec_id = e.vec_id
     ),
-    nrm AS (SELECT vec_id, sum(v * v) AS nrm FROM epc GROUP BY 1),
+    nrm AS (
+      SELECT vec_id, CAST(list_inner_product(ed, ed) AS BIGINT) AS nrm FROM epv
+    ),
     dots AS (
-      SELECT l.cid, l.vec_id AS lid, r.vec_id AS rid, sum(l.v * r.v) AS dot
-      FROM epc l JOIN epc r ON l.cid = r.cid AND l.d = r.d AND l.vec_id < r.vec_id
-      GROUP BY 1, 2, 3
+      SELECT l.cid, l.vec_id AS lid, r.vec_id AS rid,
+             CAST(list_inner_product(l.ed, r.ed) AS BIGINT) AS dot
+      FROM epv l JOIN epv r ON l.cid = r.cid AND l.vec_id < r.vec_id
     ),
     dup AS (
       SELECT d.rid, CAST(min(d.lid) AS BIGINT) AS dup_of
@@ -272,7 +278,7 @@ def q197(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023 pattern): cluster embeddings with
     CORPUS-SCALED k-means, then drop near-duplicates WITHIN each
     cluster — pairwise similarity is bounded by cluster size, never
-    corpus-wide. k = max(16, n // 1000), so |cluster| stays ~1000 as
+    corpus-wide. k = max(16, n // 500), so |cluster| stays ~500 as
     the corpus grows — the earlier fixed-label clustering grew
     per-cluster work quadratically (5.1x wall-clock at the 10x tier;
     SCALE.md) and is exactly the latent scale-killer this rebase
@@ -293,8 +299,10 @@ def q197(spark, sf_dir):
     quadratic once k ~ N/1000): each round is ONE mapInPandas pass
     with the centroid int64 matrix broadcast, computing all N x k
     distances as a numpy GEMM per Arrow batch — zero shuffle, exact
-    int64. Centroid recompute is one hash-agg; the driver only ever
-    holds k x 64 integers. The pairwise stage shuffles each vector
+    int64; round 1 fuses the centroid PARTIAL SUMS into the same pass
+    (k x 64 partial rows per batch, one tiny hash-agg — never a
+    (vec, dim)-exploded recompute join). The driver only ever holds
+    k x 64 integers. The pairwise stage shuffles each vector
     ONCE (on its cluster id) and runs an int64 GEMM per cluster
     inside applyInPandas — sum over clusters of |cluster|^2 * dims
     vectorized multiplies, no exploded pair rows on the wire.
@@ -307,26 +315,31 @@ def q197(spark, sf_dir):
     from .operators.det_hash import md5_long
 
     emb = t(spark, sf_dir, "embeddings")
-    n = emb.count()
-    k = max(_SEM_KMIN, n // _SEM_PER)
-    e = emb.select("vec_id", quantized_embedding("embedding").alias("ei"))
-    ep = e.select("vec_id", F.posexplode("ei").alias("d0", "v")).select(
-        "vec_id", (F.col("d0") + 1).cast("int").alias("d"), "v"
+    # quantize ONCE and checkpoint: quantized_embedding is an
+    # interpreted higher-order expression and `e` feeds five consumers
+    # (both GEMM passes, centroid recompute, pairwise, final join) —
+    # without the checkpoint each consumer re-runs the transform over
+    # the scan (~3x wall-clock at the 10x tier)
+    # repartition BEFORE the checkpoint: a single-file parquet scans as
+    # ONE partition, and the checkpoint would freeze that for every
+    # downstream GEMM/groupBy task (CLAUDE.md trap)
+    e = (
+        emb.select("vec_id", quantized_embedding("embedding").alias("ei"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
     )
-    # seeds: k smallest md5(vec_id) — k rows collected, no global window
-    seed_ids = [
-        r["vec_id"]
-        for r in emb.select("vec_id", md5_long(F.col("vec_id").cast("string")).alias("h"))
+    n = e.count()
+    k = max(_SEM_KMIN, n // _SEM_PER)
+    # seeds: k smallest md5(vec_id) — ONE k-row collect (vectors ride
+    # along), no global window
+    seed_rows = (
+        e.select("vec_id", md5_long(F.col("vec_id").cast("string")).alias("h"), "ei")
         .orderBy("h", "vec_id")
         .limit(k)
         .collect()
-    ]
-    seed_rows = {
-        r["vec_id"]: r["ei"]
-        for r in e.filter(F.col("vec_id").isin(seed_ids)).collect()
-    }
-    C0 = np.array([seed_rows[v] for v in seed_ids], dtype="int64")
-    ids0 = np.arange(len(seed_ids), dtype="int64")  # cluster = seed rank
+    )
+    C0 = np.array([r["ei"] for r in seed_rows], dtype="int64")
+    ids0 = np.arange(len(seed_rows), dtype="int64")  # cluster = seed rank
 
     def gemm_assign(C: "np.ndarray", cids: "np.ndarray"):
         """Nearest-centroid assignment as an int64 GEMM per Arrow
@@ -351,12 +364,42 @@ def q197(spark, sf_dir):
 
         return fn
 
-    a1 = e.mapInPandas(gemm_assign(C0, ids0), schema="vec_id long, cluster long, dist long")
-    cent1 = (
-        a1.select("vec_id", "cluster")
-        .join(ep, "vec_id")
-        .groupBy("cluster", "d")
-        .agg(F.expr("CAST((sum(v) - pmod(sum(v), count(*))) DIV count(*) AS BIGINT)").alias("c"))
+    def gemm_centroid_partials(C: "np.ndarray", cids: "np.ndarray"):
+        """Round-1 assignment AND centroid partial sums in ONE pass:
+        per Arrow batch, assign every vector (same argmin as
+        gemm_assign) and emit the per-cluster per-dimension (sum,
+        count) partials — k x 64 tiny rows per batch instead of the
+        1.3M-row (vec, dim) join the naive centroid recompute
+        shuffles. The floor-mean over summed partials is exactly the
+        oracle's (sum - pmod) DIV count."""
+
+        def fn(it):
+            cn = (C * C).sum(axis=1)[None, :]
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                V = np.vstack(pdf["ei"].to_numpy()).astype("int64")
+                D = (V * V).sum(axis=1)[:, None] - 2 * (V @ C.T) + cn
+                j = D.argmin(axis=1)
+                out_c, out_d, out_s, out_n = [], [], [], []
+                for ci in np.unique(j):
+                    rows = V[j == ci]
+                    s = rows.sum(axis=0)
+                    out_c.extend([int(cids[ci])] * 64)
+                    out_d.extend(range(1, 65))
+                    out_s.extend(int(x) for x in s)
+                    out_n.extend([rows.shape[0]] * 64)
+                yield pd.DataFrame(
+                    {"cluster": out_c, "d": out_d, "s": out_s, "n": out_n}
+                )
+
+        return fn
+
+    partials = e.mapInPandas(
+        gemm_centroid_partials(C0, ids0), schema="cluster long, d int, s long, n long"
+    )
+    cent1 = partials.groupBy("cluster", "d").agg(
+        F.expr("CAST((sum(s) - pmod(sum(s), sum(n))) DIV sum(n) AS BIGINT)").alias("c")
     )
     # k x 64 integers to the driver: the whole centroid model
     c1_rows = cent1.collect()

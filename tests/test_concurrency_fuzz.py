@@ -70,6 +70,53 @@ def _spawn(wh, wid, log_path):
     )
 
 
+def test_vacuum_orphans_sweeps_crash_leftovers(tmp_path):
+    """The companion of the metadata-first delete ordering: files a
+    crash stranded (unregistered version dirs; unreferenced files
+    inside manifest versions) are swept by vacuum_orphans — while
+    live manifest files, files younger than the grace period, and
+    legacy (manifest-less) versions are untouched."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from patterns_devkit_spark.catalog.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    cat.ensure_table("t")
+    vid = cat.create_new_version("t")
+    vdir = cat.version_dir("t", vid)
+    pq.write_table(pa.table({"a": [1]}), os.path.join(vdir, "live.parquet"))
+    cat.set_manifest("t", vid, [f"t/{vid}/live.parquet"])
+    cat.set_active_version("t", vid)
+    old = (1, 1)
+    # (a) unreferenced file inside the live manifest version
+    stray = os.path.join(vdir, "stray.parquet")
+    pq.write_table(pa.table({"a": [2]}), stray)
+    os.utime(stray, old)
+    # (b) whole version dir no longer registered (crash mid-drop)
+    ghost_dir = os.path.join(os.path.dirname(vdir), "v9999999")
+    os.makedirs(ghost_dir)
+    ghost = os.path.join(ghost_dir, "ghost.parquet")
+    pq.write_table(pa.table({"a": [3]}), ghost)
+    os.utime(ghost, old)
+    # (c) fresh unreferenced file — inside grace, must survive
+    fresh = os.path.join(vdir, "fresh.parquet")
+    pq.write_table(pa.table({"a": [4]}), fresh)
+    # (d) legacy version without a manifest — never touched
+    lv = cat.create_new_version("t")
+    legacy = os.path.join(cat.version_dir("t", lv), "legacy.parquet")
+    pq.write_table(pa.table({"a": [5]}), legacy)
+    os.utime(legacy, old)
+    cat._mutate(lambda doc: doc["tables"]["t"]["manifests"].pop(lv, None))
+
+    swept = cat.vacuum_orphans(grace_seconds=3600)
+    assert sorted(swept) == [f"t/{vid}/stray.parquet", "t/v9999999/ghost.parquet"]
+    assert os.path.exists(os.path.join(vdir, "live.parquet"))
+    assert os.path.exists(fresh)
+    assert os.path.exists(legacy)
+    assert not os.path.exists(ghost_dir)
+
+
 @pytest.mark.parametrize("backend", ["json", "sqlite"])
 def test_crash_fuzz_multi_writer(tmp_path, backend):
     from patterns_devkit_spark.catalog.catalog import DEFAULT_RETENTION, Catalog
