@@ -1572,24 +1572,17 @@ class Table:
             return 0
         touched_paths = {unquote(urlparse(u).path) for u in touched_uris}
 
-        # re-read ONLY the touched files; basePath keeps hive partition
-        # columns populated when the layout is partitioned
-        from . import evolution
+        # re-read ONLY the touched files. Under reference-mode manifests
+        # a version's files may live in ANCESTOR version directories, so
+        # the re-read must group by source version dir (one basePath per
+        # group keeps hive partition columns resolving) — exactly what
+        # _read_version_files does. A single basePath=av.storage here
+        # raised "Wrong basePath" the moment a carried file was touched.
+        from . import manifest as _mf
 
-        reader = self._engine.spark.read.option("basePath", av.storage)
-        ddl = meta.get("schema_ddl")
-        touched_df = None
-        if ddl:
-            try:
-                struct = T.StructType.fromDDL(ddl)
-                touched_df = reader.schema(evolution.physical_struct(meta, struct)).parquet(*touched_uris)
-                if evolution.has_mapping(meta):
-                    touched_df = evolution.logical_projection(touched_df, meta, struct)
-            except Exception:
-                touched_df = None
-        if touched_df is None:
-            touched_df = reader.option("mergeSchema", "true").parquet(*touched_uris)
-            touched_df = evolution.to_logical_loose(touched_df, meta)
+        troot = _mf.tables_root(catalog)
+        touched_refs = [os.path.relpath(p, troot).replace(os.sep, "/") for p in sorted(touched_paths)]
+        touched_df = _read_version_files(self._engine, self.store_name, av.version_id, touched_refs)
 
         if assignments is None:
             new_touched = touched_df.filter(~matched)
@@ -1608,8 +1601,6 @@ class Table:
         new_version = catalog.create_new_version(self.store_name)
         out_dir = catalog.version_dir(self.store_name, new_version)
         self._writer(self._sorted_for_write(new_touched, meta), meta).mode("overwrite").parquet(out_dir)
-        from . import manifest as _mf
-
         # carry every file the rewrite did NOT touch into the new
         # version: hardlinks on the local fast path, manifest refs in
         # reference (object-storage) mode — node/manifest.py

@@ -11,6 +11,8 @@ import pytest
 
 from patterns_devkit_spark import Table
 
+from conftest import REFERENCE_LINK_MODE, carried_refs_into, physical_parquet
+
 
 def _append_flush(t, rows):
     t.append(rows)
@@ -68,15 +70,28 @@ def test_delete_untouched_files_hardlinked(engine):
         }
         assert len(old_inodes) == 3
         assert t.delete_where("grp = 'b'") == 1
-        new_dir = t.get_active_version().storage
-        new_inodes = {
-            os.stat(os.path.join(new_dir, f)).st_ino
-            for f in os.listdir(new_dir)
-            if f.endswith(".parquet")
-        }
-        # the two untouched files' inodes survive into the new version
-        linked = set(old_inodes.values()) & new_inodes
-        assert len(linked) == 2
+        new_v = t.get_active_version()
+        new_dir = new_v.storage
+        if REFERENCE_LINK_MODE:
+            # object-storage mode: zero-copy = the untouched files are
+            # NOT physically copied; the manifest carries 2 refs into
+            # the old version instead
+            old_v = os.path.basename(old_dir.rstrip(os.sep))
+            carried = carried_refs_into(
+                t._engine.catalog, "del4", new_v.version_id, old_v
+            )
+            assert len(carried) == 2
+            phys = set(physical_parquet(new_dir))
+            assert not (phys & set(old_inodes)), "untouched file was copied"
+        else:
+            new_inodes = {
+                os.stat(os.path.join(new_dir, f)).st_ino
+                for f in os.listdir(new_dir)
+                if f.endswith(".parquet")
+            }
+            # the two untouched files' inodes survive into the new version
+            linked = set(old_inodes.values()) & new_inodes
+            assert len(linked) == 2
         assert sorted(r["id"] for r in t.read()) == [1, 3]
 
 

@@ -10,6 +10,8 @@ from pyspark.sql import types as T
 from patterns_devkit_spark import Table
 from patterns_devkit_spark.plans.inspect import explain_str
 
+from conftest import assert_partition_zero_copy
+
 
 def test_partitioned_write_and_pruning(engine, sf_dir):
     from patterns_devkit_spark.queries import t as load_table
@@ -211,15 +213,10 @@ def test_partition_scoped_upsert(engine):
     expected[0] = 999.0
     expected[100] = 1.5
     assert got == expected
-    # untouched partitions hardlinked (same inode), touched rewritten
-    def inodes(d, part):
-        p = os.path.join(d, part)
-        return {fn: os.stat(os.path.join(p, fn)).st_ino for fn in os.listdir(p) if fn.endswith(".parquet")}
-
+    # untouched partitions zero-copy carried, touched rewritten
     for part in ("grp=g1", "grp=g2"):
-        i1, i2 = inodes(v1_dir, part), inodes(v2_dir, part)
-        assert i1 and set(i1.values()) == set(i2.values()), f"{part} was rewritten, not linked"
-    assert set(inodes(v1_dir, "grp=g0").values()) != set(inodes(v2_dir, "grp=g0").values())
+        assert_partition_zero_copy(engine.catalog, "pt", v1_dir, v2_dir, part, rewritten=False)
+    assert_partition_zero_copy(engine.catalog, "pt", v1_dir, v2_dir, "grp=g0", rewritten=True)
 
 
 def test_upsert_key_move_across_partitions(engine):
@@ -245,13 +242,9 @@ def test_upsert_key_move_across_partitions(engine):
     assert len(got) == 30 and len({k for k, _, _ in got}) == 30  # no dup keys
     assert (1, "g0", -1.0) in got and not any(k == 1 and g == "g1" for k, g, _ in got)
 
-    def inodes(d, part):
-        p = os.path.join(d, part)
-        return {os.stat(os.path.join(p, fn)).st_ino for fn in os.listdir(p) if fn.endswith(".parquet")}
-
-    # g2 untouched -> hardlinked; g1 held the moved key -> rewritten
-    assert inodes(v1_dir, "grp=g2") == inodes(v2_dir, "grp=g2")
-    assert inodes(v1_dir, "grp=g1") != inodes(v2_dir, "grp=g1")
+    # g2 untouched -> zero-copy carried; g1 held the moved key -> rewritten
+    assert_partition_zero_copy(engine.catalog, "pt_move", v1_dir, v2_dir, "grp=g2", rewritten=False)
+    assert_partition_zero_copy(engine.catalog, "pt_move", v1_dir, v2_dir, "grp=g1", rewritten=True)
 
 
 def test_upsert_null_partition_value_full_merge(engine):
@@ -365,13 +358,8 @@ def test_upsert_skewed_hot_partition_hardlinks(engine):
         expected[u["k"]] = u["v"]
     assert got == expected
 
-    def inodes(d, part):
-        p = os.path.join(d, part)
-        return {os.stat(os.path.join(p, fn)).st_ino for fn in os.listdir(p) if fn.endswith(".parquet")}
-
     for i in range(16):
         part = f"grp=g{i}"
-        if i in (3, 5):
-            assert inodes(v1_dir, part) != inodes(v2_dir, part), f"{part} should be rewritten"
-        else:
-            assert inodes(v1_dir, part) == inodes(v2_dir, part), f"{part} was rewritten, not linked"
+        assert_partition_zero_copy(
+            engine.catalog, "pt_skew", v1_dir, v2_dir, part, rewritten=i in (3, 5)
+        )

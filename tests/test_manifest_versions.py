@@ -212,10 +212,12 @@ def test_truncate_drops_carried_refs(ref_engine):
     assert _read_all(ref_engine, "tdst") == []
 
 
-def test_hardlink_mode_manifests_are_self_contained(engine):
+def test_hardlink_mode_manifests_are_self_contained(engine, monkeypatch):
     """Default (hardlink) mode invariant: every write records a
     manifest whose refs all point into the version's own directory —
-    the local fast path stays directory-self-contained."""
+    the local fast path stays directory-self-contained. (Pinned to
+    hardlink mode so the reference-mode sweep doesn't retarget it.)"""
+    monkeypatch.setenv("PDS_LINK_MODE", "hardlink")
     with engine.node_context("w", outputs={"out": "hm"}):
         t = Table("out", "w")
         t.init(unique_on=["k"], partition_by="grp")

@@ -164,19 +164,32 @@ def test_clone_from_zero_copy_and_divergence(engine):
         tv = dst.clone_from("src_t")
         assert tv is not None
 
-        # zero-copy: every cloned parquet file shares an inode with source
-        src_dir = engine.catalog.version_dir("src_t", engine.catalog.get_active_version("src_t"))
+        # zero-copy: hardlink mode — every cloned parquet file shares an
+        # inode with source; reference mode — the clone is a pure
+        # manifest of refs into src_t, nothing physically copied
+        from conftest import REFERENCE_LINK_MODE
+
+        src_v = engine.catalog.get_active_version("src_t")
+        src_dir = engine.catalog.version_dir("src_t", src_v)
         dst_dir = engine.catalog.version_dir("dst_t", tv.version_id)
-        linked = 0
-        for root, _d, files in os.walk(dst_dir):
-            for fn in files:
-                if fn.endswith(".parquet"):
-                    rel = os.path.relpath(os.path.join(root, fn), dst_dir)
-                    assert os.stat(os.path.join(src_dir, rel)).st_ino == os.stat(
-                        os.path.join(root, fn)
-                    ).st_ino
-                    linked += 1
-        assert linked > 0
+        if REFERENCE_LINK_MODE:
+            refs = engine.catalog.get_manifest("dst_t", tv.version_id) or []
+            assert refs and all(r.startswith(f"src_t/{src_v}/") for r in refs)
+            phys = [
+                fn for _r, _d, fs in os.walk(dst_dir) for fn in fs if fn.endswith(".parquet")
+            ]
+            assert not phys, "clone physically copied files in reference mode"
+        else:
+            linked = 0
+            for root, _d, files in os.walk(dst_dir):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        rel = os.path.relpath(os.path.join(root, fn), dst_dir)
+                        assert os.stat(os.path.join(src_dir, rel)).st_ino == os.stat(
+                            os.path.join(root, fn)
+                        ).st_ino
+                        linked += 1
+            assert linked > 0
 
         # same data, copied metadata (unique_on enables upsert on clone)
         assert sorted(r["id"] for r in dst.read()) == [1, 2]

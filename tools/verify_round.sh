@@ -4,7 +4,10 @@
 #   1. full pytest under the default (json) catalog backend
 #   2. full pytest under PDS_CATALOG_BACKEND=sqlite — the env var must
 #      never shadow an existing store (split-brain regression class)
-#   3. driver-gate parity mimic at sf0.01
+#   3. write-path suites under PDS_LINK_MODE=reference — the
+#      object-storage simulation (no hardlinks; zero-copy must survive
+#      as pure manifest refs)
+#   4. driver-gate parity mimic at sf0.01
 # Usage: tools/verify_round.sh [--fast]   (--fast: write-path suites only
 # for the sqlite sweep, like CLAUDE.md's 2.5-min variant)
 set -euo pipefail
@@ -24,7 +27,13 @@ else
   PDS_CATALOG_BACKEND=sqlite python -m pytest tests/ -q
 fi
 
-echo "== [3/3] oracle parity at sf0.01 =="
+echo "== [3/4] reference-link-mode (object storage) sweep =="
+PDS_LINK_MODE=reference python -m pytest $WRITE_PATH_SUITES \
+  tests/test_extensions.py tests/test_pipeline_ops.py \
+  tests/test_import_export.py tests/test_manifest_versions.py \
+  tests/test_matview.py tests/test_concurrency_fuzz.py -q
+
+echo "== [4/4] oracle parity at sf0.01 =="
 PYTHONPATH=. python tools/parity.py /root/testdata/sf0.01
 
 echo "ALL GATES GREEN"
