@@ -247,3 +247,253 @@ def q86(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     media = mm_ops.binarize(d, "doc_id", "text", "source", mime="audio/x-fake")
     return mm_ops.windowed_energy(media, win=128, hop=64)
+
+
+# ---------------------------------------------------------------------------
+# Record linkage / entity resolution (q260-q261) — operators/linkage.py.
+# A deterministic "vendor feed" is derived from part on BOTH engines
+# (truncated names, reformatted brands, jittered sizes, no shared key),
+# then linked back by blocked Fellegi-Sunter scoring. Ground truth is
+# known (the feed row's source partkey), so precision is exact.
+# ---------------------------------------------------------------------------
+
+_FEED_SQL = """
+  SELECT p_partkey AS b_id,
+         upper(replace(CASE WHEN p_partkey % 5 = 0
+                            THEN substr(p_name, 1, length(p_name) - 1)
+                            ELSE p_name END, ' ', '_')) AS b_name,
+         'B-' || regexp_extract(p_brand, '[0-9]+') AS b_brand,
+         CAST(p_size + (p_partkey % 3) - 1 AS BIGINT) AS b_size,
+         p_type AS b_type
+  FROM part
+"""
+
+_NF_SQL = """
+  SELECT b_id, lower(replace(b_name, '_', ' ')) AS nb,
+         regexp_extract(b_brand, '[0-9]+') AS b_digits, b_size, b_type
+  FROM feed
+"""
+
+_RT_SQL = """
+  SELECT p_partkey, p_name, p_brand, p_type,
+         regexp_extract(p_brand, '[0-9]+') AS p_digits,
+         CAST(p_size AS BIGINT) AS p_size
+  FROM part
+"""
+
+_SCORE_SQL = """
+  CAST(CASE WHEN levenshtein(nb, p_name) <= 1
+            THEN 30 - 10 * levenshtein(nb, p_name) ELSE -100 END
+       + CASE WHEN p_digits = b_digits THEN 40 ELSE -25 END
+       + CASE WHEN abs(p_size - b_size) <= 1 THEN 15 ELSE -10 END AS BIGINT)
+"""
+
+
+def _vendor_feed(p):
+    """The dirty feed: name possibly truncated by one char, brand
+    reformatted 'Brand#17' -> 'B-17', size jittered by -1..+1 keyed on
+    the source partkey — deterministic, so the oracle rebuilds it."""
+    name_trunc = F.when(
+        F.col("p_partkey") % 5 == 0,
+        F.expr("substring(p_name, 1, length(p_name) - 1)"),
+    ).otherwise(F.col("p_name"))
+    return p.select(
+        F.col("p_partkey").alias("b_id"),
+        F.upper(F.regexp_replace(name_trunc, " ", "_")).alias("b_name"),
+        F.concat(F.lit("B-"), F.regexp_extract("p_brand", "[0-9]+", 0)).alias("b_brand"),
+        (F.col("p_size").cast("long") + F.col("p_partkey") % 3 - 1).alias("b_size"),
+        F.col("p_type").alias("b_type"),
+    )
+
+
+def _linkage_sides(spark, sf_dir):
+    from .operators import linkage as link_ops  # noqa: F401
+
+    p = t(spark, sf_dir, "part")
+    feed = _vendor_feed(p)
+    nf = feed.select(
+        "b_id",
+        F.lower(F.regexp_replace("b_name", "_", " ")).alias("nb"),
+        F.regexp_extract("b_brand", "[0-9]+", 0).alias("b_digits"),
+        "b_size",
+        "b_type",
+    )
+    rt = p.select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "p_type",
+        F.regexp_extract("p_brand", "[0-9]+", 0).alias("p_digits"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    return p, nf, rt
+
+
+def _linkage_score():
+    from .operators import linkage as link_ops
+
+    lev = F.levenshtein("nb", "p_name")
+    name_score = F.when(lev <= 1, F.lit(30) - F.lit(10) * lev).otherwise(F.lit(-100))
+    binary = link_ops.agreement_score(
+        [
+            (F.col("p_digits") == F.col("b_digits"), 40, -25),
+            (F.abs(F.col("p_size") - F.col("b_size")) <= 1, 15, -10),
+        ]
+    )
+    return (name_score + binary).cast("long")
+
+
+@query(
+    "q260_record_linkage",
+    f"""
+    WITH feed AS ({_FEED_SQL}),
+    nf AS ({_NF_SQL}),
+    rt AS ({_RT_SQL}),
+    cand AS (
+      SELECT nf.*, rt.p_partkey, rt.p_name, rt.p_brand, rt.p_type,
+             rt.p_digits, rt.p_size
+      FROM nf JOIN rt
+        ON rt.p_type = nf.b_type
+       AND substr(rt.p_name, 1, 4) = substr(nf.nb, 1, 4)),
+    scored AS (SELECT *, {_SCORE_SQL} AS score FROM cand),
+    best AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY b_id
+                                     ORDER BY score DESC, p_partkey) AS rn
+        FROM scored)
+      WHERE rn = 1 AND score >= 60),
+    truth AS (SELECT p_partkey AS t_key, p_name AS t_name,
+                     p_brand AS t_brand, p_type AS t_type FROM part)
+    SELECT score,
+           CAST(count(*) AS BIGINT) AS n_links,
+           CAST(sum(CASE WHEN p_partkey = b_id THEN 1 ELSE 0 END) AS BIGINT) AS n_key_match,
+           CAST(sum(CASE WHEN p_name = t_name AND p_brand = t_brand
+                          AND p_type = t_type THEN 1 ELSE 0 END) AS BIGINT) AS n_attr_match
+    FROM best JOIN truth ON t_key = b_id
+    GROUP BY score
+    """,
+)
+def q260(spark, sf_dir):
+    """Blocked record linkage (operators/linkage.py): vendor feed
+    linked back to the part catalog WITHOUT a shared key. Blocking is
+    an equi-join on (type, 4-char name prefix) — never a cross join;
+    scoring is Fellegi-Sunter additive integer log-odds over codegen'd
+    exprs (builtin levenshtein on names, brand-digit equality, size
+    closeness); best match per feed row via a per-id window with a
+    deterministic tiebreak. Output: per score band, link count, exact-
+    key precision, and attribute-equivalence precision (name clones
+    are attribute-identical — key mismatches that are still correct
+    golden records). 100 TB: shuffle bounded by block sizes; the
+    bounded-vocab prefix caveat and its mitigations are documented in
+    the operator module."""
+    from .operators import linkage as link_ops
+
+    p, nf, rt = _linkage_sides(spark, sf_dir)
+    cand = link_ops.candidate_pairs(
+        nf.withColumn("bk", F.substring("nb", 1, 4)),
+        rt.withColumn("pk", F.substring("p_name", 1, 4)),
+        [("b_type", "p_type"), ("bk", "pk")],
+    )
+    scored = cand.withColumn("score", _linkage_score())
+    best = link_ops.best_match(scored, "b_id", "score", tiebreak="p_partkey", threshold=60)
+    truth = p.select(
+        F.col("p_partkey").alias("t_key"),
+        F.col("p_name").alias("t_name"),
+        F.col("p_brand").alias("t_brand"),
+        F.col("p_type").alias("t_type"),
+    )
+    return (
+        best.join(truth, best["b_id"] == truth["t_key"])
+        .groupBy("score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_links"),
+            F.sum(F.when(F.col("p_partkey") == F.col("b_id"), 1).otherwise(0)).cast("long").alias("n_key_match"),
+            F.sum(
+                F.when(
+                    (F.col("p_name") == F.col("t_name"))
+                    & (F.col("p_brand") == F.col("t_brand"))
+                    & (F.col("p_type") == F.col("t_type")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_attr_match"),
+        )
+    )
+
+
+@query(
+    "q261_multipass_blocking",
+    f"""
+    WITH feed AS ({_FEED_SQL}),
+    nf AS ({_NF_SQL}),
+    rt AS ({_RT_SQL}),
+    p1 AS (SELECT b_id, p_partkey FROM nf JOIN rt
+             ON rt.p_type = nf.b_type
+            AND substr(rt.p_name, 1, 4) = substr(nf.nb, 1, 4)),
+    p2 AS (SELECT b_id, p_partkey FROM nf JOIN rt
+             ON rt.p_digits = nf.b_digits AND rt.p_size = nf.b_size),
+    pu AS (SELECT * FROM p1 UNION SELECT * FROM p2),
+    all_pairs AS (
+      SELECT 'prefix' AS strategy, * FROM p1
+      UNION ALL SELECT 'brand_size', * FROM p2
+      UNION ALL SELECT 'union', * FROM pu),
+    scored AS (
+      SELECT ap.strategy, ap.b_id, ap.p_partkey, {_SCORE_SQL} AS score
+      FROM all_pairs ap JOIN nf USING (b_id) JOIN rt USING (p_partkey)),
+    best AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY strategy, b_id
+                                     ORDER BY score DESC, p_partkey) AS rn
+        FROM scored)
+      WHERE rn = 1 AND score >= 60),
+    cand_counts AS (SELECT strategy, CAST(count(*) AS BIGINT) AS n_candidates
+                    FROM all_pairs GROUP BY strategy),
+    link_counts AS (SELECT strategy, CAST(count(*) AS BIGINT) AS n_links,
+                           CAST(sum(CASE WHEN p_partkey = b_id THEN 1 ELSE 0 END) AS BIGINT) AS n_key_match
+                    FROM best GROUP BY strategy)
+    SELECT c.strategy, c.n_candidates,
+           CAST(coalesce(l.n_links, 0) AS BIGINT) AS n_links,
+           CAST(coalesce(l.n_key_match, 0) AS BIGINT) AS n_key_match
+    FROM cand_counts c LEFT JOIN link_counts l USING (strategy)
+    """,
+)
+def q261(spark, sf_dir):
+    """Multi-pass blocking recall study: pass 1 blocks on (type, name
+    prefix); pass 2 on (brand digits, exact size) — each narrow, each
+    blind to the other's misses (the size jitter defeats pass 2 for
+    two thirds of rows); the union deduplicates PAIR KEYS before the
+    single shared scoring pass (operators/linkage.union_pair_keys), so
+    no pair is scored twice. Output per strategy: candidate volume vs
+    links vs exact-key hits — the recall/cost tradeoff that decides
+    blocking design at 100 TB."""
+    from .operators import linkage as link_ops
+
+    _p, nf, rt = _linkage_sides(spark, sf_dir)
+    p1 = link_ops.candidate_pairs(
+        nf.withColumn("bk", F.substring("nb", 1, 4)),
+        rt.withColumn("pk", F.substring("p_name", 1, 4)),
+        [("b_type", "p_type"), ("bk", "pk")],
+    ).select("b_id", "p_partkey")
+    p2 = link_ops.candidate_pairs(nf, rt, [("b_digits", "p_digits"), ("b_size", "p_size")]).select(
+        "b_id", "p_partkey"
+    )
+    pu = link_ops.union_pair_keys([p1, p2])
+    all_pairs = (
+        p1.withColumn("strategy", F.lit("prefix"))
+        .unionByName(p2.withColumn("strategy", F.lit("brand_size")))
+        .unionByName(pu.withColumn("strategy", F.lit("union")))
+    )
+    scored = all_pairs.join(nf, "b_id").join(rt, "p_partkey").withColumn("score", _linkage_score())
+    best = link_ops.best_match(scored, ["strategy", "b_id"], "score", tiebreak="p_partkey", threshold=60)
+    cand_counts = all_pairs.groupBy("strategy").agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    link_counts = best.groupBy("strategy").agg(
+        F.count(F.lit(1)).cast("long").alias("n_links"),
+        F.sum(F.when(F.col("p_partkey") == F.col("b_id"), 1).otherwise(0)).cast("long").alias("n_key_match"),
+    )
+    return cand_counts.join(link_counts, "strategy", "left").select(
+        "strategy",
+        "n_candidates",
+        F.coalesce("n_links", F.lit(0)).cast("long").alias("n_links"),
+        F.coalesce("n_key_match", F.lit(0)).cast("long").alias("n_key_match"),
+    )
