@@ -33,6 +33,7 @@ from __future__ import annotations
 import datetime as dt
 import json
 import os
+import re
 import threading
 import time
 from typing import Any
@@ -375,6 +376,64 @@ class Catalog:
         m = (meta or {}).get("manifests", {}).get(version)
         return list(m) if m is not None else None
 
+    # -- version tags ----------------------------------------------------
+    # Iceberg-style named pins: a tag is an immutable name -> version_id
+    # mapping. Tagged versions are exempt from retention GC and refuse
+    # drop_version until the tag is dropped; every version-ref surface
+    # ({{ store@ref }} templates, Table.read_spark(version=), diff)
+    # accepts a tag wherever a version id is accepted, via
+    # resolve_version. A writable "branch" is Table.clone_from — a
+    # zero-copy manifest fork (node/manifest.py) — so tags + clone give
+    # the full Iceberg tag/branch surface on this catalog.
+
+    _TAG_RE = re.compile(r"^[A-Za-z][A-Za-z0-9_.\-]*$")
+
+    def set_tag(self, name: str, tag: str, version: str) -> None:
+        """Pin ``tag`` to a retained version of table ``name``.
+        Re-tagging an existing tag moves it (one atomic commit). Tag
+        names must not collide with version-id syntax or 'latest'."""
+        self._refuse_write_in_snapshot()
+        if not self._TAG_RE.match(tag) or re.match(r"^v\d{7}$", tag) or tag == "latest":
+            raise ValueError(
+                f"invalid tag name {tag!r}: letters/digits/._- starting with a "
+                "letter, and not a version id or 'latest'"
+            )
+
+        def fn(doc):
+            meta = _ensure_meta(doc, name)
+            if version not in meta.get("versions", []):
+                raise KeyError(f"unknown version {version!r} of table {name!r}")
+            meta.setdefault("tags", {})[tag] = version
+
+        self._mutate(fn)
+
+    def get_tag(self, name: str, tag: str) -> str | None:
+        return ((self.table_meta(name) or {}).get("tags") or {}).get(tag)
+
+    def drop_tag(self, name: str, tag: str) -> None:
+        self._refuse_write_in_snapshot()
+
+        def fn(doc):
+            meta = _ensure_meta(doc, name)
+            (meta.get("tags") or {}).pop(tag, None)
+
+        self._mutate(fn)
+
+    def tags(self, name: str) -> dict[str, str]:
+        return dict((self.table_meta(name) or {}).get("tags") or {})
+
+    def resolve_version(self, name: str, ref: str) -> str | None:
+        """A version REFERENCE — a version id, 'latest', or a tag —
+        resolved to a retained version id (None if unknown). The one
+        resolution path for templates, time-travel reads, and diff."""
+        meta = self.table_meta(name) or {}
+        if ref == "latest":
+            return self.get_active_version(name)
+        if ref in (meta.get("versions") or []):
+            return ref
+        v = (meta.get("tags") or {}).get(ref)
+        return v if v in (meta.get("versions") or []) else None
+
     @staticmethod
     def _all_live_refs(doc: dict, exclude: set[tuple[str, str]]) -> set[str]:
         """Every file ref held by any retained version's manifest in
@@ -546,7 +605,8 @@ class Catalog:
             active = meta["active_version"]
             inactive = [v for v in meta["versions"] if v != active]
             doomed = inactive[:-keep] if keep else inactive
-            doomed = [v for v in doomed if v not in pinned]
+            tagged = set((meta.get("tags") or {}).values())
+            doomed = [v for v in doomed if v not in pinned and v not in tagged]
             live = self._all_live_refs(doc, {(name, v) for v in doomed})
             for v in doomed:
                 meta["versions"].remove(v)
@@ -578,6 +638,12 @@ class Catalog:
             meta = _ensure_meta(doc, name)
             if version == meta.get("active_version"):
                 raise ValueError(f"cannot drop the active version {version!r} of {name!r}")
+            held = sorted(t for t, v in (meta.get("tags") or {}).items() if v == version)
+            if held:
+                raise ValueError(
+                    f"version {version!r} of {name!r} is tagged ({', '.join(held)}); "
+                    "drop the tag first"
+                )
             if version not in meta["versions"]:
                 return None
             live = self._all_live_refs(doc, {(name, version)})

@@ -408,6 +408,30 @@ def cmd_vacuum(args) -> int:
     return 0
 
 
+def cmd_tag(args) -> int:
+    """Version tags: named, GC-exempt pins (Iceberg-style). With no
+    tag name, list the table's tags; with --drop, remove one; else pin
+    the tag to --version (default: the active version). Read a tag
+    back via {{ table@tag }} or read_spark(version=tag)."""
+    engine = _engine(args)
+    cat = engine.catalog
+    if not args.tag:
+        for tg, vid in sorted(cat.tags(args.table).items()):
+            print(f"{tg}\t{vid}")
+        return 0
+    if args.drop:
+        cat.drop_tag(args.table, args.tag)
+        print(f"dropped tag {args.tag!r} from {args.table}")
+        return 0
+    vid = args.version or cat.get_active_version(args.table)
+    if vid is None:
+        print(f"error: table {args.table!r} has no version to tag", file=sys.stderr)
+        return 1
+    cat.set_tag(args.table, args.tag, vid)
+    print(f"tagged {args.table}@{vid} as {args.tag!r}")
+    return 0
+
+
 def cmd_analyze(args) -> int:
     """ANALYZE: compute + store per-column statistics (non-null count,
     approx NDV, min/max) for one table or every table with data; view
@@ -674,6 +698,13 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--orphans", action="store_true", help="also sweep unreferenced crash-leftover files")
     v.add_argument("--grace", type=float, default=3600.0, help="seconds a file must be old before orphan sweep (default 3600)")
     v.set_defaults(fn=cmd_vacuum)
+
+    tg = sub.add_parser("tag", help="create/list/drop named GC-exempt version tags")
+    tg.add_argument("table", help="table name")
+    tg.add_argument("tag", nargs="?", help="tag name (omit to list tags)")
+    tg.add_argument("--version", help="version id to pin (default: active)")
+    tg.add_argument("--drop", action="store_true", help="remove the tag")
+    tg.set_defaults(fn=cmd_tag)
 
     an = sub.add_parser("analyze", help="compute + store per-column table statistics")
     an.add_argument("table", nargs="?", help="table name (default: all tables)")

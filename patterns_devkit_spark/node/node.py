@@ -500,16 +500,37 @@ class Table:
         return self.get_active_version() is not None
 
     def get_version(self, version_id: str) -> TableVersion | None:
-        """A specific (possibly inactive) TableVersion. Inactive
-        versions stay readable until garbage collected — the reference's
-        retention contract (node.py:399-405: 'old data is kept ...
-        and is accessible until garbage collected')."""
+        """A specific (possibly inactive) TableVersion, by version id,
+        tag name, or 'latest'. Inactive versions stay readable until
+        garbage collected — the reference's retention contract
+        (node.py:399-405: 'old data is kept ... and is accessible
+        until garbage collected'); tagged versions are GC-exempt."""
         if not self.is_connected:
             return None
-        meta = self._engine.catalog.table_meta(self.store_name) or {}
-        if version_id not in meta.get("versions", []):
+        vid = self._engine.catalog.resolve_version(self.store_name, version_id)
+        if vid is None:
             raise KeyError(f"unknown version {version_id!r} of table {self.store_name!r}")
-        return TableVersion(self._engine, self.store_name, version_id)
+        return TableVersion(self._engine, self.store_name, vid)
+
+    def tag(self, tag: str, version: str | None = None) -> str:
+        """Pin a named, GC-exempt tag on a version (default: the
+        active version) — the Iceberg-style audit/rollback anchor.
+        Returns the pinned version id. Read it back with
+        read_spark(version=tag) or ``{{ store@tag }}`` in SQL; a
+        writable branch is clone_from (zero-copy manifest fork)."""
+        catalog = self._engine.catalog
+        vid = version or catalog.get_active_version(self.store_name)
+        if vid is None:
+            raise ValueError(f"table {self.store_name!r} has no version to tag")
+        catalog.set_tag(self.store_name, tag, vid)
+        return vid
+
+    def drop_tag(self, tag: str) -> None:
+        self._engine.catalog.drop_tag(self.store_name, tag)
+
+    def tags(self) -> dict[str, str]:
+        """tag -> version_id for this table."""
+        return self._engine.catalog.tags(self.store_name)
 
     def list_versions(self) -> list[dict]:
         """All retained versions, oldest first: {version_id, is_active,
@@ -520,12 +541,16 @@ class Table:
         catalog = self._engine.catalog
         meta = catalog.table_meta(self.store_name) or {}
         active = meta.get("active_version")
+        by_version: dict[str, list[str]] = {}
+        for tg, v in (meta.get("tags") or {}).items():
+            by_version.setdefault(v, []).append(tg)
         return [
             {
                 "version_id": v,
                 "is_active": v == active,
                 "has_data": catalog.version_has_data(self.store_name, v),
                 "record_count": catalog.get_record_count(self.store_name, v),
+                "tags": sorted(by_version.get(v, [])),
             }
             for v in meta.get("versions", [])
         ]
@@ -2539,15 +2564,15 @@ class Engine:
             if ref in params:
                 return _sql_literal(params[ref])
             if "@" in ref:
-                # time travel: {{ store@v0000003 }} pins the reference to
-                # a specific version (read_spark(version=)'s SQL form)
+                # time travel: {{ store@v0000003 }} / {{ store@tagname }}
+                # pins the reference to a specific version
+                # (read_spark(version=)'s SQL form; tags resolve too)
                 store, _, want = ref.partition("@")
                 store, want = store.strip(), want.strip()
                 meta_tt = self.catalog.table_meta(store)
                 if meta_tt is not None:
-                    versions = meta_tt.get("versions") or []
-                    vid = self.catalog.get_active_version(store) if want == "latest" else want
-                    if vid not in versions:
+                    vid = self.catalog.resolve_version(store, want)
+                    if vid is None:
                         raise KeyError(f"unknown version {want!r} of table {store!r} in template")
                     view = f"{store}__{vid}"
                     TableVersion(self, store, vid).as_dataframe().createOrReplaceTempView(view)
