@@ -39,6 +39,7 @@ import os
 import sqlite3
 import tempfile
 import time
+from contextlib import contextmanager
 from typing import Any
 
 # Document sections persisted individually by section-granular backends.
@@ -68,13 +69,14 @@ class JsonFileBackend:
             json.dump(doc, f, indent=1)
         os.replace(tmp, self._path)  # atomic pointer flip
 
-    def mutate(self, fn):
-        """Cross-process atomic read-modify-write: take an exclusive
-        flock, load the LATEST document, apply fn's delta, save, release.
-        This is the single commit point the round-3 ADVICE asked for —
-        an intermediate mutator can no longer clobber another process's
-        committed flip with a stale whole-document persist. fn raising
-        aborts without persisting. Returns (fn result, post-commit doc)."""
+    @contextmanager
+    def transaction(self):
+        """One cross-process exclusive section: flock, load the LATEST
+        document, yield it for in-place mutation, save on clean exit
+        (a raise skips the save — nothing is persisted). The batched
+        form of ``mutate``: N mutator deltas inside one lock/load/save
+        round-trip — the metadata-plane shape a remote metastore needs
+        (one conditional put per logical commit, not per field)."""
         import fcntl
 
         lock_path = os.path.join(self.root, "catalog.lock")
@@ -84,11 +86,21 @@ class JsonFileBackend:
                 doc = self.load() if self.exists() else {}
                 for s in _SECTIONS[:3]:
                     doc.setdefault(s, {})
-                out = fn(doc)
+                yield doc
                 self.save(doc)
-                return out, doc
             finally:
                 fcntl.flock(lk, fcntl.LOCK_UN)
+
+    def mutate(self, fn):
+        """Cross-process atomic read-modify-write: take an exclusive
+        flock, load the LATEST document, apply fn's delta, save, release.
+        This is the single commit point the round-3 ADVICE asked for —
+        an intermediate mutator can no longer clobber another process's
+        committed flip with a stale whole-document persist. fn raising
+        aborts without persisting. Returns (fn result, post-commit doc)."""
+        with self.transaction() as doc:
+            out = fn(doc)
+        return out, doc
 
     def append_event(self, evt: dict) -> None:
         with open(self._events_path, "a") as f:
@@ -162,13 +174,12 @@ class SqliteBackend:
             db.rollback()
             raise
 
-    def mutate(self, fn):
-        """Transactional read-modify-write: BEGIN IMMEDIATE takes the
-        cross-process write lock up front, the document is read INSIDE
-        the transaction, fn's delta applied, all sections written, one
-        COMMIT — a concurrent writer can never be clobbered by a stale
-        in-memory view (round-3 ADVICE). fn raising rolls back.
-        Returns (fn result, post-commit doc)."""
+    @contextmanager
+    def transaction(self):
+        """One sqlite transaction: BEGIN IMMEDIATE (cross-process write
+        lock up front), document read inside it, yielded for in-place
+        mutation, all sections written + one COMMIT on clean exit; a
+        raise rolls back. The batched form of ``mutate``."""
         db = self._db()
         db.execute("BEGIN IMMEDIATE")
         try:
@@ -176,7 +187,7 @@ class SqliteBackend:
             doc: dict[str, Any] = {name: json.loads(body) for name, body in rows}
             for s in _SECTIONS[:3]:
                 doc.setdefault(s, {})
-            out = fn(doc)
+            yield doc
             for name, body in doc.items():
                 db.execute(
                     "INSERT INTO sections(name, body) VALUES(?, ?) "
@@ -184,10 +195,18 @@ class SqliteBackend:
                     (name, json.dumps(body)),
                 )
             db.commit()
-            return out, doc
         except BaseException:
             db.rollback()
             raise
+
+    def mutate(self, fn):
+        """Transactional read-modify-write: one delta inside one
+        transaction — a concurrent writer can never be clobbered by a
+        stale in-memory view (round-3 ADVICE). fn raising rolls back.
+        Returns (fn result, post-commit doc)."""
+        with self.transaction() as doc:
+            out = fn(doc)
+        return out, doc
 
     def append_event(self, evt: dict) -> None:
         db = self._db()

@@ -114,6 +114,7 @@ class Catalog:
         os.makedirs(os.path.join(self.root, "tables"), exist_ok=True)
         self._lock = threading.RLock()
         self._snap_tls = threading.local()  # per-thread snapshot stacks (ADVICE r3)
+        self._batch_tls = threading.local()  # per-thread open commit batch
         self._backend = resolve_backend(self.root, backend)
         if self._backend.exists():
             self._doc = self._backend.load()
@@ -125,6 +126,14 @@ class Catalog:
     def _persist(self) -> None:
         self._backend.save(self._doc)
 
+    @property
+    def _live_doc(self) -> dict:
+        """The document READS should see: the open commit_batch's
+        in-transaction document on this thread (read-your-writes for
+        batched finalize sections), else the last adopted commit."""
+        d = getattr(self._batch_tls, "doc", None)
+        return d if d is not None else self._doc
+
     def _mutate(self, fn):
         """THE single commit point for every metadata mutation:
         reload the latest document (inside the backend's cross-process
@@ -134,8 +143,16 @@ class Catalog:
         erase a concurrent writer's committed pointer flip; read-merge-
         write closes that lost-update window. fn raising (e.g. the CAS
         ConcurrentWriteError) aborts the commit; the freshly loaded doc
-        is still adopted so a retry starts from the other writer's base."""
+        is still adopted so a retry starts from the other writer's base.
+
+        Inside a ``commit_batch`` block, the delta is applied to the
+        batch's already-loaded document instead — N mutators, ONE
+        backend transaction (the metadata-plane shape a remote
+        metastore needs); a raise aborts the whole batch."""
         with self._lock:
+            batch_doc = getattr(self._batch_tls, "doc", None)
+            if batch_doc is not None:
+                return fn(batch_doc)
             try:
                 out, doc = self._backend.mutate(fn)
             except Exception:
@@ -147,18 +164,68 @@ class Catalog:
             self._doc = doc
             return out
 
+    def commit_batch(self):
+        """Coalesce every metadata mutation in the block into ONE
+        backend transaction (one flock/load/save for json, one BEGIN
+        IMMEDIATE..COMMIT for sqlite):
+
+            with catalog.commit_batch():
+                ...set_manifest / set_record_count / set_active_version...
+
+        Semantics preserved exactly: each nested mutator runs against
+        the document freshly loaded INSIDE the transaction's exclusion
+        (so CAS `expected_parent` checks still observe the latest
+        committed state), and any raise — including ConcurrentWriteError
+        — rolls the whole batch back, so a refused flip never leaves
+        partially committed stats/manifests behind. Physical file
+        deletions requested by gc/drop inside the batch are DEFERRED to
+        after the commit (metadata first, files after — the crash
+        ordering of SCALE.md §68). Nested batches join the outer one.
+        Hold the block only over metadata finalization, never over
+        Spark jobs — the catalog lock and the backend's cross-process
+        exclusion are held throughout."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _batch():
+            with self._lock:
+                if getattr(self._batch_tls, "doc", None) is not None:
+                    yield  # nested: join the outer batch
+                    return
+                after: list = []
+                try:
+                    with self._backend.transaction() as doc:
+                        self._batch_tls.doc = doc
+                        self._batch_tls.after_commit = after
+                        try:
+                            yield
+                        finally:
+                            self._batch_tls.doc = None
+                            self._batch_tls.after_commit = None
+                    self._doc = doc
+                except Exception:
+                    try:
+                        self._doc = self._backend.load()
+                    except Exception:
+                        pass
+                    raise
+                for hook in after:  # files after the metadata commit
+                    hook()
+
+        return _batch()
+
     # -- tables & versions ----------------------------------------------
     def ensure_table(self, name: str) -> dict:
         with self._lock:
-            if name not in self._doc["tables"]:
+            if name not in self._live_doc["tables"]:
                 self._mutate(lambda doc: _ensure_meta(doc, name))
-            return self._doc["tables"][name]
+            return self._live_doc["tables"][name]
 
     def table_meta(self, name: str) -> dict | None:
-        return self._doc["tables"].get(name)
+        return self._live_doc["tables"].get(name)
 
     def table_names(self) -> list[str]:
-        return sorted(self._doc["tables"])
+        return sorted(self._live_doc["tables"])
 
     # -- SQL views (engine extension) -----------------------------------
     def set_view(self, name: str, sql: str) -> None:
@@ -554,7 +621,7 @@ class Catalog:
         return _untag((mv.get("cursors") or {}).get(version))
 
     def matview_names(self) -> list[str]:
-        return sorted(n for n, m in self._doc["tables"].items() if (m or {}).get("matview", {}).get("spec"))
+        return sorted(n for n, m in self._live_doc["tables"].items() if (m or {}).get("matview", {}).get("spec"))
 
     def set_file_stats(self, name: str, version: str, stats: dict) -> None:
         """Per-FILE column min/max/null stats for a version, harvested
@@ -619,11 +686,26 @@ class Catalog:
         # between leaves harmless orphan FILES (no retained manifest
         # references them), never a retained version with dangling
         # refs. Found by tests/test_concurrency_fuzz.py (kill -9
-        # between the in-commit delete and the save).
+        # between the in-commit delete and the save). Inside a
+        # commit_batch the deletes defer to after THAT commit.
         doomed, live = self._mutate(fn)
-        for v in doomed:
-            self._delete_version_files(name, v, live)
+
+        def _unlink():
+            for v in doomed:
+                self._delete_version_files(name, v, live)
+
+        self._after_commit(_unlink)
         return doomed
+
+    def _after_commit(self, hook) -> None:
+        """Run ``hook`` now, or — inside a commit_batch — after the
+        batch's backend transaction commits (physical deletion must
+        never precede the metadata commit it belongs to)."""
+        after = getattr(self._batch_tls, "after_commit", None)
+        if after is not None:
+            after.append(hook)
+        else:
+            hook()
 
     def drop_version(self, name: str, version: str) -> None:
         """Remove a retained NON-ACTIVE version (WAP abandon / targeted
@@ -655,7 +737,7 @@ class Catalog:
 
         live = self._mutate(fn)
         if live is not None:  # metadata first, files after (crash-safe)
-            self._delete_version_files(name, version, live)
+            self._after_commit(lambda: self._delete_version_files(name, version, live))
 
     def vacuum_orphans(self, grace_seconds: float = 3600.0) -> list[str]:
         """Sweep ORPHAN FILES: physical files no retained manifest
@@ -771,7 +853,7 @@ class Catalog:
         return out
 
     def get_cursor(self, node_id: str, table: str, order_by: str) -> Any:
-        return _untag(self._doc["cursors"].get(self._cursor_key(node_id, table, order_by)))
+        return _untag(self._live_doc["cursors"].get(self._cursor_key(node_id, table, order_by)))
 
     def set_cursor(self, node_id: str, table: str, order_by: str, value: Any) -> None:
         key = self._cursor_key(node_id, table, order_by)
@@ -795,7 +877,7 @@ class Catalog:
 
     # -- node state ---------------------------------------------------
     def get_state(self, node_id: str) -> dict:
-        return _untag(self._doc["state"].get(node_id, {})) or {}
+        return _untag(self._live_doc["state"].get(node_id, {})) or {}
 
     def set_state(self, node_id: str, state: dict) -> None:
         def fn(doc):

@@ -1165,28 +1165,34 @@ class Table:
                 ]
                 carried = _mf.carry(catalog, self.store_name, new_version, untouched)
             _mf.record(catalog, self.store_name, new_version, carried)
+            # the count is a Spark job — run it BEFORE the commit batch
+            # (never hold the catalog's cross-process exclusion over a job)
             if _mf.has_external_refs(catalog, self.store_name, new_version):
                 n = TableVersion(self._engine, self.store_name, new_version).as_dataframe().count()
             else:
                 n = self._engine.spark.read.parquet(out_dir).count()
-            catalog.set_record_count(self.store_name, new_version, n)
-            self._track_write_stats(out_dir, meta, new_version)
-            if scoped:
-                self._carry_order_hwm(new_version, self.store_name, av.version_id)
             # MERGE is read-modify-write: compare-and-swap against the
             # base version this upsert READ (optimistic concurrency).
             # On CAS refusal the just-written version is an orphan —
             # drop it before re-raising so repeated retries don't
             # accumulate inactive version dirs/metadata (ADVICE r3).
+            # Count/stats/hwm/flip/GC land in ONE catalog commit
+            # (commit_batch): a refused CAS rolls the whole batch back,
+            # so no stats of an orphan version ever commit.
             try:
-                catalog.set_active_version(
-                    self.store_name, new_version,
-                    expected_parent=av.version_id if av is not None else None,
-                )
+                with catalog.commit_batch():
+                    catalog.set_record_count(self.store_name, new_version, n)
+                    self._track_write_stats(out_dir, meta, new_version)
+                    if scoped:
+                        self._carry_order_hwm(new_version, self.store_name, av.version_id)
+                    catalog.set_active_version(
+                        self.store_name, new_version,
+                        expected_parent=av.version_id if av is not None else None,
+                    )
+                    catalog.gc_versions(self.store_name)
             except ConcurrentWriteError:
                 catalog.drop_version(self.store_name, new_version)
                 raise
-            catalog.gc_versions(self.store_name)
         else:
             if created:
                 vid = catalog.create_new_version(self.store_name)
@@ -1225,10 +1231,11 @@ class Table:
             # being appended to) must survive the manifest refresh
             ext = _mf.external_refs(catalog, self.store_name, av.version_id)
             self._writer(df, write_meta).mode("append").parquet(av.storage)
-            _mf.record(catalog, self.store_name, av.version_id, ext)
-            batch_n = df.count()
-            catalog.set_record_count(self.store_name, av.version_id, prev + batch_n)
-            self._track_write_stats(av.storage, meta, av.version_id)
+            batch_n = df.count()  # Spark job: before the commit batch
+            with catalog.commit_batch():
+                _mf.record(catalog, self.store_name, av.version_id, ext)
+                catalog.set_record_count(self.store_name, av.version_id, prev + batch_n)
+                self._track_write_stats(av.storage, meta, av.version_id)
         # persist the MERGED schema (driver-side union of existing +
         # batch): the version dir may hold files with different column
         # sets, and reads pin to this schema (TableVersion.as_dataframe)
@@ -1637,24 +1644,26 @@ class Table:
                 continue
             untouched.append(ref)
         carried = _mf.carry(catalog, self.store_name, new_version, untouched)
-        _mf.record(catalog, self.store_name, new_version, carried)
         old_n = catalog.get_record_count(self.store_name, av.version_id)
         if old_n is None:
-            old_n = old.count()
+            old_n = old.count()  # Spark job: before the commit batch
         new_n = old_n - n_matched if assignments is None else old_n
-        catalog.set_record_count(self.store_name, new_version, new_n)
-        self._track_write_stats(out_dir, meta, new_version)
-        # hwm carry is conservative-high after a DELETE of the max row
-        # (a high-water mark, same as retained parquet footer stats)
-        self._carry_order_hwm(new_version, self.store_name, av.version_id)
         # DELETE/UPDATE is read-modify-write: CAS against the read base;
-        # a refused flip drops the orphan version before re-raising
+        # a refused flip drops the orphan version before re-raising.
+        # Manifest/count/stats/hwm/flip/GC are ONE catalog commit.
         try:
-            catalog.set_active_version(self.store_name, new_version, expected_parent=av.version_id)
+            with catalog.commit_batch():
+                _mf.record(catalog, self.store_name, new_version, carried)
+                catalog.set_record_count(self.store_name, new_version, new_n)
+                self._track_write_stats(out_dir, meta, new_version)
+                # hwm carry is conservative-high after a DELETE of the max
+                # row (a high-water mark, same as retained footer stats)
+                self._carry_order_hwm(new_version, self.store_name, av.version_id)
+                catalog.set_active_version(self.store_name, new_version, expected_parent=av.version_id)
+                catalog.gc_versions(self.store_name)
         except ConcurrentWriteError:
             catalog.drop_version(self.store_name, new_version)
             raise
-        catalog.gc_versions(self.store_name)
         self.signal_update()
         return n_matched
 
