@@ -85,6 +85,9 @@ BENCH_QUERIES = [
     # PPJoin scale control: t=0.8 prefix budget (5x smaller prefixes,
     # ~25x fewer candidates than q206's t=1/2 on bounded vocabularies)
     "q259_prefix_filter_t80",
+    # entity resolution: blocked Fellegi-Sunter record linkage (equi-
+    # join blocking, integer log-odds scoring, per-id best-match)
+    "q260_record_linkage",
     # corpus batch: DSIR hashed-ngram importance weighting (broadcast
     # 4096-bucket weight table over the token scan)
     "q201_dsir_importance",

@@ -561,7 +561,10 @@ def q206(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     n_docs = docs.count()
     cap = max(20, n_docs // 250)
-    sh = distinct_shingles(docs, "doc_id", "text", 3)
+    # single evaluation: the shingle set feeds df/sizes/prefix and both
+    # verification arrays (q189 lesson — without this each consumer
+    # re-runs the explode+distinct)
+    sh = distinct_shingles(docs, "doc_id", "text", 3).localCheckpoint()
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).cast("long").alias("df"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     w = Window.partitionBy("id").orderBy("df", "sh")
@@ -685,7 +688,11 @@ def q259(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = t(spark, sf_dir, "documents")
-    sh = distinct_shingles(docs, "doc_id", "text", 3)
+    # the shingle set feeds FIVE consumers (df, sizes, prefix ordering,
+    # both verification sides) with different prunings — without a
+    # single evaluation each consumer re-runs the explode+distinct
+    # (q189 lesson: 10 scans / 19 exchanges; rebased: 0 / 12)
+    sh = distinct_shingles(docs, "doc_id", "text", 3).localCheckpoint()
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).cast("long").alias("df"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     w = Window.partitionBy("id").orderBy("df", "sh")

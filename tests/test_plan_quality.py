@@ -461,6 +461,25 @@ def test_q165_edge_set_single_evaluation(spark, sf_dir):
     assert "Scan ExistingRDD" in plan, "edge set no longer checkpointed"
 
 
+def test_prefix_join_shingle_single_evaluation(spark, sf_dir):
+    """q206/q259 (prefix-filter joins): the distinct-shingle subtree
+    feeds five consumers (df, sizes, prefix ordering, both
+    verification sides); it must materialize ONCE (localCheckpoint) —
+    re-introducing per-consumer evaluation replans the explode+distinct
+    5x (q259 measured 10 scans / 19 exchanges before the rebase; 0 /
+    9 after)."""
+    import re as _re
+
+    from patterns_devkit_spark.plans.inspect import explain_str
+
+    for key, ceiling in (("q259_prefix_filter_t80", 12), ("q206_prefix_filter_join", 14)):
+        df = QUERIES[key](spark, sf_dir)
+        plan = explain_str(df, mode="simple")
+        n_exchanges = len(_re.findall(r"Exchange (?:hash|range|Single)", plan))
+        assert n_exchanges <= ceiling, f"{key} plans {n_exchanges} exchanges (shingles re-evaluated?)"
+        assert "Scan ExistingRDD" in plan, f"{key}: shingle set no longer checkpointed"
+
+
 def test_aqe_skew_join_split_engages(spark):
     """VERDICT r4 item 7 (read-path skew): a hot-key JOIN (one key =
     50% of rows) must be handled by AQE's skew-join split — the FINAL
