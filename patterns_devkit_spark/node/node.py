@@ -1895,6 +1895,7 @@ class Table:
             raise ValueError(
                 f"restore: version {version_id!r} of {self.store_name!r} is not retained"
             )
+        version_id = src.version_id  # ref may have been a tag/'latest'
         vid = catalog.create_new_version(self.store_name)
         src_refs = _mf.version_refs(catalog, self.store_name, version_id)
         carried = _mf.carry(catalog, self.store_name, vid, src_refs)

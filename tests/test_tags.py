@@ -87,6 +87,26 @@ def test_tag_name_validation_and_unknown_version(engine):
         assert t.tags() == {"ptr": v2} and v1 != v2
 
 
+def test_restore_change_feed_and_diff_accept_tags(engine):
+    """A tag resolves anywhere a version id does: restore(tag),
+    diff_versions(tag, 'latest'), change_feed(tag)."""
+    with engine.node_context("w", outputs={"out": "tr"}):
+        t = Table("out", "w")
+        t.init(unique_on=["k"])
+        t.replace([{"k": 1, "v": "a"}])
+        t.flush()
+        t.tag("gold")
+        t.replace([{"k": 1, "v": "b"}, {"k": 2, "v": "c"}])
+        t.flush()
+        d = t.diff_versions("gold", "latest", key_cols=["k"]).collect()
+        changes = {(r["change"], r["k"]) for r in d}
+        assert changes == {("updated", 1), ("added", 2)}
+        feed = t.change_feed("gold").collect()
+        assert {(r["op"], r["k"]) for r in feed} == {("U", 1), ("I", 2)}
+        t.restore("gold")
+        assert sorted((r["k"], r["v"]) for r in t.read()) == [(1, "a")]
+
+
 def test_tag_refused_inside_snapshot(engine):
     with engine.node_context("w", outputs={"out": "ts"}):
         t = Table("out", "w")
