@@ -708,20 +708,35 @@ def q259(spark, sf_dir):
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    x = sh.select(F.col("id").alias("id_a"), "sh")
-    y = sh.select(F.col("id").alias("__yb"), F.col("sh").alias("sh_b"))
-    inter = (
-        cand.join(x, "id_a")
-        .join(y, (F.col("id_b") == F.col("__yb")) & (F.col("sh") == F.col("sh_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
-    )
+    # verification at CANDIDATE grain (same rebase as q206): per-doc
+    # shingle arrays ride to each pair for ONE array_intersect — the
+    # (cand JOIN sh JOIN sh) form shuffles |cand| x |doc shingles|
+    # rows (the sf1 sweep measured it at 226s vs q206's 119s). The
+    # t=0.8 size filter (5*min >= 4*max; J <= min/max) drops provably-
+    # failing pairs before the intersect; a zero-intersection pair
+    # cannot pass 9*0 >= 4*(na+nb), so output matches the oracle's
+    # inner-join form exactly.
+    docsh = sh.groupBy("id").agg(F.sort_array(F.collect_list("sh")).alias("shl"))
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
-    return (
-        inter.join(sa, "id_a")
+    da = docsh.select(F.col("id").alias("id_a"), F.col("shl").alias("sha"))
+    db = docsh.select(F.col("id").alias("id_b"), F.col("shl").alias("shb"))
+    inter = (
+        cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .filter(9 * F.col("n_inter") >= 4 * (F.col("na") + F.col("nb")))
+        .filter(5 * F.least("na", "nb") >= 4 * F.greatest("na", "nb"))
+        .join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "na",
+            "nb",
+            F.size(F.array_intersect("sha", "shb")).cast("long").alias("n_inter"),
+        )
+    )
+    return (
+        inter.filter(9 * F.col("n_inter") >= 4 * (F.col("na") + F.col("nb")))
         .select(
             "id_a",
             "id_b",
