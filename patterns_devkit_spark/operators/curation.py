@@ -456,3 +456,76 @@ def curation_oracle_sql(
                 ELSE 'keep' END AS verdict
     FROM q
     """
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    line_sep: str = " <br> ",
+    min_df: int = 2,
+    df_frac: int = 10,
+) -> DataFrame:
+    """Per-source line-frequency boilerplate removal — the CCNet /
+    RefinedWeb curation staple: a LINE that recurs across many
+    documents of the same source (nav bars, cookie banners, footers)
+    is template markup, not content; strip it everywhere.
+
+    A line is boilerplate in source s when it appears (exactly) in at
+    least max(min_df, docs(s) DIV df_frac) distinct documents of s —
+    the threshold scales with the source (an absolute cap is a latent
+    off-switch, SCALE.md §65). Returns one row per document:
+    (id, n_lines, n_kept_lines, clean_text) with clean_text the
+    kept lines rejoined in order (empty string when every line was
+    template).
+
+    100 TB shape: one posexplode over documents; line df is a
+    (source, line-hash) aggregation; the boiler set joins back by
+    equi-join (per-source boiler sets are small — that's the premise
+    of templates); ordered rebuild is a per-doc sort_array over kept
+    (pos, line) structs. No window over the corpus, no Python."""
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(source_col).alias("__src"),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("__pos", "__line"),
+    )
+    src_docs = df.groupBy(F.col(source_col).alias("__src")).agg(
+        F.count(F.lit(1)).cast("long").alias("__nd")
+    )
+    lfreq = lines.groupBy("__src", "__line").agg(
+        F.countDistinct("__id").cast("long").alias("__df")
+    )
+    boiler = (
+        lfreq.join(src_docs, "__src")
+        .filter(
+            F.col("__df")
+            >= F.greatest(F.lit(min_df).cast("long"), F.expr(f"__nd DIV {df_frac}"))
+        )
+        .select("__src", F.col("__line").alias("__bline"))
+    )
+    kept = lines.join(
+        boiler,
+        (lines["__src"] == boiler["__src"]) & (lines["__line"] == boiler["__bline"]),
+        "left_anti",
+    )
+    totals = lines.groupBy("__id").agg(F.count(F.lit(1)).cast("long").alias("n_lines"))
+    rebuilt = kept.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept_lines"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        totals.join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_lines",
+            F.coalesce("n_kept_lines", F.lit(0)).cast("long").alias("n_kept_lines"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -497,3 +497,97 @@ def q261(spark, sf_dir):
         F.coalesce("n_links", F.lit(0)).cast("long").alias("n_links"),
         F.coalesce("n_key_match", F.lit(0)).cast("long").alias("n_key_match"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q262 — per-source line-frequency boilerplate removal (CCNet/RefinedWeb
+# style). Template lines (header / footer / a newsletter banner on every
+# 7th doc) are injected deterministically on BOTH engines with an
+# explicit ' <br> ' line separator, then operators/curation.
+# strip_boilerplate_lines removes every line whose per-source document
+# frequency reaches max(2, docs(source) DIV 10).
+# ---------------------------------------------------------------------------
+
+_BP_SQL = """
+  SELECT doc_id, source,
+         'site ' || source || ' home about' || ' <br> ' ||
+         CASE WHEN doc_id % 7 = 0
+              THEN 'subscribe to ' || source || ' newsletter' || ' <br> '
+              ELSE '' END ||
+         text ||
+         ' <br> copyright ' || source || ' all rights reserved' AS t2
+  FROM documents
+"""
+
+
+def _bp_docs(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("site "),
+            F.col("source"),
+            F.lit(" home about <br> "),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit("subscribe to "), F.col("source"), F.lit(" newsletter <br> ")),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.lit(" <br> copyright "),
+            F.col("source"),
+            F.lit(" all rights reserved"),
+        ).alias("t2"),
+    )
+
+
+@query(
+    "q262_boilerplate_lines",
+    f"""
+    WITH d AS ({_BP_SQL}),
+    parts AS (SELECT doc_id, source, string_split(t2, ' <br> ') AS p FROM d),
+    lines AS (
+      SELECT doc_id, source, CAST(u.li AS BIGINT) AS li, p[CAST(u.li + 1 AS BIGINT)] AS line
+      FROM parts, unnest(range(0, len(p))) AS u(li)
+    ),
+    src_docs AS (SELECT source, CAST(count(*) AS BIGINT) AS nd FROM documents GROUP BY source),
+    lfreq AS (SELECT source, line, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM lines GROUP BY source, line),
+    boiler AS (
+      SELECT l.source, l.line
+      FROM lfreq l JOIN src_docs s USING (source)
+      WHERE l.df >= greatest(2, s.nd // 10)),
+    kept AS (
+      SELECT li.doc_id, li.li, li.line
+      FROM lines li LEFT JOIN boiler b ON b.source = li.source AND b.line = li.line
+      WHERE b.line IS NULL),
+    rebuilt AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_lines,
+             md5(string_agg(line, ' ' ORDER BY li)) AS clean_md5
+      FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM lines GROUP BY doc_id)
+    SELECT tot.doc_id, tot.n_lines,
+           CAST(coalesce(r.n_kept_lines, 0) AS BIGINT) AS n_kept_lines,
+           coalesce(r.clean_md5, md5('')) AS clean_md5
+    FROM tot LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def q262(spark, sf_dir):
+    """Line-frequency boilerplate removal (operators/curation.
+    strip_boilerplate_lines): template lines recurring across
+    max(2, docs(source) DIV 10) documents of the SAME source are
+    stripped everywhere — the header and footer vanish from every doc,
+    the every-7th-doc newsletter banner clears the threshold and
+    vanishes too, and genuine content survives (verified by md5 of
+    the rebuilt text per doc). One posexplode + a (source, line)
+    aggregation + an anti-join; the threshold scales with the source
+    so it can't silently turn off (SCALE.md §65 lesson)."""
+    from .operators import curation as cur_ops
+
+    out = cur_ops.strip_boilerplate_lines(_bp_docs(spark, sf_dir), "doc_id", "source", "t2")
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        F.md5("clean_text").alias("clean_md5"),
+    )
