@@ -244,21 +244,22 @@ class MaterializedView:
         merged.write.mode("overwrite").parquet(out_dir)
         from . import manifest as _mf
 
-        _mf.record(cat, self.name, vid)  # MV versions are always own-dir
+        # Spark work (count, schema inference) BEFORE the commit batch;
+        # then manifest/count/schema/cursor/flip/GC land in ONE catalog
+        # commit — (version, cursor) atomicity now holds by transaction,
+        # not just by flip ordering.
         n_rows = self.engine.spark.read.parquet(out_dir).count()
-        cat.set_record_count(self.name, vid, n_rows)
-        cat.update_table_meta(
-            self.name,
-            schema_ddl=",".join(
-                f"{f.name} {f.dataType.simpleString()}"
-                for f in self.engine.spark.read.parquet(out_dir).schema.fields
-            ),
+        ddl = ",".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in self.engine.spark.read.parquet(out_dir).schema.fields
         )
-        # cursor rides the version: flip below makes (version, cursor)
-        # visible atomically
-        cat.set_matview_cursor(self.name, vid, new_cursor)
-        cat.set_active_version(self.name, vid)
-        cat.gc_versions(self.name)
+        with cat.commit_batch():
+            _mf.record(cat, self.name, vid)  # MV versions are always own-dir
+            cat.set_record_count(self.name, vid, n_rows)
+            cat.update_table_meta(self.name, schema_ddl=ddl)
+            cat.set_matview_cursor(self.name, vid, new_cursor)
+            cat.set_active_version(self.name, vid)
+            cat.gc_versions(self.name)
         cat.append_event(self.name, "update", node_id=f"__mv__{self.name}")
 
     def _refresh_join(self, full: bool = False) -> int:
