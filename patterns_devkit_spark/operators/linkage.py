@@ -31,6 +31,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
 
 
 def candidate_pairs(
@@ -72,11 +73,28 @@ def best_match(
     dropped AFTER ranking (standard linkage semantics: a weak best
     match is a non-match, not a fall-through to the second-best)."""
     ids = [left_id] if isinstance(left_id, str) else list(left_id)
-    order = [F.col(score_col).desc()]
-    if tiebreak is not None:
-        order.append(F.col(tiebreak).asc())
-    w = Window.partitionBy(*ids).orderBy(*order)
-    out = scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    numeric_tiebreak = tiebreak is not None and isinstance(
+        scored.schema[tiebreak].dataType, NumericType
+    )
+    if numeric_tiebreak:
+        # argmax as a HASH AGGREGATE (max_by with (score, -tiebreak)
+        # ordering), not a window: a row_number window shuffles AND
+        # sorts every candidate row (measured 12s of a 21s linkage at
+        # sf0.1 on 8.4M candidates); max_by partial-aggregates map-side
+        # so only one surviving row per left id crosses the wire.
+        payload = F.struct(*scored.columns)
+        ordk = F.struct(F.col(score_col), (-F.col(tiebreak)).alias("__tb"))
+        out = (
+            scored.groupBy(*ids)
+            .agg(F.max_by(payload, ordk).alias("__best"))
+            .select("__best.*")
+        )
+    else:
+        order = [F.col(score_col).desc()]
+        if tiebreak is not None:
+            order.append(F.col(tiebreak).asc())
+        w = Window.partitionBy(*ids).orderBy(*order)
+        out = scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
     if threshold is not None:
         out = out.filter(F.col(score_col) >= threshold)
     return out
