@@ -460,14 +460,49 @@ def _ivf_assign(e_pos: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+def _gemm_assign(e: DataFrame, C, cids) -> DataFrame:
+    """(id, cid): nearest centroid by INTEGER squared L2, computed as
+    an int64 GEMM per Arrow batch with the centroid matrix broadcast
+    in the closure — the q197 lesson applied to IVF: the exploded
+    (vec, dim) x centroid join is N*dims*k shuffle rows (quadratic
+    once k scales with the corpus); the GEMM is linear in N with zero
+    shuffle and bit-identical (argmin first-minimum = smallest cid,
+    matching the oracle's ORDER BY dist, cid with C rows cid-sorted)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    C = np.asarray(C, dtype="int64")
+    cids = np.asarray(cids, dtype="int64")
+    c_sq = (C * C).sum(axis=1)
+
+    def f(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf["ei"].to_numpy()).astype("int64")
+            d = (E * E).sum(axis=1)[:, None] - 2 * (E @ C.T) + c_sq[None, :]
+            a = d.argmin(axis=1)
+            yield pd.DataFrame({"id": pdf["id"].to_numpy(), "cid": cids[a]})
+
+    schema = T.StructType(
+        [
+            T.StructField("id", e.schema["id"].dataType),
+            T.StructField("cid", T.LongType()),
+        ]
+    )
+    return e.mapInPandas(f, schema)
+
+
 def ivf_topk(
     candidates: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_clusters: int = 16,
-    n_probe: int = 4,
+    n_clusters: int | None = None,
+    n_probe: int | None = None,
 ) -> DataFrame:
     """IVF ANN with a deterministic coarse quantizer: integer-quantized
     vectors, seed centroids = the n_clusters smallest ids, ONE exact
@@ -475,32 +510,65 @@ def ivf_topk(
     per-query probing of the n_probe nearest centroids and exact cosine
     only within probed clusters.
 
+    n_clusters defaults to CORPUS-SCALED max(16, n DIV 256) so cluster
+    size stays ~256 at any corpus (a fixed cell count is the same
+    latent scale-killer the r4 verdict named for SemDeDup: probed-
+    fraction work per query grows linearly with N). n_probe defaults
+    to max(4, n_clusters DIV 8) — a fixed probed FRACTION, so recall
+    holds as the cell count grows. Assignment is an int64 GEMM per
+    Arrow batch (see _gemm_assign), never a (vec, dim) x centroid
+    exploded join; the centroid update is one linear explode+groupBy.
+
     The 100 TB shape: candidate generation shuffles on cluster id (an
     inverted file), exact scoring touches ~n_probe/n_clusters of the
     corpus. Every quantizer decision is integer arithmetic, so
-    ivf_oracle_sql replays the identical clustering in DuckDB — like
+    ivf_oracle_sql replays the identical clustering in DuckDB (cell
+    count and probe width via the same scalar subqueries) — like
     q38's hyperplane LSH, the approximate path itself is hash-checked,
     complementing it as the partition-based (vs hash-based) ANN family."""
-    e = candidates.select(F.col(id_col).alias("id"), quantized_embedding(vec_col).alias("ei"))
-    e_pos = e.select("id", F.posexplode("ei").alias("d", "v")).persist()
-    w_seed = Window.orderBy("id")
-    seeds = (
-        e.select("id").orderBy("id").limit(n_clusters)
-        .withColumn("cid", F.row_number().over(w_seed) - 1)
+    sc = candidates.sparkSession.sparkContext
+    e = (
+        candidates.select(F.col(id_col).alias("id"), quantized_embedding(vec_col).alias("ei"))
+        .repartition(sc.defaultParallelism)
+        .localCheckpoint()
     )
-    cent0 = seeds.join(e_pos, "id").select("cid", "d", F.col("v").alias("c"))
-    a1 = _ivf_assign(e_pos, cent0)
+    if n_clusters is None:
+        n_clusters = max(16, e.count() // 256)
+    if n_probe is None:
+        n_probe = max(4, n_clusters // 8)
+    seed_rows = e.orderBy("id").limit(n_clusters).collect()
+    import numpy as np
+
+    C0 = np.array([r["ei"] for r in seed_rows], dtype="int64")
+    ids0 = np.arange(len(seed_rows), dtype="int64")
+    a1 = _gemm_assign(e, C0, ids0)
+    e_pos = e.select("id", F.posexplode("ei").alias("d", "v"))
     cent1 = (
         e_pos.join(a1, "id")
         .groupBy("cid", "d")
         .agg(F.floor(F.sum("v") / F.count(F.lit(1))).cast("long").alias("c"))
     )
-    a2 = _ivf_assign(e_pos, cent1)
+    c1_rows = cent1.collect()
+    live = sorted({r["cid"] for r in c1_rows})
+    cmap = {cid: i for i, cid in enumerate(live)}
+    C1 = np.zeros((len(live), C0.shape[1]), dtype="int64")
+    for r in c1_rows:
+        C1[cmap[r["cid"]], r["d"]] = r["c"]
+    a2 = _gemm_assign(e, C1, np.array(live, dtype="int64"))
 
+    # probe distances against the COLLECTED centroids (a tiny local
+    # DataFrame), never by re-evaluating the cent1 subtree a second time
+    spark = candidates.sparkSession
+    cent1_local = F.broadcast(
+        spark.createDataFrame(
+            [(int(r["cid"]), int(r["d"]), int(r["c"])) for r in c1_rows],
+            "cid long, d int, c long",
+        )
+    )
     q = queries.select(F.col(id_col).alias("id"), quantized_embedding(vec_col).alias("ei"))
     q_pos = q.select("id", F.posexplode("ei").alias("d", "v"))
     qd = (
-        q_pos.join(cent1, "d")
+        q_pos.join(cent1_local, "d")
         .groupBy("id", "cid")
         .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("dist"))
     )
@@ -546,25 +614,29 @@ def ivf_oracle_sql(
     vec_col: str = "embedding",
     query_pred: str = "vec_id < 20",
     k: int = 5,
-    n_clusters: int = 16,
-    n_probe: int = 4,
     dim: int = 64,
 ) -> str:
     """DuckDB SQL replaying ivf_topk's quantizer exactly: same integer
-    quantization, seed choice, assignment/update/probe tie rules."""
+    quantization, seed choice, assignment/update/probe tie rules —
+    with the CORPUS-SCALED cell count greatest(16, n // 256) and probe
+    width greatest(4, nc // 8) derived by the same scalar subqueries
+    the Spark side computes driver-side."""
     return f"""
     WITH e AS (
       SELECT {id_col} AS id,
              list_transform({vec_col}::DOUBLE[], x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS ei
       FROM {table}
     ),
+    nc AS (SELECT greatest(16, count(*) // 256) AS nc FROM e),
+    npb AS (SELECT greatest(4, nc // 8) AS npb FROM nc),
     ep AS (
       SELECT id, CAST(i AS INT) AS d, ei[CAST(i AS INT)] AS v
       FROM e, unnest(range(1, {dim + 1})) AS u(i)
     ),
     seeds AS (
-      SELECT id, CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid
-      FROM e ORDER BY id LIMIT {n_clusters}
+      SELECT id, CAST(rn - 1 AS INT) AS cid FROM (
+        SELECT id, row_number() OVER (ORDER BY id) AS rn FROM e)
+      WHERE rn <= (SELECT nc FROM nc)
     ),
     c0 AS (SELECT s.cid, ep.d, ep.v AS c FROM seeds s JOIN ep ON ep.id = s.id),
     d1 AS (
@@ -598,7 +670,7 @@ def ivf_oracle_sql(
     probe AS (
       SELECT id AS query_id, cid FROM (
         SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn FROM qd
-      ) WHERE rn <= {n_probe}
+      ) WHERE rn <= (SELECT npb FROM npb)
     ),
     pairs AS (
       SELECT DISTINCT p.query_id, a2.id AS neighbor_id
