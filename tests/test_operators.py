@@ -484,3 +484,38 @@ def test_asof_join_tolerance_bounds_lookback(spark):
         "2024-01-01 00:03:25": "b",
         "2024-01-01 00:08:20": None,
     }
+
+
+def test_linkage_best_match_maxby_equals_window(spark):
+    """best_match law: the max_by hash-aggregate fast path (numeric
+    tiebreak) must select EXACTLY the rows the row_number window
+    selects — max score per id, smallest tiebreak on ties, threshold
+    applied after selection."""
+    from pyspark.sql import functions as F
+
+    from patterns_devkit_spark.operators.linkage import best_match
+
+    rows = [
+        # id, cand, score  (id 1: tie at 50 -> cand 3 wins; id 2: below threshold)
+        (1, 7, 50), (1, 3, 50), (1, 9, 10),
+        (2, 1, 20), (2, 2, 19),
+        (3, 5, 80), (3, 4, 79),
+    ]
+    scored = spark.createDataFrame(rows, "b_id long, p long, score long")
+    fast = best_match(scored, "b_id", "score", tiebreak="p", threshold=30)
+    got = {(r["b_id"], r["p"], r["score"]) for r in fast.collect()}
+    assert got == {(1, 3, 50), (3, 5, 80)}
+    # string tiebreak falls back to the window path; same semantics
+    s2 = scored.withColumn("p", F.col("p").cast("string"))
+    slow = best_match(s2, "b_id", "score", tiebreak="p", threshold=30)
+    got2 = {(r["b_id"], r["p"], r["score"]) for r in slow.collect()}
+    assert got2 == {(1, "3", 50), (3, "5", 80)}
+
+
+def test_linkage_union_pair_keys_dedups(spark):
+    from patterns_devkit_spark.operators.linkage import union_pair_keys
+
+    p1 = spark.createDataFrame([(1, 10), (2, 20)], "a long, b long")
+    p2 = spark.createDataFrame([(1, 10), (3, 30)], "a long, b long")
+    got = sorted((r["a"], r["b"]) for r in union_pair_keys([p1, p2]).collect())
+    assert got == [(1, 10), (2, 20), (3, 30)]
