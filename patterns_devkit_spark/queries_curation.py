@@ -370,6 +370,7 @@ def _score_candidates(cand):
       FROM nf JOIN rt
         ON rt.p_type = nf.b_type
        AND substr(rt.p_name, 1, 4) = substr(nf.nb, 1, 4)
+       AND rt.p_digits = nf.b_digits
        AND abs(rt.p_size - nf.b_size) <= 1),
     scored AS (SELECT *, {_SCORE_SQL} AS score FROM cand),
     best AS (
@@ -416,10 +417,15 @@ def q260(spark, sf_dir):
     rt3 = rt.withColumn("__d", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))).withColumn(
         "bsz", (F.col("p_size") + F.col("__d")).cast("long")
     )
+    # brand digits join the block key too: a brand-mismatch candidate
+    # scores at most 30-25+15=20 < the 60 threshold, and best_match
+    # takes the MAX score, so dropping sub-threshold candidates can
+    # never change the emitted links (Fellegi-Sunter: fields whose
+    # disagreement kills the score belong in the block key)
     cand = link_ops.candidate_pairs(
         nf.withColumn("bk", F.substring("nb", 1, 4)),
         rt3.withColumn("pk", F.substring("p_name", 1, 4)),
-        [("b_type", "p_type"), ("bk", "pk"), ("b_size", "bsz")],
+        [("b_type", "p_type"), ("bk", "pk"), ("b_digits", "p_digits"), ("b_size", "bsz")],
     ).drop("__d", "bsz")
     scored = _score_candidates(cand)
     best = link_ops.best_match(scored, "b_id", "score", tiebreak="p_partkey", threshold=60)
