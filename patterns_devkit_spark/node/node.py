@@ -582,6 +582,7 @@ class Table:
         stat_columns: str | list[str] | None = None,
         bloom_columns: str | list[str] | None = None,
         check_constraints: dict[str, str] | None = None,
+        auto_compact_after: int | None = None,
     ) -> None:
         """Declare creation-time table properties (node.py:269-297).
 
@@ -609,7 +610,15 @@ class Table:
         NOTHING (the active version never flips). NULL evaluations
         pass (Delta CHECK semantics) — add `col IS NOT NULL` to forbid
         nulls. The q120 audit is the read-side analogue for data
-        already landed."""
+        already landed.
+
+        auto_compact_after is an engine extension (Delta auto-compact
+        analogue): when an append flush leaves the active version with
+        at least this many data files, compact() runs automatically —
+        buffered appends land one file per flush, and at 100 TB
+        unmanaged small files mean footer-per-file planning overhead
+        and under-filled scan partitions. Compaction is a new version
+        (invisible to readers; time travel keeps the old one)."""
         if not self.is_connected:
             return
         updates: dict[str, Any] = {"auto_indexes": auto_indexes}
@@ -622,6 +631,8 @@ class Table:
             updates["bloom_columns"] = [bloom_columns] if isinstance(bloom_columns, str) else list(bloom_columns)
         if check_constraints is not None:
             updates["check_constraints"] = dict(check_constraints)
+        if auto_compact_after is not None:
+            updates["auto_compact_after"] = int(auto_compact_after)
         if partition_by is not None:
             updates["partition_by"] = [partition_by] if isinstance(partition_by, str) else list(partition_by)
         if cluster_by is not None:
@@ -973,6 +984,23 @@ class Table:
             self._flush_batch(appends, upsert=False)
         if upserts:
             self._flush_batch(upserts, upsert=True)
+        if appends:
+            # appends accrete one file per flush; rewrites start fresh
+            self._maybe_auto_compact()
+
+    def _maybe_auto_compact(self) -> None:
+        meta = self._engine.catalog.table_meta(self.store_name) or {}
+        n = meta.get("auto_compact_after")
+        if not n:
+            return
+        av = self.get_active_version()
+        if av is None or not av.exists:
+            return
+        from . import manifest as _mf
+
+        refs = _mf.version_refs(self._engine.catalog, self.store_name, av.version_id)
+        if len(refs) >= n:
+            self.compact()
 
     def _maybe_autoflush(self, threshold: int = 100_000) -> None:
         # periodic batch flush (node.py:305-307): bound driver memory

@@ -363,3 +363,36 @@ def test_upsert_skewed_hot_partition_hardlinks(engine):
         assert_partition_zero_copy(
             engine.catalog, "pt_skew", v1_dir, v2_dir, part, rewritten=i in (3, 5)
         )
+
+
+def test_auto_compact_after_threshold(engine, spark):
+    """init(auto_compact_after=N): once an append flush leaves the
+    active version with >= N files, compaction runs automatically —
+    the active version becomes a compacted one with identical data;
+    below the threshold nothing compacts."""
+    import glob
+    import os as _os
+
+    with engine.node_context("w", outputs={"out": "ac"}):
+        t = Table("out", "w")
+        t.init(auto_compact_after=4)
+
+        def n_files():
+            d = t.get_active_version().storage
+            return len(glob.glob(_os.path.join(d, "**", "*.parquet"), recursive=True))
+
+        for i in range(3):
+            t.append(spark.createDataFrame([(i,)], "k long").coalesce(1))
+            t.flush()
+        assert n_files() == 3  # under threshold: untouched
+        v_before = t.get_active_version().version_id
+        t.append(spark.createDataFrame([(3,)], "k long").coalesce(1))
+        t.flush()  # 4th file -> auto compact
+        assert t.get_active_version().version_id != v_before
+        assert n_files() == 1
+        assert sorted(r["k"] for r in t.read()) == [0, 1, 2, 3]
+        # compaction result is a fresh version; appends keep accreting
+        t.append(spark.createDataFrame([(4,)], "k long").coalesce(1))
+        t.flush()
+        assert n_files() == 2
+        assert sorted(r["k"] for r in t.read()) == [0, 1, 2, 3, 4]
