@@ -24,7 +24,7 @@ if TYPE_CHECKING:  # pragma: no cover
     from ..node.node import Engine
 
 _T = "table_name string, active_version string, n_versions long, record_count long, unique_on string, partition_by string, retention_keep long, has_declared_schema boolean"
-_V = "table_name string, version_id string, is_active boolean, has_data boolean, record_count long, n_files long, n_bytes long"
+_V = "table_name string, version_id string, is_active boolean, has_data boolean, record_count long, n_files long, n_bytes long, tags string"
 _S = "node_id string, table_name string, order_by string, cursor string"
 _E = "ts double, table_name string, kind string, node_id string"
 _C = (
@@ -90,7 +90,8 @@ def system_dataframes(engine: "Engine") -> dict[str, DataFrame]:
             else:
                 d = cat.version_dir(name, vid)
                 nf, nb = _version_files(d) if os.path.isdir(d) else (0, 0)
-            v_rows.append((name, vid, vid == active, nf > 0, counts.get(vid), nf, nb))
+            vtags = ",".join(sorted(tg for tg, tv in (meta.get("tags") or {}).items() if tv == vid))
+            v_rows.append((name, vid, vid == active, nf > 0, counts.get(vid), nf, nb, vtags))
 
     s_rows = [
         (node_id, table, order_by, None if val is None else str(val))
