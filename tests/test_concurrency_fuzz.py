@@ -47,8 +47,17 @@ while True:
         cat.set_manifest("t", vid, ["t/" + vid + "/part-0.parquet"])
         log.write("created " + vid + "\\n")
         try:
-            cat.set_active_version("t", vid, expected_parent=base)
-            log.write("flipped " + vid + " from " + str(base) + "\\n")
+            if rng.random() < 0.5:
+                # batched finalize: count + CAS flip in ONE transaction
+                # (the production write-path shape) — a kill mid-batch
+                # must atomically lose or land BOTH
+                with cat.commit_batch():
+                    cat.set_record_count("t", vid, 1)
+                    cat.set_active_version("t", vid, expected_parent=base)
+                log.write("flipped " + vid + " from " + str(base) + " batched\\n")
+            else:
+                cat.set_active_version("t", vid, expected_parent=base)
+                log.write("flipped " + vid + " from " + str(base) + "\\n")
         except ConcurrentWriteError:
             log.write("refused " + vid + "\\n")
             cat.drop_version("t", vid)
@@ -158,12 +167,20 @@ def test_crash_fuzz_multi_writer(tmp_path, backend):
             if parts[0] == "created":
                 created.add(parts[1])
             elif parts[0] == "flipped":
-                flips.append((parts[1], parts[3]))
+                flips.append((parts[1], parts[3], len(parts) > 4 and parts[4] == "batched"))
     assert len(created) >= 5, "fuzz produced too little work to mean anything"
 
     # 2. CAS linearizability: one successful flip per base version
-    parents = [p for _, p in flips]
+    parents = [p for _, p, _b in flips]
     assert len(parents) == len(set(parents)), "two writers won a CAS from the same base"
+
+    # 2b. batch atomicity: every RETAINED batched flip carries its
+    # batched record_count (count + flip were one transaction; GC may
+    # have dropped old versions entirely, which is fine)
+    retained = set(versions)
+    for vid, _p, batched in flips:
+        if batched and vid in retained:
+            assert cat.get_record_count("t", vid) == 1, f"batched flip {vid} lost its count"
 
     # 3. the active version is real work and its manifest resolves
     if active is not None:
