@@ -503,13 +503,22 @@ def q261(spark, sf_dir):
     from .operators import linkage as link_ops
 
     _p, nf, rt = _linkage_sides(spark, sf_dir)
-    p1 = link_ops.candidate_pairs(
-        nf.withColumn("bk", F.substring("nb", 1, 4)),
-        rt.withColumn("pk", F.substring("p_name", 1, 4)),
-        [("b_type", "p_type"), ("bk", "pk")],
-    ).select("b_id", "p_partkey")
-    p2 = link_ops.candidate_pairs(nf, rt, [("b_digits", "p_digits"), ("b_size", "p_size")]).select(
-        "b_id", "p_partkey"
+    # each pass is consumed twice (directly + via the union) and
+    # all_pairs twice more (scoring + candidate counts): checkpoint the
+    # two pair sets once — 2-column longs, never re-join per consumer
+    p1 = (
+        link_ops.candidate_pairs(
+            nf.withColumn("bk", F.substring("nb", 1, 4)),
+            rt.withColumn("pk", F.substring("p_name", 1, 4)),
+            [("b_type", "p_type"), ("bk", "pk")],
+        )
+        .select("b_id", "p_partkey")
+        .localCheckpoint()
+    )
+    p2 = (
+        link_ops.candidate_pairs(nf, rt, [("b_digits", "p_digits"), ("b_size", "p_size")])
+        .select("b_id", "p_partkey")
+        .localCheckpoint()
     )
     pu = link_ops.union_pair_keys([p1, p2])
     all_pairs = (
