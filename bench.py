@@ -88,6 +88,10 @@ BENCH_QUERIES = [
     # entity resolution: blocked Fellegi-Sunter record linkage (equi-
     # join blocking, integer log-odds scoring, per-id best-match)
     "q260_record_linkage",
+    # corpus-scaled IVF ANN (nlist = n/256, GEMM assignment) and the
+    # CCNet-style per-source line-frequency boilerplate strip
+    "q66_ivf_topk",
+    "q262_boilerplate_lines",
     # corpus batch: DSIR hashed-ngram importance weighting (broadcast
     # 4096-bucket weight table over the token scan)
     "q201_dsir_importance",

@@ -283,6 +283,12 @@ def cmd_list(args) -> int:
                 }
             )
         _print_objects("matviews", rows, pj)
+    elif args.what == "tags":
+        rows = []
+        for name in cat.table_names():
+            for tg, vid in sorted(cat.tags(name).items()):
+                rows.append({"table": name, "tag": tg, "version": vid})
+        _print_objects("tags", rows, pj)
     return 0
 
 
@@ -670,7 +676,7 @@ def main(argv: list[str] | None = None) -> int:
     r.set_defaults(fn=cmd_run)
 
     ls = sub.add_parser("list", help="list catalog/graph objects")
-    ls.add_argument("what", choices=["tables", "nodes", "webhooks", "secrets", "views", "matviews"])
+    ls.add_argument("what", choices=["tables", "nodes", "webhooks", "secrets", "views", "matviews", "tags"])
     ls.add_argument("--json", action="store_true", help="output as JSON Lines")
     ls.set_defaults(fn=cmd_list)
 

@@ -136,6 +136,8 @@ def test_cli_tag_roundtrip(engine, tmp_path):
     assert r.returncode == 0 and "release-1" in r.stdout
     r = cli("tag", "tc")
     assert r.returncode == 0 and f"release-1\t{vid}" in r.stdout
+    r = cli("list", "tags", "--json")
+    assert r.returncode == 0 and '"tag": "release-1"' in r.stdout
     r = cli("tag", "tc", "release-1", "--drop")
     assert r.returncode == 0
     # a fresh process-independent Engine sees the subprocess's drops

@@ -17,10 +17,10 @@ WRITE_PATH_SUITES="tests/test_catalog_backends.py tests/test_snapshot_isolation.
 tests/test_optimistic_concurrency.py tests/test_wap.py tests/test_table_sdk.py \
 tests/test_delete_update.py tests/test_schema_evolution.py tests/test_stream_state.py"
 
-echo "== [1/3] full suite, default backend =="
+echo "== [1/4] full suite, default backend =="
 python -m pytest tests/ -q
 
-echo "== [2/3] sqlite-backend sweep =="
+echo "== [2/4] sqlite-backend sweep =="
 if [[ "${1:-}" == "--fast" ]]; then
   PDS_CATALOG_BACKEND=sqlite python -m pytest $WRITE_PATH_SUITES -q
 else
