@@ -8,7 +8,11 @@ sf_dir = Parameter("sf_dir")
 
 state = State()
 orders_t = Table("orders", "w")
-orders_t.init(add_monotonic_id="mid")
+# auto_compact_after: the two append batches land one file each; the
+# second flush trips the threshold and the engine compacts
+# automatically (a new version — the MV cursor is unaffected because
+# compaction adds no rows above the applied high-water mark)
+orders_t.init(add_monotonic_id="mid", auto_compact_after=2)
 cust_t = Table("cust", "w")
 cust_t.init(add_monotonic_id="mid")
 nation_t = Table("nations", "w")

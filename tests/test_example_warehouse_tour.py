@@ -54,3 +54,20 @@ def test_warehouse_tour_example(engine):
     before = engine.catalog.get_active_version("mart_report")
     runner.run_all()
     assert engine.catalog.get_active_version("mart_report") == before
+
+    # auto_compact_after=2: the second fact batch tripped compaction —
+    # the active orders version is a single file with all rows
+    import glob
+
+    odir = engine.catalog.active_dir("orders_t")
+    assert len(glob.glob(os.path.join(odir, "**", "*.parquet"), recursive=True)) == 1
+
+    # tag the published mart and read it back by name after more churn
+    from patterns_devkit_spark import Table
+
+    with engine.node_context("ops", inputs={"in": "mart_report"}):
+        Table("in", "r").tag("release-1")
+    rows = engine.sql(
+        "SELECT count(*) AS n FROM {{ mart_report@release-1 }}"
+    ).collect()
+    assert rows[0]["n"] == len(expect)
