@@ -690,3 +690,290 @@ def ivf_oracle_sql(
       FROM scored
     ) WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------
+# PQ (product-quantization) ANN — deterministic codebooks + ADC
+# ---------------------------------------------------------------------
+
+def _pq_encode(e: DataFrame, books) -> DataFrame:
+    """(id, s, code): per-subspace nearest codeword by INTEGER squared
+    L2 (numpy first-minimum == smallest code id — books keep code ids
+    ascending). ONE Arrow pass computes all m argmins per batch with
+    the codebooks broadcast in the closure (the _gemm_assign idea per
+    subspace): linear in N, zero shuffle, never a (vec, dim) x codeword
+    exploded join."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    mats = [
+        (np.asarray(cids, dtype="int64"), np.asarray(C, dtype="int64"))
+        for cids, C in books
+    ]
+    dsub = mats[0][1].shape[1]
+
+    def f(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf["ei"].to_numpy()).astype("int64")
+            ids = pdf["id"].to_numpy()
+            out = []
+            for s, (cids, C) in enumerate(mats):
+                Es = E[:, s * dsub:(s + 1) * dsub]
+                d = (
+                    (Es * Es).sum(axis=1)[:, None]
+                    - 2 * (Es @ C.T)
+                    + (C * C).sum(axis=1)[None, :]
+                )
+                a = d.argmin(axis=1)
+                out.append(
+                    pd.DataFrame(
+                        {"id": ids, "s": np.full(len(ids), s, dtype="int32"), "code": cids[a]}
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    schema = T.StructType(
+        [
+            T.StructField("id", e.schema["id"].dataType),
+            T.StructField("s", T.IntegerType()),
+            T.StructField("code", T.LongType()),
+        ]
+    )
+    return e.mapInPandas(f, schema)
+
+
+def pq_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+    shortlist_factor: int = 4,
+) -> DataFrame:
+    """Product-quantization ANN (asymmetric distance computation), the
+    memory-compression member of the ANN family (q37 exact / q38 LSH /
+    q66 IVF): each vector is stored as m one-byte codes instead of dim
+    floats — at 100 TB that is the difference between an index that
+    fits executor memory (8 bytes/vector at m=8) and one that does not
+    (256 bytes/vector), which is why IVF-PQ is the canonical
+    billion-vector layout.
+
+    Deterministic, oracle-replayable training: integer micro-unit
+    quantization, per-subspace codebooks seeded from the n_codes
+    smallest ids, ONE exact integer Lloyd round (encode -> floor-mean
+    update -> encode). Codebook size is corpus-scaled
+    least(256, greatest(16, n // 64)) — grows from 16 on tiny fixtures
+    and caps at the classic 256 (one byte per subspace). Query scoring
+    is ADC: an (n_queries x m x n_codes) integer distance-table join —
+    the table is tiny and broadcast — then sum-of-lookups per
+    candidate, a shortlist of shortlist_factor*k by (adist, id), and
+    exact cosine re-rank of the shortlist only. Every quantizer and
+    shortlist decision is int64 arithmetic, so pq_oracle_sql replays
+    the identical codebooks, codes, and shortlist in DuckDB and the
+    driver hash-checks the approximate pipeline itself.
+
+    100 TB shape: encoding is one Arrow GEMM pass (zero shuffle); ADC
+    is a broadcast join on (s, code) followed by a (query, candidate)
+    hash-agg — no all-pairs on raw vectors; only shortlist_factor*k
+    rows per query ever touch the full-precision embeddings."""
+    sc = candidates.sparkSession.sparkContext
+    spark = candidates.sparkSession
+    e = (
+        candidates.select(F.col(id_col).alias("id"), quantized_embedding(vec_col).alias("ei"))
+        .repartition(sc.defaultParallelism)
+        .localCheckpoint()
+    )
+    import numpy as np
+
+    n = e.count()
+    n_codes = min(256, max(16, n // 64))
+    dsub = dim // m
+    shortlist = shortlist_factor * k
+
+    seed_rows = e.orderBy("id").limit(n_codes).collect()
+    S = np.array([r["ei"] for r in seed_rows], dtype="int64")
+    ids0 = np.arange(len(seed_rows), dtype="int64")
+    books0 = [(ids0, S[:, s * dsub:(s + 1) * dsub]) for s in range(m)]
+    a1 = _pq_encode(e, books0)
+
+    e_sub = e.select("id", F.posexplode("ei").alias("d", "v")).select(
+        "id",
+        (F.col("d") / dsub).cast("int").alias("s"),
+        (F.col("d") % dsub).cast("int").alias("j"),
+        "v",
+    )
+    cent1 = (
+        e_sub.join(a1, ["id", "s"])
+        .groupBy("s", "code", "j")
+        .agg(F.floor(F.sum("v") / F.count(F.lit(1))).cast("long").alias("c"))
+    )
+    c1_rows = cent1.collect()  # <= m * n_codes * dsub rows (16k max)
+    books1 = []
+    for s in range(m):
+        rows_s = [r for r in c1_rows if r["s"] == s]
+        live = sorted({r["code"] for r in rows_s})
+        cmap = {c: i for i, c in enumerate(live)}
+        C = np.zeros((len(live), dsub), dtype="int64")
+        for r in rows_s:
+            C[cmap[r["code"]], r["j"]] = r["c"]
+        books1.append((np.array(live, dtype="int64"), C))
+    a2 = _pq_encode(e, books1)
+
+    # ADC tables against the COLLECTED centroids (tiny, broadcast) —
+    # the cent1 subtree never evaluates a second time.
+    cent1_local = F.broadcast(
+        spark.createDataFrame(
+            [(int(r["s"]), int(r["code"]), int(r["j"]), int(r["c"])) for r in c1_rows],
+            "s int, code long, j int, c long",
+        )
+    )
+    q_sub = (
+        queries.select(F.col(id_col).alias("id"), quantized_embedding(vec_col).alias("ei"))
+        .select("id", F.posexplode("ei").alias("d", "v"))
+        .select(
+            "id",
+            (F.col("d") / dsub).cast("int").alias("s"),
+            (F.col("d") % dsub).cast("int").alias("j"),
+            "v",
+        )
+    )
+    qtab = (
+        q_sub.join(cent1_local, ["s", "j"])
+        .groupBy("id", "s", "code")
+        .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("pd"))
+        .select(F.col("id").alias("query_id"), "s", "code", "pd")
+    )
+    adist = (
+        a2.select(F.col("id").alias("neighbor_id"), "s", "code")
+        .join(F.broadcast(qtab), ["s", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("pd").alias("adist"))
+    )
+    w_short = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("neighbor_id").asc())
+    short = (
+        adist.withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+
+    from .similarity import with_norm, cosine
+
+    qv = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("__vec").alias("qv"), F.col("__norm").alias("qn")
+    )
+    cv = with_norm(candidates, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("__vec").alias("cv"), F.col("__norm").alias("cn")
+    )
+    scored = short.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id").select(
+        "query_id", "neighbor_id", cosine("qv", "cv", "qn", "cn").alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cos", 6).alias("cosine"),
+        )
+    )
+
+
+def pq_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: str = "vec_id < 20",
+    k: int = 5,
+    m: int = 8,
+    dim: int = 64,
+    shortlist_factor: int = 4,
+) -> str:
+    """DuckDB SQL replaying pq_topk exactly: same integer quantization,
+    seed rule, encode/update/encode tie rules (ORDER BY dist, code ==
+    numpy first-minimum over ascending code ids), ADC sums, and
+    (adist, id) shortlist — with the corpus-scaled codebook size
+    derived by the same scalar subquery."""
+    dsub = dim // m
+    shortlist = shortlist_factor * k
+    return f"""
+    WITH e AS (
+      SELECT {id_col} AS id,
+             list_transform({vec_col}::DOUBLE[], x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS ei
+      FROM {table}
+    ),
+    ks AS (SELECT least(256, greatest(16, count(*) // 64)) AS ks FROM e),
+    ep AS (
+      SELECT id, CAST((i - 1) // {dsub} AS INT) AS s, CAST((i - 1) % {dsub} AS INT) AS j,
+             ei[CAST(i AS INT)] AS v
+      FROM e, unnest(range(1, {dim + 1})) AS u(i)
+    ),
+    seeds AS (
+      SELECT id, CAST(rn - 1 AS BIGINT) AS code FROM (
+        SELECT id, row_number() OVER (ORDER BY id) AS rn FROM e)
+      WHERE rn <= (SELECT ks FROM ks)
+    ),
+    c0 AS (SELECT sd.code, ep.s, ep.j, ep.v AS c FROM seeds sd JOIN ep ON ep.id = sd.id),
+    d1 AS (
+      SELECT ep.id, ep.s, c0.code, sum((ep.v - c0.c) * (ep.v - c0.c)) AS dist
+      FROM ep JOIN c0 ON ep.s = c0.s AND ep.j = c0.j GROUP BY 1, 2, 3
+    ),
+    a1 AS (
+      SELECT id, s, code FROM (
+        SELECT id, s, code, row_number() OVER (PARTITION BY id, s ORDER BY dist, code) AS rn FROM d1
+      ) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT a1.s, a1.code, ep.j,
+             CAST(floor(CAST(sum(ep.v) AS DOUBLE) / count(*)) AS BIGINT) AS c
+      FROM ep JOIN a1 ON ep.id = a1.id AND ep.s = a1.s GROUP BY 1, 2, 3
+    ),
+    d2 AS (
+      SELECT ep.id, c1.s, c1.code, sum((ep.v - c1.c) * (ep.v - c1.c)) AS dist
+      FROM ep JOIN c1 ON ep.s = c1.s AND ep.j = c1.j GROUP BY 1, 2, 3
+    ),
+    a2 AS (
+      SELECT id, s, code FROM (
+        SELECT id, s, code, row_number() OVER (PARTITION BY id, s ORDER BY dist, code) AS rn FROM d2
+      ) WHERE rn = 1
+    ),
+    qtab AS (
+      SELECT ep.id AS query_id, c1.s, c1.code, sum((ep.v - c1.c) * (ep.v - c1.c)) AS pd
+      FROM ep JOIN c1 ON ep.s = c1.s AND ep.j = c1.j
+      WHERE ep.id IN (SELECT {id_col} FROM {table} WHERE {query_pred})
+      GROUP BY 1, 2, 3
+    ),
+    adist AS (
+      SELECT q.query_id, a2.id AS neighbor_id, sum(q.pd) AS adist
+      FROM a2 JOIN qtab q ON a2.s = q.s AND a2.code = q.code
+      WHERE a2.id <> q.query_id
+      GROUP BY 1, 2
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+        FROM adist
+      ) WHERE rn <= {shortlist}
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             list_cosine_similarity(qe.{vec_col}::DOUBLE[], ce.{vec_col}::DOUBLE[]) AS cos
+      FROM short
+      JOIN {table} qe ON qe.{id_col} = query_id
+      JOIN {table} ce ON ce.{id_col} = neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cosine
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """

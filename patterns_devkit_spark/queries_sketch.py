@@ -801,3 +801,25 @@ def q200(spark, sf_dir):
             "CAST(abs(est_p50_cents - exact_p50_cents) * 1000 DIV exact_p50_cents AS BIGINT)"
         ).alias("err_abs_permille"),
     )
+
+
+# =====================================================================
+# q263 — product-quantization ANN (ADC + exact re-rank)
+# =====================================================================
+
+from .operators import det_hash as _dh  # noqa: E402
+
+
+@query("q263_pq_ann", _dh.pq_oracle_sql())
+def q263(spark, sf_dir):
+    """PQ ANN completes the ANN family's 100 TB memory story: q37 is
+    the exact baseline, q38 buckets by hash (LSH), q66 partitions the
+    corpus (IVF) — q263 COMPRESSES it (8 one-byte codes per vector vs
+    256 bytes of floats; IVF-PQ is the canonical billion-vector
+    layout). Deterministic corpus-scaled codebooks, asymmetric-
+    distance shortlist, exact cosine re-rank of the shortlist only;
+    the DuckDB oracle replays codebook training, encoding, ADC sums
+    and the shortlist bit-for-bit (operators/det_hash.py pq_topk)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return _dh.pq_topk(emb, queries_df, k=5)
