@@ -92,6 +92,11 @@ BENCH_QUERIES = [
     # CCNet-style per-source line-frequency boilerplate strip
     "q66_ivf_topk",
     "q262_boilerplate_lines",
+    # compressed ANN: flat product quantization (ADC + exact re-rank)
+    # and the composed IVF-PQ residual layout (probed cells x 8-byte
+    # codes — the billion-vector memory shape)
+    "q263_pq_ann",
+    "q264_ivfpq_ann",
     # corpus batch: DSIR hashed-ngram importance weighting (broadcast
     # 4096-bucket weight table over the token scan)
     "q201_dsir_importance",

@@ -977,3 +977,375 @@ def pq_oracle_sql(
       FROM scored
     ) WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------
+# IVF-PQ ANN — coarse cells + product-quantized residuals
+# ---------------------------------------------------------------------
+
+def _residuals(e: DataFrame, C, cids) -> DataFrame:
+    """(id, cid, ei): nearest coarse centroid (int64 GEMM, first-min =
+    smallest cid) and the RESIDUAL vector v - centroid — one Arrow pass,
+    zero shuffle. Deterministically identical to _gemm_assign on the
+    same (C, cids), so the oracle's assign-then-subtract join replays
+    it bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    C = np.asarray(C, dtype="int64")
+    cids = np.asarray(cids, dtype="int64")
+    c_sq = (C * C).sum(axis=1)
+
+    def f(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf["ei"].to_numpy()).astype("int64")
+            d = (E * E).sum(axis=1)[:, None] - 2 * (E @ C.T) + c_sq[None, :]
+            a = d.argmin(axis=1)
+            R = E - C[a]
+            yield pd.DataFrame(
+                {"id": pdf["id"].to_numpy(), "cid": cids[a], "ei": list(R)}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", e.schema["id"].dataType),
+            T.StructField("cid", T.LongType()),
+            T.StructField("ei", T.ArrayType(T.LongType())),
+        ]
+    )
+    return e.mapInPandas(f, schema)
+
+
+def ivfpq_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+    shortlist_factor: int = 4,
+) -> DataFrame:
+    """IVF-PQ: the composition the billion-vector deployments actually
+    ship (FAISS's IVFADC layout) — q66's corpus-scaled coarse quantizer
+    routes each vector to a cell, q263's product quantizer compresses
+    the RESIDUAL (v - cell centroid) to m one-byte codes, and queries
+    score candidates only inside their probed cells by asymmetric
+    distance against per-(query, cell) residual tables. This closes the
+    cliff SCALE.md §69 names for the flat quantizers: at ~10M+ vectors
+    a flat PQ scan is still O(N) per query, and a flat IVF cell scan
+    still reads full-precision vectors — composed, candidate generation
+    touches n_probe/n_list of the corpus AND reads 8-byte codes instead
+    of 256-byte vectors; only the shortlist touches raw embeddings.
+
+    Everything is the same deterministic integer machinery as its two
+    parents (corpus-scaled cell count / codebook size, smallest-id
+    seeds, one exact floor-mean Lloyd round each, dist/id tie rules),
+    so ivfpq_oracle_sql replays routing, residuals, codebooks, codes,
+    ADC sums and the shortlist bit-for-bit in DuckDB."""
+    sc = candidates.sparkSession.sparkContext
+    spark = candidates.sparkSession
+    e = (
+        candidates.select(F.col(id_col).alias("id"), quantized_embedding(vec_col).alias("ei"))
+        .repartition(sc.defaultParallelism)
+        .localCheckpoint()
+    )
+    import numpy as np
+
+    n = e.count()
+    nlist = max(16, n // 256)
+    npb = max(4, nlist // 8)
+    n_codes = min(256, max(16, n // 64))
+    dsub = dim // m
+    shortlist = shortlist_factor * k
+
+    # --- coarse quantizer (identical rules to ivf_topk) ---
+    seed_rows = e.orderBy("id").limit(nlist).collect()
+    C0 = np.array([r["ei"] for r in seed_rows], dtype="int64")
+    a1 = _gemm_assign(e, C0, np.arange(len(seed_rows), dtype="int64"))
+    e_pos = e.select("id", F.posexplode("ei").alias("d", "v"))
+    cent1 = (
+        e_pos.join(a1, "id")
+        .groupBy("cid", "d")
+        .agg(F.floor(F.sum("v") / F.count(F.lit(1))).cast("long").alias("c"))
+    )
+    c1_rows = cent1.collect()
+    live = sorted({r["cid"] for r in c1_rows})
+    cmap = {cid: i for i, cid in enumerate(live)}
+    C1 = np.zeros((len(live), C0.shape[1]), dtype="int64")
+    for r in c1_rows:
+        C1[cmap[r["cid"]], r["d"]] = r["c"]
+
+    # --- residuals + PQ codebooks on residuals ---
+    res = _residuals(e, C1, np.array(live, dtype="int64")).localCheckpoint()
+    rseed_rows = res.orderBy("id").limit(n_codes).collect()
+    S = np.array([r["ei"] for r in rseed_rows], dtype="int64")
+    ids0 = np.arange(len(rseed_rows), dtype="int64")
+    books0 = [(ids0, S[:, s * dsub:(s + 1) * dsub]) for s in range(m)]
+    p1 = _pq_encode(res, books0)
+    r_sub = res.select("id", F.posexplode("ei").alias("d", "v")).select(
+        "id",
+        (F.col("d") / dsub).cast("int").alias("s"),
+        (F.col("d") % dsub).cast("int").alias("j"),
+        "v",
+    )
+    pcent1 = (
+        r_sub.join(p1, ["id", "s"])
+        .groupBy("s", "code", "j")
+        .agg(F.floor(F.sum("v") / F.count(F.lit(1))).cast("long").alias("c"))
+    )
+    pc_rows = pcent1.collect()
+    books1 = []
+    for s in range(m):
+        rows_s = [r for r in pc_rows if r["s"] == s]
+        plive = sorted({r["code"] for r in rows_s})
+        pmap = {c: i for i, c in enumerate(plive)}
+        C = np.zeros((len(plive), dsub), dtype="int64")
+        for r in rows_s:
+            C[pmap[r["code"]], r["j"]] = r["c"]
+        books1.append((np.array(plive, dtype="int64"), C))
+    codes = _pq_encode(res, books1)
+    cells = res.select("id", "cid")
+
+    # --- query side: probe cells, per-(query, cell) residual ADC ---
+    cent1_local = F.broadcast(
+        spark.createDataFrame(
+            [(int(r["cid"]), int(r["d"]), int(r["c"])) for r in c1_rows],
+            "cid long, d int, c long",
+        )
+    )
+    pcent1_local = F.broadcast(
+        spark.createDataFrame(
+            [(int(r["s"]), int(r["code"]), int(r["j"]), int(r["c"])) for r in pc_rows],
+            "s int, code long, j int, c long",
+        )
+    )
+    q_pos = (
+        queries.select(F.col(id_col).alias("id"), quantized_embedding(vec_col).alias("ei"))
+        .select("id", F.posexplode("ei").alias("d", "v"))
+    )
+    qd = (
+        q_pos.join(cent1_local, "d")
+        .groupBy("id", "cid")
+        .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("dist"))
+    )
+    w_probe = Window.partitionBy("id").orderBy(F.col("dist").asc(), F.col("cid").asc())
+    probe = (
+        qd.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= npb)
+        .select(F.col("id").alias("query_id"), "cid")
+    )
+    qres_sub = (
+        q_pos.withColumnRenamed("id", "query_id")
+        .join(cent1_local, "d")
+        .join(F.broadcast(probe), ["query_id", "cid"])
+        .select(
+            "query_id",
+            "cid",
+            (F.col("d") / dsub).cast("int").alias("s"),
+            (F.col("d") % dsub).cast("int").alias("j"),
+            (F.col("v") - F.col("c")).alias("rv"),
+        )
+    )
+    qtab = (
+        qres_sub.join(pcent1_local, ["s", "j"])
+        .groupBy("query_id", "cid", "s", "code")
+        .agg(F.sum((F.col("rv") - F.col("c")) * (F.col("rv") - F.col("c"))).alias("pd"))
+    )
+    cand = (
+        cells.withColumnRenamed("id", "neighbor_id")
+        .join(F.broadcast(probe), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    adist = (
+        cand.join(codes.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(qtab), ["query_id", "cid", "s", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("pd").alias("adist"))
+    )
+    w_short = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("neighbor_id").asc())
+    short = (
+        adist.withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+
+    from .similarity import with_norm, cosine
+
+    qv = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("__vec").alias("qv"), F.col("__norm").alias("qn")
+    )
+    cv = with_norm(candidates, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("__vec").alias("cv"), F.col("__norm").alias("cn")
+    )
+    scored = short.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id").select(
+        "query_id", "neighbor_id", cosine("qv", "cv", "qn", "cn").alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cos", 6).alias("cosine"),
+        )
+    )
+
+
+def ivfpq_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: str = "vec_id < 20",
+    k: int = 5,
+    m: int = 8,
+    dim: int = 64,
+    shortlist_factor: int = 4,
+) -> str:
+    """DuckDB SQL replaying ivfpq_topk end-to-end: the q66 coarse
+    quantizer CTEs, residual subtraction through the final assignment,
+    the q263 PQ CTEs retrained on residuals, per-(query, probed-cell)
+    residual ADC tables, and the (adist, id) shortlist — cell count,
+    probe width and codebook size derived by the same scalar
+    subqueries."""
+    dsub = dim // m
+    shortlist = shortlist_factor * k
+    return f"""
+    WITH e AS (
+      SELECT {id_col} AS id,
+             list_transform({vec_col}::DOUBLE[], x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS ei
+      FROM {table}
+    ),
+    nc AS (SELECT greatest(16, count(*) // 256) AS nc FROM e),
+    npb AS (SELECT greatest(4, nc // 8) AS npb FROM nc),
+    ks AS (SELECT least(256, greatest(16, count(*) // 64)) AS ks FROM e),
+    ep AS (
+      SELECT id, CAST(i AS INT) AS d, ei[CAST(i AS INT)] AS v
+      FROM e, unnest(range(1, {dim + 1})) AS u(i)
+    ),
+    seeds AS (
+      SELECT id, CAST(rn - 1 AS INT) AS cid FROM (
+        SELECT id, row_number() OVER (ORDER BY id) AS rn FROM e)
+      WHERE rn <= (SELECT nc FROM nc)
+    ),
+    c0 AS (SELECT s.cid, ep.d, ep.v AS c FROM seeds s JOIN ep ON ep.id = s.id),
+    d1 AS (
+      SELECT ep.id, c0.cid, sum((ep.v - c0.c) * (ep.v - c0.c)) AS dist
+      FROM ep JOIN c0 ON ep.d = c0.d GROUP BY ep.id, c0.cid
+    ),
+    a1 AS (
+      SELECT id, cid FROM (
+        SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn FROM d1
+      ) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT a1.cid, ep.d, CAST(floor(CAST(sum(ep.v) AS DOUBLE) / count(*)) AS BIGINT) AS c
+      FROM ep JOIN a1 ON ep.id = a1.id GROUP BY a1.cid, ep.d
+    ),
+    d2 AS (
+      SELECT ep.id, c1.cid, sum((ep.v - c1.c) * (ep.v - c1.c)) AS dist
+      FROM ep JOIN c1 ON ep.d = c1.d GROUP BY ep.id, c1.cid
+    ),
+    a2 AS (
+      SELECT id, cid FROM (
+        SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn FROM d2
+      ) WHERE rn = 1
+    ),
+    rsub AS (
+      SELECT ep.id, a2.cid,
+             CAST((ep.d - 1) // {dsub} AS INT) AS s,
+             CAST((ep.d - 1) % {dsub} AS INT) AS j,
+             ep.v - c1.c AS v
+      FROM ep
+      JOIN a2 ON ep.id = a2.id
+      JOIN c1 ON c1.cid = a2.cid AND c1.d = ep.d
+    ),
+    pseeds AS (
+      SELECT id, CAST(rn - 1 AS BIGINT) AS code FROM (
+        SELECT id, row_number() OVER (ORDER BY id) AS rn FROM e)
+      WHERE rn <= (SELECT ks FROM ks)
+    ),
+    pc0 AS (SELECT sd.code, r.s, r.j, r.v AS c FROM pseeds sd JOIN rsub r ON r.id = sd.id),
+    pd1 AS (
+      SELECT r.id, r.s, pc0.code, sum((r.v - pc0.c) * (r.v - pc0.c)) AS dist
+      FROM rsub r JOIN pc0 ON r.s = pc0.s AND r.j = pc0.j GROUP BY 1, 2, 3
+    ),
+    pa1 AS (
+      SELECT id, s, code FROM (
+        SELECT id, s, code, row_number() OVER (PARTITION BY id, s ORDER BY dist, code) AS rn FROM pd1
+      ) WHERE rn = 1
+    ),
+    pc1 AS (
+      SELECT pa1.s, pa1.code, r.j,
+             CAST(floor(CAST(sum(r.v) AS DOUBLE) / count(*)) AS BIGINT) AS c
+      FROM rsub r JOIN pa1 ON r.id = pa1.id AND r.s = pa1.s GROUP BY 1, 2, 3
+    ),
+    pd2 AS (
+      SELECT r.id, pc1.s, pc1.code, sum((r.v - pc1.c) * (r.v - pc1.c)) AS dist
+      FROM rsub r JOIN pc1 ON r.s = pc1.s AND r.j = pc1.j GROUP BY 1, 2, 3
+    ),
+    pa2 AS (
+      SELECT id, s, code FROM (
+        SELECT id, s, code, row_number() OVER (PARTITION BY id, s ORDER BY dist, code) AS rn FROM pd2
+      ) WHERE rn = 1
+    ),
+    qd AS (
+      SELECT ep.id, c1.cid, sum((ep.v - c1.c) * (ep.v - c1.c)) AS dist
+      FROM ep JOIN c1 ON ep.d = c1.d
+      WHERE ep.id IN (SELECT {id_col} FROM {table} WHERE {query_pred})
+      GROUP BY ep.id, c1.cid
+    ),
+    probe AS (
+      SELECT id AS query_id, cid FROM (
+        SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn FROM qd
+      ) WHERE rn <= (SELECT npb FROM npb)
+    ),
+    qres AS (
+      SELECT p.query_id, p.cid,
+             CAST((ep.d - 1) // {dsub} AS INT) AS s,
+             CAST((ep.d - 1) % {dsub} AS INT) AS j,
+             ep.v - c1.c AS rv
+      FROM probe p
+      JOIN ep ON ep.id = p.query_id
+      JOIN c1 ON c1.cid = p.cid AND c1.d = ep.d
+    ),
+    qtab AS (
+      SELECT q.query_id, q.cid, pc1.s, pc1.code, sum((q.rv - pc1.c) * (q.rv - pc1.c)) AS pd
+      FROM qres q JOIN pc1 ON q.s = pc1.s AND q.j = pc1.j
+      GROUP BY 1, 2, 3, 4
+    ),
+    adist AS (
+      SELECT p.query_id, a2.id AS neighbor_id, sum(qt.pd) AS adist
+      FROM a2
+      JOIN probe p ON a2.cid = p.cid AND a2.id <> p.query_id
+      JOIN pa2 ON pa2.id = a2.id
+      JOIN qtab qt ON qt.query_id = p.query_id AND qt.cid = p.cid
+                  AND qt.s = pa2.s AND qt.code = pa2.code
+      GROUP BY 1, 2
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+        FROM adist
+      ) WHERE rn <= {shortlist}
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             list_cosine_similarity(qe.{vec_col}::DOUBLE[], ce.{vec_col}::DOUBLE[]) AS cos
+      FROM short
+      JOIN {table} qe ON qe.{id_col} = query_id
+      JOIN {table} ce ON ce.{id_col} = neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cosine
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """

@@ -823,3 +823,16 @@ def q263(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 20)
     return _dh.pq_topk(emb, queries_df, k=5)
+
+
+@query("q264_ivfpq_ann", _dh.ivfpq_oracle_sql())
+def q264(spark, sf_dir):
+    """IVF-PQ (FAISS's IVFADC layout): q66's coarse cells route the
+    query, q263's product quantizer compresses the RESIDUALS, and ADC
+    scores 8-byte codes inside probed cells only — the layout that
+    makes billion-vector ANN fit executor memory. The DuckDB oracle
+    replays routing, residuals, codebooks and the shortlist
+    bit-for-bit (operators/det_hash.py ivfpq_topk)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return _dh.ivfpq_topk(emb, queries_df, k=5)

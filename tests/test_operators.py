@@ -287,6 +287,22 @@ def test_pq_topk_recall_against_exact(spark, sf_dir):
     assert recall >= 0.4, f"PQ recall@5 too low: {recall:.2f}"
 
 
+def test_ivfpq_topk_recall_against_exact(spark, sf_dir):
+    """IVF-PQ's probed-cell + compressed-residual shortlist must still
+    surface true near neighbors (q264's oracle covers cross-engine
+    equality; this gates usefulness of the composed approximation)."""
+    from patterns_devkit_spark.operators.det_hash import ivfpq_topk
+    from patterns_devkit_spark.operators.similarity import cosine_topk
+    from patterns_devkit_spark.queries import t
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, queries_df, k=5).collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in ivfpq_topk(emb, queries_df, k=5).collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.3, f"IVF-PQ recall@5 too low: {recall:.2f}"
+
+
 def test_bottomk_fingerprint_identity_and_stability(spark):
     """Identical texts share the exact sketch; different texts don't."""
     from patterns_devkit_spark.operators.text import bottomk_fingerprint
