@@ -446,6 +446,17 @@ def ann_oracle_sql(
 # IVF (inverted-file) ANN — deterministic coarse quantizer
 # ---------------------------------------------------------------------
 
+def _ann_partitions(sc, n: int) -> int:
+    """Partition count for a quantized-vector frame: ~4k vectors per
+    task, capped by the cluster's parallelism. At fixture scale this
+    collapses the 32-way default to a couple of tasks (checkpoint and
+    python-worker batch latency dominate down there); at real corpus
+    sizes it returns defaultParallelism. Pure layout — never affects
+    results (all downstream decisions are per-row GEMMs and
+    order-independent integer aggregations)."""
+    return max(2, min(sc.defaultParallelism, n // 4096 + 1))
+
+
 def _ivf_assign(e_pos: DataFrame, cent: DataFrame) -> DataFrame:
     """(id, cid): nearest centroid by INTEGER squared L2 (ties to the
     smaller cid). Join on dimension -> per-(id,cid) integer distance
@@ -527,13 +538,14 @@ def ivf_topk(
     q38's hyperplane LSH, the approximate path itself is hash-checked,
     complementing it as the partition-based (vs hash-based) ANN family."""
     sc = candidates.sparkSession.sparkContext
+    n = candidates.count()
     e = (
         candidates.select(F.col(id_col).alias("id"), quantized_embedding(vec_col).alias("ei"))
-        .repartition(sc.defaultParallelism)
+        .repartition(_ann_partitions(sc, n))
         .localCheckpoint()
     )
     if n_clusters is None:
-        n_clusters = max(16, e.count() // 256)
+        n_clusters = max(16, n // 256)
     if n_probe is None:
         n_probe = max(4, n_clusters // 8)
     seed_rows = e.orderBy("id").limit(n_clusters).collect()
@@ -784,14 +796,14 @@ def pq_topk(
     rows per query ever touch the full-precision embeddings."""
     sc = candidates.sparkSession.sparkContext
     spark = candidates.sparkSession
+    n = candidates.count()
     e = (
         candidates.select(F.col(id_col).alias("id"), quantized_embedding(vec_col).alias("ei"))
-        .repartition(sc.defaultParallelism)
+        .repartition(_ann_partitions(sc, n))
         .localCheckpoint()
     )
     import numpy as np
 
-    n = e.count()
     n_codes = min(256, max(16, n // 64))
     dsub = dim // m
     shortlist = shortlist_factor * k
@@ -1049,14 +1061,14 @@ def ivfpq_topk(
     ADC sums and the shortlist bit-for-bit in DuckDB."""
     sc = candidates.sparkSession.sparkContext
     spark = candidates.sparkSession
+    n = candidates.count()
     e = (
         candidates.select(F.col(id_col).alias("id"), quantized_embedding(vec_col).alias("ei"))
-        .repartition(sc.defaultParallelism)
+        .repartition(_ann_partitions(sc, n))
         .localCheckpoint()
     )
     import numpy as np
 
-    n = e.count()
     nlist = max(16, n // 256)
     npb = max(4, nlist // 8)
     n_codes = min(256, max(16, n // 64))

@@ -836,3 +836,215 @@ def q264(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 20)
     return _dh.ivfpq_topk(emb, queries_df, k=5)
+
+
+# =====================================================================
+# sdk15 — incremental ANN index maintenance THROUGH the engine
+# =====================================================================
+
+_SDK15_ORACLE = """
+    WITH e AS (
+      SELECT vec_id AS id, label,
+             list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS ei
+      FROM embeddings
+    ),
+    h AS (SELECT id, ei FROM e WHERE label <> 0),
+    nc AS (SELECT greatest(16, count(*) // 256) AS nc FROM h),
+    npb AS (SELECT greatest(4, nc // 8) AS npb FROM nc),
+    hp AS (
+      SELECT id, CAST(i AS INT) AS d, ei[CAST(i AS INT)] AS v
+      FROM h, unnest(range(1, 65)) AS u(i)
+    ),
+    seeds AS (
+      SELECT id, CAST(rn - 1 AS INT) AS cid FROM (
+        SELECT id, row_number() OVER (ORDER BY id) AS rn FROM h)
+      WHERE rn <= (SELECT nc FROM nc)
+    ),
+    c0 AS (SELECT s.cid, hp.d, hp.v AS c FROM seeds s JOIN hp ON hp.id = s.id),
+    d1 AS (
+      SELECT hp.id, c0.cid, sum((hp.v - c0.c) * (hp.v - c0.c)) AS dist
+      FROM hp JOIN c0 ON hp.d = c0.d GROUP BY hp.id, c0.cid
+    ),
+    a1 AS (
+      SELECT id, cid FROM (
+        SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn FROM d1
+      ) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT a1.cid, hp.d, CAST(floor(CAST(sum(hp.v) AS DOUBLE) / count(*)) AS BIGINT) AS c
+      FROM hp JOIN a1 ON hp.id = a1.id GROUP BY a1.cid, hp.d
+    ),
+    ap AS (
+      SELECT id, CAST(i AS INT) AS d, ei[CAST(i AS INT)] AS v
+      FROM e, unnest(range(1, 65)) AS u(i)
+    ),
+    d2 AS (
+      SELECT ap.id, c1.cid, sum((ap.v - c1.c) * (ap.v - c1.c)) AS dist
+      FROM ap JOIN c1 ON ap.d = c1.d GROUP BY ap.id, c1.cid
+    ),
+    a2 AS (
+      SELECT id, cid FROM (
+        SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn FROM d2
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT id AS query_id, cid FROM (
+        SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn
+        FROM d2 WHERE id < 20
+      ) WHERE rn <= (SELECT npb FROM npb)
+    ),
+    pairs AS (
+      SELECT DISTINCT p.query_id, a2.id AS neighbor_id
+      FROM probe p JOIN a2 ON a2.cid = p.cid
+      WHERE a2.id <> p.query_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]) AS cos
+      FROM pairs
+      JOIN embeddings qe ON qe.vec_id = query_id
+      JOIN embeddings ce ON ce.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cosine
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@query("sdk15_ann_index_incremental", _SDK15_ORACLE)
+def sdk15(spark, sf_dir):
+    """Incremental ANN index maintenance through the engine — the
+    production pattern at 100 TB, where retraining the quantizer on
+    every append (O(corpus)) is the trap and the right shape is
+    train-once / encode-increments (O(batch)):
+
+      1. train the q66 coarse quantizer on the HISTORICAL slice only
+         (label <> 0) and persist the centroid table in an engine
+         table (tiny broadcastable state, versioned like any table);
+      2. encode history into a cid-PARTITIONED index table
+         (init(partition_by='cid') — per-cell reads become partition
+         pruning at scan time);
+      3. when the new batch (label = 0) arrives, read the centroids
+         BACK from the table and encode with FROZEN codebooks — a
+         second append, batch-proportional, no retrain, idempotent
+         to retry at the version level;
+      4. answer queries by probing cells against the stored centroids
+         with candidates drawn from the two-append index, exact
+         cosine re-rank on the shortlist only.
+
+    The oracle states the whole lifecycle in closed form (train on
+    history, frozen-encode everything, probe) — bit-identical because
+    every quantizer decision is the same int64 arithmetic as q66/q264.
+    Complements sdk11 (incremental exact-dedup state) with the
+    index-structure analogue."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from .node.node import Table
+    from .operators import det_hash as dh
+    from .queries import _temp_engine
+
+    emb = t(spark, sf_dir, "embeddings")
+    sc = spark.sparkContext
+    n_all = emb.count()
+    e_all = (
+        emb.select(
+            F.col("vec_id").alias("id"), "label", quantized_embedding("embedding").alias("ei")
+        )
+        .repartition(dh._ann_partitions(sc, n_all))
+        .localCheckpoint()
+    )
+    e_hist = e_all.filter(F.col("label") != 0).select("id", "ei")
+    e_batch = e_all.filter(F.col("label") == 0).select("id", "ei")
+
+    n_hist = e_hist.count()
+    nlist = max(16, n_hist // 256)
+    npb = max(4, nlist // 8)
+    seed_rows = e_hist.orderBy("id").limit(nlist).collect()
+    C0 = np.array([r["ei"] for r in seed_rows], dtype="int64")
+    a1 = dh._gemm_assign(e_hist, C0, np.arange(len(seed_rows), dtype="int64"))
+    e_pos = e_hist.select("id", F.posexplode("ei").alias("d", "v"))
+    cent1 = (
+        e_pos.join(a1, "id")
+        .groupBy("cid", "d")
+        .agg(F.floor(F.sum("v") / F.count(F.lit(1))).cast("long").alias("c"))
+    )
+    c1_rows = cent1.collect()
+
+    eng = _temp_engine(spark)
+    with eng.node_context("annidx", outputs={"cent": "ann_centroids", "idx": "ann_index"}):
+        cent_t = Table("cent", "w")
+        idx_t = Table("idx", "w")
+        idx_t.init(partition_by="cid")
+        cent_t.replace(
+            spark.createDataFrame(
+                [(int(r["cid"]), int(r["d"]), int(r["c"])) for r in c1_rows],
+                "cid long, d int, c long",
+            ).coalesce(1)
+        )
+        cent_t.flush()
+
+        # frozen codebooks come BACK off the table for every encode
+        stored = cent_t.read_spark().collect()
+        live = sorted({r["cid"] for r in stored})
+        cmap = {cid: i for i, cid in enumerate(live)}
+        dimn = 1 + max(r["d"] for r in stored)
+        C1 = np.zeros((len(live), dimn), dtype="int64")
+        for r in stored:
+            C1[cmap[r["cid"]], r["d"]] = r["c"]
+        lv = np.array(live, dtype="int64")
+        idx_t.append(dh._gemm_assign(e_hist, C1, lv))
+        idx_t.flush()
+        idx_t.append(dh._gemm_assign(e_batch, C1, lv))
+        idx_t.flush()
+
+        cent_local = F.broadcast(cent_t.read_spark())
+        q_pos = e_all.filter(F.col("id") < 20).select("id", F.posexplode("ei").alias("d", "v"))
+        qd = (
+            q_pos.join(cent_local, "d")
+            .groupBy("id", "cid")
+            .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("dist"))
+        )
+        w_probe = Window.partitionBy("id").orderBy(F.col("dist").asc(), F.col("cid").asc())
+        probe = (
+            qd.withColumn("rn", F.row_number().over(w_probe))
+            .filter(F.col("rn") <= npb)
+            .select(F.col("id").alias("query_id"), "cid")
+        )
+        index_df = idx_t.read_spark().select(F.col("id").alias("neighbor_id"), "cid")
+        pairs = (
+            probe.join(index_df, "cid")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+            .distinct()
+        )
+
+        from .operators.similarity import cosine, with_norm
+
+        qv = with_norm(emb.filter(F.col("vec_id") < 20), "embedding").select(
+            F.col("vec_id").alias("query_id"),
+            F.col("__vec").alias("qv"),
+            F.col("__norm").alias("qn"),
+        )
+        cv = with_norm(emb, "embedding").select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("__vec").alias("cv"),
+            F.col("__norm").alias("cn"),
+        )
+        scored = pairs.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id").select(
+            "query_id", "neighbor_id", cosine("qv", "cv", "qn", "cn").alias("cos")
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.col("rank").cast("long").alias("rank"),
+                F.round("cos", 6).alias("cosine"),
+            )
+        )
