@@ -41,6 +41,22 @@ from typing import Any
 from .backends import resolve_backend
 
 
+def _parse_as_of(ref: str) -> float | None:
+    """ISO-8601 date/datetime -> epoch seconds (naive treated as UTC —
+    the engine's session timezone everywhere), or None if ``ref`` is
+    not timestamp-shaped. Tag names must start with a letter
+    (_TAG_RE), so a leading YYYY-MM-DD can never collide with one."""
+    if not re.match(r"^\d{4}-\d{2}-\d{2}", ref):
+        return None
+    try:
+        d = dt.datetime.fromisoformat(ref)
+    except ValueError:
+        return None
+    if d.tzinfo is None:
+        d = d.replace(tzinfo=dt.timezone.utc)
+    return d.timestamp()
+
+
 def _tag(v: Any) -> Any:
     """JSON-encode values that JSON lacks (datetimes/dates) with a type tag
     so stream cursors over timestamp orderings round-trip exactly."""
@@ -301,6 +317,12 @@ class Catalog:
             if version is not None and version not in meta["versions"]:
                 raise KeyError(f"unknown version {version!r} of table {name!r}")
             meta["active_version"] = version
+            # publish log: the commit-time history AS-OF timestamp
+            # resolution walks (resolve_version). One [epoch, vid]
+            # entry per pointer flip — restore re-publishes an old vid
+            # with a NEW timestamp, truncate logs a None epoch entry,
+            # so "state visible at T" is always the last entry <= T.
+            meta.setdefault("publish_log", []).append([time.time(), version])
 
         self._mutate(fn)
 
@@ -432,7 +454,23 @@ class Catalog:
         deleting any file."""
 
         def fn(doc):
-            _ensure_meta(doc, name).setdefault("manifests", {})[version] = list(files)
+            meta = _ensure_meta(doc, name)
+            meta.setdefault("manifests", {})[version] = list(files)
+            # commit stamps: first time a ref appears in this version's
+            # manifest records WHEN it landed. In-place appends are the
+            # one write that mutates a published version's content, and
+            # these stamps are what lets a timestamp AS-OF read
+            # reconstruct the exact file set visible at that instant
+            # (refs dropped from the manifest — truncate's in-place
+            # overwrite — lose their stamps with it: that history is
+            # physically gone, by truncate's destructive contract).
+            stamps = meta.setdefault("manifest_stamps", {}).setdefault(version, {})
+            now = time.time()
+            fileset = set(files)
+            for ref in files:
+                stamps.setdefault(ref, now)
+            for ref in [r for r in stamps if r not in fileset]:
+                stamps.pop(ref)
 
         self._mutate(fn)
 
@@ -442,6 +480,13 @@ class Catalog:
         meta = self.table_meta(name)
         m = (meta or {}).get("manifests", {}).get(version)
         return list(m) if m is not None else None
+
+    def manifest_stamps(self, name: str, version: str) -> dict[str, float]:
+        """Per-ref commit epochs for a version's manifest (empty for
+        legacy versions) — the content-grain half of AS-OF time travel
+        (resolve_version picks the version; stamps pick the files)."""
+        meta = self.table_meta(name)
+        return dict((meta or {}).get("manifest_stamps", {}).get(version) or {})
 
     # -- version tags ----------------------------------------------------
     # Iceberg-style named pins: a tag is an immutable name -> version_id
@@ -490,16 +535,34 @@ class Catalog:
         return dict((self.table_meta(name) or {}).get("tags") or {})
 
     def resolve_version(self, name: str, ref: str) -> str | None:
-        """A version REFERENCE — a version id, 'latest', or a tag —
-        resolved to a retained version id (None if unknown). The one
-        resolution path for templates, time-travel reads, and diff."""
+        """A version REFERENCE — a version id, 'latest', a tag, or an
+        ISO-8601 timestamp ('2026-08-15', '2026-08-15T09:30:00',
+        offset-aware or naive-as-UTC) — resolved to a retained version
+        id (None if unknown). The one resolution path for templates,
+        time-travel reads, and diff, so AS-OF timestamps work anywhere
+        a version id does (Delta/Iceberg 'TIMESTAMP AS OF' parity).
+
+        Timestamp resolution replays the publish log (every active-
+        pointer flip records [commit-epoch, vid]): the answer is the
+        version that was ACTIVE at that instant — restores re-publish
+        with fresh timestamps, and an instant whose then-active version
+        has since been GC'd (or predates the log) resolves to None
+        rather than falling back to older data."""
         meta = self.table_meta(name) or {}
         if ref == "latest":
             return self.get_active_version(name)
         if ref in (meta.get("versions") or []):
             return ref
         v = (meta.get("tags") or {}).get(ref)
-        return v if v in (meta.get("versions") or []) else None
+        if v is not None:
+            return v if v in (meta.get("versions") or []) else None
+        ts = _parse_as_of(ref)
+        if ts is not None:
+            for ets, ev in reversed(meta.get("publish_log") or []):
+                if ets <= ts:
+                    return ev if ev in (meta.get("versions") or []) else None
+            return None
+        return None
 
     @staticmethod
     def _all_live_refs(doc: dict, exclude: set[tuple[str, str]]) -> set[str]:
@@ -678,7 +741,7 @@ class Catalog:
             for v in doomed:
                 meta["versions"].remove(v)
                 meta["record_counts"].pop(v, None)
-                for key in ("order_hwms", "file_stats", "column_stats", "manifests"):
+                for key in ("order_hwms", "file_stats", "column_stats", "manifests", "manifest_stamps"):
                     meta.get(key, {}).pop(v, None)
             return doomed, live
 
@@ -731,7 +794,7 @@ class Catalog:
             live = self._all_live_refs(doc, {(name, version)})
             meta["versions"].remove(version)
             meta["record_counts"].pop(version, None)
-            for key in ("order_hwms", "file_stats", "column_stats", "manifests"):
+            for key in ("order_hwms", "file_stats", "column_stats", "manifests", "manifest_stamps"):
                 meta.get(key, {}).pop(version, None)
             return live
 

@@ -13,6 +13,8 @@ other relation.
 """
 from __future__ import annotations
 
+import datetime as _dt
+
 import os
 from typing import TYPE_CHECKING
 
@@ -24,7 +26,7 @@ if TYPE_CHECKING:  # pragma: no cover
     from ..node.node import Engine
 
 _T = "table_name string, active_version string, n_versions long, record_count long, unique_on string, partition_by string, retention_keep long, has_declared_schema boolean"
-_V = "table_name string, version_id string, is_active boolean, has_data boolean, record_count long, n_files long, n_bytes long, tags string"
+_V = "table_name string, version_id string, is_active boolean, has_data boolean, record_count long, n_files long, n_bytes long, tags string, published_at string"
 _S = "node_id string, table_name string, order_by string, cursor string"
 _E = "ts double, table_name string, kind string, node_id string"
 _C = (
@@ -91,7 +93,23 @@ def system_dataframes(engine: "Engine") -> dict[str, DataFrame]:
                 d = cat.version_dir(name, vid)
                 nf, nb = _version_files(d) if os.path.isdir(d) else (0, 0)
             vtags = ",".join(sorted(tg for tg, tv in (meta.get("tags") or {}).items() if tv == vid))
-            v_rows.append((name, vid, vid == active, nf > 0, counts.get(vid), nf, nb, vtags))
+            pub = max(
+                (ets for ets, ev in (meta.get("publish_log") or []) if ev == vid),
+                default=None,
+            )
+            # round UP to the next whole microsecond: isoformat() would
+            # otherwise truncate the float epoch, and parsing the
+            # printed instant back (resolve_version AS-OF) could land
+            # just BEFORE the stored publish time
+            pub_iso = (
+                None
+                if pub is None
+                else (
+                    _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+                    + _dt.timedelta(microseconds=int(pub * 1_000_000) + 1)
+                ).isoformat()
+            )
+            v_rows.append((name, vid, vid == active, nf > 0, counts.get(vid), nf, nb, vtags, pub_iso))
 
     s_rows = [
         (node_id, table, order_by, None if val is None else str(val))

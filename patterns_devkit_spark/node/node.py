@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from ..catalog.catalog import Catalog, ConcurrentWriteError
+from ..catalog.catalog import Catalog, ConcurrentWriteError, _parse_as_of
 from .ids import encode_base32, encode_base32_col
 from .schema import (
     apply_schema_hints,
@@ -326,6 +326,36 @@ def _read_version_files(engine: "Engine", table: str, version: str, keys: list[s
     if struct is not None and evolution.has_mapping(meta):
         df = evolution.logical_projection(df, meta, struct)
     return df
+
+
+def as_of_dataframe(engine: "Engine", table: str, ref: str, ts: float) -> DataFrame | None:
+    """Content-exact AS-OF read: resolve_version's publish log picks
+    the version that was ACTIVE at ``ts``; the manifest commit stamps
+    (catalog.manifest_stamps) then pick the files that had landed by
+    then — in-place appends are the one write that mutates a published
+    version, and this is what makes a timestamp read of an append-only
+    table return exactly the rows visible at that instant. Falls back
+    to the full version for legacy/unstamped manifests; returns None
+    for an unresolvable instant (pre-creation, or GC'd history)."""
+    cat = engine.catalog
+    vid = cat.resolve_version(table, ref)
+    if vid is None:
+        return None
+    refs = cat.get_manifest(table, vid)
+    stamps = cat.manifest_stamps(table, vid)
+    if refs is None or not stamps:
+        tv = TableVersion(engine, table, vid)
+        return tv.as_dataframe() if tv.exists else None
+    subset = [r for r in refs if stamps.get(r, 0.0) <= ts]
+    if len(subset) == len(refs):
+        tv = TableVersion(engine, table, vid)
+        return tv.as_dataframe() if tv.exists else None
+    if not subset:
+        meta = cat.table_meta(table) or {}
+        ddl = meta.get("schema_ddl")
+        struct = T.StructType.fromDDL(ddl) if ddl else T.StructType([])
+        return engine.spark.createDataFrame([], struct)
+    return _read_version_files(engine, table, vid, subset)
 
 
 class Table:
@@ -687,8 +717,16 @@ class Table:
         Pass version= for a time-travel read of any retained
         (not-yet-GC'd) version — see list_versions()."""
         if version is not None:
-            tv = self.get_version(version)
-            df = tv.as_dataframe() if tv is not None and tv.exists else None
+            ts = _parse_as_of(version)
+            if ts is not None:
+                df = as_of_dataframe(self._engine, self.store_name, version, ts)
+                if df is None:
+                    raise KeyError(
+                        f"no retained state of table {self.store_name!r} at {version!r}"
+                    )
+            else:
+                tv = self.get_version(version)
+                df = tv.as_dataframe() if tv is not None and tv.exists else None
         else:
             df = self._active_df()
         if df is None:
@@ -2609,6 +2647,17 @@ class Engine:
                 store, want = store.strip(), want.strip()
                 meta_tt = self.catalog.table_meta(store)
                 if meta_tt is not None:
+                    ts_ao = _parse_as_of(want)
+                    if ts_ao is not None:
+                        # AS-OF timestamp: content-exact (file-stamp) read
+                        df_ao = as_of_dataframe(self, store, want, ts_ao)
+                        if df_ao is None:
+                            raise KeyError(
+                                f"no retained state of table {store!r} at {want!r} in template"
+                            )
+                        view = f"{store}__asof_{int(ts_ao * 1_000_000)}"
+                        df_ao.createOrReplaceTempView(view)
+                        return f"`{view}`"
                     vid = self.catalog.resolve_version(store, want)
                     if vid is None:
                         raise KeyError(f"unknown version {want!r} of table {store!r} in template")

@@ -249,8 +249,15 @@ def test_backends_agree_on_any_op_sequence(tmp_path_factory, ops):
                 cat.allocate_monotonic_block("ta", arg)
             elif op == "event":
                 cat.append_event("ta", arg, node_id="n0")
-    # compare as a FRESH load (what the next process would see)
+    # compare as a FRESH load (what the next process would see);
+    # publish-log entries carry wall-clock commit times (the AS-OF
+    # time-travel history) — normalize those to the vid sequence the
+    # same way event-log "ts" is stripped below
     docs = [Catalog(c.root, backend=b)._doc for c, b in zip(cats, BACKENDS)]
+    for doc in docs:
+        for meta in doc.get("tables", {}).values():
+            if "publish_log" in meta:
+                meta["publish_log"] = [vid for _ts, vid in meta["publish_log"]]
     assert docs[0] == docs[1]
     logs = [
         [
