@@ -481,6 +481,33 @@ class Catalog:
         m = (meta or {}).get("manifests", {}).get(version)
         return list(m) if m is not None else None
 
+    def set_deletion_vectors(self, name: str, version: str, dvs: dict[str, list[int]]) -> None:
+        """Row-level delete markers for a version: manifest ref ->
+        sorted row indices (parquet _metadata.row_index) deleted from
+        that file. A deletion-vector DELETE is pure metadata — every
+        file is carried into the new version and the doomed rows are
+        masked at read time — which at 100 TB is the difference
+        between deleting 100 rows from a 100 GB file and rewriting it.
+        Stored inline in the catalog document here (row-count-bounded
+        by the write path's fallback threshold); at deployment scale
+        the same map serializes as roaring-bitmap side files keyed by
+        the identical refs. Compaction/rewrites materialize and clear."""
+
+        def fn(doc):
+            meta = _ensure_meta(doc, name)
+            meta.setdefault("deletion_vectors", {})[version] = {
+                ref: sorted({int(i) for i in idxs}) for ref, idxs in dvs.items() if idxs
+            }
+
+        self._mutate(fn)
+
+    def get_deletion_vectors(self, name: str, version: str) -> dict[str, list[int]]:
+        meta = self.table_meta(name)
+        return {
+            k: list(v)
+            for k, v in ((meta or {}).get("deletion_vectors", {}).get(version) or {}).items()
+        }
+
     def manifest_stamps(self, name: str, version: str) -> dict[str, float]:
         """Per-ref commit epochs for a version's manifest (empty for
         legacy versions) — the content-grain half of AS-OF time travel
@@ -741,7 +768,7 @@ class Catalog:
             for v in doomed:
                 meta["versions"].remove(v)
                 meta["record_counts"].pop(v, None)
-                for key in ("order_hwms", "file_stats", "column_stats", "manifests", "manifest_stamps"):
+                for key in ("order_hwms", "file_stats", "column_stats", "manifests", "manifest_stamps", "deletion_vectors"):
                     meta.get(key, {}).pop(v, None)
             return doomed, live
 
@@ -794,7 +821,7 @@ class Catalog:
             live = self._all_live_refs(doc, {(name, version)})
             meta["versions"].remove(version)
             meta["record_counts"].pop(version, None)
-            for key in ("order_hwms", "file_stats", "column_stats", "manifests", "manifest_stamps"):
+            for key in ("order_hwms", "file_stats", "column_stats", "manifests", "manifest_stamps", "deletion_vectors"):
                 meta.get(key, {}).pop(version, None)
             return live
 

@@ -85,11 +85,14 @@ def to_logical_loose(df: DataFrame, meta: dict) -> DataFrame:
     return df
 
 
-def logical_projection(df: DataFrame, meta: dict, logical: T.StructType) -> DataFrame:
+def logical_projection(
+    df: DataFrame, meta: dict, logical: T.StructType, extra: tuple = ()
+) -> DataFrame:
     """Read-boundary projection: select every LOGICAL field from its
     physical column (NULL-filled when absent from the files, e.g. a
     merged-schema fallback read predating an ADD), applying declared
-    defaults via coalesce."""
+    defaults via coalesce. ``extra`` names pass-through columns (e.g.
+    the row-provenance columns deletion vectors and DV deletes ride)."""
     cm = colmap(meta)
     dfl = column_defaults(meta)
     cols: list[Column] = []
@@ -99,7 +102,7 @@ def logical_projection(df: DataFrame, meta: dict, logical: T.StructType) -> Data
         if f.name in dfl:
             c = F.coalesce(c, F.expr(dfl[f.name]).cast(f.dataType))
         cols.append(c.alias(f.name))
-    return df.select(*cols)
+    return df.select(*cols, *[F.col(e) for e in extra])
 
 
 def protected_columns(meta: dict) -> set[str]:

@@ -251,6 +251,19 @@ class TableVersion:
         from . import manifest
 
         cat = self._engine.catalog
+        dvs = cat.get_deletion_vectors(self.table_name, self.version_id)
+        if dvs:
+            # deletion-vector mask: read with row provenance (grouped
+            # by source dir) and broadcast-anti-join the doomed
+            # (ref, row_index) pairs out — rows never touched on disk
+            base = _read_version_files(
+                self._engine,
+                self.table_name,
+                self.version_id,
+                manifest.version_refs(cat, self.table_name, self.version_id),
+                with_meta=True,
+            )
+            return _dv_filter(self._engine, base, dvs)
         if manifest.has_external_refs(cat, self.table_name, self.version_id):
             return _read_version_files(
                 self._engine,
@@ -281,7 +294,9 @@ class TableVersion:
         return df
 
 
-def _read_version_files(engine: "Engine", table: str, version: str, keys: list[str]) -> DataFrame:
+def _read_version_files(
+    engine: "Engine", table: str, version: str, keys: list[str], with_meta: bool = False
+) -> DataFrame:
     """Read an explicit file subset of a table version — manifest refs
     and/or legacy version-relative keys — grouped by SOURCE version
     directory so each group's ``basePath`` keeps hive partition columns
@@ -317,15 +332,67 @@ def _read_version_files(engine: "Engine", table: str, version: str, keys: list[s
             reader = reader.schema(evolution.physical_struct(meta, struct))
         else:
             reader = reader.option("mergeSchema", "true")
-        dfs.append(reader.parquet(*paths))
+        g = reader.parquet(*paths)
+        if with_meta:
+            g = _with_row_meta(g)
+        dfs.append(g)
     if not dfs:
         return engine.spark.createDataFrame([], struct or T.StructType([]))
     df = dfs[0]
     for other in dfs[1:]:
         df = df.unionByName(other, allowMissingColumns=True)
     if struct is not None and evolution.has_mapping(meta):
-        df = evolution.logical_projection(df, meta, struct)
+        df = evolution.logical_projection(
+            df, meta, struct, extra=("__dv_ref", "__dv_idx") if with_meta else ()
+        )
     return df
+
+
+def _with_row_meta(df: DataFrame) -> DataFrame:
+    """Attach row provenance from the parquet scan: the file's manifest
+    ref (path tail after tables/) and the row's position in the file
+    (_metadata.row_index) — the coordinate system deletion vectors are
+    keyed in. Must be selected straight off the file source, before
+    any projection hides the hidden _metadata column."""
+    return df.select(
+        "*",
+        F.regexp_extract(F.col("_metadata.file_path"), ".*/tables/(.*)$", 1).alias("__dv_ref"),
+        F.col("_metadata.row_index").alias("__dv_idx"),
+    )
+
+
+def _dv_pairs_df(engine: "Engine", dvs: dict[str, list[int]]) -> DataFrame:
+    pairs = [(ref, int(i)) for ref, idxs in dvs.items() for i in idxs]
+    return engine.spark.createDataFrame(pairs, "__dv_ref string, __dv_idx long")
+
+
+def _dv_filter(engine: "Engine", df_with_meta: DataFrame, dvs: dict[str, list[int]]) -> DataFrame:
+    """Mask deleted rows: broadcast anti-join on (file ref, row index).
+    The DV table is row-count-bounded (the DV write path falls back to
+    a rewrite past its threshold), so this is a broadcast hash probe
+    on the scan — never a shuffle of the data side."""
+    return (
+        df_with_meta.join(F.broadcast(_dv_pairs_df(engine, dvs)), ["__dv_ref", "__dv_idx"], "left_anti")
+        .drop("__dv_ref", "__dv_idx")
+    )
+
+
+def _carry_deletion_vectors(
+    catalog, src_table: str, src_vid: str, dst_table: str, dst_vid: str,
+    src_refs: list[str], carried: list[str],
+) -> None:
+    """Zero-copy paths that CARRY a DV'd version's files (clone,
+    restore) must carry the mask with them or the carried files would
+    resurrect deleted rows. carry() preserves order, so zip gives the
+    old-ref -> new-ref remap (identity in reference mode)."""
+    dvs = catalog.get_deletion_vectors(src_table, src_vid)
+    if not dvs:
+        return
+    remap = dict(zip(src_refs, carried))
+    out: dict[str, list[int]] = {}
+    for ref, idxs in dvs.items():
+        out.setdefault(remap.get(ref, ref), []).extend(idxs)
+    catalog.set_deletion_vectors(dst_table, dst_vid, out)
 
 
 def as_of_dataframe(engine: "Engine", table: str, ref: str, ts: float) -> DataFrame | None:
@@ -1155,6 +1222,9 @@ class Table:
                 and av.exists
                 and len(part_cols) == 1
                 and part_cols[0] in df.columns
+                # a deletion-vector mask would ride carried files into
+                # the new version unmasked — full merge materializes it
+                and not catalog.get_deletion_vectors(self.store_name, av.version_id)
             )
             if scoped:
                 old_refs = _mf.version_refs(catalog, self.store_name, av.version_id)
@@ -1615,7 +1685,7 @@ class Table:
         metadata."""
         self._engine.catalog.drop_version(self.store_name, version_id)
 
-    def delete_where(self, predicate: str) -> int:
+    def delete_where(self, predicate: str, vectorized: bool = False, max_dv_rows: int = 100_000) -> int:
         """SQL DELETE: remove rows matching ``predicate`` (a SQL boolean
         expression over this table's columns), written as a NEW version
         with an atomic pointer flip (time travel keeps the old rows).
@@ -1631,8 +1701,77 @@ class Table:
         rows deleted; a zero-match predicate is a no-op (no new
         version). Reference parity: the devkit routes DML through
         `Table.execute_sql` (node.py:356-373); DELETE/UPDATE are the
-        warehouse-side forms every MERGE-capable store adds."""
+        warehouse-side forms every MERGE-capable store adds.
+
+        ``vectorized=True`` switches to a DELETION-VECTOR delete: no
+        file is rewritten at all — every file is carried into the new
+        version (hardlink fast path / pure manifest refs) and the
+        matched rows' (file, row_index) coordinates are recorded as a
+        version-level mask applied by every read. Pure metadata, the
+        right shape when deleting few rows from huge files; past
+        ``max_dv_rows`` matches it falls back to the bounded rewrite
+        (a mask bigger than the data it masks is the wrong trade).
+        Compaction/rewrites materialize the mask and clear it."""
+        if vectorized:
+            return self._delete_where_dv(predicate, max_dv_rows)
         return self._rewrite_where(predicate, assignments=None)
+
+    def _delete_where_dv(self, predicate: str, max_dv_rows: int) -> int:
+        if not self.is_connected:
+            return 0
+        av = self.get_active_version()
+        if av is None or not av.exists:
+            return 0
+        from . import manifest as _mf
+
+        catalog = self._engine.catalog
+        refs = _mf.version_refs(catalog, self.store_name, av.version_id)
+        base = _read_version_files(
+            self._engine, self.store_name, av.version_id, refs, with_meta=True
+        )
+        existing = catalog.get_deletion_vectors(self.store_name, av.version_id)
+        if existing:
+            base = base.join(
+                F.broadcast(_dv_pairs_df(self._engine, existing)),
+                ["__dv_ref", "__dv_idx"],
+                "left_anti",
+            )
+        matched = F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
+        doomed = base.filter(matched).select("__dv_ref", "__dv_idx").limit(max_dv_rows + 1).collect()
+        n = len(doomed)
+        if n == 0:
+            return 0
+        if n > max_dv_rows:
+            # the mask would be larger than the threshold: a rewrite
+            # both deletes and compacts — take it instead
+            return self._rewrite_where(predicate, assignments=None)
+
+        new_version = catalog.create_new_version(self.store_name)
+        carried = _mf.carry(catalog, self.store_name, new_version, refs)
+        remap = dict(zip(refs, carried))
+        dvs: dict[str, list[int]] = {}
+        for ref, idxs in existing.items():
+            dvs.setdefault(remap.get(ref, ref), []).extend(idxs)
+        for r in doomed:
+            dvs.setdefault(remap.get(r["__dv_ref"], r["__dv_ref"]), []).append(int(r["__dv_idx"]))
+        old_n = catalog.get_record_count(self.store_name, av.version_id)
+        if old_n is None:
+            old_n = av.as_dataframe().count()  # Spark job: before the commit
+        try:
+            with catalog.commit_batch():
+                _mf.record(catalog, self.store_name, new_version, carried)
+                catalog.set_deletion_vectors(self.store_name, new_version, dvs)
+                catalog.set_record_count(self.store_name, new_version, old_n - n)
+                self._carry_order_hwm(new_version, self.store_name, av.version_id)
+                catalog.set_active_version(
+                    self.store_name, new_version, expected_parent=av.version_id
+                )
+                catalog.gc_versions(self.store_name)
+        except ConcurrentWriteError:
+            catalog.drop_version(self.store_name, new_version)
+            raise
+        self.signal_update()
+        return n
 
     def update_where(self, assignments: dict[str, str], predicate: str = "true") -> int:
         """SQL UPDATE: set ``assignments`` (column -> SQL expression,
@@ -1656,19 +1795,37 @@ class Table:
         meta = catalog.table_meta(self.store_name) or {}
         old = av.as_dataframe()
         matched = F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
-        # one scan: per-file matched-row counts -> the touched-file set
-        # and the total in a single O(files) driver collect
-        per_file = (
-            old.withColumn("__file", F.input_file_name())
-            .groupBy("__file")
-            .agg(F.sum(F.when(matched, 1).otherwise(0)).alias("n_match"))
-            .collect()
-        )
-        touched_uris = [r["__file"] for r in per_file if r["n_match"] > 0]
-        n_matched = int(sum(r["n_match"] for r in per_file))
-        if n_matched == 0:
-            return 0
-        touched_paths = {unquote(urlparse(u).path) for u in touched_uris}
+        dv_mask = catalog.get_deletion_vectors(self.store_name, av.version_id)
+        if dv_mask:
+            # a deletion-vector mask is in force: a scoped rewrite that
+            # carries untouched files forward would resurrect their
+            # masked rows (the new version holds no mask). Rewrite the
+            # whole table instead — which also MATERIALIZES the mask
+            # (as_dataframe above already applies it), so the new
+            # version is clean parquet with no DV entries.
+            n_matched = old.filter(matched).count()
+            if n_matched == 0:
+                return 0
+            from . import manifest as _mf0
+
+            touched_paths = {
+                _mf0.resolve(catalog, self.store_name, av.version_id, r)
+                for r in _mf0.version_refs(catalog, self.store_name, av.version_id)
+            }
+        else:
+            # one scan: per-file matched-row counts -> the touched-file
+            # set and the total in a single O(files) driver collect
+            per_file = (
+                old.withColumn("__file", F.input_file_name())
+                .groupBy("__file")
+                .agg(F.sum(F.when(matched, 1).otherwise(0)).alias("n_match"))
+                .collect()
+            )
+            touched_uris = [r["__file"] for r in per_file if r["n_match"] > 0]
+            n_matched = int(sum(r["n_match"] for r in per_file))
+            if n_matched == 0:
+                return 0
+            touched_paths = {unquote(urlparse(u).path) for u in touched_uris}
 
         # re-read ONLY the touched files. Under reference-mode manifests
         # a version's files may live in ANCESTOR version directories, so
@@ -1680,7 +1837,11 @@ class Table:
 
         troot = _mf.tables_root(catalog)
         touched_refs = [os.path.relpath(p, troot).replace(os.sep, "/") for p in sorted(touched_paths)]
-        touched_df = _read_version_files(self._engine, self.store_name, av.version_id, touched_refs)
+        touched_df = _read_version_files(
+            self._engine, self.store_name, av.version_id, touched_refs, with_meta=bool(dv_mask)
+        )
+        if dv_mask:
+            touched_df = _dv_filter(self._engine, touched_df, dv_mask)
 
         if assignments is None:
             new_touched = touched_df.filter(~matched)
@@ -1966,6 +2127,9 @@ class Table:
         src_refs = _mf.version_refs(catalog, self.store_name, version_id)
         carried = _mf.carry(catalog, self.store_name, vid, src_refs)
         _mf.record(catalog, self.store_name, vid, carried)
+        _carry_deletion_vectors(
+            catalog, self.store_name, version_id, self.store_name, vid, src_refs, carried
+        )
         catalog.set_active_version(self.store_name, vid)
         n = catalog.get_record_count(self.store_name, version_id)
         if n is not None:
@@ -2029,6 +2193,9 @@ class Table:
         src_refs = _mf.version_refs(catalog, source_table, src_av)
         carried = _mf.carry(catalog, self.store_name, vid, src_refs)
         _mf.record(catalog, self.store_name, vid, carried)
+        _carry_deletion_vectors(
+            catalog, source_table, src_av, self.store_name, vid, src_refs, carried
+        )
         catalog.set_active_version(self.store_name, vid)
         n = catalog.get_record_count(source_table, src_av)
         if n is not None:

@@ -1206,3 +1206,39 @@ def q89(spark, sf_dir):
         .groupBy("event_type", "next_type")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+# =====================================================================
+# sdk16 — deletion-vector DELETE through the engine
+# =====================================================================
+
+
+@query(
+    "sdk16_delete_vectors",
+    """
+    SELECT o_orderkey, o_orderstatus FROM orders
+    WHERE NOT (o_orderkey % 97 = 0) AND NOT (o_orderkey % 89 = 1)
+    """,
+)
+def sdk16(spark, sf_dir):
+    """Row-level DELETE as pure metadata (tests/test_deletion_vectors
+    has the invariant battery; this puts the engine path under the
+    driver's oracle gate): two stacked sparse deletes (~1% each) via
+    delete_where(vectorized=True) — every parquet file is CARRIED into
+    the new version and the matched rows' (file, row_index)
+    coordinates become a broadcast read-time mask. At 100 TB this is
+    the difference between deleting 1% of rows from TB-sized files and
+    rewriting them; compaction materializes the mask later. The oracle
+    states the surviving complement in closed form."""
+    from .node.node import Table
+    from .queries import _temp_engine
+
+    eng = _temp_engine(spark)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    with eng.node_context("w", outputs={"out": "o_dv"}):
+        tbl = Table("out", "w")
+        tbl.append(o.coalesce(4))
+        tbl.flush()
+        tbl.delete_where("o_orderkey % 97 = 0", vectorized=True)
+        tbl.delete_where("o_orderkey % 89 = 1", vectorized=True)
+        return tbl.read_spark()

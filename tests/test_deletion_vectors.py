@@ -1,0 +1,166 @@
+"""Deletion vectors: row-level DELETE as pure metadata
+(delete_where(vectorized=True)) — every file is CARRIED into the new
+version (hardlink fast path / pure manifest refs) and the matched
+rows' (file ref, parquet row_index) coordinates become a version-level
+mask applied by every read. The 100 TB shape: deleting 100 rows from a
+100 GB file costs O(files) metadata, not a rewrite. Invariants:
+
+- reads (read_spark / SQL templates / version reads) never see masked
+  rows, under BOTH link modes;
+- rewriting writers (classic DELETE/UPDATE, upsert MERGE, compact)
+  MATERIALIZE the mask — they read mask-applied and write clean
+  parquet, never resurrecting deleted rows via carried files;
+- zero-copy carries of a masked version (restore, clone) carry the
+  mask with the files;
+- past max_dv_rows matches the write falls back to the bounded
+  rewrite (a mask bigger than its data is the wrong trade)."""
+import glob
+import os
+
+import pytest
+
+from patterns_devkit_spark import Table
+
+
+def _mk(engine, name, files=2, rows=30):
+    t = Table("out", "w")
+    t.append(
+        engine.spark.createDataFrame(
+            [(i, i % 3) for i in range(rows)], "id long, grp long"
+        ).coalesce(files)
+    )
+    t.flush()
+    return t
+
+
+def test_dv_delete_masks_rows_without_rewriting(engine):
+    with engine.node_context("n", outputs={"out": "dv1"}):
+        t = _mk(engine, "dv1")
+        v1 = t.get_active_version().version_id
+        n = t.delete_where("grp = 1", vectorized=True)
+        assert n == 10
+        v2 = t.get_active_version().version_id
+        assert v2 != v1
+        ids = sorted(r["id"] for r in t.read_spark().collect())
+        assert len(ids) == 20 and all(i % 3 != 1 for i in ids)
+        # pure metadata: record count maintained without a count job,
+        # DV map covers both carried files, old version intact
+        assert engine.catalog.get_record_count("dv1", v2) == 20
+        dvs = engine.catalog.get_deletion_vectors("dv1", v2)
+        assert sum(len(v) for v in dvs.values()) == 10
+        assert len(t.read_spark(version=v1).collect()) == 30
+        # SQL template reads apply the mask too
+        rows = t.read_sql("SELECT count(*) AS n FROM {{ this }} WHERE grp = 1")
+        assert rows[0]["n"] == 0
+
+
+def test_dv_delete_is_zero_copy(engine):
+    from tests.conftest import REFERENCE_LINK_MODE
+
+    with engine.node_context("n", outputs={"out": "dvz"}):
+        t = _mk(engine, "dvz")
+        v1 = t.get_active_version().version_id
+        d1 = engine.catalog.version_dir("dvz", v1)
+        inodes_before = {os.stat(p).st_ino for p in glob.glob(d1 + "/**/*.parquet", recursive=True)}
+        t.delete_where("grp = 1", vectorized=True)
+        v2 = t.get_active_version().version_id
+        d2 = engine.catalog.version_dir("dvz", v2)
+        files2 = glob.glob(d2 + "/**/*.parquet", recursive=True)
+        if REFERENCE_LINK_MODE:
+            # object-storage simulation: nothing physical in the new
+            # version at all — the manifest refs the old files
+            assert files2 == []
+            refs = engine.catalog.get_manifest("dvz", v2)
+            assert refs and all(r.startswith(f"dvz/{v1}/") for r in refs)
+        else:
+            assert {os.stat(p).st_ino for p in files2} == inodes_before
+
+
+def test_dv_stacked_deletes_union(engine):
+    with engine.node_context("n", outputs={"out": "dvs"}):
+        t = _mk(engine, "dvs")
+        assert t.delete_where("grp = 1", vectorized=True) == 10
+        assert t.delete_where("grp = 2", vectorized=True) == 10
+        ids = sorted(r["id"] for r in t.read_spark().collect())
+        assert len(ids) == 10 and all(i % 3 == 0 for i in ids)
+        # deleting already-deleted rows is a no-op, not a double count
+        assert t.delete_where("grp = 1", vectorized=True) == 0
+
+
+def test_dv_append_after_mask(engine):
+    with engine.node_context("n", outputs={"out": "dva"}):
+        t = _mk(engine, "dva")
+        t.delete_where("grp = 1", vectorized=True)
+        t.append([{"id": 100, "grp": 1}])
+        t.flush()
+        ids = sorted(r["id"] for r in t.read_spark().collect())
+        # the new row is visible (appended files carry no mask);
+        # previously masked rows stay masked
+        assert 100 in ids and len(ids) == 21
+
+
+def test_rewriting_writers_materialize_the_mask(engine):
+    # classic rewrite DELETE on a masked table must not resurrect
+    with engine.node_context("n", outputs={"out": "dvm"}):
+        t = _mk(engine, "dvm")
+        t.delete_where("grp = 1", vectorized=True)
+        n = t.delete_where("grp = 2")  # rewrite path
+        assert n == 10
+        v = t.get_active_version().version_id
+        assert engine.catalog.get_deletion_vectors("dvm", v) == {}
+        ids = sorted(r["id"] for r in t.read_spark().collect())
+        assert len(ids) == 10 and all(i % 3 == 0 for i in ids)
+
+    # upsert MERGE on a masked table must not resurrect either
+    with engine.node_context("n", outputs={"out": "dvu"}):
+        t = Table("out", "w")
+        t.init(unique_on=["id"])
+        t.append(
+            engine.spark.createDataFrame(
+                [(i, i % 3) for i in range(30)], "id long, grp long"
+            ).coalesce(2)
+        )
+        t.flush()
+        t.delete_where("grp = 1", vectorized=True)
+        t.upsert([{"id": 0, "grp": 7}])
+        t.flush()
+        rows = {r["id"]: r["grp"] for r in t.read_spark().collect()}
+        assert rows[0] == 7 and len(rows) == 20
+        assert all(g != 1 for i, g in rows.items() if i != 0)
+
+    # compact materializes: clean files, empty mask, same rows
+    with engine.node_context("n", outputs={"out": "dvc"}):
+        t = _mk(engine, "dvc", files=4)
+        t.delete_where("grp = 1", vectorized=True)
+        before = sorted(r["id"] for r in t.read_spark().collect())
+        t.compact(target_files=1)
+        v = t.get_active_version().version_id
+        assert engine.catalog.get_deletion_vectors("dvc", v) == {}
+        assert sorted(r["id"] for r in t.read_spark().collect()) == before
+
+
+def test_dv_mask_rides_zero_copy_carries(engine):
+    with engine.node_context("n", outputs={"out": "dvr", "cl": "dvr_clone"}):
+        t = _mk(engine, "dvr")
+        t.delete_where("grp = 1", vectorized=True)
+        masked = t.get_active_version().version_id
+        t.delete_where("grp = 2", vectorized=True)
+        # restore to the singly-masked version: carried files + mask
+        t.restore(masked)
+        ids = sorted(r["id"] for r in t.read_spark().collect())
+        assert len(ids) == 20 and all(i % 3 != 1 for i in ids)
+        # clone of a masked table carries the mask across tables
+        c = Table("cl", "w")
+        c.clone_from("dvr")
+        cids = sorted(r["id"] for r in c.read_spark().collect())
+        assert cids == ids
+
+
+def test_dv_falls_back_to_rewrite_past_threshold(engine):
+    with engine.node_context("n", outputs={"out": "dvf"}):
+        t = _mk(engine, "dvf")
+        n = t.delete_where("grp = 1", vectorized=True, max_dv_rows=3)
+        assert n == 10  # deleted via the rewrite fallback
+        v = t.get_active_version().version_id
+        assert engine.catalog.get_deletion_vectors("dvf", v) == {}
+        assert len(t.read_spark().collect()) == 20
