@@ -929,7 +929,24 @@ class Table:
             return self._engine.spark.createDataFrame([], schema or T.StructType([])).filter(cond)
         # kept keys are manifest refs and/or version-relative paths;
         # _read_version_files resolves + groups them by source dir
-        df = _read_version_files(self._engine, self.store_name, vid, kept)
+        dvs = self._engine.catalog.get_deletion_vectors(self.store_name, vid)
+        if dvs:
+            # a deletion-vector mask is in force: the pruned subset
+            # read must apply it too, or skipping would resurrect
+            # masked rows (mask restricted to kept files — smaller
+            # broadcast, same anti-join result)
+            from . import manifest as _mf
+
+            df = _read_version_files(self._engine, self.store_name, vid, kept, with_meta=True)
+            # kept keys are stats keys (version-relative for own files);
+            # DV refs are always full tables-root-relative refs
+            kept_set = {
+                k if _mf.is_ref(k) else f"{self.store_name}/{vid}/{k}" for k in kept
+            }
+            sub = {r: idxs for r, idxs in dvs.items() if r in kept_set}
+            df = _dv_filter(self._engine, df, sub) if sub else df.drop("__dv_ref", "__dv_idx")
+        else:
+            df = _read_version_files(self._engine, self.store_name, vid, kept)
         return df.filter(cond)
 
     _ANALYZE_ORDERABLE = (
@@ -1773,14 +1790,110 @@ class Table:
         self.signal_update()
         return n
 
-    def update_where(self, assignments: dict[str, str], predicate: str = "true") -> int:
+    def update_where(
+        self,
+        assignments: dict[str, str],
+        predicate: str = "true",
+        vectorized: bool = False,
+        max_dv_rows: int = 100_000,
+    ) -> int:
         """SQL UPDATE: set ``assignments`` (column -> SQL expression,
         evaluated against the OLD row, standard UPDATE semantics) on
         rows matching ``predicate``. Same bounded file-scoped rewrite +
         atomic version flip as delete_where; returns matched-row count.
         Updates that move a row's partition value land it in the new
-        partition directory (the writer re-applies partition_by)."""
+        partition directory (the writer re-applies partition_by).
+
+        ``vectorized=True`` is the deletion-vector UPDATE (Delta-style
+        merge-on-read): NO existing file is rewritten — every file is
+        carried into the new version, the matched rows' OLD images are
+        masked via (file, row_index) deletion vectors, and only the
+        UPDATED images are written as the new version's own files.
+        Updating 100 rows inside TB-sized parquet costs O(files)
+        metadata plus a 100-row write instead of rewriting every
+        touched file. Row-count-bounded like the DV delete: past
+        ``max_dv_rows`` matches it falls back to the bounded rewrite;
+        compaction/rewrites materialize the mask later."""
+        if vectorized:
+            return self._update_where_dv(assignments, predicate, max_dv_rows)
         return self._rewrite_where(predicate, assignments=assignments)
+
+    def _update_where_dv(self, assignments: dict[str, str], predicate: str, max_dv_rows: int) -> int:
+        if not self.is_connected:
+            return 0
+        av = self.get_active_version()
+        if av is None or not av.exists:
+            return 0
+        from . import manifest as _mf
+
+        catalog = self._engine.catalog
+        meta = catalog.table_meta(self.store_name) or {}
+        refs = _mf.version_refs(catalog, self.store_name, av.version_id)
+        base = _read_version_files(
+            self._engine, self.store_name, av.version_id, refs, with_meta=True
+        )
+        existing = catalog.get_deletion_vectors(self.store_name, av.version_id)
+        if existing:
+            base = base.join(
+                F.broadcast(_dv_pairs_df(self._engine, existing)),
+                ["__dv_ref", "__dv_idx"],
+                "left_anti",
+            )
+        matched = F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
+        doomed = base.filter(matched).select("__dv_ref", "__dv_idx").limit(max_dv_rows + 1).collect()
+        n = len(doomed)
+        if n == 0:
+            return 0
+        if n > max_dv_rows:
+            # rewriting both applies the update and compacts the mask
+            return self._rewrite_where(predicate, assignments=assignments)
+
+        new_version = catalog.create_new_version(self.store_name)
+        out_dir = catalog.version_dir(self.store_name, new_version)
+        # physical writes precede the metadata commit: the UPDATED
+        # images of matched rows become the new version's own files
+        # (files are immutable, so re-filtering selects the probed set)
+        cols = [c for c in base.columns if c not in ("__dv_ref", "__dv_idx")]
+        upd = base.filter(matched).select(
+            *[
+                (
+                    F.expr(assignments[c]).cast(base.schema[c].dataType).alias(c)
+                    if c in assignments
+                    else F.col(c)
+                )
+                for c in cols
+            ]
+        )
+        # matched set is ≤ max_dv_rows: collapse the write layout so a
+        # 100-row update doesn't fan out one file per scan partition
+        upd = upd.coalesce(max(1, n // 1_000_000 + 1))
+        self._writer(self._sorted_for_write(upd, meta), meta).mode("append").parquet(out_dir)
+        carried = _mf.carry(catalog, self.store_name, new_version, refs)
+        remap = dict(zip(refs, carried))
+        dvs: dict[str, list[int]] = {}
+        for ref, idxs in existing.items():
+            dvs.setdefault(remap.get(ref, ref), []).extend(idxs)
+        for r in doomed:
+            dvs.setdefault(remap.get(r["__dv_ref"], r["__dv_ref"]), []).append(int(r["__dv_idx"]))
+        old_n = catalog.get_record_count(self.store_name, av.version_id)
+        if old_n is None:
+            old_n = av.as_dataframe().count()  # Spark job: before the commit
+        try:
+            with catalog.commit_batch():
+                _mf.record(catalog, self.store_name, new_version, carried)
+                catalog.set_deletion_vectors(self.store_name, new_version, dvs)
+                catalog.set_record_count(self.store_name, new_version, old_n)
+                self._track_write_stats(out_dir, meta, new_version)
+                self._carry_order_hwm(new_version, self.store_name, av.version_id)
+                catalog.set_active_version(
+                    self.store_name, new_version, expected_parent=av.version_id
+                )
+                catalog.gc_versions(self.store_name)
+        except ConcurrentWriteError:
+            catalog.drop_version(self.store_name, new_version)
+            raise
+        self.signal_update()
+        return n
 
     def _rewrite_where(self, predicate: str, assignments: dict[str, str] | None) -> int:
         import os

@@ -1242,3 +1242,43 @@ def sdk16(spark, sf_dir):
         tbl.delete_where("o_orderkey % 97 = 0", vectorized=True)
         tbl.delete_where("o_orderkey % 89 = 1", vectorized=True)
         return tbl.read_spark()
+
+
+# =====================================================================
+# sdk17 — deletion-vector UPDATE through the engine
+# =====================================================================
+
+
+@query(
+    "sdk17_update_vectors",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 97 = 0 THEN 'U' ELSE o_orderstatus END
+             AS o_orderstatus
+    FROM orders
+    WHERE NOT (o_orderkey % 89 = 1)
+    """,
+)
+def sdk17(spark, sf_dir):
+    """Merge-on-read UPDATE (update_where(vectorized=True), Delta-style
+    deletion vectors; tests/test_deletion_vectors.py has the invariant
+    battery — this puts the path under the driver's oracle gate): a
+    sparse DV delete followed by a sparse DV update. The update carries
+    EVERY file of the parent version (hardlinks locally, pure manifest
+    refs on object storage), masks the matched rows' old images via
+    (file, row_index) deletion vectors, and writes only the ~1%
+    updated images as new files — at 100 TB, an UPDATE of 100 rows
+    inside TB-sized parquet is O(files) metadata plus a 100-row write,
+    never a rewrite. The oracle states the final state in closed form."""
+    from .node.node import Table
+    from .queries import _temp_engine
+
+    eng = _temp_engine(spark)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    with eng.node_context("w", outputs={"out": "o_dvu"}):
+        tbl = Table("out", "w")
+        tbl.append(o.coalesce(4))
+        tbl.flush()
+        tbl.delete_where("o_orderkey % 89 = 1", vectorized=True)
+        tbl.update_where({"o_orderstatus": "'U'"}, "o_orderkey % 97 = 0", vectorized=True)
+        return tbl.read_spark()

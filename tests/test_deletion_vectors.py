@@ -156,6 +156,92 @@ def test_dv_mask_rides_zero_copy_carries(engine):
         assert cids == ids
 
 
+def test_dv_mask_applies_to_pruned_reads(engine):
+    # regression: read_pruned used to read the kept file subset
+    # WITHOUT the mask, resurrecting deleted rows whenever skipping
+    # actually dropped a file
+    with engine.node_context("n", outputs={"out": "dvpr"}):
+        t = Table("out", "w")
+        t.init(stat_columns=["id", "grp"])
+        df = engine.spark.createDataFrame(
+            [(i, i % 3) for i in range(30)], "id long, grp long"
+        )
+        t.append(df.where("id < 15").coalesce(1))
+        t.flush()
+        t.append(df.where("id >= 15").coalesce(1))
+        t.flush()
+        t.delete_where("grp = 1", vectorized=True)
+        kept, total = t.prune_files([("id", ">=", 15)])
+        assert (len(kept), total) == (1, 2)  # skipping really engaged
+        rows = t.read_pruned([("id", ">=", 15)]).collect()
+        assert len(rows) == 10 and all(r["grp"] != 1 for r in rows)
+
+
+def test_dv_update_masks_old_images(engine):
+    from tests.conftest import REFERENCE_LINK_MODE, physical_parquet
+
+    with engine.node_context("n", outputs={"out": "dvu2"}):
+        t = _mk(engine, "dvu2")
+        v1 = t.get_active_version().version_id
+        d1 = engine.catalog.version_dir("dvu2", v1)
+        inodes_before = {
+            os.stat(p).st_ino for p in glob.glob(d1 + "/**/*.parquet", recursive=True)
+        }
+        n = t.update_where({"grp": "grp + 10"}, "grp = 1", vectorized=True)
+        assert n == 10
+        v2 = t.get_active_version().version_id
+        rows = {r["id"]: r["grp"] for r in t.read_spark().collect()}
+        # record count unchanged; every matched row updated exactly once
+        assert len(rows) == 30
+        assert all(g == 11 if i % 3 == 1 else g == i % 3 for i, g in rows.items())
+        assert engine.catalog.get_record_count("dvu2", v2) == 30
+        # old images masked, not rewritten: DV entries cover them and
+        # the parent's files are carried zero-copy
+        dvs = engine.catalog.get_deletion_vectors("dvu2", v2)
+        assert sum(len(v) for v in dvs.values()) == 10
+        d2 = engine.catalog.version_dir("dvu2", v2)
+        files2 = physical_parquet(d2)
+        if REFERENCE_LINK_MODE:
+            # own files = ONLY the updated images; parent files carried
+            # as pure manifest refs
+            refs = engine.catalog.get_manifest("dvu2", v2)
+            ext = [r for r in refs if r.startswith(f"dvu2/{v1}/")]
+            assert len(ext) == 2 and len(files2) >= 1
+        else:
+            assert inodes_before < set(files2.values())  # carried + new
+        # the parent version still reads un-updated
+        old = {r["id"]: r["grp"] for r in t.read_spark(version=v1).collect()}
+        assert all(g == i % 3 for i, g in old.items())
+
+
+def test_dv_update_stacks_on_dv_delete(engine):
+    with engine.node_context("n", outputs={"out": "dvud"}):
+        t = _mk(engine, "dvud")
+        assert t.delete_where("grp = 2", vectorized=True) == 10
+        # the masked rows are invisible to the update's predicate
+        assert t.update_where({"grp": "99"}, "grp >= 1", vectorized=True) == 10
+        rows = {r["id"]: r["grp"] for r in t.read_spark().collect()}
+        assert len(rows) == 20
+        assert all(g == 99 if i % 3 == 1 else g == 0 for i, g in rows.items())
+        # a rewriting writer afterwards materializes the whole mask
+        t.delete_where("grp = 0")
+        v = t.get_active_version().version_id
+        assert engine.catalog.get_deletion_vectors("dvud", v) == {}
+        rows = {r["id"]: r["grp"] for r in t.read_spark().collect()}
+        assert len(rows) == 10 and set(rows.values()) == {99}
+
+
+def test_dv_update_falls_back_past_threshold(engine):
+    with engine.node_context("n", outputs={"out": "dvuf"}):
+        t = _mk(engine, "dvuf")
+        n = t.update_where({"grp": "7"}, "grp = 1", vectorized=True, max_dv_rows=3)
+        assert n == 10  # applied via the rewrite fallback
+        v = t.get_active_version().version_id
+        assert engine.catalog.get_deletion_vectors("dvuf", v) == {}
+        rows = {r["id"]: r["grp"] for r in t.read_spark().collect()}
+        assert len(rows) == 30 and all(g == 7 if i % 3 == 1 else g == i % 3 for i, g in rows.items())
+
+
 def test_dv_falls_back_to_rewrite_past_threshold(engine):
     with engine.node_context("n", outputs={"out": "dvf"}):
         t = _mk(engine, "dvf")
