@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "sdk02_upsert",  # engine write path: full-table MERGE + version flip
     "sdk06_upsert_partitioned",  # bounded rewrite: touched partition only, rest hardlinked
     "sdk14_upsert_skewed",  # adversarial: one hot partition takes 90% of the update batch
+    "sdk18_merge_on_read_upsert",  # DV MERGE: scattered 1% update+insert, zero rewrite
     "sdk07_compact",  # maintenance: 4-file hot append table -> 1 coalesced file
 ]
 

@@ -422,6 +422,16 @@ def as_of_dataframe(engine: "Engine", table: str, ref: str, ts: float) -> DataFr
         ddl = meta.get("schema_ddl")
         struct = T.StructType.fromDDL(ddl) if ddl else T.StructType([])
         return engine.spark.createDataFrame([], struct)
+    dvs = cat.get_deletion_vectors(table, vid)
+    if dvs:
+        # the version carries a deletion-vector mask: the stamped
+        # subset read must apply it too (DVs are fixed at version
+        # creation — later in-place appends only ADD unmasked files —
+        # so the mask restricted to the subset is exact at any instant)
+        df = _read_version_files(engine, table, vid, subset, with_meta=True)
+        in_subset = set(subset)
+        sub = {r: idxs for r, idxs in dvs.items() if r in in_subset}
+        return _dv_filter(engine, df, sub) if sub else df.drop("__dv_ref", "__dv_idx")
     return _read_version_files(engine, table, vid, subset)
 
 
@@ -680,6 +690,7 @@ class Table:
         bloom_columns: str | list[str] | None = None,
         check_constraints: dict[str, str] | None = None,
         auto_compact_after: int | None = None,
+        merge_on_read: bool | int | None = None,
     ) -> None:
         """Declare creation-time table properties (node.py:269-297).
 
@@ -715,7 +726,18 @@ class Table:
         buffered appends land one file per flush, and at 100 TB
         unmanaged small files mean footer-per-file planning overhead
         and under-filled scan partitions. Compaction is a new version
-        (invisible to readers; time travel keeps the old one)."""
+        (invisible to readers; time travel keeps the old one).
+
+        merge_on_read is an engine extension (Delta merge-on-read
+        MERGE): upserts mask the OLD images of matched keys via
+        deletion vectors and append only the batch as new files —
+        nothing is rewritten, so an upsert touching keys scattered
+        across the whole table costs O(files) metadata + the batch
+        write instead of a table rewrite. Pass True (100k-row mask
+        budget) or an int budget; past it — or once the accumulated
+        mask exceeds it — the flush falls back to the rewriting MERGE,
+        which also materializes the mask. compact() materializes too
+        (pair with auto_compact_after to bound mask accumulation)."""
         if not self.is_connected:
             return
         updates: dict[str, Any] = {"auto_indexes": auto_indexes}
@@ -730,6 +752,10 @@ class Table:
             updates["check_constraints"] = dict(check_constraints)
         if auto_compact_after is not None:
             updates["auto_compact_after"] = int(auto_compact_after)
+        if merge_on_read is not None:
+            updates["merge_on_read"] = (
+                int(merge_on_read) if not isinstance(merge_on_read, bool) else bool(merge_on_read)
+            )
         if partition_by is not None:
             updates["partition_by"] = [partition_by] if isinstance(partition_by, str) else list(partition_by)
         if cluster_by is not None:
@@ -1232,6 +1258,14 @@ class Table:
             df = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
             from . import manifest as _mf
 
+            if av is not None and av.exists and meta.get("merge_on_read"):
+                # deletion-vector MERGE: mask matched keys' old images,
+                # append the batch — nothing rewritten. False = mask
+                # budget exceeded; fall through to the rewriting MERGE
+                # below, which also materializes the accumulated mask.
+                if self._upsert_merge_on_read(df, meta, av, keys, existing_schema):
+                    return
+
             part_cols = meta.get("partition_by") or []
             old_refs: list[str] = []
             scoped = (
@@ -1401,6 +1435,98 @@ class Table:
             self.signal_create()
         else:
             self.signal_update()
+
+    def _upsert_merge_on_read(
+        self, df: DataFrame, meta: dict, av: "TableVersion", keys: list[str], existing_schema
+    ) -> bool:
+        """Deletion-vector MERGE (init(merge_on_read=...)): carry every
+        file of the parent version, mask the OLD images of keys present
+        in the batch via (file, row_index) deletion vectors, and append
+        only the batch as the new version's own files. An upsert whose
+        keys scatter across the whole table costs O(files) metadata +
+        the batch write — the rewriting MERGE would rewrite every
+        touched file (all of them, without partition_by). Returns False
+        when the mask budget is exceeded (fresh matches, or accumulated
+        mask) — the caller's rewriting MERGE then both applies the
+        batch and materializes the mask. compact() materializes too."""
+        from . import manifest as _mf
+
+        catalog = self._engine.catalog
+        budget = meta.get("merge_on_read")
+        max_rows = 100_000 if budget is True else int(budget)
+        if any(k not in (self.schema or T.StructType([])).fieldNames() for k in keys):
+            return False  # batch introduces the key column: plain merge
+        refs = _mf.version_refs(catalog, self.store_name, av.version_id)
+        base = _read_version_files(
+            self._engine, self.store_name, av.version_id, refs, with_meta=True
+        )
+        existing = catalog.get_deletion_vectors(self.store_name, av.version_id)
+        if existing:
+            base = base.join(
+                F.broadcast(_dv_pairs_df(self._engine, existing)),
+                ["__dv_ref", "__dv_idx"],
+                "left_anti",
+            )
+        batch_n = df.count()  # Spark job: before any catalog section
+        batch_keys = df.select(
+            *[F.col(k).cast(base.schema[k].dataType).alias(k) for k in keys]
+        ).distinct()
+        if batch_n <= 2_000_000:
+            batch_keys = F.broadcast(batch_keys)
+        doomed = (
+            base.join(batch_keys, on=keys, how="left_semi")
+            .select("__dv_ref", "__dv_idx")
+            .limit(max_rows + 1)
+            .collect()
+        )
+        n_existing = sum(len(v) for v in existing.values())
+        if len(doomed) + n_existing > max_rows:
+            return False
+
+        new_version = catalog.create_new_version(self.store_name)
+        out_dir = catalog.version_dir(self.store_name, new_version)
+        # keep the stored version's layout (same guard as appends): a
+        # flat parent must not gain hive dirs mid-version-lineage
+        write_meta = meta
+        pbs = meta.get("partition_by") or []
+        if pbs and refs and not all(
+            all(_mf.partition_segment_value(r, pc) is not None for pc in pbs) for r in refs
+        ):
+            write_meta = {**meta, "partition_by": []}
+        self._writer(self._sorted_for_write(df, write_meta), write_meta).mode("append").parquet(out_dir)
+        carried = _mf.carry(catalog, self.store_name, new_version, refs)
+        remap = dict(zip(refs, carried))
+        dvs: dict[str, list[int]] = {}
+        for ref, idxs in existing.items():
+            dvs.setdefault(remap.get(ref, ref), []).extend(idxs)
+        for r in doomed:
+            dvs.setdefault(remap.get(r["__dv_ref"], r["__dv_ref"]), []).append(int(r["__dv_idx"]))
+        old_n = catalog.get_record_count(self.store_name, av.version_id)
+        if old_n is None:
+            old_n = av.as_dataframe().count()  # Spark job: before the commit
+        try:
+            with catalog.commit_batch():
+                _mf.record(catalog, self.store_name, new_version, carried)
+                catalog.set_deletion_vectors(self.store_name, new_version, dvs)
+                catalog.set_record_count(
+                    self.store_name, new_version, old_n - len(doomed) + batch_n
+                )
+                self._track_write_stats(out_dir, meta, new_version)
+                self._carry_order_hwm(new_version, self.store_name, av.version_id)
+                catalog.set_active_version(
+                    self.store_name, new_version, expected_parent=av.version_id
+                )
+                catalog.gc_versions(self.store_name)
+        except ConcurrentWriteError:
+            catalog.drop_version(self.store_name, new_version)
+            raise
+        out_schema = df.schema if existing_schema is None else merge_schemas(existing_schema, df.schema)
+        catalog.update_table_meta(
+            self.store_name,
+            schema_ddl=",".join(f"{f.name} {f.dataType.simpleString()}" for f in out_schema.fields),
+        )
+        self.signal_update()
+        return True
 
     def _carry_order_hwm(self, new_version: str, src_name: str, src_version: str) -> None:
         """Propagate the ordering high-water mark through a zero-copy

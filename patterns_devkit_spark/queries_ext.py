@@ -1282,3 +1282,55 @@ def sdk17(spark, sf_dir):
         tbl.delete_where("o_orderkey % 89 = 1", vectorized=True)
         tbl.update_where({"o_orderstatus": "'U'"}, "o_orderkey % 97 = 0", vectorized=True)
         return tbl.read_spark()
+
+
+# =====================================================================
+# sdk18 — merge-on-read upsert (deletion-vector MERGE) through the engine
+# =====================================================================
+
+
+@query(
+    "sdk18_merge_on_read_upsert",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 101 = 0 THEN 'M' ELSE o_orderstatus END
+             AS o_orderstatus
+    FROM orders
+    UNION ALL
+    SELECT -o_orderkey AS o_orderkey, 'N' AS o_orderstatus
+    FROM orders WHERE o_orderkey % 103 = 0 AND o_orderkey > 0
+    """,
+)
+def sdk18(spark, sf_dir):
+    """Merge-on-read MERGE (init(merge_on_read=True); the invariant
+    battery is tests/test_merge_on_read.py — this puts the path under
+    the driver's oracle gate): one upsert batch mixing ~1% updates
+    (keys scattered across every file) with ~1% inserts. The flush
+    carries EVERY parent file, masks the matched keys' old images via
+    (file, row_index) deletion vectors, and appends only the batch —
+    where the rewriting MERGE would rewrite the whole unpartitioned
+    table, this is O(files) metadata + a 2%-sized write. The oracle
+    states the merged state in closed form (updates via CASE, inserts
+    via UNION ALL on negated keys that cannot collide)."""
+    from .node.node import Table
+    from .queries import _temp_engine
+
+    eng = _temp_engine(spark)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    batch = (
+        o.filter(F.col("o_orderkey") % 101 == 0)
+        .withColumn("o_orderstatus", F.lit("M"))
+        .unionByName(
+            o.filter((F.col("o_orderkey") % 103 == 0) & (F.col("o_orderkey") > 0)).select(
+                (-F.col("o_orderkey")).alias("o_orderkey"), F.lit("N").alias("o_orderstatus")
+            )
+        )
+    )
+    with eng.node_context("w", outputs={"out": "o_mor"}):
+        tbl = Table("out", "w")
+        tbl.init(unique_on=["o_orderkey"], merge_on_read=True)
+        tbl.append(o.coalesce(4))
+        tbl.flush()
+        tbl.upsert(batch)
+        tbl.flush()
+        return tbl.read_spark()

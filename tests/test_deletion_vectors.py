@@ -177,6 +177,32 @@ def test_dv_mask_applies_to_pruned_reads(engine):
         assert len(rows) == 10 and all(r["grp"] != 1 for r in rows)
 
 
+def test_dv_mask_applies_to_as_of_subset_reads(engine):
+    # regression: a timestamp read that resolves a stamped FILE SUBSET
+    # of a masked version (instant between the DV publish and a later
+    # in-place append) used to skip the mask — all deleted rows
+    # resurrected at exactly the instants time travel promises to be
+    # content-exact for
+    import time
+
+    with engine.node_context("n", outputs={"out": "dvaof"}):
+        t = _mk(engine, "dvaof")
+        t.delete_where("grp = 1", vectorized=True)
+        engine.register_system_views()
+        inst = engine.spark.sql(
+            "SELECT published_at FROM __sys_versions"
+            " WHERE table_name = 'dvaof' AND is_active"
+        ).collect()[0]["published_at"]
+        time.sleep(0.05)
+        t.append([{"id": 100, "grp": 0}])
+        t.flush()
+        got = t.read_spark(version=inst).collect()
+        assert len(got) == 20 and all(r["grp"] != 1 for r in got)
+        assert all(r["id"] != 100 for r in got)  # append excluded
+        now = t.read_spark().collect()
+        assert len(now) == 21  # current read still sees the append
+
+
 def test_dv_update_masks_old_images(engine):
     from tests.conftest import REFERENCE_LINK_MODE, physical_parquet
 
