@@ -1647,9 +1647,22 @@ class Table:
             self.append(result)
             self.flush()
         elif m_del:
-            self.delete_where(m_del.group(2) or "true")
+            # merge-on-read tables take the deletion-vector DML forms
+            # (budget-bounded; falls back to the rewrite past it)
+            mor = (self._engine.catalog.table_meta(self.store_name) or {}).get("merge_on_read")
+            self.delete_where(
+                m_del.group(2) or "true",
+                vectorized=bool(mor),
+                max_dv_rows=100_000 if mor in (True, None, False) else int(mor),
+            )
         elif m_upd:
-            self.update_where(_parse_set_clause(m_upd.group(2)), m_upd.group(3) or "true")
+            mor = (self._engine.catalog.table_meta(self.store_name) or {}).get("merge_on_read")
+            self.update_where(
+                _parse_set_clause(m_upd.group(2)),
+                m_upd.group(3) or "true",
+                vectorized=bool(mor),
+                max_dv_rows=100_000 if mor in (True, None, False) else int(mor),
+            )
         else:
             self._engine.spark.sql(rendered)
             self.signal_update()
@@ -1884,9 +1897,10 @@ class Table:
         n = len(doomed)
         if n == 0:
             return 0
-        if n > max_dv_rows:
-            # the mask would be larger than the threshold: a rewrite
-            # both deletes and compacts — take it instead
+        if n + sum(len(v) for v in existing.values()) > max_dv_rows:
+            # the ACCUMULATED mask would exceed the budget (stacked DV
+            # writes included): a rewrite both deletes and compacts —
+            # take it instead
             return self._rewrite_where(predicate, assignments=None)
 
         new_version = catalog.create_new_version(self.store_name)
@@ -1970,8 +1984,9 @@ class Table:
         n = len(doomed)
         if n == 0:
             return 0
-        if n > max_dv_rows:
-            # rewriting both applies the update and compacts the mask
+        if n + sum(len(v) for v in existing.values()) > max_dv_rows:
+            # accumulated mask past the budget: rewriting both applies
+            # the update and materializes the whole mask
             return self._rewrite_where(predicate, assignments=assignments)
 
         new_version = catalog.create_new_version(self.store_name)

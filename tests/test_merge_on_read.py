@@ -101,6 +101,37 @@ def test_mor_budget_falls_back_to_rewrite(engine):
         assert rows[0] == 0 == -0 and rows[1] == -1 and rows[10] == -10 and rows[11] == -11
 
 
+def test_mor_sql_dml_routes_to_deletion_vectors(engine):
+    # execute_sql DELETE/UPDATE on a merge_on_read table takes the DV
+    # forms instead of the rewrite
+    with engine.node_context("n", outputs={"out": "mor7"}):
+        t = _mk(engine, "mor7")
+        t.execute_sql("DELETE FROM {{ this }} WHERE id % 3 = 1")
+        v = t.get_active_version().version_id
+        assert sum(len(x) for x in engine.catalog.get_deletion_vectors("mor7", v).values()) == 10
+        t.execute_sql("UPDATE {{ this }} SET v = -1 WHERE id % 3 = 2")
+        v = t.get_active_version().version_id
+        assert sum(len(x) for x in engine.catalog.get_deletion_vectors("mor7", v).values()) == 20
+        rows = {r["id"]: r["v"] for r in t.read_spark().collect()}
+        assert len(rows) == 20
+        assert all(v == -1 if i % 3 == 2 else v == i * 10 for i, v in rows.items())
+
+
+def test_dv_accumulated_budget_triggers_rewrite(engine):
+    # stacked DV deletes must not grow the mask past the budget: the
+    # write that would exceed it falls back to the materializing rewrite
+    with engine.node_context("n", outputs={"out": "mor8"}):
+        t = _mk(engine, "mor8")
+        assert t.delete_where("id < 6", vectorized=True, max_dv_rows=10) == 6
+        v = t.get_active_version().version_id
+        assert sum(len(x) for x in engine.catalog.get_deletion_vectors("mor8", v).values()) == 6
+        # 6 accumulated + 6 fresh > 10: rewrite, mask cleared
+        assert t.delete_where("id >= 24", vectorized=True, max_dv_rows=10) == 6
+        v = t.get_active_version().version_id
+        assert engine.catalog.get_deletion_vectors("mor8", v) == {}
+        assert len(t.read_spark().collect()) == 18
+
+
 def test_mor_batch_dedup_last_wins(engine):
     with engine.node_context("n", outputs={"out": "mor4"}):
         t = _mk(engine, "mor4")
