@@ -2036,6 +2036,69 @@ class Table:
         self.signal_update()
         return n
 
+    def purge_deletes(self) -> int:
+        """REORG-style purge (Delta ``REORG TABLE ... APPLY (PURGE)``):
+        materialize the deletion-vector mask by rewriting ONLY the
+        files that carry mask entries — every clean file is carried
+        zero-copy (hardlink fast path / pure manifest refs). The new
+        version has no mask; visible rows are unchanged. Returns the
+        number of masked row images purged (0 = no mask, no-op).
+        Unlike compact() — which also materializes but rewrites the
+        whole table — this is bounded by the masked-file set, the
+        right maintenance op when masks accumulate on a few hot files
+        of a huge table."""
+        if not self.is_connected:
+            return 0
+        av = self.get_active_version()
+        if av is None or not av.exists:
+            return 0
+        from . import manifest as _mf
+
+        catalog = self._engine.catalog
+        dvs = catalog.get_deletion_vectors(self.store_name, av.version_id)
+        if not dvs:
+            return 0
+        meta = catalog.table_meta(self.store_name) or {}
+        refs = _mf.version_refs(catalog, self.store_name, av.version_id)
+        masked_refs = [r for r in refs if r in dvs]
+        clean_refs = [r for r in refs if r not in dvs]
+        touched = _read_version_files(
+            self._engine, self.store_name, av.version_id, masked_refs, with_meta=True
+        )
+        survivors = _dv_filter(self._engine, touched, dvs)
+        new_version = catalog.create_new_version(self.store_name)
+        out_dir = catalog.version_dir(self.store_name, new_version)
+        # keep the stored version's layout (flat parents stay flat)
+        write_meta = meta
+        pbs = meta.get("partition_by") or []
+        if pbs and refs and not all(
+            all(_mf.partition_segment_value(r, pc) is not None for pc in pbs) for r in refs
+        ):
+            write_meta = {**meta, "partition_by": []}
+        self._writer(self._sorted_for_write(survivors, write_meta), write_meta).mode(
+            "append"
+        ).parquet(out_dir)
+        carried = _mf.carry(catalog, self.store_name, new_version, clean_refs)
+        old_n = catalog.get_record_count(self.store_name, av.version_id)
+        if old_n is None:
+            old_n = av.as_dataframe().count()  # Spark job: before the commit
+        n_purged = sum(len(v) for v in dvs.values())
+        try:
+            with catalog.commit_batch():
+                _mf.record(catalog, self.store_name, new_version, carried)
+                catalog.set_record_count(self.store_name, new_version, old_n)
+                self._track_write_stats(out_dir, meta, new_version)
+                self._carry_order_hwm(new_version, self.store_name, av.version_id)
+                catalog.set_active_version(
+                    self.store_name, new_version, expected_parent=av.version_id
+                )
+                catalog.gc_versions(self.store_name)
+        except ConcurrentWriteError:
+            catalog.drop_version(self.store_name, new_version)
+            raise
+        self.signal_update()
+        return n_purged
+
     def _rewrite_where(self, predicate: str, assignments: dict[str, str] | None) -> int:
         import os
         from urllib.parse import unquote, urlparse
@@ -2051,20 +2114,33 @@ class Table:
         matched = F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
         dv_mask = catalog.get_deletion_vectors(self.store_name, av.version_id)
         if dv_mask:
-            # a deletion-vector mask is in force: a scoped rewrite that
-            # carries untouched files forward would resurrect their
-            # masked rows (the new version holds no mask). Rewrite the
-            # whole table instead — which also MATERIALIZES the mask
-            # (as_dataframe above already applies it), so the new
-            # version is clean parquet with no DV entries.
-            n_matched = old.filter(matched).count()
-            if n_matched == 0:
-                return 0
+            # a deletion-vector mask is in force: the new version holds
+            # no mask, so every file with mask entries must MATERIALIZE
+            # (be rewritten mask-applied) or its masked rows would
+            # resurrect. Still bounded: rewrite only files that CONTAIN
+            # matched rows plus files carrying mask entries; clean
+            # untouched files (no matches, no mask) are carried as ever.
             from . import manifest as _mf0
 
+            refs0 = _mf0.version_refs(catalog, self.store_name, av.version_id)
+            with_ref = _read_version_files(
+                self._engine, self.store_name, av.version_id, refs0, with_meta=True
+            ).join(
+                F.broadcast(_dv_pairs_df(self._engine, dv_mask)),
+                ["__dv_ref", "__dv_idx"],
+                "left_anti",
+            )
+            per_file = (
+                with_ref.groupBy("__dv_ref")
+                .agg(F.sum(F.when(matched, 1).otherwise(0)).alias("n_match"))
+                .collect()
+            )
+            n_matched = int(sum(r["n_match"] for r in per_file))
+            if n_matched == 0:
+                return 0
+            touched_refs0 = {r["__dv_ref"] for r in per_file if r["n_match"] > 0} | set(dv_mask)
             touched_paths = {
-                _mf0.resolve(catalog, self.store_name, av.version_id, r)
-                for r in _mf0.version_refs(catalog, self.store_name, av.version_id)
+                _mf0.resolve(catalog, self.store_name, av.version_id, r) for r in touched_refs0
             }
         else:
             # one scan: per-file matched-row counts -> the touched-file

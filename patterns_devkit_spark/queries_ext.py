@@ -1334,3 +1334,39 @@ def sdk18(spark, sf_dir):
         tbl.upsert(batch)
         tbl.flush()
         return tbl.read_spark()
+
+
+# =====================================================================
+# sdk19 — REORG purge of deletion vectors through the engine
+# =====================================================================
+
+
+@query(
+    "sdk19_purge_deletes",
+    """
+    SELECT o_orderkey, o_orderstatus FROM orders
+    WHERE NOT (o_orderkey % 97 = 0)
+    """,
+)
+def sdk19(spark, sf_dir):
+    """REORG-style mask materialization (Table.purge_deletes; Delta
+    `REORG TABLE ... APPLY (PURGE)` analogue): after a sparse DV
+    delete, purge rewrites ONLY the files carrying mask entries and
+    carries every clean file zero-copy — the bounded maintenance op
+    when masks accumulate on a few hot files of a huge table (full
+    compaction would rewrite everything). Content must be IDENTICAL
+    before and after the purge; the oracle states the surviving
+    complement in closed form, so a purge that dropped or resurrected
+    a single row hash-mismatches."""
+    from .node.node import Table
+    from .queries import _temp_engine
+
+    eng = _temp_engine(spark)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    with eng.node_context("w", outputs={"out": "o_purge"}):
+        tbl = Table("out", "w")
+        tbl.append(o.coalesce(4))
+        tbl.flush()
+        tbl.delete_where("o_orderkey % 97 = 0", vectorized=True)
+        tbl.purge_deletes()
+        return tbl.read_spark()

@@ -268,6 +268,75 @@ def test_dv_update_falls_back_past_threshold(engine):
         assert len(rows) == 30 and all(g == 7 if i % 3 == 1 else g == i % 3 for i, g in rows.items())
 
 
+def _mk_three_files(engine, spark):
+    # three single-file appends with disjoint id ranges (ids 0-9 /
+    # 10-19 / 20-29) so file-level behavior is controllable
+    t = Table("out", "w")
+    df = spark.createDataFrame([(i, i % 3) for i in range(30)], "id long, grp long")
+    for lo in (0, 10, 20):
+        t.append(df.where(f"id >= {lo} AND id < {lo + 10}").coalesce(1))
+        t.flush()
+    return t
+
+
+def test_masked_rewrite_is_bounded(engine):
+    # a classic (rewriting) DELETE on a masked table must rewrite ONLY
+    # files that contain matches or carry mask entries — it used to
+    # rewrite the whole table the moment any mask existed
+    from tests.conftest import REFERENCE_LINK_MODE, physical_parquet
+
+    with engine.node_context("n", outputs={"out": "dvb"}):
+        t = _mk_three_files(engine, engine.spark)
+        v1 = t.get_active_version().version_id
+        # mask lives only in file 1 (ids 0-9)
+        assert t.delete_where("id IN (1, 4)", vectorized=True) == 2
+        v2 = t.get_active_version().version_id
+        # classic delete matches only file 2 (ids 10-19)
+        assert t.delete_where("id IN (12, 15)") == 2
+        v3 = t.get_active_version().version_id
+        assert engine.catalog.get_deletion_vectors("dvb", v3) == {}
+        ids = sorted(r["id"] for r in t.read_spark().collect())
+        assert ids == [i for i in range(30) if i not in (1, 4, 12, 15)]
+        # file 3 (ids 20-29): clean and unmatched -> carried zero-copy
+        if REFERENCE_LINK_MODE:
+            refs = engine.catalog.get_manifest("dvb", v3)
+            ext = [r for r in refs if not r.startswith(f"dvb/{v3}/")]
+            assert len(ext) == 1  # exactly one carried file
+        else:
+            d1 = engine.catalog.version_dir("dvb", v1)
+            d3 = engine.catalog.version_dir("dvb", v3)
+            shared = set(physical_parquet(d1).values()) & set(physical_parquet(d3).values())
+            assert len(shared) == 1
+
+
+def test_purge_deletes_materializes_only_masked_files(engine):
+    from tests.conftest import REFERENCE_LINK_MODE, physical_parquet
+
+    with engine.node_context("n", outputs={"out": "dvg"}):
+        t = _mk_three_files(engine, engine.spark)
+        v1 = t.get_active_version().version_id
+        assert t.delete_where("id IN (2, 13)", vectorized=True) == 2  # masks files 1+2
+        before = sorted(r["id"] for r in t.read_spark().collect())
+        n = t.purge_deletes()
+        assert n == 2
+        v = t.get_active_version().version_id
+        assert engine.catalog.get_deletion_vectors("dvg", v) == {}
+        assert sorted(r["id"] for r in t.read_spark().collect()) == before
+        assert engine.catalog.get_record_count("dvg", v) == 28
+        # file 3 never masked -> carried; files 1+2 rewritten clean
+        if REFERENCE_LINK_MODE:
+            refs = engine.catalog.get_manifest("dvg", v)
+            ext = [r for r in refs if not r.startswith(f"dvg/{v}/")]
+            assert len(ext) == 1
+        else:
+            d1 = engine.catalog.version_dir("dvg", v1)
+            dv = engine.catalog.version_dir("dvg", v)
+            shared = set(physical_parquet(d1).values()) & set(physical_parquet(dv).values())
+            assert len(shared) == 1
+        # idempotent: nothing left to purge
+        assert t.purge_deletes() == 0
+
+
 def test_dv_falls_back_to_rewrite_past_threshold(engine):
     with engine.node_context("n", outputs={"out": "dvf"}):
         t = _mk(engine, "dvf")
