@@ -2534,11 +2534,133 @@ class Table:
         self.signal_create()
         return TableVersion(self._engine, self.store_name, vid)
 
+    def _change_feed_dv_fast(
+        self, vid_a: str, vid_b: str, keys: list[str]
+    ) -> DataFrame | None:
+        """O(change) CDC between DV-lineage versions: when version_b
+        still CARRIES every file of version_a (deletion-vector deletes/
+        updates, merge-on-read upserts, plain appends — any chain of
+        them), the change set is KNOWN from metadata: new mask entries
+        on version_a's files are the disappeared old images, version_b's
+        new files are the appended images. Both sets are small by
+        construction (masks are budget-bounded, new files are the
+        batches), so the feed costs reads of the CHANGE, never
+        fingerprint shuffles of two full table versions. Returns None
+        when the lineage doesn't apply (rewrites, compaction, purge
+        break file containment) — the caller falls back to the exact
+        fingerprint diff. Mask entries on files NEWER than version_a
+        are intra-window churn (a row born and deleted between the two
+        versions) and contribute nothing, matching the fingerprint
+        semantics; unchanged re-emitted images are filtered by the same
+        value fingerprint the slow path uses."""
+        from . import manifest as _mf
+
+        cat = self._engine.catalog
+        refs_a = cat.get_manifest(self.store_name, vid_a)
+        refs_b = cat.get_manifest(self.store_name, vid_b)
+        if refs_a is None or refs_b is None:
+            return None
+        rels_a = {_mf.ref_relpath(r) if _mf.is_ref(r) else r: r for r in refs_a}
+        rels_b = {_mf.ref_relpath(r) if _mf.is_ref(r) else r: r for r in refs_b}
+        if len(rels_a) != len(refs_a) or len(rels_b) != len(refs_b):
+            return None  # relpath collision: be conservative
+        if not set(rels_a) <= set(rels_b):
+            return None  # a file of version_a was rewritten/compacted away
+        a_probe = TableVersion(self._engine, self.store_name, vid_a)
+        b_probe = TableVersion(self._engine, self.store_name, vid_b)
+        if not a_probe.exists or not b_probe.exists:
+            return None
+        a_cols = a_probe.as_dataframe().columns
+        b_cols = b_probe.as_dataframe().columns
+        if a_cols != b_cols:
+            return None  # schema evolved inside the window: exact diff
+
+        def by_rel(dvs: dict[str, list[int]]) -> dict[str, set[int]]:
+            out: dict[str, set[int]] = {}
+            for ref, idxs in dvs.items():
+                rel = _mf.ref_relpath(ref) if _mf.is_ref(ref) else ref
+                out.setdefault(rel, set()).update(int(i) for i in idxs)
+            return out
+
+        dva = by_rel(cat.get_deletion_vectors(self.store_name, vid_a))
+        dvb = by_rel(cat.get_deletion_vectors(self.store_name, vid_b))
+        # old images that disappeared: NEW mask entries on version_a's
+        # files, addressed by version_a's own refs
+        gone_pairs = [
+            (rels_a[rel], i)
+            for rel, idxs in dvb.items()
+            if rel in rels_a
+            for i in sorted(idxs - dva.get(rel, set()))
+        ]
+        new_refs = [r for rel, r in rels_b.items() if rel not in rels_a]
+
+        def empty() -> DataFrame:
+            return b_probe.as_dataframe().limit(0).select(
+                F.lit("I").alias("op"), *[F.col(c) for c in b_cols]
+            )
+
+        if not gone_pairs and not new_refs:
+            return empty()
+        if gone_pairs:
+            refs_with_gone = sorted({r for r, _ in gone_pairs})
+            old_images = (
+                _read_version_files(
+                    self._engine, self.store_name, vid_a, refs_with_gone, with_meta=True
+                )
+                .join(
+                    F.broadcast(
+                        self._engine.spark.createDataFrame(
+                            gone_pairs, "__dv_ref string, __dv_idx long"
+                        )
+                    ),
+                    ["__dv_ref", "__dv_idx"],
+                    "inner",
+                )
+                .drop("__dv_ref", "__dv_idx")
+            )
+        else:
+            old_images = empty().drop("op")
+        if new_refs:
+            new_images = _read_version_files(
+                self._engine, self.store_name, vid_b, new_refs, with_meta=True
+            )
+            dvb_raw = cat.get_deletion_vectors(self.store_name, vid_b)
+            sub = {r: v for r, v in dvb_raw.items() if r in set(new_refs)}
+            new_images = (
+                _dv_filter(self._engine, new_images, sub)
+                if sub
+                else new_images.drop("__dv_ref", "__dv_idx")
+            )
+        else:
+            new_images = empty().drop("op")
+
+        def fp(cols: list[str]) -> Column:
+            return F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols],
+                )
+            )
+
+        val_cols = [c for c in b_cols if c not in keys]
+        fa = old_images.select(*keys, fp(val_cols).alias("__fa"))
+        fb = new_images.select(*keys, fp(val_cols).alias("__fb"))
+        j = fa.join(fb, on=keys, how="full_outer").withColumn(
+            "op",
+            F.when(F.col("__fa").isNull(), F.lit("I"))
+            .when(F.col("__fb").isNull(), F.lit("D"))
+            .when(F.col("__fa") != F.col("__fb"), F.lit("U")),
+        ).filter(F.col("op").isNotNull())
+        upserts = j.filter(F.col("op") != "D").select("op", *keys).join(new_images, on=keys)
+        deletes = j.filter(F.col("op") == "D").select("op", *keys).join(old_images, on=keys)
+        return upserts.select("op", *b_cols).unionByName(deletes.select("op", *b_cols))
+
     def change_feed(
         self,
         version_a: str,
         version_b: str | None = None,
         key_cols: list[str] | None = None,
+        use_dv_fast: bool = True,
     ) -> DataFrame:
         """CDC-OUT: the row-level change batch that transforms
         ``version_a`` into ``version_b`` (default: the active
@@ -2551,13 +2673,31 @@ class Table:
 
         Keys default to the table's unique_on. Like diff_versions, the
         comparison shuffles keys + row fingerprints, never full rows;
-        full rows are joined back only for the (small) changed set."""
+        full rows are joined back only for the (small) changed set.
+        When version_b still carries every file of version_a (a chain
+        of deletion-vector DML / merge-on-read upserts / appends), the
+        feed is computed from MASK DELTAS + NEW FILES instead — reads
+        of the change, O(change) not O(table); see
+        _change_feed_dv_fast. Pass use_dv_fast=False to force the
+        fingerprint diff."""
         meta = self._engine.catalog.table_meta(self.store_name) or {}
         keys = list(key_cols or meta.get("unique_on") or [])
         if not keys:
             raise ValueError(
                 f"change_feed on table {self.store_name!r} requires key_cols (or unique_on in Table.init)"
             )
+        if use_dv_fast and self.is_connected:
+            cat = self._engine.catalog
+            vid_a = cat.resolve_version(self.store_name, version_a)
+            vid_b = (
+                cat.resolve_version(self.store_name, version_b)
+                if version_b
+                else cat.get_active_version(self.store_name)
+            )
+            if vid_a and vid_b:
+                fast = self._change_feed_dv_fast(vid_a, vid_b, keys)
+                if fast is not None:
+                    return fast
         a = self.read_spark(version=version_a)
         b = self.read_spark(version=version_b) if version_b else self.read_spark()
 

@@ -56,3 +56,94 @@ def test_change_feed_noop_and_key_requirement(engine):
         v = engine.catalog.get_active_version("s3")
         with pytest.raises(ValueError, match="key_cols"):
             tb.change_feed(v)
+
+
+def test_change_feed_dv_fast_path_matches_fingerprint_diff(engine):
+    # a DV-lineage window (MoR upsert + DV delete) computes the feed
+    # from mask deltas + new files; it must equal the fingerprint diff
+    # exactly — including filtering value-identical re-emitted images
+    with engine.node_context("w", outputs={"out": "cfd"}):
+        t = Table("out", "w")
+        t.init(unique_on=["id"], merge_on_read=True)
+        t.append(
+            engine.spark.createDataFrame(
+                [(i, i * 10) for i in range(20)], "id long, v long"
+            ).coalesce(2)
+        )
+        t.flush()
+        v1 = engine.catalog.get_active_version("cfd")
+        t.upsert([{"id": 3, "v": -3}, {"id": 50, "v": 50}, {"id": 4, "v": 40}])
+        t.flush()  # U(3), I(50), value-identical re-emit of 4
+        t.delete_where("id = 7", vectorized=True)
+        v2 = engine.catalog.get_active_version("cfd")
+        fast = t._change_feed_dv_fast(v1, v2, ["id"])
+        assert fast is not None  # lineage applies: fast path engaged
+        got = sorted((r["op"], r["id"], r["v"]) for r in fast.collect())
+        slow = sorted(
+            (r["op"], r["id"], r["v"])
+            for r in t.change_feed(v1, v2, use_dv_fast=False).collect()
+        )
+        assert got == slow == [("D", 7, 70), ("I", 50, 50), ("U", 3, -3)]
+        # purge rewrites masked files: containment broken, fast path
+        # declines, public API falls back to the identical diff
+        t.purge_deletes()
+        v3 = engine.catalog.get_active_version("cfd")
+        assert t._change_feed_dv_fast(v1, v3, ["id"]) is None
+        assert sorted(
+            (r["op"], r["id"], r["v"]) for r in t.change_feed(v1, v3).collect()
+        ) == got
+
+
+def test_change_feed_dv_fast_intra_window_churn(engine):
+    # a key born AND deleted between the two versions contributes
+    # nothing (its mask entry lands on a file newer than version_a);
+    # a key updated twice emits one 'U' with the final image
+    with engine.node_context("w", outputs={"out": "cfc"}):
+        t = Table("out", "w")
+        t.init(unique_on=["id"], merge_on_read=True)
+        # 5 versions land inside the window: keep v1 retained
+        engine.catalog.update_table_meta("cfc", retention_keep=10)
+        t.append([{"id": 1, "v": 1}, {"id": 2, "v": 2}])
+        t.flush()
+        v1 = engine.catalog.get_active_version("cfc")
+        t.upsert([{"id": 9, "v": 9}])
+        t.flush()
+        t.delete_where("id = 9", vectorized=True)  # churn: born + gone
+        t.upsert([{"id": 1, "v": 100}])
+        t.flush()
+        t.upsert([{"id": 1, "v": 200}])
+        t.flush()  # updated twice: final image wins
+        v2 = engine.catalog.get_active_version("cfc")
+        fast = t._change_feed_dv_fast(v1, v2, ["id"])
+        assert fast is not None
+        got = sorted((r["op"], r["id"], r["v"]) for r in fast.collect())
+        assert got == [("U", 1, 200)]
+        assert got == sorted(
+            (r["op"], r["id"], r["v"])
+            for r in t.change_feed(v1, v2, use_dv_fast=False).collect()
+        )
+
+
+def test_change_feed_dv_fast_round_trips_into_apply_cdc(engine):
+    with engine.node_context("w", outputs={"out": "cfr"}):
+        src = Table("out", "w")
+        src.init(unique_on=["id"], merge_on_read=True)
+        src.append(
+            engine.spark.createDataFrame(
+                [(i, i, "x") for i in range(10)], "id long, v long, tag string"
+            ).coalesce(1)
+        )
+        src.flush()
+        v1 = engine.catalog.get_active_version("cfr")
+        src.upsert([{"id": 2, "v": -2, "tag": "u"}, {"id": 11, "v": 11, "tag": "i"}])
+        src.flush()
+        src.delete_where("id = 5", vectorized=True)
+        feed = src.change_feed(v1)
+        src_rows = sorted((r["id"], r["v"], r["tag"]) for r in src.read())
+    with engine.node_context("r", outputs={"out": "cfr_rep"}):
+        rep = Table("out", "w")
+        rep.init(unique_on=["id"])
+        rep.append(src.read_spark(version=v1))
+        rep.flush()
+        rep.apply_cdc(feed)
+        assert sorted((r["id"], r["v"], r["tag"]) for r in rep.read()) == src_rows
