@@ -47,7 +47,8 @@ while True:
         cat.set_manifest("t", vid, ["t/" + vid + "/part-0.parquet"])
         log.write("created " + vid + "\\n")
         try:
-            if rng.random() < 0.5:
+            r = rng.random()
+            if r < 0.3:
                 # batched finalize: count + CAS flip in ONE transaction
                 # (the production write-path shape) — a kill mid-batch
                 # must atomically lose or land BOTH
@@ -55,6 +56,16 @@ while True:
                     cat.set_record_count("t", vid, 1)
                     cat.set_active_version("t", vid, expected_parent=base)
                 log.write("flipped " + vid + " from " + str(base) + " batched\\n")
+            elif r < 0.5:
+                # deletion-vector-shaped finalize (DV delete / MoR
+                # upsert): manifest + mask + count + flip are ONE
+                # transaction — a kill must never land a mask without
+                # its manifest/flip or vice versa
+                with cat.commit_batch():
+                    cat.set_deletion_vectors("t", vid, {"t/" + vid + "/part-0.parquet": [0]})
+                    cat.set_record_count("t", vid, 0)
+                    cat.set_active_version("t", vid, expected_parent=base)
+                log.write("flipped " + vid + " from " + str(base) + " dv\\n")
             else:
                 cat.set_active_version("t", vid, expected_parent=base)
                 log.write("flipped " + vid + " from " + str(base) + "\\n")
@@ -167,7 +178,7 @@ def test_crash_fuzz_multi_writer(tmp_path, backend):
             if parts[0] == "created":
                 created.add(parts[1])
             elif parts[0] == "flipped":
-                flips.append((parts[1], parts[3], len(parts) > 4 and parts[4] == "batched"))
+                flips.append((parts[1], parts[3], parts[4] if len(parts) > 4 else ""))
     assert len(created) >= 5, "fuzz produced too little work to mean anything"
 
     # 2. CAS linearizability: one successful flip per base version
@@ -178,9 +189,19 @@ def test_crash_fuzz_multi_writer(tmp_path, backend):
     # batched record_count (count + flip were one transaction; GC may
     # have dropped old versions entirely, which is fine)
     retained = set(versions)
-    for vid, _p, batched in flips:
-        if batched and vid in retained:
+    for vid, _p, kind in flips:
+        if kind == "batched" and vid in retained:
             assert cat.get_record_count("t", vid) == 1, f"batched flip {vid} lost its count"
+        if kind == "dv" and vid in retained:
+            # DV-shaped finalize: mask + count landed with the flip
+            assert cat.get_record_count("t", vid) == 0, f"dv flip {vid} lost its count"
+            assert cat.get_deletion_vectors("t", vid), f"dv flip {vid} lost its mask"
+    # 2c. mask/manifest consistency: ANY retained version's DV refs
+    # resolve within its own manifest (a kill can never orphan a mask)
+    for vid in versions:
+        refs_v = set(cat.get_manifest("t", vid) or [])
+        for ref in cat.get_deletion_vectors("t", vid):
+            assert ref in refs_v, f"version {vid} masks unknown file {ref}"
 
     # 3. the active version is real work and its manifest resolves
     if active is not None:
