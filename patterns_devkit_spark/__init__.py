@@ -10,6 +10,7 @@ GraphRunner) and the north-star operator library (operators/).
 from .catalog.catalog import ConcurrentWriteError
 from .node.matview import MaterializedView
 from .node.node import (
+    BranchMergeConflict,
     CheckConstraintViolation,
     Connection,
     Engine,
@@ -27,6 +28,7 @@ from .session import get_spark
 __version__ = "0.1.0"
 
 __all__ = [
+    "BranchMergeConflict",
     "CheckConstraintViolation",
     "ConcurrentWriteError",
     "MaterializedView",

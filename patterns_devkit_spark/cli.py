@@ -438,6 +438,31 @@ def cmd_tag(args) -> int:
     return 0
 
 
+def cmd_branch(args) -> int:
+    """Table branches (Nessie-style workflow on engine tables): with
+    no branch name, list the table's branches; --merge lands a branch
+    back on main (CDC batch from the fork point; --on-conflict
+    error|branch_wins|main_wins); --drop abandons one; else fork a new
+    branch (zero-copy clone + GC-exempt fork markers). Branch tables
+    carry the full SDK/SQL surface under the printed store name."""
+    engine = _engine(args)
+    if not args.branch:
+        for br, info in sorted(engine.list_branches(args.table).items()):
+            print(f"{br}\t{info['table']}\tfork={info['fork_main']}")
+        return 0
+    if args.merge:
+        n = engine.merge_branch(args.table, args.branch, on_conflict=args.on_conflict)
+        print(f"merged branch {args.branch!r} into {args.table}: {n} change rows")
+        return 0
+    if args.drop:
+        engine.drop_branch(args.table, args.branch)
+        print(f"dropped branch {args.branch!r} of {args.table}")
+        return 0
+    phys = engine.create_branch(args.table, args.branch)
+    print(f"created branch {args.branch!r} of {args.table} -> table {phys}")
+    return 0
+
+
 def cmd_analyze(args) -> int:
     """ANALYZE: compute + store per-column statistics (non-null count,
     approx NDV, min/max) for one table or every table with data; view
@@ -711,6 +736,19 @@ def main(argv: list[str] | None = None) -> int:
     tg.add_argument("--version", help="version id to pin (default: active)")
     tg.add_argument("--drop", action="store_true", help="remove the tag")
     tg.set_defaults(fn=cmd_tag)
+
+    br = sub.add_parser("branch", help="create/list/merge/drop table branches")
+    br.add_argument("table", help="table name")
+    br.add_argument("branch", nargs="?", help="branch name (omit to list branches)")
+    br.add_argument("--merge", action="store_true", help="merge the branch back into the table")
+    br.add_argument(
+        "--on-conflict",
+        choices=["error", "branch_wins", "main_wins"],
+        default="error",
+        help="three-way merge policy for keys changed on both sides",
+    )
+    br.add_argument("--drop", action="store_true", help="abandon the branch")
+    br.set_defaults(fn=cmd_branch)
 
     an = sub.add_parser("analyze", help="compute + store per-column table statistics")
     an.add_argument("table", nargs="?", help="table name (default: all tables)")

@@ -157,6 +157,13 @@ def _parse_set_clause(set_sql: str) -> dict[str, str]:
     return out
 
 
+class BranchMergeConflict(ValueError):
+    """merge_branch found keys changed on BOTH main and the branch
+    since the fork point; nothing was applied. Resolve with
+    on_conflict='branch_wins' or 'main_wins' (engine extension —
+    the Nessie-style branch workflow's three-way-merge guard)."""
+
+
 class CheckConstraintViolation(ValueError):
     """A write batch failed a declared CHECK constraint; nothing was
     written and the active version is unchanged (engine extension —
@@ -3209,6 +3216,137 @@ class Engine:
             n = self.spark.read.parquet(v.storage).count()
             self.catalog.set_record_count(name, v.version_id, n)
             return n
+
+    # -- table branches (engine extension; Iceberg/Nessie-style) --------
+    @staticmethod
+    def _branch_store(table: str, branch: str) -> str:
+        return f"{table}__br_{branch}"
+
+    def create_branch(self, table: str, branch: str) -> str:
+        """Writable table branch (engine extension — the Iceberg/Nessie
+        branch workflow, composed from this engine's verified
+        primitives): a zero-copy clone of ``table``'s active version
+        under a derived store name, plus GC-exempt fork markers (tags)
+        on both sides. Branch tables carry the FULL SDK surface —
+        append/upsert/DML/time-travel all work on the returned store
+        name — while main stays untouched; nothing is copied at fork
+        time (manifest refs / hardlinks). merge_branch() lands the
+        branch's changes back on main as a CDC batch computed from the
+        fork point (O(change) under DV lineage). Returns the branch's
+        physical store name."""
+        import re as _re
+
+        if not _re.fullmatch(r"[A-Za-z0-9_]+", branch):
+            raise ValueError(f"invalid branch name {branch!r} (letters/digits/_)")
+        cat = self.catalog
+        meta = cat.table_meta(table)
+        if meta is None:
+            raise ValueError(f"create_branch: unknown table {table!r}")
+        branches = dict(meta.get("branches") or {})
+        if branch in branches:
+            raise ValueError(f"branch {branch!r} of {table!r} already exists")
+        fork_main = cat.get_active_version(table)
+        if fork_main is None:
+            raise ValueError(f"create_branch: table {table!r} has no active version")
+        phys = self._branch_store(table, branch)
+        with self.node_context("__branch__", outputs={"out": phys, "src": table}):
+            bt = Table("out", "w")
+            bt.clone_from(table)
+            fork_branch = cat.get_active_version(phys)
+            # GC-exempt fork markers: the branch keeps its base version
+            # (the CDC window start) and main keeps the fork point (the
+            # conflict-detection window start) until merge/drop
+            bt.tag("branch_base", fork_branch)
+            Table("src", "w").tag(f"fork.{branch}", fork_main)
+        cat.update_table_meta(
+            table,
+            branches={
+                **branches,
+                branch: {"table": phys, "fork_main": fork_main, "fork_branch": fork_branch},
+            },
+        )
+        return phys
+
+    def merge_branch(
+        self, table: str, branch: str, on_conflict: str = "error", drop: bool = True
+    ) -> int:
+        """Land a branch back on main: the branch's changes since the
+        fork (Table.change_feed from the fork marker — the metadata
+        fast path applies under DV lineage) are applied to main as one
+        CDC batch (apply_cdc). Keys changed on BOTH sides since the
+        fork are conflicts: ``on_conflict`` = 'error' (default, raises
+        listing sample keys), 'branch_wins' (branch overwrites main),
+        or 'main_wins' (conflicting keys dropped from the batch).
+        Returns the number of change rows applied; drops the branch
+        (and both fork markers) afterwards unless ``drop=False``."""
+        if on_conflict not in ("error", "branch_wins", "main_wins"):
+            raise ValueError(f"merge_branch: unknown on_conflict {on_conflict!r}")
+        cat = self.catalog
+        meta = cat.table_meta(table) or {}
+        info = (meta.get("branches") or {}).get(branch)
+        if not info:
+            raise ValueError(f"unknown branch {branch!r} of table {table!r}")
+        keys = meta.get("unique_on")
+        if not keys:
+            raise ValueError(
+                f"merge_branch on {table!r} requires unique_on (Table.init) — "
+                "the merge is a keyed CDC batch"
+            )
+        phys = info["table"]
+        with self.node_context("__branch__", outputs={"b": phys, "m": table}):
+            bt, mt = Table("b", "w"), Table("m", "w")
+            feed = bt.change_feed(info["fork_branch"], key_cols=list(keys))
+            n_changes = feed.count()
+            if n_changes:
+                main_changed = (
+                    mt.change_feed(info["fork_main"], key_cols=list(keys))
+                    .select(*keys)
+                    .distinct()
+                )
+                if on_conflict == "error":
+                    sample = (
+                        feed.select(*keys)
+                        .join(main_changed, on=list(keys), how="inner")
+                        .limit(5)
+                        .collect()
+                    )
+                    if sample:
+                        ks = [tuple(r[k] for k in keys) for r in sample]
+                        raise BranchMergeConflict(
+                            f"branch {branch!r} and main both changed keys {ks} "
+                            "since the fork (on_conflict='branch_wins'/'main_wins' to resolve)"
+                        )
+                elif on_conflict == "main_wins":
+                    feed = feed.join(main_changed, on=list(keys), how="left_anti")
+                    n_changes = feed.count()
+                if n_changes:
+                    mt.apply_cdc(feed)
+        if drop:
+            self.drop_branch(table, branch)
+        return int(n_changes)
+
+    def drop_branch(self, table: str, branch: str) -> None:
+        """Delete a branch: its table (files ref-counted across other
+        tables' retained manifests, so shared bytes survive) and both
+        fork-marker tags."""
+        cat = self.catalog
+        meta = cat.table_meta(table) or {}
+        branches = dict(meta.get("branches") or {})
+        info = branches.pop(branch, None)
+        if info is None:
+            raise ValueError(f"unknown branch {branch!r} of table {table!r}")
+        cat.drop_table(info["table"])
+        try:
+            cat.drop_tag(table, f"fork.{branch}")
+        except Exception:
+            pass  # marker already gone (e.g. manual tag surgery)
+        cat.update_table_meta(table, branches=branches)
+
+    def list_branches(self, table: str) -> dict[str, dict]:
+        """Branch registry of a table: {branch: {table, fork_main,
+        fork_branch}}."""
+        meta = self.catalog.table_meta(table) or {}
+        return dict(meta.get("branches") or {})
 
     def create_materialized_view(
         self,

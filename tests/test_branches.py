@@ -1,0 +1,138 @@
+"""Table branches (Engine.create_branch / merge_branch / drop_branch):
+the Iceberg/Nessie branch workflow composed from the engine's verified
+primitives — fork = zero-copy clone + GC-exempt fork-marker tags on
+both sides; branch writes get the FULL SDK surface (it's a table);
+merge = the branch's CDC feed since the fork applied to main, with
+three-way conflict detection against main's own feed since the fork."""
+import glob
+import os
+
+import pytest
+
+from patterns_devkit_spark import BranchMergeConflict, Table
+
+
+def _mk_main(engine, name="base", rows=10):
+    with engine.node_context("mk", outputs={"out": name}):
+        t = Table("out", "w")
+        t.init(unique_on=["id"], merge_on_read=True)
+        t.append(
+            engine.spark.createDataFrame(
+                [(i, i * 10) for i in range(rows)], "id long, v long"
+            ).coalesce(2)
+        )
+        t.flush()
+
+
+def test_branch_fork_is_zero_copy(engine):
+    from tests.conftest import REFERENCE_LINK_MODE, physical_parquet
+
+    _mk_main(engine)
+    main_v = engine.catalog.get_active_version("base")
+    phys = engine.create_branch("base", "exp")
+    assert phys == "base__br_exp"
+    info = engine.list_branches("base")["exp"]
+    assert info["fork_main"] == main_v
+    bdir = engine.catalog.version_dir(phys, info["fork_branch"])
+    if REFERENCE_LINK_MODE:
+        # pure manifest refs into main's version dir, nothing physical
+        assert physical_parquet(bdir) == {}
+        refs = engine.catalog.get_manifest(phys, info["fork_branch"])
+        assert refs and all(r.startswith(f"base/{main_v}/") for r in refs)
+    else:
+        mdir = engine.catalog.version_dir("base", main_v)
+        assert set(physical_parquet(bdir).values()) == set(physical_parquet(mdir).values())
+    engine.drop_branch("base", "exp")
+
+
+def test_branch_write_merge_round_trip(engine):
+    _mk_main(engine)
+    phys = engine.create_branch("base", "exp")
+    with engine.node_context("b", outputs={"out": phys}):
+        bt = Table("out", "w")
+        bt.upsert([{"id": 2, "v": -2}, {"id": 50, "v": 50}])
+        bt.flush()
+        bt.delete_where("id = 7", vectorized=True)
+    # main untouched while the branch diverges
+    with engine.node_context("m", outputs={"out": "base"}):
+        assert len(Table("out", "w").read_spark().collect()) == 10
+    n = engine.merge_branch("base", "exp")
+    assert n == 3  # U(2), I(50), D(7)
+    assert engine.list_branches("base") == {}  # merged branches drop
+    with engine.node_context("m", outputs={"out": "base"}):
+        rows = {r["id"]: r["v"] for r in Table("out", "w").read_spark().collect()}
+    assert len(rows) == 10 and rows[2] == -2 and rows[50] == 50 and 7 not in rows
+    # fork-marker tag on main is gone: GC unpinned
+    assert f"fork.exp" not in (engine.catalog.table_meta("base") or {}).get("tags", {})
+
+
+def test_branch_merge_conflicts(engine):
+    _mk_main(engine)
+    engine.create_branch("base", "c1")
+    with engine.node_context("b", outputs={"out": "base__br_c1"}):
+        t = Table("out", "w")
+        t.upsert([{"id": 3, "v": 300}, {"id": 4, "v": 400}])
+        t.flush()
+    with engine.node_context("m", outputs={"out": "base"}):
+        t = Table("out", "w")
+        t.upsert([{"id": 3, "v": 999}])
+        t.flush()
+    with pytest.raises(BranchMergeConflict, match="both changed"):
+        engine.merge_branch("base", "c1")
+    # main_wins: the conflicting key keeps main's value, the clean
+    # branch change still lands
+    assert engine.merge_branch("base", "c1", on_conflict="main_wins") == 1
+    with engine.node_context("m", outputs={"out": "base"}):
+        rows = {r["id"]: r["v"] for r in Table("out", "w").read_spark().collect()}
+    assert rows[3] == 999 and rows[4] == 400
+
+    # branch_wins: branch overwrites main's concurrent change
+    engine.create_branch("base", "c2")
+    with engine.node_context("b", outputs={"out": "base__br_c2"}):
+        t = Table("out", "w")
+        t.upsert([{"id": 5, "v": 555}])
+        t.flush()
+    with engine.node_context("m", outputs={"out": "base"}):
+        t = Table("out", "w")
+        t.upsert([{"id": 5, "v": 111}])
+        t.flush()
+    assert engine.merge_branch("base", "c2", on_conflict="branch_wins") == 1
+    with engine.node_context("m", outputs={"out": "base"}):
+        rows = {r["id"]: r["v"] for r in Table("out", "w").read_spark().collect()}
+    assert rows[5] == 555
+
+
+def test_branch_fork_survives_main_churn(engine):
+    # main advances many versions after the fork: the fork-marker tag
+    # pins the fork point through retention GC, so conflict detection
+    # still sees main's full post-fork window
+    _mk_main(engine)
+    engine.create_branch("base", "slow")
+    with engine.node_context("m", outputs={"out": "base"}):
+        t = Table("out", "w")
+        for i in range(5):  # > DEFAULT_RETENTION versions
+            t.upsert([{"id": 1, "v": 1000 + i}])
+            t.flush()
+    with engine.node_context("b", outputs={"out": "base__br_slow"}):
+        t = Table("out", "w")
+        t.upsert([{"id": 1, "v": -1}])
+        t.flush()
+    with pytest.raises(BranchMergeConflict):
+        engine.merge_branch("base", "slow")
+    engine.drop_branch("base", "slow")
+    assert engine.list_branches("base") == {}
+    assert not engine.catalog.table_meta("base__br_slow")
+
+
+def test_branch_validation(engine):
+    _mk_main(engine)
+    with pytest.raises(ValueError, match="invalid branch name"):
+        engine.create_branch("base", "bad-name!")
+    engine.create_branch("base", "dup")
+    with pytest.raises(ValueError, match="already exists"):
+        engine.create_branch("base", "dup")
+    with pytest.raises(ValueError, match="unknown branch"):
+        engine.merge_branch("base", "nope")
+    engine.drop_branch("base", "dup")
+    with pytest.raises(ValueError, match="unknown table"):
+        engine.create_branch("missing", "x")
