@@ -1370,3 +1370,48 @@ def sdk19(spark, sf_dir):
         tbl.delete_where("o_orderkey % 97 = 0", vectorized=True)
         tbl.purge_deletes()
         return tbl.read_spark()
+
+
+# =====================================================================
+# sdk20 — branch fork/merge workflow through the engine
+# =====================================================================
+
+
+@query(
+    "sdk20_branch_merge",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 101 = 0 THEN 'B' ELSE o_orderstatus END
+             AS o_orderstatus
+    FROM orders
+    WHERE NOT (o_orderkey % 97 = 0)
+    """,
+)
+def sdk20(spark, sf_dir):
+    """Branch workflow under the oracle gate (Engine.create_branch /
+    merge_branch; tests/test_branches.py has the conflict matrix):
+    fork a zero-copy branch of the orders table, run a scattered
+    UPDATE and a DV DELETE on the branch while main stays untouched,
+    then merge — the branch's changes land on main as ONE CDC batch
+    computed from the fork point (metadata fast path under DV
+    lineage). The oracle states the post-merge state in closed form;
+    a merge that dropped, duplicated, or resurrected a row
+    hash-mismatches."""
+    from .node.node import Table
+    from .queries import _temp_engine
+
+    eng = _temp_engine(spark)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    with eng.node_context("w", outputs={"out": "o_main"}):
+        tbl = Table("out", "w")
+        tbl.init(unique_on=["o_orderkey"], merge_on_read=True)
+        tbl.append(o.coalesce(4))
+        tbl.flush()
+    phys = eng.create_branch("o_main", "fix")
+    with eng.node_context("b", outputs={"out": phys}):
+        bt = Table("out", "w")
+        bt.update_where({"o_orderstatus": "'B'"}, "o_orderkey % 101 = 0", vectorized=True)
+        bt.delete_where("o_orderkey % 97 = 0", vectorized=True)
+    eng.merge_branch("o_main", "fix")
+    with eng.node_context("r", outputs={"out": "o_main"}):
+        return Table("out", "w").read_spark()
