@@ -344,7 +344,12 @@ def _read_version_files(
             g = _with_row_meta(g)
         dfs.append(g)
     if not dfs:
-        return engine.spark.createDataFrame([], struct or T.StructType([]))
+        empty_struct = T.StructType(list((struct or T.StructType([])).fields))
+        if with_meta:
+            empty_struct = empty_struct.add("__dv_ref", T.StringType()).add(
+                "__dv_idx", T.LongType()
+            )
+        return engine.spark.createDataFrame([], empty_struct)
     df = dfs[0]
     for other in dfs[1:]:
         df = df.unionByName(other, allowMissingColumns=True)
@@ -1464,8 +1469,20 @@ class Table:
         if any(k not in (self.schema or T.StructType([])).fieldNames() for k in keys):
             return False  # batch introduces the key column: plain merge
         refs = _mf.version_refs(catalog, self.store_name, av.version_id)
+        batch_n = df.count()  # Spark job: before any catalog section
+        # file skipping on the key: probe only files whose min/max (and
+        # Bloom bitmap, if declared) can contain batch keys — an upsert
+        # of key-localized batches (time-ordered ids, recent partitions)
+        # probes O(touched files), not the table. Stats-missing or
+        # all-files-kept degrades to the full probe; files skipped here
+        # provably hold no matching key, so the DV result is identical.
+        probe_refs = refs
+        if len(keys) == 1:
+            kept = self._key_probe_files(df, keys[0], batch_n, av.version_id)
+            if kept is not None:
+                probe_refs = kept
         base = _read_version_files(
-            self._engine, self.store_name, av.version_id, refs, with_meta=True
+            self._engine, self.store_name, av.version_id, probe_refs, with_meta=True
         )
         existing = catalog.get_deletion_vectors(self.store_name, av.version_id)
         if existing:
@@ -1474,7 +1491,6 @@ class Table:
                 ["__dv_ref", "__dv_idx"],
                 "left_anti",
             )
-        batch_n = df.count()  # Spark job: before any catalog section
         batch_keys = df.select(
             *[F.col(k).cast(base.schema[k].dataType).alias(k) for k in keys]
         ).distinct()
@@ -1534,6 +1550,32 @@ class Table:
         )
         self.signal_update()
         return True
+
+    def _key_probe_files(
+        self, df: DataFrame, key: str, batch_n: int, version_id: str
+    ) -> list[str] | None:
+        """File subset that can contain the batch's key values, from
+        the catalog's per-file stats (min/max + Bloom bitmaps when
+        declared): small batches probe by the exact value set ('in' —
+        Bloom-prunable), large ones by key range. None = no pruning
+        possible (stats missing, or every file kept)."""
+        try:
+            if batch_n <= 10_000:
+                vals = [r[0] for r in df.select(key).distinct().collect()]
+                if not vals or any(v is None for v in vals):
+                    return None
+                preds = [(key, "in", vals)]
+            else:
+                agg = df.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).collect()[0]
+                if agg["lo"] is None:
+                    return None
+                preds = [(key, "between", (agg["lo"], agg["hi"]))]
+            kept, total = self.prune_files(preds, version=version_id)
+        except Exception:
+            return None  # unprunable type/op: full probe stays correct
+        if not total or len(kept) == total:
+            return None
+        return kept
 
     def _carry_order_hwm(self, new_version: str, src_name: str, src_version: str) -> None:
         """Propagate the ordering high-water mark through a zero-copy

@@ -153,6 +153,35 @@ def test_mor_insert_only_batch_is_pure_append(engine):
         assert len(t.read_spark().collect()) == 32
 
 
+def test_mor_probe_prunes_files_by_key_stats(engine):
+    # the old-image probe file-skips on the key: an upsert whose keys
+    # fall in one file's min/max range probes exactly that file — and
+    # the skipped files provably hold no match, so the result is
+    # identical to the full probe
+    with engine.node_context("n", outputs={"out": "morp"}):
+        t = Table("out", "w")
+        t.init(unique_on=["id"], merge_on_read=True, stat_columns=["id"])
+        df = engine.spark.createDataFrame(
+            [(i, i * 10) for i in range(30)], "id long, v long"
+        )
+        for lo in (0, 10, 20):  # three files with disjoint id ranges
+            t.append(df.where(f"id >= {lo} AND id < {lo + 10}").coalesce(1))
+            t.flush()
+        batch = engine.spark.createDataFrame([(25, -25), (27, -27)], "id long, v long")
+        kept = t._key_probe_files(batch, "id", 2, engine.catalog.get_active_version("morp"))
+        assert kept is not None and len(kept) == 1  # only the 20-29 file
+        t.upsert([{"id": 25, "v": -25}, {"id": 27, "v": -27}])
+        t.flush()
+        rows = {r["id"]: r["v"] for r in t.read_spark().collect()}
+        assert len(rows) == 30 and rows[25] == -25 and rows[27] == -27
+        assert rows[5] == 50 and rows[15] == 150  # untouched files intact
+        v = t.get_active_version().version_id
+        dvs = engine.catalog.get_deletion_vectors("morp", v)
+        assert sum(len(x) for x in dvs.values()) == 2
+        # every masked coordinate sits in the probed (20-29) file
+        assert len(dvs) == 1
+
+
 def test_mor_stream_sees_new_images(engine):
     # the MoR upsert appends NEW row versions: a stream cursor past the
     # initial load picks up exactly the batch's images
