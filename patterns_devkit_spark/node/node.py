@@ -1449,7 +1449,13 @@ class Table:
             self.signal_update()
 
     def _upsert_merge_on_read(
-        self, df: DataFrame, meta: dict, av: "TableVersion", keys: list[str], existing_schema
+        self,
+        df: DataFrame,
+        meta: dict,
+        av: "TableVersion",
+        keys: list[str],
+        existing_schema,
+        mask_keys: DataFrame | None = None,
     ) -> bool:
         """Deletion-vector MERGE (init(merge_on_read=...)): carry every
         file of the parent version, mask the OLD images of keys present
@@ -1460,7 +1466,10 @@ class Table:
         touched file (all of them, without partition_by). Returns False
         when the mask budget is exceeded (fresh matches, or accumulated
         mask) — the caller's rewriting MERGE then both applies the
-        batch and materializes the mask. compact() materializes too."""
+        batch and materializes the mask. compact() materializes too.
+        ``mask_keys`` (default: the batch's own keys) lets apply_cdc
+        mask a SUPERSET of the appended rows' keys — 'D' rows mask
+        their old images without appending anything."""
         from . import manifest as _mf
 
         catalog = self._engine.catalog
@@ -1470,6 +1479,8 @@ class Table:
             return False  # batch introduces the key column: plain merge
         refs = _mf.version_refs(catalog, self.store_name, av.version_id)
         batch_n = df.count()  # Spark job: before any catalog section
+        mkdf = df if mask_keys is None else mask_keys
+        mk_n = batch_n if mask_keys is None else mask_keys.count()
         # file skipping on the key: probe only files whose min/max (and
         # Bloom bitmap, if declared) can contain batch keys — an upsert
         # of key-localized batches (time-ordered ids, recent partitions)
@@ -1478,7 +1489,7 @@ class Table:
         # provably hold no matching key, so the DV result is identical.
         probe_refs = refs
         if len(keys) == 1:
-            kept = self._key_probe_files(df, keys[0], batch_n, av.version_id)
+            kept = self._key_probe_files(mkdf, keys[0], mk_n, av.version_id)
             if kept is not None:
                 probe_refs = kept
         base = _read_version_files(
@@ -1491,10 +1502,10 @@ class Table:
                 ["__dv_ref", "__dv_idx"],
                 "left_anti",
             )
-        batch_keys = df.select(
+        batch_keys = mkdf.select(
             *[F.col(k).cast(base.schema[k].dataType).alias(k) for k in keys]
         ).distinct()
-        if batch_n <= 2_000_000:
+        if mk_n <= 2_000_000:
             batch_keys = F.broadcast(batch_keys)
         doomed = (
             base.join(batch_keys, on=keys, how="left_semi")
@@ -2473,6 +2484,20 @@ class Table:
             op_col, *([seq_col] if seq_col else [])
         )
         touched_keys = latest.select(*keys)
+        if meta.get("merge_on_read") and self.exists and self.schema is not None:
+            # DV-shaped CDC apply: mask the old images of EVERY touched
+            # key ('D' included — they mask without re-appending) and
+            # append only the surviving I/U images. A replica chain
+            # becomes O(change) on the write side too — change_feed
+            # reads the change, apply_cdc writes the change, and the
+            # replica's own feeds stay on the metadata fast path.
+            av = self.get_active_version()
+            if av is not None and av.exists:
+                surv = conform_to_schema(survivors, self.schema)
+                if self._upsert_merge_on_read(
+                    surv, meta, av, list(keys), self.schema, mask_keys=touched_keys
+                ):
+                    return
         old = self.read_spark()
         if self.exists and self.schema is not None:
             survivors = conform_to_schema(survivors, self.schema)

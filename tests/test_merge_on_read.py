@@ -182,6 +182,36 @@ def test_mor_probe_prunes_files_by_key_stats(engine):
         assert len(dvs) == 1
 
 
+def test_mor_apply_cdc_is_dv_shaped(engine):
+    # apply_cdc on a merge_on_read table masks every touched key's old
+    # image ('D' included) and appends only the I/U rows — the replica
+    # side of CDC becomes O(change) too, and the replica's OWN feeds
+    # stay on the metadata fast path (files all carried)
+    with engine.node_context("n", outputs={"out": "morc"}):
+        t = _mk(engine, "morc")
+        v1 = t.get_active_version().version_id
+        t.apply_cdc(
+            [
+                {"op": "U", "id": 3, "v": -3},
+                {"op": "D", "id": 5, "v": None},
+                {"op": "I", "id": 77, "v": 77},
+            ]
+        )
+        v2 = t.get_active_version().version_id
+        rows = {r["id"]: r["v"] for r in t.read_spark().collect()}
+        assert len(rows) == 30 and rows[3] == -3 and rows[77] == 77 and 5 not in rows
+        # DV-shaped: old images of the two EXISTING touched keys masked
+        dvs = engine.catalog.get_deletion_vectors("morc", v2)
+        assert sum(len(x) for x in dvs.values()) == 2
+        assert engine.catalog.get_record_count("morc", v2) == 30
+        # lineage intact: the replica's own change feed takes the
+        # metadata fast path and reports exactly the applied batch
+        fast = t._change_feed_dv_fast(v1, v2, ["id"])
+        assert fast is not None
+        got = sorted((r["op"], r["id"]) for r in fast.collect())
+        assert got == [("D", 5), ("I", 77), ("U", 3)]
+
+
 def test_mor_stream_sees_new_images(engine):
     # the MoR upsert appends NEW row versions: a stream cursor past the
     # initial load picks up exactly the batch's images
