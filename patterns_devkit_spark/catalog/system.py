@@ -26,7 +26,7 @@ if TYPE_CHECKING:  # pragma: no cover
     from ..node.node import Engine
 
 _T = "table_name string, active_version string, n_versions long, record_count long, unique_on string, partition_by string, retention_keep long, has_declared_schema boolean"
-_V = "table_name string, version_id string, is_active boolean, has_data boolean, record_count long, n_files long, n_bytes long, tags string, published_at string"
+_V = "table_name string, version_id string, is_active boolean, has_data boolean, record_count long, n_files long, n_bytes long, tags string, published_at string, n_masked_rows long"
 _S = "node_id string, table_name string, order_by string, cursor string"
 _E = "ts double, table_name string, kind string, node_id string"
 _C = (
@@ -109,7 +109,11 @@ def system_dataframes(engine: "Engine") -> dict[str, DataFrame]:
                     + _dt.timedelta(microseconds=int(pub * 1_000_000) + 1)
                 ).isoformat()
             )
-            v_rows.append((name, vid, vid == active, nf > 0, counts.get(vid), nf, nb, vtags, pub_iso))
+            # deletion-vector observability: how many row images this
+            # version masks (0 = clean; reads on masked versions pay a
+            # broadcast anti-join of this many coordinates)
+            n_dv = sum(len(ix) for ix in cat.get_deletion_vectors(name, vid).values())
+            v_rows.append((name, vid, vid == active, nf > 0, counts.get(vid), nf, nb, vtags, pub_iso, n_dv))
 
     s_rows = [
         (node_id, table, order_by, None if val is None else str(val))

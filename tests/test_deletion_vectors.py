@@ -337,6 +337,21 @@ def test_purge_deletes_materializes_only_masked_files(engine):
         assert t.purge_deletes() == 0
 
 
+def test_sys_versions_reports_masked_rows(engine):
+    with engine.node_context("n", outputs={"out": "dvsv"}):
+        t = _mk(engine, "dvsv")
+        t.delete_where("grp = 1", vectorized=True)
+    engine.register_system_views()
+    rows = {
+        r["version_id"]: (r["record_count"], r["n_masked_rows"])
+        for r in engine.spark.sql(
+            "SELECT version_id, record_count, n_masked_rows FROM __sys_versions"
+            " WHERE table_name = 'dvsv'"
+        ).collect()
+    }
+    assert (30, 0) in rows.values() and (20, 10) in rows.values()
+
+
 def test_dv_falls_back_to_rewrite_past_threshold(engine):
     with engine.node_context("n", outputs={"out": "dvf"}):
         t = _mk(engine, "dvf")
