@@ -286,6 +286,7 @@ class Catalog:
             meta["version_counter"] += 1
             vid = f"v{meta['version_counter']:07d}"
             meta["versions"].append(vid)
+            meta.setdefault("created_at", {})[vid] = time.time()
             os.makedirs(self.version_dir(name, vid), exist_ok=True)
             return vid
 
@@ -764,11 +765,24 @@ class Catalog:
             doomed = inactive[:-keep] if keep else inactive
             tagged = set((meta.get("tags") or {}).values())
             doomed = [v for v in doomed if v not in pinned and v not in tagged]
+            min_age = meta.get("retention_seconds")
+            if min_age:
+                # time-based retention (Delta logRetentionDuration
+                # analogue): a version is only reclaimable once it has
+                # been around at least this long — count-based pruning
+                # never beats the declared time-travel window. Legacy
+                # versions without a creation stamp stay count-ruled.
+                now = time.time()
+                created = meta.get("created_at") or {}
+                doomed = [
+                    v for v in doomed
+                    if v not in created or now - created[v] >= min_age
+                ]
             live = self._all_live_refs(doc, {(name, v) for v in doomed})
             for v in doomed:
                 meta["versions"].remove(v)
                 meta["record_counts"].pop(v, None)
-                for key in ("order_hwms", "file_stats", "column_stats", "manifests", "manifest_stamps", "deletion_vectors"):
+                for key in ("order_hwms", "file_stats", "column_stats", "manifests", "manifest_stamps", "deletion_vectors", "created_at"):
                     meta.get(key, {}).pop(v, None)
             return doomed, live
 
@@ -821,7 +835,7 @@ class Catalog:
             live = self._all_live_refs(doc, {(name, version)})
             meta["versions"].remove(version)
             meta["record_counts"].pop(version, None)
-            for key in ("order_hwms", "file_stats", "column_stats", "manifests", "manifest_stamps", "deletion_vectors"):
+            for key in ("order_hwms", "file_stats", "column_stats", "manifests", "manifest_stamps", "deletion_vectors", "created_at"):
                 meta.get(key, {}).pop(version, None)
             return live
 

@@ -703,6 +703,8 @@ class Table:
         check_constraints: dict[str, str] | None = None,
         auto_compact_after: int | None = None,
         merge_on_read: bool | int | None = None,
+        retention_keep: int | None = None,
+        retention_seconds: float | None = None,
     ) -> None:
         """Declare creation-time table properties (node.py:269-297).
 
@@ -768,6 +770,14 @@ class Table:
             updates["merge_on_read"] = (
                 int(merge_on_read) if not isinstance(merge_on_read, bool) else bool(merge_on_read)
             )
+        if retention_keep is not None:
+            # versions kept beyond the active one for time travel
+            updates["retention_keep"] = int(retention_keep)
+        if retention_seconds is not None:
+            # time-based retention (Delta logRetentionDuration
+            # analogue): GC never reclaims a version younger than this,
+            # whatever the count says — the declared time-travel window
+            updates["retention_seconds"] = float(retention_seconds)
         if partition_by is not None:
             updates["partition_by"] = [partition_by] if isinstance(partition_by, str) else list(partition_by)
         if cluster_by is not None:
