@@ -705,6 +705,7 @@ class Table:
         merge_on_read: bool | int | None = None,
         retention_keep: int | None = None,
         retention_seconds: float | None = None,
+        generated_columns: dict[str, str] | None = None,
     ) -> None:
         """Declare creation-time table properties (node.py:269-297).
 
@@ -778,6 +779,14 @@ class Table:
             # analogue): GC never reclaims a version younger than this,
             # whatever the count says — the declared time-travel window
             updates["retention_seconds"] = float(retention_seconds)
+        if generated_columns is not None:
+            # Delta GENERATED ALWAYS AS analogue: {col: sql_expr over
+            # the other columns}, computed at EVERY write (user values
+            # ignored). The natural partner of partition_by on derived
+            # dates: init(generated_columns={"day": "to_date(ts)"},
+            # partition_by="day") gives partition pruning on a column
+            # writers never have to supply.
+            updates["generated_columns"] = dict(generated_columns)
         if partition_by is not None:
             updates["partition_by"] = [partition_by] if isinstance(partition_by, str) else list(partition_by)
         if cluster_by is not None:
@@ -1627,7 +1636,14 @@ class Table:
     def _sorted_for_write(self, df: DataFrame, meta: dict) -> DataFrame:
         """Write versions sorted by the declared ordering so Parquet
         min/max stats prune incremental stream slices (SURVEY.md §4
-        'incremental stream slice pruning'); auto_indexes≈sort-on-key."""
+        'incremental stream slice pruning'); auto_indexes≈sort-on-key.
+        Also the single choke point where GENERATED columns are
+        computed: declared expressions ALWAYS overwrite whatever the
+        batch carried (Delta GENERATED ALWAYS AS semantics — schema
+        conformance may have null-filled the column, and user-supplied
+        values must not diverge from the generator)."""
+        for col, expr in (meta.get("generated_columns") or {}).items():
+            df = df.withColumn(col, F.expr(expr))
         cb = [c for c in (meta.get("cluster_by") or []) if c in df.columns]
         if cb:
             from ..operators.layout import zvalue
