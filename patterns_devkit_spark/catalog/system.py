@@ -27,6 +27,10 @@ if TYPE_CHECKING:  # pragma: no cover
 
 _T = "table_name string, active_version string, n_versions long, record_count long, unique_on string, partition_by string, retention_keep long, has_declared_schema boolean"
 _V = "table_name string, version_id string, is_active boolean, has_data boolean, record_count long, n_files long, n_bytes long, tags string, published_at string, n_masked_rows long"
+_F = (
+    "table_name string, version_id string, ref string, n_bytes long, "
+    "is_carried boolean, n_masked_rows long, has_stats boolean"
+)
 _S = "node_id string, table_name string, order_by string, cursor string"
 _E = "ts double, table_name string, kind string, node_id string"
 _C = (
@@ -55,7 +59,7 @@ def system_dataframes(engine: "Engine") -> dict[str, DataFrame]:
     cat = engine.catalog
     spark = engine.spark
 
-    t_rows, v_rows = [], []
+    t_rows, v_rows, f_rows = [], [], []
     for name in cat.table_names():
         meta = cat.table_meta(name) or {}
         active = meta.get("active_version")
@@ -114,6 +118,36 @@ def system_dataframes(engine: "Engine") -> dict[str, DataFrame]:
             # broadcast anti-join of this many coordinates)
             n_dv = sum(len(ix) for ix in cat.get_deletion_vectors(name, vid).values())
             v_rows.append((name, vid, vid == active, nf > 0, counts.get(vid), nf, nb, vtags, pub_iso, n_dv))
+            # per-file census (__sys_files — Iceberg 'files' metadata
+            # table analogue): manifest refs when present, else the
+            # legacy directory walk synthesized into own refs
+            from ..node import manifest as _mf
+
+            dvs_v = cat.get_deletion_vectors(name, vid)
+            stats_v = cat.get_file_stats(name, vid) or {}
+            file_refs = refs if refs is not None else [
+                f"{name}/{vid}/{rel}"
+                for rel in _mf.walk_version_files(cat.version_dir(name, vid))
+            ]
+            troot_f = os.path.join(cat.root, "tables")
+            own_prefix = f"{name}/{vid}/"
+            for ref in file_refs:
+                try:
+                    fb = os.path.getsize(os.path.join(troot_f, ref))
+                except OSError:
+                    fb = None
+                skey = _mf.stats_key(ref, name, vid)
+                f_rows.append(
+                    (
+                        name,
+                        vid,
+                        ref,
+                        fb,
+                        not ref.startswith(own_prefix),
+                        len(dvs_v.get(ref) or ()),
+                        skey in stats_v,
+                    )
+                )
 
     s_rows = [
         (node_id, table, order_by, None if val is None else str(val))
@@ -202,6 +236,7 @@ def system_dataframes(engine: "Engine") -> dict[str, DataFrame]:
         "__sys_matviews": spark.createDataFrame(m_rows, _M),
         "__sys_tables": spark.createDataFrame(t_rows, _T),
         "__sys_versions": spark.createDataFrame(v_rows, _V),
+        "__sys_files": spark.createDataFrame(f_rows, _F),
         "__sys_streams": spark.createDataFrame(s_rows, _S),
         "__sys_events": spark.createDataFrame(e_rows, _E),
         "__sys_column_stats": spark.createDataFrame(c_rows, _C),

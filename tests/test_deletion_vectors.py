@@ -360,3 +360,24 @@ def test_dv_falls_back_to_rewrite_past_threshold(engine):
         v = t.get_active_version().version_id
         assert engine.catalog.get_deletion_vectors("dvf", v) == {}
         assert len(t.read_spark().collect()) == 20
+
+
+def test_sys_files_census(engine):
+    from tests.conftest import REFERENCE_LINK_MODE
+
+    with engine.node_context("n", outputs={"out": "dvsf"}):
+        t = _mk(engine, "dvsf")
+        t.delete_where("grp = 1", vectorized=True)
+    engine.register_system_views()
+    rows = engine.spark.sql(
+        "SELECT version_id, is_carried, n_masked_rows FROM __sys_files"
+        " WHERE table_name = 'dvsf'"
+    ).collect()
+    v2 = engine.catalog.get_active_version("dvsf")
+    v2_rows = [r for r in rows if r["version_id"] == v2]
+    assert len(v2_rows) == 2  # both parent files present in the census
+    assert sum(r["n_masked_rows"] for r in v2_rows) == 10
+    if REFERENCE_LINK_MODE:
+        assert all(r["is_carried"] for r in v2_rows)  # pure refs
+    else:
+        assert all(not r["is_carried"] for r in v2_rows)  # hardlinked own
