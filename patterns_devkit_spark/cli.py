@@ -463,6 +463,28 @@ def cmd_branch(args) -> int:
     return 0
 
 
+def cmd_optimize(args) -> int:
+    """Table maintenance: --purge materializes the deletion-vector
+    mask rewriting ONLY masked files (REORG APPLY (PURGE)); otherwise
+    compact small files toward --target-files (which also
+    materializes any mask). One table or, with no name, every table
+    with data."""
+    engine = _engine(args)
+    from .node.node import Table
+
+    names = [args.table] if args.table else list(engine.catalog.table_names())
+    for name in names:
+        with engine.node_context("__optimize__", outputs={"out": name}):
+            t = Table("out", "w")
+            if args.purge:
+                n = t.purge_deletes()
+                print(f"{name}: purged {n} masked row images" if n else f"{name}: no mask")
+            else:
+                v = t.compact(target_files=args.target_files)
+                print(f"{name}: compacted -> {v.version_id}" if v else f"{name}: nothing to compact")
+    return 0
+
+
 def cmd_analyze(args) -> int:
     """ANALYZE: compute + store per-column statistics (non-null count,
     approx NDV, min/max) for one table or every table with data; view
@@ -736,6 +758,12 @@ def main(argv: list[str] | None = None) -> int:
     tg.add_argument("--version", help="version id to pin (default: active)")
     tg.add_argument("--drop", action="store_true", help="remove the tag")
     tg.set_defaults(fn=cmd_tag)
+
+    op = sub.add_parser("optimize", help="compact small files / purge deletion-vector masks")
+    op.add_argument("table", nargs="?", help="table name (default: all tables)")
+    op.add_argument("--target-files", type=int, default=None, help="compaction target file count")
+    op.add_argument("--purge", action="store_true", help="materialize masks only (REORG APPLY (PURGE))")
+    op.set_defaults(fn=cmd_optimize)
 
     br = sub.add_parser("branch", help="create/list/merge/drop table branches")
     br.add_argument("table", help="table name")

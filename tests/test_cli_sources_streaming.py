@@ -452,3 +452,36 @@ def test_cli_list_breadth(tmp_path):
     assert r.returncode == 0 and "No views found" in r.stdout
     r = run_cli(["--warehouse", wh, "list", "matviews"], str(app))
     assert r.returncode == 0 and "No matviews found" in r.stdout
+
+
+def test_cli_optimize_and_branch(tmp_path):
+    # seed a warehouse through the SDK, then drive the maintenance and
+    # branch commands through the real CLI process
+    import tempfile
+
+    wh = str(tmp_path / "wh")
+    seed = (
+        "import sys\n"
+        "from patterns_devkit_spark import Engine, Table\n"
+        "eng = Engine(sys.argv[1])\n"
+        "with eng.node_context('n', outputs={'out': 't'}):\n"
+        "    t = Table('out', 'w'); t.init(unique_on=['id'])\n"
+        "    t.append(eng.spark.createDataFrame([(i, i) for i in range(12)], 'id long, v long').coalesce(3)); t.flush()\n"
+        "    t.delete_where('id < 2', vectorized=True)\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", seed, wh],
+        capture_output=True, text=True, cwd=str(tmp_path),
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    r = run_cli(["--warehouse", wh, "optimize", "t", "--purge"], str(tmp_path))
+    assert "purged 2 masked row images" in r.stdout
+    r = run_cli(["--warehouse", wh, "optimize", "t", "--target-files", "1"], str(tmp_path))
+    assert "compacted" in r.stdout
+    r = run_cli(["--warehouse", wh, "branch", "t", "hotfix"], str(tmp_path))
+    assert "created branch" in r.stdout
+    r = run_cli(["--warehouse", wh, "branch", "t"], str(tmp_path))
+    assert "hotfix" in r.stdout
+    r = run_cli(["--warehouse", wh, "branch", "t", "hotfix", "--merge"], str(tmp_path))
+    assert "merged branch" in r.stdout and "0 change rows" in r.stdout
