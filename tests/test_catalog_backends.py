@@ -258,6 +258,10 @@ def test_backends_agree_on_any_op_sequence(tmp_path_factory, ops):
         for meta in doc.get("tables", {}).values():
             if "publish_log" in meta:
                 meta["publish_log"] = [vid for _ts, vid in meta["publish_log"]]
+            if "created_at" in meta:
+                # per-version creation stamps (time-based retention)
+                # are wall-clock by design: normalize to the vid set
+                meta["created_at"] = sorted(meta["created_at"])
     assert docs[0] == docs[1]
     logs = [
         [

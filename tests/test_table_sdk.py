@@ -286,6 +286,7 @@ def test_system_views_reflect_catalog(engine):
     assert views == [
         "__sys_column_stats",
         "__sys_events",
+        "__sys_files",
         "__sys_matviews",
         "__sys_streams",
         "__sys_tables",
