@@ -458,7 +458,7 @@ def cmd_branch(args) -> int:
         engine.drop_branch(args.table, args.branch)
         print(f"dropped branch {args.branch!r} of {args.table}")
         return 0
-    phys = engine.create_branch(args.table, args.branch)
+    phys = engine.create_branch(args.table, args.branch, from_version=args.from_version)
     print(f"created branch {args.branch!r} of {args.table} -> table {phys}")
     return 0
 
@@ -776,6 +776,7 @@ def main(argv: list[str] | None = None) -> int:
         help="three-way merge policy for keys changed on both sides",
     )
     br.add_argument("--drop", action="store_true", help="abandon the branch")
+    br.add_argument("--from-version", help="fork point: version id, tag, or 'latest' (default: active)")
     br.set_defaults(fn=cmd_branch)
 
     an = sub.add_parser("analyze", help="compute + store per-column table statistics")

@@ -2569,7 +2569,7 @@ class Table:
         self.signal_update()
         return TableVersion(self._engine, self.store_name, vid)
 
-    def clone_from(self, source_table: str) -> "TableVersion | None":
+    def clone_from(self, source_table: str, version: str | None = None) -> "TableVersion | None":
         """Zero-copy clone (Delta/Iceberg 'shallow clone'): make THIS
         table's new active version by CARRYING every parquet file of
         ``source_table``'s active version — no data moves, O(files)
@@ -2591,7 +2591,15 @@ class Table:
         src_meta = catalog.table_meta(source_table)
         if src_meta is None:
             raise ValueError(f"clone_from: unknown table {source_table!r}")
-        src_av = catalog.get_active_version(source_table)
+        if version is not None:
+            # historical clone: any retained version, tag, or 'latest'
+            src_av = catalog.resolve_version(source_table, version)
+            if src_av is None or src_av not in (src_meta.get("versions") or []):
+                raise ValueError(
+                    f"clone_from: version {version!r} of {source_table!r} is not retained"
+                )
+        else:
+            src_av = catalog.get_active_version(source_table)
         if src_av is None:
             raise ValueError(f"clone_from: {source_table!r} has no active version")
         catalog.ensure_table(self.store_name)
@@ -3315,7 +3323,7 @@ class Engine:
     def _branch_store(table: str, branch: str) -> str:
         return f"{table}__br_{branch}"
 
-    def create_branch(self, table: str, branch: str) -> str:
+    def create_branch(self, table: str, branch: str, from_version: str | None = None) -> str:
         """Writable table branch (engine extension — the Iceberg/Nessie
         branch workflow, composed from this engine's verified
         primitives): a zero-copy clone of ``table``'s active version
@@ -3338,13 +3346,23 @@ class Engine:
         branches = dict(meta.get("branches") or {})
         if branch in branches:
             raise ValueError(f"branch {branch!r} of {table!r} already exists")
-        fork_main = cat.get_active_version(table)
+        if from_version is not None:
+            # fork from history: any retained version id, tag, or
+            # 'latest' — bugfix-from-release workflows branch off the
+            # tagged release, not today's head
+            fork_main = cat.resolve_version(table, from_version)
+            if fork_main is None:
+                raise ValueError(
+                    f"create_branch: version {from_version!r} of {table!r} is not retained"
+                )
+        else:
+            fork_main = cat.get_active_version(table)
         if fork_main is None:
             raise ValueError(f"create_branch: table {table!r} has no active version")
         phys = self._branch_store(table, branch)
         with self.node_context("__branch__", outputs={"out": phys, "src": table}):
             bt = Table("out", "w")
-            bt.clone_from(table)
+            bt.clone_from(table, version=from_version)
             fork_branch = cat.get_active_version(phys)
             # GC-exempt fork markers: the branch keeps its base version
             # (the CDC window start) and main keeps the fork point (the

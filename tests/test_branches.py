@@ -136,3 +136,29 @@ def test_branch_validation(engine):
     engine.drop_branch("base", "dup")
     with pytest.raises(ValueError, match="unknown table"):
         engine.create_branch("missing", "x")
+
+
+def test_branch_from_tagged_release(engine):
+    # bugfix-from-release: fork off a TAG, fix on the branch, merge —
+    # conflict detection runs against the historical fork point, so
+    # everything main changed since the release counts as "theirs"
+    _mk_main(engine)
+    with engine.node_context("m", outputs={"out": "base"}):
+        t = Table("out", "w")
+        t.tag("rel1")
+        t.upsert([{"id": 0, "v": 1000}])  # main moves on after the release
+        t.flush()
+    engine.create_branch("base", "fix", from_version="rel1")
+    info = engine.list_branches("base")["fix"]
+    assert info["fork_main"] == engine.catalog.resolve_version("base", "rel1")
+    # the branch content is the RELEASE state, not today's head
+    with engine.node_context("b", outputs={"out": "base__br_fix"}):
+        bt = Table("out", "w")
+        rows = {r["id"]: r["v"] for r in bt.read_spark().collect()}
+        assert rows[0] == 0  # pre-upsert value
+        bt.upsert([{"id": 9, "v": -9}])
+        bt.flush()
+    assert engine.merge_branch("base", "fix") == 1
+    with engine.node_context("m", outputs={"out": "base"}):
+        rows = {r["id"]: r["v"] for r in Table("out", "w").read_spark().collect()}
+    assert rows[9] == -9 and rows[0] == 1000  # fix landed, head kept
