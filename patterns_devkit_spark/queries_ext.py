@@ -1415,3 +1415,41 @@ def sdk20(spark, sf_dir):
     eng.merge_branch("o_main", "fix")
     with eng.node_context("r", outputs={"out": "o_main"}):
         return Table("out", "w").read_spark()
+
+
+# =====================================================================
+# sdk21 — generated partition column + pruning through the engine
+# =====================================================================
+
+
+@query(
+    "sdk21_generated_partition",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(o_orderkey % 8 AS BIGINT) AS bucket
+    FROM orders
+    WHERE o_orderkey % 8 = 3
+    """,
+)
+def sdk21(spark, sf_dir):
+    """Generated partition column (init(generated_columns=...,
+    partition_by=...); tests/test_generated_columns.py asserts the
+    hive layout): writers never supply `bucket` — it is computed at
+    the write choke point (GENERATED ALWAYS AS) and becomes the hive
+    partition key, so the filtered read below is partition PRUNING at
+    scan time (1/8th of the files listed, the rest never opened). The
+    oracle recomputes the generator in closed form; a drifting or
+    null-filled generated value hash-mismatches."""
+    from .node.node import Table
+    from .queries import _temp_engine
+
+    eng = _temp_engine(spark)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    with eng.node_context("w", outputs={"out": "o_gen"}):
+        tbl = Table("out", "w")
+        tbl.init(generated_columns={"bucket": "o_orderkey % 8"}, partition_by="bucket")
+        tbl.append(o.coalesce(4))
+        tbl.flush()
+        return tbl.read_spark().filter("bucket = 3").select(
+            "o_orderkey", "o_orderstatus", F.col("bucket").cast("long").alias("bucket")
+        )
