@@ -147,3 +147,21 @@ def test_change_feed_dv_fast_round_trips_into_apply_cdc(engine):
         rep.flush()
         rep.apply_cdc(feed)
         assert sorted((r["id"], r["v"], r["tag"]) for r in rep.read()) == src_rows
+
+
+def test_change_feed_across_schema_evolution(engine):
+    # reads pin to the catalog's MERGED schema, so a feed spanning an
+    # ALTER ADD COLUMN compares both sides under the same columns —
+    # the old side null-filled, new values counting as changes
+    with engine.node_context("w", outputs={"out": "cfev"}):
+        t = Table("out", "w")
+        t.init(unique_on=["id"])
+        t.append([{"id": 1, "v": 1}, {"id": 2, "v": 2}])
+        t.flush()
+        v1 = engine.catalog.get_active_version("cfev")
+        t.execute_sql("ALTER TABLE {{ this }} ADD COLUMN tag string")
+        t.upsert([{"id": 2, "v": 20, "tag": "x"}, {"id": 3, "v": 3, "tag": "y"}])
+        t.flush()
+        feed = t.change_feed(v1)
+        got = sorted((r["op"], r["id"], r["v"], r["tag"]) for r in feed.collect())
+        assert got == [("I", 3, 3, "y"), ("U", 2, 20, "x")]
