@@ -165,3 +165,38 @@ def test_change_feed_across_schema_evolution(engine):
         feed = t.change_feed(v1)
         got = sorted((r["op"], r["id"], r["v"], r["tag"]) for r in feed.collect())
         assert got == [("I", 3, 3, "y"), ("U", 2, 20, "x")]
+
+
+def test_table_changes_per_commit_granularity(engine):
+    # Engine.table_changes: one I/U/D row per change PER COMMIT, each
+    # tagged with its _commit_version — unlike change_feed's net batch.
+    # A key updated in two commits appears twice; the net diff shows it
+    # once (or, for set-then-revert, not at all).
+    with engine.node_context("w", outputs={"out": "cdf"}):
+        t = Table("out", "w")
+        t.init(unique_on=["id"], merge_on_read=True, retention_keep=10)
+        t.append([{"id": 1, "v": 1}, {"id": 2, "v": 2}])
+        t.flush()
+        v1 = engine.catalog.get_active_version("cdf")
+        t.upsert([{"id": 1, "v": 100}])
+        t.flush()
+        v2 = engine.catalog.get_active_version("cdf")
+        t.upsert([{"id": 1, "v": 1}])  # revert: net effect is NOTHING
+        t.flush()
+        t.delete_where("id = 2", vectorized=True)
+        v4 = engine.catalog.get_active_version("cdf")
+    cdf = engine.table_changes("cdf", v1)
+    got = sorted(
+        (r["_commit_version"], r["op"], r["id"], r["v"]) for r in cdf.collect()
+    )
+    assert [(op, i, v) for _, op, i, v in got] == [("U", 1, 100), ("U", 1, 1), ("D", 2, 2)]
+    assert got[0][0] == v2 and got[2][0] == v4
+    # the NET feed over the same window: the revert cancels out
+    with engine.node_context("w2", outputs={"out": "cdf"}):
+        net = Table("out", "w").change_feed(v1)
+        assert sorted((r["op"], r["id"]) for r in net.collect()) == [("D", 2)]
+    # tag-addressed windows resolve; unretained endpoints refuse
+    import pytest
+
+    with pytest.raises(ValueError, match="newer than the window end"):
+        engine.table_changes("cdf", v4, v1)
