@@ -784,6 +784,27 @@ class Catalog:
                 meta["record_counts"].pop(v, None)
                 for key in ("order_hwms", "file_stats", "column_stats", "manifests", "manifest_stamps", "deletion_vectors", "created_at"):
                     meta.get(key, {}).pop(v, None)
+            # compact the publish log: one [epoch, vid] per pointer flip
+            # grows without bound on hot upsert tables. AS-OF semantics
+            # require a timestamp landing in a GC'd span to resolve to
+            # "unrecoverable" (None), never fall back to older retained
+            # data — so collapse each consecutive run of non-retained
+            # entries to its FIRST entry (the run's left boundary keeps
+            # every T inside the span resolving to a dead vid → None).
+            retained = set(meta["versions"])
+            log = meta.get("publish_log") or []
+            compacted: list = []
+            in_dead_run = False
+            for entry in log:
+                v = entry[1]
+                if v is not None and v in retained:
+                    compacted.append(entry)
+                    in_dead_run = False
+                elif not in_dead_run:
+                    compacted.append(entry)
+                    in_dead_run = True
+            if len(compacted) < len(log):
+                meta["publish_log"] = compacted
             return doomed, live
 
         # metadata commits FIRST, physical deletion after: a crash in

@@ -125,6 +125,15 @@ def _cast_parameter(value: Any, typ: type) -> Any:
         raise ValueError(f"cannot cast parameter value {value!r} to {typ.__name__}") from e
 
 
+def _mor_budget(mor: object) -> int:
+    """DV mask budget from an init(merge_on_read=...) declaration: an
+    integer declaration IS the budget; bool/None take the default.
+    isinstance check matters — `1 in (True, None, False)` is True."""
+    if isinstance(mor, int) and not isinstance(mor, bool):
+        return int(mor)
+    return 100_000
+
+
 def _parse_set_clause(set_sql: str) -> dict[str, str]:
     """Split an UPDATE's SET clause into {column: expression},
     paren/quote-aware so expressions may contain commas
@@ -1165,6 +1174,10 @@ class Table:
         self._engine.catalog.set_file_stats(self.store_name, av.version_id, {})
         self._engine.catalog.set_order_hwm(self.store_name, av.version_id, None)
         self._engine.catalog.set_record_count(self.store_name, av.version_id, 0)
+        # the in-place overwrite replaced every file the masks referred
+        # to; a stale mask would inflate n_masked_rows and eat future
+        # DV budgets (and the ref remap would carry it forever)
+        self._engine.catalog.set_deletion_vectors(self.store_name, av.version_id, {})
         self.signal_update()
 
     def reset(self) -> None:
@@ -1766,7 +1779,7 @@ class Table:
             self.delete_where(
                 m_del.group(2) or "true",
                 vectorized=bool(mor),
-                max_dv_rows=100_000 if mor in (True, None, False) else int(mor),
+                max_dv_rows=_mor_budget(mor),
             )
         elif m_upd:
             mor = (self._engine.catalog.table_meta(self.store_name) or {}).get("merge_on_read")
@@ -1774,7 +1787,7 @@ class Table:
                 _parse_set_clause(m_upd.group(2)),
                 m_upd.group(3) or "true",
                 vectorized=bool(mor),
-                max_dv_rows=100_000 if mor in (True, None, False) else int(mor),
+                max_dv_rows=_mor_budget(mor),
             )
         else:
             self._engine.spark.sql(rendered)
@@ -2121,7 +2134,19 @@ class Table:
         # matched set is ≤ max_dv_rows: collapse the write layout so a
         # 100-row update doesn't fan out one file per scan partition
         upd = upd.coalesce(max(1, n // 1_000_000 + 1))
-        self._writer(self._sorted_for_write(upd, meta), meta).mode("append").parquet(out_dir)
+        # keep the stored version's layout (flat parents stay flat):
+        # writing hive dirs next to carried flat files would build the
+        # mixed root-files/partition-dirs dataset Spark silently drops
+        # rows from (same guard as purge_deletes/_upsert_merge_on_read)
+        write_meta = meta
+        pbs = meta.get("partition_by") or []
+        if pbs and refs and not all(
+            all(_mf.partition_segment_value(r, pc) is not None for pc in pbs) for r in refs
+        ):
+            write_meta = {**meta, "partition_by": []}
+        self._writer(self._sorted_for_write(upd, write_meta), write_meta).mode("append").parquet(
+            out_dir
+        )
         carried = _mf.carry(catalog, self.store_name, new_version, refs)
         remap = dict(zip(refs, carried))
         dvs: dict[str, list[int]] = {}
@@ -3375,13 +3400,31 @@ class Engine:
                 f"table_changes: unresolvable window {from_ref!r}..{to_ref or 'active'!r}"
             )
         versions = meta.get("versions") or []
+        # the commit chain is PUBLISH order, not creation order: a WAP
+        # write_staged version is created early but published late (or
+        # abandoned, never published) — slicing meta['versions'] would
+        # interleave it as a phantom/misordered _commit_version step.
+        # Replay the publish log (dedup consecutive flips, restrict to
+        # retained versions) instead; restores legitimately re-publish
+        # an old vid, so an id may recur and the LAST occurrence is
+        # "where the table is/was most recently in that state".
+        pub: list[str] = []
+        for _ets, v in meta.get("publish_log") or []:
+            if v is None or v not in versions:
+                continue
+            if not pub or pub[-1] != v:
+                pub.append(v)
         try:
-            i0, i1 = versions.index(start), versions.index(end)
+            i1 = len(pub) - 1 - pub[::-1].index(end)
         except ValueError:
-            raise ValueError("table_changes: window endpoints not retained")
-        if i1 < i0:
-            raise ValueError(f"table_changes: {from_ref!r} is newer than the window end")
-        chain = versions[i0 : i1 + 1]
+            raise ValueError("table_changes: window end not retained/published")
+        try:
+            i0 = i1 - pub[i1::-1].index(start)
+        except ValueError:
+            if start in pub:
+                raise ValueError(f"table_changes: {from_ref!r} is newer than the window end")
+            raise ValueError("table_changes: window start not retained/published")
+        chain = pub[i0 : i1 + 1]
         with self.node_context("__cdf__", outputs={"out": table}):
             t = Table("out", "w")
             out: DataFrame | None = None

@@ -200,3 +200,45 @@ def test_table_changes_per_commit_granularity(engine):
 
     with pytest.raises(ValueError, match="newer than the window end"):
         engine.table_changes("cdf", v4, v1)
+
+
+def test_table_changes_walks_publish_order_not_creation_order(engine):
+    """A WAP write_staged version is CREATED early but PUBLISHED late
+    (or abandoned, never published): the per-commit feed must follow
+    the publish log, or the staged version interleaves as a phantom /
+    misordered _commit_version step (ADVICE r5)."""
+    with engine.node_context("w", outputs={"out": "cdfwap"}):
+        t = Table("out", "w")
+        t.init(unique_on=["id"], merge_on_read=True, retention_keep=10)
+        t.append([{"id": 1, "v": 1}, {"id": 2, "v": 2}])
+        t.flush()
+        v1 = engine.catalog.get_active_version("cdfwap")
+        # stage the future table state NOW (creation order puts it
+        # between v1 and v2) ...
+        staged = t.write_staged(
+            [{"id": 1, "v": 1}, {"id": 2, "v": 2}, {"id": 3, "v": 3}]
+        )
+        # ... a second staging that will be ABANDONED (never published)
+        ghost = t.write_staged([{"id": 9, "v": 9}])
+        # a normal commit lands in between
+        t.upsert([{"id": 1, "v": 100}])
+        t.flush()
+        v2 = engine.catalog.get_active_version("cdfwap")
+        # publish the early staging LAST
+        t.publish(staged.version_id)
+        v3 = engine.catalog.get_active_version("cdfwap")
+        assert v3 == staged.version_id
+    cdf = engine.table_changes("cdfwap", v1)
+    got = sorted((r["_commit_version"], r["op"], r["id"], r["v"]) for r in cdf.collect())
+    commits = [c for c, *_ in got]
+    # the ghost never shows; the chain is v1 -> v2 -> v3 in PUBLISH order
+    assert ghost.version_id not in commits
+    assert set(commits) == {v2, v3}
+    assert (v2, "U", 1, 100) in got          # the in-between commit is a step
+    assert (v3, "U", 1, 1) in got            # publish reverts it
+    assert (v3, "I", 3, 3) in got
+    # reversed window still refuses
+    import pytest
+
+    with pytest.raises(ValueError, match="newer than the window end"):
+        engine.table_changes("cdfwap", v3, v1)

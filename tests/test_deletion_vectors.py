@@ -381,3 +381,56 @@ def test_sys_files_census(engine):
         assert all(r["is_carried"] for r in v2_rows)  # pure refs
     else:
         assert all(not r["is_carried"] for r in v2_rows)  # hardlinked own
+
+
+def test_truncate_clears_deletion_vectors(engine):
+    """truncate() rewrites the version in place — a mask left behind
+    would inflate __sys_versions.n_masked_rows, count against future
+    DV budgets, and be carried forward by the ref remap forever."""
+    with engine.node_context("n", outputs={"out": "dvtr"}):
+        t = _mk(engine, "dvtr")
+        assert t.delete_where("grp = 1", vectorized=True) == 10
+        av = t.get_active_version().version_id
+        assert engine.catalog.get_deletion_vectors("dvtr", av)
+        t.truncate()
+        assert engine.catalog.get_deletion_vectors("dvtr", av) == {}
+        # a fresh DV delete after truncate budgets from zero
+        t.append(
+            engine.spark.createDataFrame(
+                [(i, i % 3) for i in range(12)], "id long, grp long"
+            ).coalesce(1)
+        )
+        t.flush()
+        assert t.delete_where("grp = 0", vectorized=True, max_dv_rows=10) == 4
+        v = t.get_active_version().version_id
+        assert sum(len(x) for x in engine.catalog.get_deletion_vectors("dvtr", v).values()) == 4
+        assert sorted(r["id"] for r in t.read_spark().collect()) == [
+            i for i in range(12) if i % 3 != 0
+        ]
+
+
+def test_dv_update_keeps_flat_parent_layout(engine):
+    """Vectorized UPDATE on a table whose files landed BEFORE
+    partition_by was declared must write the updated images FLAT:
+    hive dirs next to carried root files form the mixed dataset Spark
+    silently drops rows from (same guard as purge_deletes/MoR-upsert)."""
+    with engine.node_context("w", outputs={"out": "dvflat"}):
+        t = Table("out", "w")
+        t.init(unique_on=["k"])  # flat layout first
+        t.append(
+            engine.spark.createDataFrame(
+                [(i, f"g{i % 3}", float(i)) for i in range(30)],
+                "k long, grp string, v double",
+            ).coalesce(2)
+        )
+        t.flush()
+        t.init(partition_by="grp")  # declared AFTER the files landed
+        assert t.update_where({"v": "v + 1000"}, "k = 0", vectorized=True) == 1
+        got = {r["k"]: r["v"] for r in t.read_spark().collect()}
+    expected = {i: float(i) for i in range(30)}
+    expected[0] = 1000.0
+    assert got == expected  # 30 rows: nothing silently dropped
+    # and the updated image really landed flat (no grp= dirs)
+    v = engine.catalog.get_active_version("dvflat")
+    d = engine.catalog.version_dir("dvflat", v)
+    assert not glob.glob(os.path.join(d, "grp=*"))

@@ -228,3 +228,35 @@ def test_mor_stream_sees_new_images(engine):
         t.flush()
         delta = list(s.consume_records())
         assert sorted((r["id"], r["v"]) for r in delta) == [(2, -2), (9, 9)]
+
+
+def test_mor_integer_budget_is_not_bool(engine):
+    """init(merge_on_read=1) declares a 1-row mask budget; SQL DML must
+    honour it (``1 in (True, None, False)`` is True — the old
+    membership test silently swapped in the 100k default)."""
+    from patterns_devkit_spark.node.node import _mor_budget
+
+    assert _mor_budget(1) == 1
+    assert _mor_budget(7) == 7
+    assert _mor_budget(True) == 100_000
+    assert _mor_budget(None) == 100_000
+    with engine.node_context("n", outputs={"out": "morb1"}):
+        t = Table("out", "w")
+        t.init(unique_on=["id"], merge_on_read=1)
+        t.append(
+            engine.spark.createDataFrame(
+                [(i, i * 10) for i in range(20)], "id long, v long"
+            ).coalesce(1)
+        )
+        t.flush()
+        # 4 doomed rows > budget 1: the SQL DELETE must take the
+        # materializing rewrite, leaving NO mask
+        t.execute_sql("DELETE FROM {{ this }} WHERE id < 4")
+        v = t.get_active_version().version_id
+        assert engine.catalog.get_deletion_vectors("morb1", v) == {}
+        assert len(t.read_spark().collect()) == 16
+        # a single-row DELETE fits the declared budget: DV path
+        t.execute_sql("DELETE FROM {{ this }} WHERE id = 5")
+        v = t.get_active_version().version_id
+        assert sum(len(x) for x in engine.catalog.get_deletion_vectors("morb1", v).values()) == 1
+        assert len(t.read_spark().collect()) == 15

@@ -169,3 +169,39 @@ def test_as_of_append_grain_survives_reference_link_mode(engine, monkeypatch):
         t.append([{"k": 2}])
         t.flush()
         assert sorted(r["k"] for r in t.read_spark(version=_iso(mid)).collect()) == [1]
+
+
+def test_publish_log_compacts_under_gc_preserving_as_of_gaps(engine):
+    """gc_versions compacts publish-log runs whose versions were
+    reclaimed (one boundary entry per dead run) so hot upsert tables
+    don't grow the catalog doc without bound — while a timestamp
+    inside a GC'd span still resolves to None, never to older data."""
+    with engine.node_context("w", outputs={"out": "plog"}):
+        t = Table("out", "w")
+        t.init(unique_on=["id"], retention_keep=2)
+        t.replace([{"id": 1, "v": -1}])
+        t.flush()
+        time.sleep(0.01)
+        mid = time.time()  # instant whose active version will be GC'd
+        time.sleep(0.01)
+        for i in range(12):
+            t.upsert([{"id": 1, "v": i}])
+            t.flush()
+    cat = engine.catalog
+    meta = cat.table_meta("plog")
+    log = meta["publish_log"]
+    retained = set(meta["versions"])
+    # bounded: at most one dead boundary entry between retained entries
+    dead_runs = 0
+    prev_dead = False
+    for _, v in log:
+        is_dead = v is None or v not in retained
+        if is_dead:
+            assert not prev_dead, "consecutive dead entries survived compaction"
+            dead_runs += 1
+        prev_dead = is_dead
+    assert len(log) <= len(retained) * 2 + dead_runs + 2
+    # the GC'd span still answers "unrecoverable", not older data
+    assert cat.resolve_version("plog", _iso(mid)) is None
+    # and the live window still resolves
+    assert cat.resolve_version("plog", _iso(time.time())) == meta["active_version"]
