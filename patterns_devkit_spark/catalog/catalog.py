@@ -711,6 +711,30 @@ class Catalog:
             return None
         return _untag((mv.get("cursors") or {}).get(version))
 
+    def set_matview_applied(self, name: str, version: str, applied: dict) -> None:
+        """Applied-SOURCE snapshot for a specific MV version:
+        {source_table: {"version": vid, "refs": [manifest refs at
+        refresh time]}}. Paired with the cursor, this is what lets a
+        refresh CLASSIFY the source window since the last fold —
+        append-pure (cursor fold), DV-maskable (invertible signed
+        fold), or rewrite (full recompute). Pruned with the cursors."""
+        def fn(doc):
+            meta = _ensure_meta(doc, name)
+            mv = meta.setdefault("matview", {"cursors": {}})
+            app = mv.setdefault("applied", {})
+            app[version] = applied
+            live = set(meta.get("versions") or [])
+            for v in [v for v in app if v not in live and v != version]:
+                del app[v]
+
+        self._mutate(fn)
+
+    def get_matview_applied(self, name: str, version: str | None) -> dict | None:
+        mv = (self.table_meta(name) or {}).get("matview") or {}
+        if version is None:
+            return None
+        return (mv.get("applied") or {}).get(version)
+
     def matview_names(self) -> list[str]:
         return sorted(n for n, m in self._live_doc["tables"].items() if (m or {}).get("matview", {}).get("spec"))
 

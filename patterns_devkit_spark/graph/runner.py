@@ -264,7 +264,12 @@ class GraphRunner:
                 for mv_name in self.engine.catalog.matview_names():
                     spec = self.engine.catalog.get_matview_spec(mv_name) or {}
                     mv_sources = {spec.get("source"), spec.get("left"), spec.get("right")} - {None}
-                    if (mv_sources & touched) and mv_name not in touched:
+                    # refresh whenever a source was touched — even if the
+                    # MV itself also appears in this event batch (e.g. a
+                    # replayed history): refresh() classifies the source
+                    # window itself and no-ops (0) when nothing changed,
+                    # so re-entry is cheap and never double-folds
+                    if mv_sources & touched and mv_name not in mv_sources:
                         if self.engine.materialized_view(mv_name).refresh() > 0:
                             touched.add(mv_name)
                 for node in self.downstream_of(touched):

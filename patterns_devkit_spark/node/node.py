@@ -408,6 +408,96 @@ def _dv_filter(engine: "Engine", df_with_meta: DataFrame, dvs: dict[str, list[in
     )
 
 
+def _dv_by_rel(dvs: dict[str, list[int]]) -> dict[str, set[int]]:
+    """Deletion-vector map keyed by version-independent relpath (mask
+    keys mix version-relative names and tables-root refs)."""
+    from . import manifest as _mf
+
+    out: dict[str, set[int]] = {}
+    for ref, idxs in dvs.items():
+        rel = _mf.ref_relpath(ref) if _mf.is_ref(ref) else ref
+        out.setdefault(rel, set()).update(int(i) for i in idxs)
+    return out
+
+
+def _dv_window_meta(
+    engine: "Engine",
+    table: str,
+    vid_a: str,
+    vid_b: str,
+    refs_a: list[str] | None = None,
+    refs_b: list[str] | None = None,
+) -> dict | None:
+    """Metadata-only classification of the version window a→b. Returns
+    None when the window is NOT deletion-vector lineage (a file of
+    version_a was rewritten/compacted away, a relpath collision makes
+    containment ambiguous, the schema evolved, or version_a is no
+    longer retained) — callers must fall back to an exact recompute.
+    Otherwise returns the change coordinates, all O(metadata):
+
+    - gone_pairs: (ref-of-a, row_index) old images masked inside the
+      window (new DV entries on version_a's files);
+    - new_refs / carried_refs_b: version_b's refs split by whether the
+      file already belonged to version_a;
+    - cols: the (shared) logical column list.
+
+    ``refs_a`` overrides version_a's CURRENT manifest with the file
+    list captured at an earlier instant (materialized views store it
+    per refresh): files appended IN PLACE to version_a afterwards then
+    classify as new files, and a truncate() — which REPLACES the
+    manifest in place — breaks containment and forces the recompute."""
+    from . import manifest as _mf
+
+    cat = engine.catalog
+    if vid_a not in ((cat.table_meta(table) or {}).get("versions") or []):
+        return None
+    manifest_a = cat.get_manifest(table, vid_a)
+    if refs_b is None:
+        refs_b = cat.get_manifest(table, vid_b)
+    if manifest_a is None or refs_b is None:
+        return None
+    if refs_a is None:
+        refs_a = manifest_a
+
+    def rel(r: str) -> str:
+        return _mf.ref_relpath(r) if _mf.is_ref(r) else r
+
+    rels_a = {rel(r): r for r in refs_a}
+    rels_b = {rel(r): r for r in refs_b}
+    if len(rels_a) != len(refs_a) or len(rels_b) != len(refs_b):
+        return None  # relpath collision: be conservative
+    if not set(rels_a) <= set(rels_b):
+        return None  # a file of version_a was rewritten/compacted away
+    # a captured refs_a must still be contained in version_a's CURRENT
+    # manifest — truncate() replaces it in place (the one destructive
+    # same-version mutation) and then nothing below holds
+    if refs_a is not manifest_a and not set(rels_a) <= {rel(r) for r in manifest_a}:
+        return None
+    a_probe = TableVersion(engine, table, vid_a)
+    b_probe = TableVersion(engine, table, vid_b)
+    if not a_probe.exists or not b_probe.exists:
+        return None
+    a_cols = a_probe.as_dataframe().columns
+    b_cols = b_probe.as_dataframe().columns
+    if a_cols != b_cols:
+        return None  # schema evolved inside the window: exact recompute
+
+    dva = _dv_by_rel(engine.catalog.get_deletion_vectors(table, vid_a))
+    dvb = _dv_by_rel(engine.catalog.get_deletion_vectors(table, vid_b))
+    gone_pairs = [
+        (rels_a[rel_], i)
+        for rel_, idxs in dvb.items()
+        if rel_ in rels_a
+        for i in sorted(idxs - dva.get(rel_, set()))
+    ]
+    return {
+        "gone_pairs": gone_pairs,
+        "new_refs": [r for rel_, r in rels_b.items() if rel_ not in rels_a],
+        "carried_refs_b": [r for rel_, r in rels_b.items() if rel_ in rels_a],
+        "cols": b_cols,
+    }
+
+
 def _carry_deletion_vectors(
     catalog, src_table: str, src_vid: str, dst_table: str, dst_vid: str,
     src_refs: list[str], carried: list[str],
@@ -2713,46 +2803,14 @@ class Table:
         versions) and contribute nothing, matching the fingerprint
         semantics; unchanged re-emitted images are filtered by the same
         value fingerprint the slow path uses."""
-        from . import manifest as _mf
-
         cat = self._engine.catalog
-        refs_a = cat.get_manifest(self.store_name, vid_a)
-        refs_b = cat.get_manifest(self.store_name, vid_b)
-        if refs_a is None or refs_b is None:
+        win = _dv_window_meta(self._engine, self.store_name, vid_a, vid_b)
+        if win is None:
             return None
-        rels_a = {_mf.ref_relpath(r) if _mf.is_ref(r) else r: r for r in refs_a}
-        rels_b = {_mf.ref_relpath(r) if _mf.is_ref(r) else r: r for r in refs_b}
-        if len(rels_a) != len(refs_a) or len(rels_b) != len(refs_b):
-            return None  # relpath collision: be conservative
-        if not set(rels_a) <= set(rels_b):
-            return None  # a file of version_a was rewritten/compacted away
-        a_probe = TableVersion(self._engine, self.store_name, vid_a)
+        b_cols = win["cols"]
+        gone_pairs = win["gone_pairs"]
+        new_refs = win["new_refs"]
         b_probe = TableVersion(self._engine, self.store_name, vid_b)
-        if not a_probe.exists or not b_probe.exists:
-            return None
-        a_cols = a_probe.as_dataframe().columns
-        b_cols = b_probe.as_dataframe().columns
-        if a_cols != b_cols:
-            return None  # schema evolved inside the window: exact diff
-
-        def by_rel(dvs: dict[str, list[int]]) -> dict[str, set[int]]:
-            out: dict[str, set[int]] = {}
-            for ref, idxs in dvs.items():
-                rel = _mf.ref_relpath(ref) if _mf.is_ref(ref) else ref
-                out.setdefault(rel, set()).update(int(i) for i in idxs)
-            return out
-
-        dva = by_rel(cat.get_deletion_vectors(self.store_name, vid_a))
-        dvb = by_rel(cat.get_deletion_vectors(self.store_name, vid_b))
-        # old images that disappeared: NEW mask entries on version_a's
-        # files, addressed by version_a's own refs
-        gone_pairs = [
-            (rels_a[rel], i)
-            for rel, idxs in dvb.items()
-            if rel in rels_a
-            for i in sorted(idxs - dva.get(rel, set()))
-        ]
-        new_refs = [r for rel, r in rels_b.items() if rel not in rels_a]
 
         def empty() -> DataFrame:
             return b_probe.as_dataframe().limit(0).select(

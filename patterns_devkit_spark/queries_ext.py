@@ -1453,3 +1453,69 @@ def sdk21(spark, sf_dir):
         return tbl.read_spark().filter("bucket = 3").select(
             "o_orderkey", "o_orderstatus", F.col("bucket").cast("long").alias("bucket")
         )
+
+
+# =====================================================================
+# sdk22 — lineage-aware MV refresh after source DELETE/UPDATE
+# =====================================================================
+
+
+@query(
+    "sdk22_mv_delete_refresh",
+    """
+    SELECT o_orderstatus,
+           CAST(SUM(CASE WHEN o_orderkey % 101 = 0 THEN 0
+                         ELSE CAST(round(o_totalprice * 100) AS BIGINT) END
+               ) AS BIGINT) AS revenue_cents,
+           COUNT(*) AS n_orders
+    FROM orders
+    WHERE NOT (o_orderkey % 97 = 0)
+    GROUP BY o_orderstatus
+    """,
+)
+def sdk22(spark, sf_dir):
+    """Lineage-aware materialized-view refresh (VERDICT r5 #1;
+    node/matview.py, tests/test_matview_lineage.py): after the MV is
+    folded, a deletion-vector DELETE and a vectorized UPDATE land on
+    the source; the next plain refresh() — exactly what
+    GraphRunner.run_all invokes on the source's data event — must
+    classify the window as DV lineage and apply the SIGNED fold
+    (masked old images -1, new images +1) instead of serving the
+    stale aggregate. The oracle recomputes the post-DML aggregate in
+    closed form (deleted keys excluded, updated keys re-priced to 0),
+    so a stale, double-counted, or mis-signed group hash-mismatches.
+    Reference parity: the devkit re-runs derived SQL nodes on source
+    events (node.py:356-373); this is the O(change) version of that
+    contract."""
+    from .node.node import Table
+    from .queries import _temp_engine
+
+    eng = _temp_engine(spark)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    with eng.node_context("w", outputs={"out": "o_mv_src"}):
+        tbl = Table("out", "w")
+        tbl.init(add_monotonic_id="mid")
+        tbl.append(
+            o.withColumn(
+                "cents", F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+            ).coalesce(4)
+        )
+        tbl.flush()
+    mv = eng.create_materialized_view(
+        "o_mv",
+        source="o_mv_src",
+        order_by="mid",
+        dims=["o_orderstatus"],
+        measures={"revenue_cents": ("sum", "cents"), "n_orders": ("count", "*")},
+    )
+    mv.refresh()
+    with eng.node_context("dml", outputs={"out": "o_mv_src"}):
+        tbl = Table("out", "w")
+        tbl.delete_where("o_orderkey % 97 = 0", vectorized=True)
+        tbl.update_where({"cents": "0"}, "o_orderkey % 101 = 0", vectorized=True)
+    mv.refresh()  # the auto path: classify → signed fold, never stale
+    return mv.read_spark().select(
+        "o_orderstatus",
+        F.col("revenue_cents").cast("long").alias("revenue_cents"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+    )
