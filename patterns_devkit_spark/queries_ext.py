@@ -1519,3 +1519,73 @@ def sdk22(spark, sf_dir):
         F.col("revenue_cents").cast("long").alias("revenue_cents"),
         F.col("n_orders").cast("long").alias("n_orders"),
     )
+
+
+# =====================================================================
+# sdk23 — SQL MERGE INTO routed through execute_sql
+# =====================================================================
+
+
+@query(
+    "sdk23_sql_merge",
+    """
+    SELECT o_orderkey AS k,
+           CAST(CASE WHEN o_orderkey % 5 = 0
+                     THEN CAST(round(o_totalprice * 100) AS BIGINT) + o_orderkey
+                     ELSE CAST(round(o_totalprice * 100) AS BIGINT) END
+                AS BIGINT) AS cents
+    FROM orders
+    WHERE NOT (o_orderkey % 5 = 0 AND o_orderkey % 2 = 1)
+    UNION ALL
+    SELECT -o_orderkey AS k, CAST(o_orderkey AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey <> 0
+    """,
+)
+def sdk23(spark, sf_dir):
+    """SQL MERGE INTO through execute_sql (node/node.py _execute_merge;
+    tests/test_sql_merge.py has the clause matrix): the standard
+    upsert statement — conditional UPDATE with a cross-alias
+    expression, clause-ordered DELETE, column-list INSERT — compiles
+    to ONE apply_cdc batch over the engine's MERGE machinery
+    (deletion-vector path on merge-on-read targets). Reference
+    contract: arbitrary DML via execute_sql (node.py:356-373). The
+    oracle states the post-merge table in closed form: matched even
+    keys re-priced, matched odd keys deleted, a disjoint negative-key
+    set inserted — a misrouted clause, double-applied row, or
+    resurrected delete hash-mismatches."""
+    from .node.node import Table
+    from .queries import _temp_engine
+
+    eng = _temp_engine(spark)
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.col("o_orderkey"),
+    )
+    src = (
+        o.filter("o_orderkey % 5 = 0")
+        .select(F.col("k"), F.col("o_orderkey").cast("long").alias("delta"))
+        .unionByName(
+            # o_orderkey 0 exists in the fixture: -0 would collide with
+            # the matched key 0 (apply_cdc would last-wins-dedup where
+            # the closed-form oracle keeps both) — exclude it
+            o.filter("o_orderkey % 7 = 0 AND o_orderkey <> 0").select(
+                (-F.col("k")).alias("k"), F.col("o_orderkey").cast("long").alias("delta")
+            )
+        )
+    )
+    with eng.node_context("w", outputs={"out": "m_tgt", "src": "m_src"}):
+        tbl = Table("out", "w")
+        tbl.init(unique_on=["k"])
+        tbl.append(o.select("k", "cents").coalesce(4))
+        tbl.flush()
+        sp = Table("src", "w")
+        sp.append(src.coalesce(2))
+        sp.flush()
+        tbl.execute_sql(
+            "MERGE INTO {{ this }} AS t USING {{ m_src }} AS s ON t.k = s.k "
+            "WHEN MATCHED AND s.delta % 2 = 0 THEN UPDATE SET t.cents = t.cents + s.delta "
+            "WHEN MATCHED THEN DELETE "
+            "WHEN NOT MATCHED THEN INSERT (k, cents) VALUES (s.k, s.delta)"
+        )
+        return tbl.read_spark().select("k", F.col("cents").cast("long").alias("cents"))
