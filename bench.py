@@ -117,6 +117,9 @@ BENCH_QUERIES = [
     "sdk14_upsert_skewed",  # adversarial: one hot partition takes 90% of the update batch
     "sdk18_merge_on_read_upsert",  # DV MERGE: scattered 1% update+insert, zero rewrite
     "sdk07_compact",  # maintenance: 4-file hot append table -> 1 coalesced file
+    # r6: metadata-write latency tracked like MERGE (VERDICT r5 item 8)
+    "sdk16_delete_vectors",  # DV DELETE: mask-only commit, files carried untouched
+    "sdk20_branch_merge",  # branch fork + divergent writes + CDC merge to main
 ]
 
 
@@ -134,6 +137,13 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         best, n = None, 0
+        # one UNTIMED warm-up execution per query: first runs are 2-5x
+        # inflated on this host (codegen JIT + shuffle-service warm-up,
+        # quantified SCALE.md) and best-of-N without it manufactured the
+        # r5 round-over-round scare (VERDICT r5 what's-wrong 3)
+        df = fn(spark, sf_dir)
+        df.count()
+        df.limit(10).collect()
         for _ in range(3):  # steady-state: best of 3 (JIT warm; robust to CPU-contention noise)
             t0 = time.time()
             df = fn(spark, sf_dir)
