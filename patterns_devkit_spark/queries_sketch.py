@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .operators import sketches as sk
-from .operators.det_hash import quantized_embedding
+from .operators.det_hash import quantized_embedding, twolevel_coarse_sql
 from .operators.text import tokens
 from .queries import query, t
 
@@ -191,21 +191,12 @@ _SEM_NUM2, _SEM_DEN2 = 361, 400
 # k scales with the corpus so |cluster| stays bounded (~500 vectors):
 # k = max(16, n // 500). A FIXED k is a latent scale-killer — per-
 # cluster pairwise work grows as (n/k)^2, measured 5.1x wall-clock at
-# the 10x tier before this rebase (SCALE.md).
+# the 10x tier before this rebase (SCALE.md). And a FLAT assignment
+# against k ∝ N centroids is the complementary cliff (N·d·k ∝ N²
+# flops, O(N) driver-collected model — VERDICT r5 item 2): training is
+# the shared TWO-LEVEL coarse quantizer (det_hash.twolevel_coarse),
+# cluster id = the seed's own vec_id, seeds ordered by (md5, vec_id).
 _SEM_KMIN, _SEM_PER = 16, 500
-
-_SEM_ASSIGN = """
-    d{i}_ AS (
-      SELECT ep.vec_id, c.cluster, sum((ep.v - c.c) * (ep.v - c.c)) AS dist
-      FROM ep JOIN cent{j} c ON ep.d = c.d
-      GROUP BY ep.vec_id, c.cluster
-    ),
-    m{i}_ AS (SELECT vec_id, min(dist) AS md FROM d{i}_ GROUP BY vec_id),
-    a{i}_ AS (
-      SELECT d.vec_id, min(d.cluster) AS cluster, min(d.dist) AS dist
-      FROM d{i}_ d JOIN m{i}_ m ON m.vec_id = d.vec_id AND d.dist = m.md
-      GROUP BY d.vec_id
-    )"""
 
 
 @query(
@@ -223,32 +214,22 @@ _SEM_ASSIGN = """
     kk AS (
       SELECT greatest({_SEM_KMIN}, count(*) // {_SEM_PER}) AS k FROM embeddings
     ),
-    seed AS (
-      SELECT vec_id, CAST(rn - 1 AS BIGINT) AS cluster FROM (
-        SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) AS rn FROM (
-          SELECT vec_id,
-                 CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
-          FROM embeddings)
-      ) WHERE rn <= (SELECT k FROM kk)
-    ),
-    cent0 AS (
-      SELECT s.cluster, ep.d, ep.v AS c FROM seed s JOIN ep ON ep.vec_id = s.vec_id
-    ),
-    {_SEM_ASSIGN.format(i=1, j=0)},
-    cent1 AS (
-      SELECT a.cluster, ep.d,
-             CAST((sum(ep.v) - ((sum(ep.v) % count(*) + count(*)) % count(*))) // count(*) AS BIGINT) AS c
-      FROM a1_ a JOIN ep ON ep.vec_id = a.vec_id
-      GROUP BY a.cluster, ep.d
-    ),
-    {_SEM_ASSIGN.format(i=2, j=1)},
+    {twolevel_coarse_sql(
+        e="e",
+        ep="ep",
+        id_col="vec_id",
+        k_sub="SELECT k FROM kk",
+        seed_order="CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id",
+        mean_sql="CAST((sum(ep.v) - ((sum(ep.v) % count(*) + count(*)) % count(*))) // count(*) AS BIGINT)",
+        prefix="tl",
+    )},
     epv AS (
       -- pairwise on WHOLE vectors (one row per pair, list_inner_product),
       -- not the exploded (cid, d) join (64 rows per pair): exact in
       -- double at these magnitudes (|v| <= 1e6 -> products <= 1e12,
       -- dots <= 6.4e13 < 2^53), cast back to BIGINT
-      SELECT a.cluster AS cid, e.vec_id, e.ei::DOUBLE[] AS ed
-      FROM e JOIN a2_ a ON a.vec_id = e.vec_id
+      SELECT a.cid, e.vec_id, e.ei::DOUBLE[] AS ed
+      FROM e JOIN tl_a2 a ON a.vec_id = e.vec_id
     ),
     nrm AS (
       SELECT vec_id, CAST(list_inner_product(ed, ed) AS BIGINT) AS nrm FROM epv
@@ -268,10 +249,10 @@ _SEM_ASSIGN = """
             >= {_SEM_NUM2} * CAST(nl.nrm AS HUGEINT) * nr.nrm
       GROUP BY 1
     )
-    SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cid,
+    SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
            CAST(CASE WHEN dup.dup_of IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup,
            CAST(coalesce(dup.dup_of, -1) AS BIGINT) AS dup_of
-    FROM a2_ a LEFT JOIN dup ON dup.rid = a.vec_id
+    FROM tl_a2 a LEFT JOIN dup ON dup.rid = a.vec_id
     """,
 )
 def q197(spark, sf_dir):
@@ -312,7 +293,7 @@ def q197(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
-    from .operators.det_hash import md5_long
+    from .operators.det_hash import _isqrt_super, md5_long, twolevel_coarse
 
     emb = t(spark, sf_dir, "embeddings")
     # quantize ONCE and checkpoint: quantized_embedding is an
@@ -330,86 +311,32 @@ def q197(spark, sf_dir):
     )
     n = e.count()
     k = max(_SEM_KMIN, n // _SEM_PER)
-    # seeds: k smallest md5(vec_id) — ONE k-row collect (vectors ride
-    # along), no global window
-    seed_rows = (
-        e.select("vec_id", md5_long(F.col("vec_id").cast("string")).alias("h"), "ei")
-        .orderBy("h", "vec_id")
+    # seeds: the k smallest (md5, vec_id), cid = the seed's OWN
+    # vec_id, kept DISTRIBUTED; only the s = isqrt(k) SUPER seeds (the
+    # first s under the same ordering) are collected — the driver never
+    # holds the k-row model (two-level trainer, det_hash.twolevel_coarse)
+    h = md5_long(F.col("vec_id").cast("string"))
+    seeds = (
+        e.select(h.alias("h"), F.col("vec_id").alias("cid"), "ei")
+        .orderBy("h", "cid")
         .limit(k)
-        .collect()
+        .select("cid", "ei")
     )
-    C0 = np.array([r["ei"] for r in seed_rows], dtype="int64")
-    ids0 = np.arange(len(seed_rows), dtype="int64")  # cluster = seed rank
-
-    def gemm_assign(C: "np.ndarray", cids: "np.ndarray"):
-        """Nearest-centroid assignment as an int64 GEMM per Arrow
-        batch. cids is ASCENDING, so numpy argmin's first-min rule IS
-        the (dist, cluster) min-min tie-break of the oracle."""
-
-        def fn(it):
-            cn = (C * C).sum(axis=1)[None, :]
-            for pdf in it:
-                if not len(pdf):
-                    continue
-                V = np.vstack(pdf["ei"].to_numpy()).astype("int64")
-                D = (V * V).sum(axis=1)[:, None] - 2 * (V @ C.T) + cn
-                j = D.argmin(axis=1)
-                yield pd.DataFrame(
-                    {
-                        "vec_id": pdf["vec_id"].to_numpy(),
-                        "cluster": cids[j],
-                        "dist": D[np.arange(len(j)), j],
-                    }
-                )
-
-        return fn
-
-    def gemm_centroid_partials(C: "np.ndarray", cids: "np.ndarray"):
-        """Round-1 assignment AND centroid partial sums in ONE pass:
-        per Arrow batch, assign every vector (same argmin as
-        gemm_assign) and emit the per-cluster per-dimension (sum,
-        count) partials — k x 64 tiny rows per batch instead of the
-        1.3M-row (vec, dim) join the naive centroid recompute
-        shuffles. The floor-mean over summed partials is exactly the
-        oracle's (sum - pmod) DIV count."""
-
-        def fn(it):
-            cn = (C * C).sum(axis=1)[None, :]
-            for pdf in it:
-                if not len(pdf):
-                    continue
-                V = np.vstack(pdf["ei"].to_numpy()).astype("int64")
-                D = (V * V).sum(axis=1)[:, None] - 2 * (V @ C.T) + cn
-                j = D.argmin(axis=1)
-                out_c, out_d, out_s, out_n = [], [], [], []
-                for ci in np.unique(j):
-                    rows = V[j == ci]
-                    s = rows.sum(axis=0)
-                    out_c.extend([int(cids[ci])] * 64)
-                    out_d.extend(range(1, 65))
-                    out_s.extend(int(x) for x in s)
-                    out_n.extend([rows.shape[0]] * 64)
-                yield pd.DataFrame(
-                    {"cluster": out_c, "d": out_d, "s": out_s, "n": out_n}
-                )
-
-        return fn
-
-    partials = e.mapInPandas(
-        gemm_centroid_partials(C0, ids0), schema="cluster long, d int, s long, n long"
+    super_rows = sorted(
+        e.select(h.alias("h"), "vec_id", "ei").orderBy("h", "vec_id").limit(_isqrt_super(k)).collect(),
+        key=lambda r: r["vec_id"],  # gid-ascending rows: argmin first-min = smallest gid
     )
-    cent1 = partials.groupBy("cluster", "d").agg(
-        F.expr("CAST((sum(s) - pmod(sum(s), sum(n))) DIV sum(n) AS BIGINT)").alias("c")
+    SC = np.array([r["ei"] for r in super_rows], dtype="int64")
+    sgids = np.array([r["vec_id"] for r in super_rows], dtype="int64")
+    a2, _cent1 = twolevel_coarse(
+        e.select(F.col("vec_id").alias("id"), "ei"),
+        seeds,
+        SC,
+        sgids,
+        mean_sql="CAST((sum(s) - pmod(sum(s), sum(n))) DIV sum(n) AS BIGINT)",
+        k=min(k, n),
     )
-    # k x 64 integers to the driver: the whole centroid model
-    c1_rows = cent1.collect()
-    c1_map: dict[int, dict[int, int]] = {}
-    for r in c1_rows:
-        c1_map.setdefault(r["cluster"], {})[r["d"]] = r["c"]
-    ids1 = np.array(sorted(c1_map), dtype="int64")
-    C1 = np.array([[c1_map[c][d] for d in range(1, 65)] for c in ids1.tolist()], dtype="int64")
-    a2 = e.mapInPandas(gemm_assign(C1, ids1), schema="vec_id long, cluster long, dist long")
-    assign = a2.select("vec_id", F.col("cluster").alias("cid"))
+    assign = a2.select(F.col("id").alias("vec_id"), "cid")
     # Pairwise stage as a per-cluster integer GEMM (applyInPandas):
     # the DataFrame form (self-join on (cid, d) -> 13M exploded rows at
     # sf0.1) is expressible but pays O(pairs x dims) shuffle rows; one

@@ -256,6 +256,49 @@ def test_asof_join_string_tiebreak_deterministic(spark):
     assert out.collect()[0]["asof_tag"] == "b"
 
 
+def test_twolevel_paths_bit_identical(spark, sf_dir):
+    """The bounded-k closure fast path and the distributed cogroup path
+    of the two-level coarse quantizer must produce IDENTICAL
+    assignments and centroid models — the oracle replays ONE algorithm,
+    so the gate (small_k) may only ever change the plan, never a row."""
+    import numpy as np
+
+    from patterns_devkit_spark.operators.det_hash import (
+        _isqrt_super,
+        quantized_embedding,
+        twolevel_coarse,
+    )
+    from patterns_devkit_spark.queries import t
+
+    emb = t(spark, sf_dir, "embeddings")
+    e = (
+        emb.select(F.col("vec_id").alias("id"), quantized_embedding("embedding").alias("ei"))
+        .repartition(4)
+        .localCheckpoint()
+    )
+    n = e.count()
+    k = max(16, n // 64)
+    seeds = e.orderBy("id").limit(k).select(F.col("id").alias("cid"), "ei")
+    super_rows = e.orderBy("id").limit(_isqrt_super(k)).collect()
+    SC = np.array([r["ei"] for r in super_rows], dtype="int64")
+    sgids = np.array([r["id"] for r in super_rows], dtype="int64")
+    mean = "CAST(floor(sum(s) / sum(n)) AS BIGINT)"
+    outs = []
+    for small_k in (k, 0):  # force each path
+        a2, cent1 = twolevel_coarse(
+            e, seeds, SC, sgids, mean_sql=mean, k=k, small_k=small_k,
+            emit_residuals=True,
+        )
+        outs.append(
+            (
+                sorted((r["id"], r["cid"], tuple(r["ei"])) for r in a2.collect()),
+                sorted((r["cid"], r["d"], r["c"]) for r in cent1.collect()),
+            )
+        )
+    assert outs[0][0] == outs[1][0], "assignments/residuals diverge between paths"
+    assert outs[0][1] == outs[1][1], "centroid models diverge between paths"
+
+
 def test_ivf_topk_recall_against_exact(spark, sf_dir):
     """IVF probing must actually find near neighbors (cross-engine
     correctness is covered by the q66 oracle; this gates usefulness)."""
