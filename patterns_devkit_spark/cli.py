@@ -442,9 +442,11 @@ def cmd_branch(args) -> int:
     """Table branches (Nessie-style workflow on engine tables): with
     no branch name, list the table's branches; --merge lands a branch
     back on main (CDC batch from the fork point; --on-conflict
-    error|branch_wins|main_wins); --drop abandons one; else fork a new
-    branch (zero-copy clone + GC-exempt fork markers). Branch tables
-    carry the full SDK/SQL surface under the printed store name."""
+    error|branch_wins|main_wins); --sync catches the branch up with
+    main (the reverse feed, moving the fork point); --drop abandons
+    one; else fork a new branch (zero-copy clone + GC-exempt fork
+    markers). Branch tables carry the full SDK/SQL surface under the
+    printed store name."""
     engine = _engine(args)
     if not args.branch:
         for br, info in sorted(engine.list_branches(args.table).items()):
@@ -453,6 +455,10 @@ def cmd_branch(args) -> int:
     if args.merge:
         n = engine.merge_branch(args.table, args.branch, on_conflict=args.on_conflict)
         print(f"merged branch {args.branch!r} into {args.table}: {n} change rows")
+        return 0
+    if args.sync:
+        n = engine.sync_branch(args.table, args.branch, on_conflict=args.on_conflict)
+        print(f"synced branch {args.branch!r} of {args.table} with main: {n} change rows")
         return 0
     if args.drop:
         engine.drop_branch(args.table, args.branch)
@@ -769,6 +775,11 @@ def main(argv: list[str] | None = None) -> int:
     br.add_argument("table", help="table name")
     br.add_argument("branch", nargs="?", help="branch name (omit to list branches)")
     br.add_argument("--merge", action="store_true", help="merge the branch back into the table")
+    br.add_argument(
+        "--sync",
+        action="store_true",
+        help="catch the branch up with main (apply main's changes since the fork, move the fork point)",
+    )
     br.add_argument(
         "--on-conflict",
         choices=["error", "branch_wins", "main_wins"],

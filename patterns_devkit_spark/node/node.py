@@ -3861,6 +3861,32 @@ class Engine:
         with self.node_context("__branch__", outputs={"b": phys, "m": table}):
             bt, mt = Table("b", "w"), Table("m", "w")
             feed = bt.change_feed(info["fork_branch"], key_cols=list(keys))
+            # echo suppression: I/U rows whose content EQUALS main's row
+            # at the fork point are not branch edits — they are the fork
+            # snapshot (or a sync_branch catch-up) echoing back. Without
+            # this, every main->branch sync would re-merge main's own
+            # rows and flag false conflicts against main's later
+            # changes. Null-safe via the change_feed fingerprint.
+            base = mt.read_spark(version=info["fork_main"])
+            val_cols = [c for c in base.columns if c not in keys]
+            if val_cols:
+                fpx = lambda cols: F.md5(  # noqa: E731 - mirrors change_feed's fp
+                    F.concat_ws(
+                        "\x1f",
+                        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols],
+                    )
+                )
+                base_fp = base.select(*keys, fpx(val_cols).alias("__fp"))
+                iu = feed.filter(F.col("op") != "D").withColumn("__fp", fpx(val_cols))
+                iu = iu.join(base_fp, on=list(keys) + ["__fp"], how="left_anti").drop("__fp")
+                # a D row whose key is ALREADY absent at the fork point
+                # is main's own delete echoing back (synced into the
+                # branch); a genuine branch delete removes a key main
+                # still has
+                dels = feed.filter(F.col("op") == "D").join(
+                    base.select(*keys), on=list(keys), how="left_semi"
+                )
+                feed = iu.unionByName(dels)
             n_changes = feed.count()
             if n_changes:
                 main_changed = (
@@ -3888,6 +3914,93 @@ class Engine:
                     mt.apply_cdc(feed)
         if drop:
             self.drop_branch(table, branch)
+        return int(n_changes)
+
+    def sync_branch(self, table: str, branch: str, on_conflict: str = "error") -> int:
+        """Catch a long-lived branch up with main (the missing
+        direction VERDICT r5 named: merge_branch is branch->main only,
+        so a branch drifted with no supported path short of
+        re-forking). Main's change feed since the fork point is applied
+        to the BRANCH as one CDC batch, and the fork point moves
+        forward to the synced main version (the ``fork.<branch>`` tag
+        moves with it, keeping the new base GC-pinned) — the rebase
+        analogue: after sync, merge_branch sees only genuine branch
+        edits (its echo suppression compares against the NEW fork
+        point) and conflicts only on keys both sides changed after it.
+
+        Keys changed on BOTH sides since the fork are conflicts:
+        ``on_conflict`` = 'error' (default, raises listing sample
+        keys), 'main_wins' (main's rows overwrite the branch's), or
+        'branch_wins' (conflicting keys are dropped from the sync
+        batch — the conflict is RESOLVED in the branch's favor, like
+        ``git rebase -X ours``: the branch's value lands at the next
+        merge without re-flagging, unless main changes the key AGAIN
+        after the sync). Returns the number of change rows applied to
+        the branch. ``fork_branch`` does NOT move: the merge window
+        must still span the branch's own pre-sync edits."""
+        if on_conflict not in ("error", "branch_wins", "main_wins"):
+            raise ValueError(f"sync_branch: unknown on_conflict {on_conflict!r}")
+        cat = self.catalog
+        meta = cat.table_meta(table) or {}
+        branches = dict(meta.get("branches") or {})
+        info = branches.get(branch)
+        if not info:
+            raise ValueError(f"unknown branch {branch!r} of table {table!r}")
+        keys = meta.get("unique_on")
+        if not keys:
+            raise ValueError(
+                f"sync_branch on {table!r} requires unique_on (Table.init) — "
+                "the sync is a keyed CDC batch"
+            )
+        synced_to = cat.get_active_version(table)
+        if synced_to is None:
+            raise ValueError(f"sync_branch: table {table!r} has no active version")
+        phys = info["table"]
+        n_changes = 0
+        with self.node_context("__branch__", outputs={"b": phys, "m": table}):
+            bt, mt = Table("b", "w"), Table("m", "w")
+            feed = mt.change_feed(info["fork_main"], synced_to, key_cols=list(keys))
+            n_changes = feed.count()
+            if n_changes:
+                branch_changed = (
+                    bt.change_feed(info["fork_branch"], key_cols=list(keys))
+                    .select(*keys)
+                    .distinct()
+                )
+                if on_conflict == "error":
+                    sample = (
+                        feed.select(*keys)
+                        .join(branch_changed, on=list(keys), how="inner")
+                        .limit(5)
+                        .collect()
+                    )
+                    if sample:
+                        ks = [tuple(r[k] for k in keys) for r in sample]
+                        raise BranchMergeConflict(
+                            f"branch {branch!r} and main both changed keys {ks} "
+                            "since the fork (on_conflict='branch_wins'/'main_wins' to resolve)"
+                        )
+                elif on_conflict == "branch_wins":
+                    feed = feed.join(branch_changed, on=list(keys), how="left_anti")
+                    n_changes = feed.count()
+                if n_changes:
+                    bt.apply_cdc(feed)
+            # move the fork point: future merges/syncs window from here.
+            # Tag first (pins synced_to against GC), then drop the old
+            # marker — never a moment where no fork version is pinned.
+            if synced_to != info["fork_main"]:
+                mt.tag(f"fork.{branch}.sync", synced_to)
+                try:
+                    cat.drop_tag(table, f"fork.{branch}")
+                except Exception:
+                    pass
+                mt.tag(f"fork.{branch}", synced_to)
+                cat.drop_tag(table, f"fork.{branch}.sync")
+        if synced_to != info["fork_main"]:
+            cat.update_table_meta(
+                table,
+                branches={**branches, branch: {**info, "fork_main": synced_to}},
+            )
         return int(n_changes)
 
     def drop_branch(self, table: str, branch: str) -> None:

@@ -162,3 +162,121 @@ def test_branch_from_tagged_release(engine):
     with engine.node_context("m", outputs={"out": "base"}):
         rows = {r["id"]: r["v"] for r in Table("out", "w").read_spark().collect()}
     assert rows[9] == -9 and rows[0] == 1000  # fix landed, head kept
+
+
+# -- main->branch sync (r6: the missing direction VERDICT r5 named) ----
+
+
+def _vals(engine, store):
+    with engine.node_context("r", outputs={"out": store}):
+        return {r["id"]: r["v"] for r in Table("out", "w").read_spark().collect()}
+
+
+def test_sync_branch_catches_up_and_merge_sees_only_branch_edits(engine):
+    """Branch edits key 1; main edits key 5, inserts 50, deletes 7.
+    sync_branch applies main's changes to the branch WITHOUT touching
+    the branch's own edit; the fork point moves, so a later
+    merge_branch applies ONLY the branch's edit — the synced rows are
+    echo-suppressed, no false conflict, no redundant writes."""
+    _mk_main(engine)
+    engine.create_branch("base", "lived")
+    with engine.node_context("b", outputs={"out": "base__br_lived"}):
+        bt = Table("out", "w")
+        bt.upsert([{"id": 1, "v": -1}])
+        bt.flush()
+    with engine.node_context("m", outputs={"out": "base"}):
+        mt = Table("out", "w")
+        mt.upsert([{"id": 5, "v": 555}, {"id": 50, "v": 500}])
+        mt.flush()
+        mt.delete_where("id = 7", vectorized=True)
+    n = engine.sync_branch("base", "lived")
+    assert n == 3  # U(5), I(50), D(7)
+    assert _vals(engine, "base__br_lived") == {
+        **{i: i * 10 for i in range(10) if i != 7},
+        1: -1, 5: 555, 50: 500,
+    }
+    # fork point moved to the synced main version and stays GC-pinned
+    info = engine.list_branches("base")["lived"]
+    assert info["fork_main"] == engine.catalog.get_active_version("base")
+    assert (engine.catalog.table_meta("base") or {}).get("tags", {})["fork.lived"] == info["fork_main"]
+    # main keeps moving AFTER the sync on an untouched key
+    with engine.node_context("m", outputs={"out": "base"}):
+        mt = Table("out", "w")
+        mt.upsert([{"id": 8, "v": 888}])
+        mt.flush()
+    # merge back: ONLY the branch's own edit lands; synced keys are
+    # echoes (same content as main@fork) and must not conflict with 8
+    n = engine.merge_branch("base", "lived")
+    assert n == 1
+    assert _vals(engine, "base") == {
+        **{i: i * 10 for i in range(10) if i not in (1, 5, 7, 8)},
+        1: -1, 5: 555, 8: 888, 50: 500,
+    }
+
+
+def test_sync_branch_conflict_modes(engine):
+    """Both sides changed key 3 since the fork: 'error' raises,
+    'main_wins' overwrites the branch's row, 'branch_wins' keeps it —
+    a RESOLUTION (git rebase -X ours): the branch's value lands at the
+    next merge without re-flagging, because the fork point moved past
+    main's superseded change."""
+    _mk_main(engine)
+    engine.create_branch("base", "s1")
+    engine.create_branch("base", "s2")
+    for store in ("base__br_s1", "base__br_s2"):
+        with engine.node_context("b", outputs={"out": store}):
+            t = Table("out", "w")
+            t.upsert([{"id": 3, "v": 333}])
+            t.flush()
+    with engine.node_context("m", outputs={"out": "base"}):
+        t = Table("out", "w")
+        t.upsert([{"id": 3, "v": 999}, {"id": 4, "v": 444}])
+        t.flush()
+    with pytest.raises(BranchMergeConflict, match="both changed"):
+        engine.sync_branch("base", "s1")
+    n = engine.sync_branch("base", "s1", on_conflict="main_wins")
+    assert n == 2
+    assert _vals(engine, "base__br_s1")[3] == 999  # main overwrote
+    n = engine.sync_branch("base", "s2", on_conflict="branch_wins")
+    assert n == 1  # only key 4 synced
+    assert _vals(engine, "base__br_s2")[3] == 333  # branch kept its edit
+    # the conflict was resolved branch-side: the merge lands it silently
+    assert engine.merge_branch("base", "s2") == 1
+    assert _vals(engine, "base")[3] == 333
+    engine.drop_branch("base", "s1")
+
+
+def test_sync_branch_noop_when_main_unchanged(engine):
+    """No main movement since the fork: zero rows, fork point stays."""
+    _mk_main(engine)
+    engine.create_branch("base", "idle")
+    info0 = engine.list_branches("base")["idle"]
+    assert engine.sync_branch("base", "idle") == 0
+    assert engine.list_branches("base")["idle"] == info0
+    engine.drop_branch("base", "idle")
+
+
+def test_sync_then_main_rewrites_synced_key_conflicts_at_merge(engine):
+    """Main changes key 5 -> synced into the branch -> main changes 5
+    AGAIN: the branch now carries a stale value for 5; merge must flag
+    it, not silently clobber main's newer row."""
+    _mk_main(engine)
+    engine.create_branch("base", "stale")
+    with engine.node_context("m", outputs={"out": "base"}):
+        t = Table("out", "w")
+        t.upsert([{"id": 5, "v": 555}])
+        t.flush()
+    engine.sync_branch("base", "stale")
+    # branch edits key 5 on top of the synced value
+    with engine.node_context("b", outputs={"out": "base__br_stale"}):
+        t = Table("out", "w")
+        t.upsert([{"id": 5, "v": -5}])
+        t.flush()
+    with engine.node_context("m", outputs={"out": "base"}):
+        t = Table("out", "w")
+        t.upsert([{"id": 5, "v": 777}])
+        t.flush()
+    with pytest.raises(BranchMergeConflict, match="both changed"):
+        engine.merge_branch("base", "stale")
+    assert engine.merge_branch("base", "stale", on_conflict="main_wins") == 0
+    assert _vals(engine, "base")[5] == 777

@@ -483,5 +483,21 @@ def test_cli_optimize_and_branch(tmp_path):
     assert "created branch" in r.stdout
     r = run_cli(["--warehouse", wh, "branch", "t"], str(tmp_path))
     assert "hotfix" in r.stdout
+    # main moves while the branch lives; --sync catches the branch up
+    move = (
+        "import sys\n"
+        "from patterns_devkit_spark import Engine, Table\n"
+        "eng = Engine(sys.argv[1])\n"
+        "with eng.node_context('n', outputs={'out': 't'}):\n"
+        "    t = Table('out', 'w'); t.upsert([{'id': 3, 'v': 333}]); t.flush()\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", move, wh],
+        capture_output=True, text=True, cwd=str(tmp_path),
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    r = run_cli(["--warehouse", wh, "branch", "t", "hotfix", "--sync"], str(tmp_path))
+    assert "synced branch" in r.stdout and "1 change rows" in r.stdout
     r = run_cli(["--warehouse", wh, "branch", "t", "hotfix", "--merge"], str(tmp_path))
     assert "merged branch" in r.stdout and "0 change rows" in r.stdout
