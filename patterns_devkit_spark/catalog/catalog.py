@@ -405,11 +405,37 @@ class Catalog:
                 except PermissionError:
                     pass  # alive under another uid
                 v = (pin.get("tables") or {}).get(name)
-                if v:
+                if isinstance(v, list):  # explicit window pins (pin_versions)
+                    pins.update(x for x in v if x)
+                elif v:
                     pins.add(v)
             except (OSError, ValueError):
                 continue
         return pins
+
+    def pin_versions(self, tables: dict[str, list[str]]) -> str:
+        """Durably pin SPECIFIC versions ({table: [version_id, ...]}):
+        the explicit-window counterpart of push_snapshot's
+        active-version pins, used by change-feed/time-travel consumers
+        so retention GC — in this process or another (``patterns
+        vacuum``) — cannot collect a window someone is reading. The
+        pin dies with the owning process (stale pins are cleaned by
+        pinned_versions) or on unpin(). Returns the pin-file path."""
+        os.makedirs(self._pins_dir(), exist_ok=True)
+        import uuid
+
+        pin_path = os.path.join(
+            self._pins_dir(), f"pin-{os.getpid()}-{uuid.uuid4().hex[:8]}.json"
+        )
+        with open(pin_path, "w") as f:
+            json.dump({"pid": os.getpid(), "ts": time.time(), "tables": tables}, f)
+        return pin_path
+
+    def unpin(self, pin_path: str) -> None:
+        try:
+            os.remove(pin_path)
+        except OSError:
+            pass
 
     @property
     def in_snapshot(self) -> bool:
@@ -1071,12 +1097,7 @@ class Catalog:
             self._backend = new
             # remove the old store so a reopened Catalog auto-detects
             # the migrated format (exactly one store per warehouse)
-            if hasattr(old, "close"):
-                old.close()
-            for p in (old._path, old._path + "-wal", old._path + "-shm",
-                      getattr(old, "_events_path", None)):
-                if p and os.path.exists(p):
-                    os.remove(p)
+            old.remove_store()
             return new.name
 
     # -- event log (drives downstream triggers, SURVEY.md §3.3) --------

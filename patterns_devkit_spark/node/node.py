@@ -3179,20 +3179,46 @@ class Table:
             raise ValueError(
                 f"change_feed on table {self.store_name!r} requires key_cols (or unique_on in Table.init)"
             )
-        if use_dv_fast and self.is_connected:
-            cat = self._engine.catalog
-            vid_a = cat.resolve_version(self.store_name, version_a)
-            vid_b = (
-                cat.resolve_version(self.store_name, version_b)
-                if version_b
-                else cat.get_active_version(self.store_name)
-            )
-            if vid_a and vid_b:
+        cat = self._engine.catalog
+        # refuse a GC'd window by NAME, not a downstream read error —
+        # a feed spanning k versions silently depends on
+        # retention_keep > k (VERDICT r5 item 7); tell the user which
+        # boundary fell out and what pins it
+        vid_a = cat.resolve_version(self.store_name, version_a) if self.is_connected else None
+        vid_b = (
+            cat.resolve_version(self.store_name, version_b)
+            if version_b
+            else cat.get_active_version(self.store_name)
+        ) if self.is_connected else None
+        if self.is_connected:
+            for ref, vid in ((version_a, vid_a), (version_b, vid_b)):
+                if ref is not None and vid is None:
+                    raise ValueError(
+                        f"change_feed: window boundary {ref!r} of table "
+                        f"{self.store_name!r} is not retained (garbage-collected?) — "
+                        "hold open windows with engine.pin_window(...), tag them, or "
+                        "raise retention_keep/retention_seconds"
+                    )
+        # auto-pin the window for the duration of plan construction:
+        # a concurrent vacuum between resolve and the file reads below
+        # cannot collect the boundaries mid-build. (The returned
+        # DataFrame is lazy — to hold the window across CONSUMPTION,
+        # wrap it in engine.pin_window.)
+        pin = (
+            cat.pin_versions({self.store_name: [v for v in (vid_a, vid_b) if v]})
+            if self.is_connected
+            else None
+        )
+        try:
+            if use_dv_fast and self.is_connected and vid_a and vid_b:
                 fast = self._change_feed_dv_fast(vid_a, vid_b, keys)
                 if fast is not None:
                     return fast
-        a = self.read_spark(version=version_a)
-        b = self.read_spark(version=version_b) if version_b else self.read_spark()
+            a = self.read_spark(version=version_a)
+            b = self.read_spark(version=version_b) if version_b else self.read_spark()
+        finally:
+            if pin:
+                cat.unpin(pin)
 
         def fp(df: DataFrame, cols: list[str]) -> Column:
             return F.md5(
@@ -3729,8 +3755,11 @@ class Engine:
             else self.catalog.get_active_version(table)
         )
         if start is None or end is None:
+            missing = from_ref if start is None else (to_ref or "active")
             raise ValueError(
-                f"table_changes: unresolvable window {from_ref!r}..{to_ref or 'active'!r}"
+                f"table_changes: window boundary {missing!r} of table {table!r} "
+                "is not retained (garbage-collected?) — hold open windows with "
+                "engine.pin_window(...), tag them, or raise retention_keep/retention_seconds"
             )
         versions = meta.get("versions") or []
         # the commit chain is PUBLISH order, not creation order: a WAP
@@ -3758,19 +3787,26 @@ class Engine:
                 raise ValueError(f"table_changes: {from_ref!r} is newer than the window end")
             raise ValueError("table_changes: window start not retained/published")
         chain = pub[i0 : i1 + 1]
-        with self.node_context("__cdf__", outputs={"out": table}):
-            t = Table("out", "w")
-            out: DataFrame | None = None
-            for va, vb in zip(chain, chain[1:]):
-                step = t.change_feed(va, vb, key_cols=key_cols).withColumn(
-                    "_commit_version", F.lit(vb)
-                )
-                out = step if out is None else out.unionByName(step)
-            if out is None:  # empty window: zero-row frame, full schema
-                out = t.change_feed(start, start, key_cols=key_cols).withColumn(
-                    "_commit_version", F.lit(start)
-                )
-        return out
+        # auto-pin the whole chain while the per-commit plans are
+        # built: a concurrent vacuum cannot collect an intermediate
+        # commit mid-walk (to hold across consumption: pin_window)
+        pin = self.catalog.pin_versions({table: chain})
+        try:
+            with self.node_context("__cdf__", outputs={"out": table}):
+                t = Table("out", "w")
+                out: DataFrame | None = None
+                for va, vb in zip(chain, chain[1:]):
+                    step = t.change_feed(va, vb, key_cols=key_cols).withColumn(
+                        "_commit_version", F.lit(vb)
+                    )
+                    out = step if out is None else out.unionByName(step)
+                if out is None:  # empty window: zero-row frame, full schema
+                    out = t.change_feed(start, start, key_cols=key_cols).withColumn(
+                        "_commit_version", F.lit(start)
+                    )
+            return out
+        finally:
+            self.catalog.unpin(pin)
 
     # -- table branches (engine extension; Iceberg/Nessie-style) --------
     @staticmethod
@@ -4167,6 +4203,42 @@ class Engine:
                 self.catalog.pop_snapshot()
 
         return _snap()
+
+    def pin_window(self, table: str, *refs: str):
+        """Pin SPECIFIC versions of ``table`` (ids, tags, timestamps,
+        'latest') for the duration of the block — the feed-window
+        counterpart of snapshot(): retention GC in this process or a
+        concurrent ``patterns vacuum`` cannot collect them while the
+        block is open (durable pin file; dies with the process).
+        Wrap change_feed/table_changes CONSUMPTION in this when the
+        window spans versions that retention could otherwise collect:
+
+            with engine.pin_window("orders_t", v0, "latest") as vids:
+                feed = tbl.change_feed(v0)
+                ... feed.collect() ...
+
+        Yields the resolved version ids."""
+        from contextlib import contextmanager
+
+        cat = self.catalog
+        vids = []
+        for r in refs:
+            v = cat.resolve_version(table, r)
+            if v is None:
+                raise ValueError(
+                    f"pin_window: version {r!r} of table {table!r} is not retained"
+                )
+            vids.append(v)
+
+        @contextmanager
+        def _pin():
+            p = cat.pin_versions({table: vids})
+            try:
+                yield list(vids)
+            finally:
+                cat.unpin(p)
+
+        return _pin()
 
     def sql(self, query: str, parameters: dict[str, Any] | None = None) -> DataFrame:
         """Engine-level ad-hoc SQL: render {{ refs }} (stores, views,
