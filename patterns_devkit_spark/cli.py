@@ -839,7 +839,10 @@ def main(argv: list[str] | None = None) -> int:
 
     catp = sub.add_parser("catalog", help="metastore admin: show/migrate persistence backend")
     catp.add_argument("action", choices=["backend", "migrate"])
-    catp.add_argument("to", nargs="?", default=None, help="target backend (migrate): json|sqlite")
+    catp.add_argument(
+        "to", nargs="?", default=None,
+        help="target backend (migrate): json|sqlite|objectstore",
+    )
     catp.set_defaults(fn=cmd_catalog)
 
     comp = sub.add_parser("component", help="install/publish/resolve/list versioned components")

@@ -137,8 +137,13 @@ def test_vacuum_orphans_sweeps_crash_leftovers(tmp_path):
     assert not os.path.exists(ghost_dir)
 
 
-@pytest.mark.parametrize("backend", ["json", "sqlite"])
+@pytest.mark.parametrize("backend", ["json", "sqlite", "objectstore"])
 def test_crash_fuzz_multi_writer(tmp_path, backend):
+    """json/sqlite serialize writers pessimistically (flock / BEGIN
+    IMMEDIATE); objectstore is the LOCK-LESS conditional-put shim
+    (VERDICT r5 item 6) where ANY commit may refuse with
+    ConcurrentWriteError and the invariants must hold through
+    optimistic retries instead of mutual exclusion."""
     from patterns_devkit_spark.catalog.catalog import DEFAULT_RETENTION, Catalog
 
     wh = str(tmp_path / f"wh_{backend}")
