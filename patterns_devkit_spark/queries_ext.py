@@ -1589,3 +1589,75 @@ def sdk23(spark, sf_dir):
             "WHEN NOT MATCHED THEN INSERT (k, cents) VALUES (s.k, s.delta)"
         )
         return tbl.read_spark().select("k", F.col("cents").cast("long").alias("cents"))
+
+
+# =====================================================================
+# sdk24 — branch sync (main->branch) + echo-suppressed merge-back
+# =====================================================================
+
+
+@query(
+    "sdk24_branch_sync",
+    """
+    SELECT o_orderkey AS k,
+           CAST(CASE WHEN o_orderkey % 13 = 0 THEN o_orderkey
+                     WHEN o_orderkey % 11 = 0
+                          THEN CAST(round(o_totalprice * 100) AS BIGINT) + 1
+                     ELSE CAST(round(o_totalprice * 100) AS BIGINT) END
+                AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderkey % 7 <> 0
+    UNION ALL
+    SELECT -o_orderkey AS k, CAST(o_orderkey AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey % 19 = 0 AND o_orderkey <> 0
+    """,
+)
+def sdk24(spark, sf_dir):
+    """Branch SYNC lifecycle under the oracle gate (Engine.sync_branch
+    + the echo-suppressed merge_branch; tests/test_branches.py has the
+    conflict matrix): fork a branch, edit disjoint keys on the branch
+    (%11 bump) while MAIN keeps moving (%13 re-price, %7 delete, %19
+    insert), sync main->branch (fork point advances), then merge back.
+    Echo suppression must keep the merge to the branch's own edits —
+    a sync that dropped main's changes, re-merged them as phantom
+    branch edits, or resurrected a deleted key hash-mismatches the
+    closed-form post-merge table."""
+    from .node.node import Table
+    from .queries import _temp_engine
+
+    eng = _temp_engine(spark)
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    with eng.node_context("w", outputs={"out": "o_sync"}):
+        tbl = Table("out", "w")
+        tbl.init(unique_on=["k"], merge_on_read=True)
+        tbl.append(o.coalesce(4))
+        tbl.flush()
+    phys = eng.create_branch("o_sync", "lived")
+    with eng.node_context("b", outputs={"out": phys}):
+        bt = Table("out", "w")
+        # branch edits keys DISJOINT from main's (%13/%7 excluded): the
+        # default on_conflict='error' sync must pass untouched
+        bt.update_where(
+            {"cents": "cents + 1"},
+            "k % 11 = 0 AND k % 13 <> 0 AND k % 7 <> 0",
+            vectorized=True,
+        )
+    with eng.node_context("m", outputs={"out": "o_sync"}):
+        mt = Table("out", "w")
+        mt.update_where({"cents": "k"}, "k % 13 = 0", vectorized=True)
+        mt.delete_where("k % 7 = 0", vectorized=True)
+        mt.upsert(
+            o.filter("k % 19 = 0 AND k <> 0").select(
+                (-F.col("k")).alias("k"), F.col("k").cast("long").alias("cents")
+            )
+        )
+        mt.flush()
+    eng.sync_branch("o_sync", "lived")
+    eng.merge_branch("o_sync", "lived")
+    with eng.node_context("r", outputs={"out": "o_sync"}):
+        return Table("out", "w").read_spark().select(
+            "k", F.col("cents").cast("long").alias("cents")
+        )
