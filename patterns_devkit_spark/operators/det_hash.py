@@ -457,41 +457,6 @@ def _ann_partitions(sc, n: int) -> int:
     return max(2, min(sc.defaultParallelism, n // 4096 + 1))
 
 
-def _gemm_assign(e: DataFrame, C, cids) -> DataFrame:
-    """(id, cid): nearest centroid by INTEGER squared L2, computed as
-    an int64 GEMM per Arrow batch with the centroid matrix broadcast
-    in the closure — the q197 lesson applied to IVF: the exploded
-    (vec, dim) x centroid join is N*dims*k shuffle rows (quadratic
-    once k scales with the corpus); the GEMM is linear in N with zero
-    shuffle and bit-identical (argmin first-minimum = smallest cid,
-    matching the oracle's ORDER BY dist, cid with C rows cid-sorted)."""
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    C = np.asarray(C, dtype="int64")
-    cids = np.asarray(cids, dtype="int64")
-    c_sq = (C * C).sum(axis=1)
-
-    def f(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            E = np.stack(pdf["ei"].to_numpy()).astype("int64")
-            d = (E * E).sum(axis=1)[:, None] - 2 * (E @ C.T) + c_sq[None, :]
-            a = d.argmin(axis=1)
-            yield pd.DataFrame({"id": pdf["id"].to_numpy(), "cid": cids[a]})
-
-    schema = T.StructType(
-        [
-            T.StructField("id", e.schema["id"].dataType),
-            T.StructField("cid", T.LongType()),
-        ]
-    )
-    return e.mapInPandas(f, schema)
-
-
 # ---------------------------------------------------------------------
 # Two-level (hierarchical) coarse quantizer — the corpus-scaled trainer
 # ---------------------------------------------------------------------
@@ -778,14 +743,19 @@ def twolevel_coarse_sql(
     seed_order: str,
     mean_sql: str,
     prefix: str = "tl",
+    ep2: str | None = None,
 ) -> str:
     """CTE block replaying twolevel_coarse in DuckDB: emits
     ``{prefix}_a2`` (id, cid) and ``{prefix}_c1`` (cid, d, c).
     ``k_sub`` is a scalar subquery for the fine cell count,
     ``seed_order`` the ORDER BY defining seed rank (seed id = the
     row's own {id_col}), ``mean_sql`` the floor-mean over sum(v)/n
-    written against aggregates s_=sum(ep.v), n_=count(*)."""
+    written against aggregates s_=sum(ep.v), n_=count(*). ``ep2``
+    (default: ep) is the vector set the FINAL assignment round runs
+    over — sdk15's frozen-codebook encode trains on the history slice
+    (ep) but encodes everything (ep2)."""
     p = prefix
+    ep2 = ep2 or ep
     return f"""
     {p}_ns AS (SELECT greatest(4, CAST(floor(sqrt(({k_sub}))) AS BIGINT)) AS ns),
     {p}_ord AS (SELECT {id_col} AS sid, row_number() OVER (ORDER BY {seed_order}) AS rn FROM {e}),
@@ -841,7 +811,7 @@ def twolevel_coarse_sql(
     ),
     {p}_vr1 AS (
       SELECT ep.{id_col}, sc.gid, sum((ep.v - sc.c) * (ep.v - sc.c)) AS dist
-      FROM {ep} ep JOIN {p}_sc sc ON ep.d = sc.d
+      FROM {ep2} ep JOIN {p}_sc sc ON ep.d = sc.d
       WHERE sc.gid IN (SELECT DISTINCT gid FROM {p}_ga1)
       GROUP BY ep.{id_col}, sc.gid
     ),
@@ -852,7 +822,7 @@ def twolevel_coarse_sql(
     ),
     {p}_d2 AS (
       SELECT ep.{id_col}, c1.cid, sum((ep.v - c1.c) * (ep.v - c1.c)) AS dist
-      FROM {ep} ep
+      FROM {ep2} ep
       JOIN {p}_va1 va ON va.{id_col} = ep.{id_col}
       JOIN {p}_ga1 ga ON ga.gid = va.gid
       JOIN {p}_c1 c1 ON c1.cid = ga.cid AND c1.d = ep.d
@@ -1052,7 +1022,7 @@ def _pq_encode(e: DataFrame, books) -> DataFrame:
     """(id, s, code): per-subspace nearest codeword by INTEGER squared
     L2 (numpy first-minimum == smallest code id — books keep code ids
     ascending). ONE Arrow pass computes all m argmins per batch with
-    the codebooks broadcast in the closure (the _gemm_assign idea per
+    the codebooks broadcast in the closure (one int64 GEMM per
     subspace): linear in N, zero shuffle, never a (vec, dim) x codeword
     exploded join."""
     import numpy as np

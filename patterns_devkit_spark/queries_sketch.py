@@ -769,7 +769,7 @@ def q264(spark, sf_dir):
 # sdk15 — incremental ANN index maintenance THROUGH the engine
 # =====================================================================
 
-_SDK15_ORACLE = """
+_SDK15_ORACLE = f"""
     WITH e AS (
       SELECT vec_id AS id, label,
              list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS ei
@@ -782,47 +782,35 @@ _SDK15_ORACLE = """
       SELECT id, CAST(i AS INT) AS d, ei[CAST(i AS INT)] AS v
       FROM h, unnest(range(1, 65)) AS u(i)
     ),
-    seeds AS (
-      SELECT id, CAST(rn - 1 AS INT) AS cid FROM (
-        SELECT id, row_number() OVER (ORDER BY id) AS rn FROM h)
-      WHERE rn <= (SELECT nc FROM nc)
-    ),
-    c0 AS (SELECT s.cid, hp.d, hp.v AS c FROM seeds s JOIN hp ON hp.id = s.id),
-    d1 AS (
-      SELECT hp.id, c0.cid, sum((hp.v - c0.c) * (hp.v - c0.c)) AS dist
-      FROM hp JOIN c0 ON hp.d = c0.d GROUP BY hp.id, c0.cid
-    ),
-    a1 AS (
-      SELECT id, cid FROM (
-        SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn FROM d1
-      ) WHERE rn = 1
-    ),
-    c1 AS (
-      SELECT a1.cid, hp.d, CAST(floor(CAST(sum(hp.v) AS DOUBLE) / count(*)) AS BIGINT) AS c
-      FROM hp JOIN a1 ON hp.id = a1.id GROUP BY a1.cid, hp.d
-    ),
     ap AS (
       SELECT id, CAST(i AS INT) AS d, ei[CAST(i AS INT)] AS v
       FROM e, unnest(range(1, 65)) AS u(i)
     ),
-    d2 AS (
+    {twolevel_coarse_sql(
+        e="h",
+        ep="hp",
+        ep2="ap",
+        id_col="id",
+        k_sub="SELECT nc FROM nc",
+        seed_order="id",
+        mean_sql="CAST(floor(CAST(sum(ep.v) AS DOUBLE) / count(*)) AS BIGINT)",
+        prefix="tl",
+    )},
+    qd AS (
       SELECT ap.id, c1.cid, sum((ap.v - c1.c) * (ap.v - c1.c)) AS dist
-      FROM ap JOIN c1 ON ap.d = c1.d GROUP BY ap.id, c1.cid
-    ),
-    a2 AS (
-      SELECT id, cid FROM (
-        SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn FROM d2
-      ) WHERE rn = 1
+      FROM ap JOIN tl_c1 c1 ON ap.d = c1.d
+      WHERE ap.id < 20
+      GROUP BY ap.id, c1.cid
     ),
     probe AS (
       SELECT id AS query_id, cid FROM (
         SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn
-        FROM d2 WHERE id < 20
+        FROM qd
       ) WHERE rn <= (SELECT npb FROM npb)
     ),
     pairs AS (
       SELECT DISTINCT p.query_id, a2.id AS neighbor_id
-      FROM probe p JOIN a2 ON a2.cid = p.cid
+      FROM probe p JOIN tl_a2 a2 ON a2.cid = p.cid
       WHERE a2.id <> p.query_id
     ),
     scored AS (
@@ -849,7 +837,9 @@ def sdk15(spark, sf_dir):
 
       1. train the q66 coarse quantizer on the HISTORICAL slice only
          (label <> 0) and persist the centroid table in an engine
-         table (tiny broadcastable state, versioned like any table);
+         table (persisted as a DataFrame write — the k x 64 rows never
+         pass the driver; only the sqrt(k)-row SUPER-seed table is
+         driver-materialized, so the stored state scales);
       2. encode history into a cid-PARTITIONED index table
          (init(partition_by='cid') — per-cell reads become partition
          pruning at scan time);
@@ -890,42 +880,63 @@ def sdk15(spark, sf_dir):
     n_hist = e_hist.count()
     nlist = max(16, n_hist // 256)
     npb = max(4, nlist // 8)
-    seed_rows = e_hist.orderBy("id").limit(nlist).collect()
-    C0 = np.array([r["ei"] for r in seed_rows], dtype="int64")
-    a1 = dh._gemm_assign(e_hist, C0, np.arange(len(seed_rows), dtype="int64"))
-    e_pos = e_hist.select("id", F.posexplode("ei").alias("d", "v"))
-    cent1 = (
-        e_pos.join(a1, "id")
-        .groupBy("cid", "d")
-        .agg(F.floor(F.sum("v") / F.count(F.lit(1))).cast("long").alias("c"))
+    # two-level training on the HISTORY slice (det_hash.twolevel_coarse
+    # — same trainer as q66/q264/q197, so sdk15 no longer collects a
+    # k-proportional seed/centroid set to the driver)
+    seeds = e_hist.orderBy("id").limit(nlist).select(F.col("id").alias("cid"), "ei")
+    super_rows = e_hist.orderBy("id").limit(dh._isqrt_super(nlist)).collect()
+    SC = np.array([r["ei"] for r in super_rows], dtype="int64")
+    sgids = np.array([r["id"] for r in super_rows], dtype="int64")
+    _a2h, cent1 = dh.twolevel_coarse(
+        e_hist, seeds, SC, sgids,
+        mean_sql="CAST(floor(sum(s) / sum(n)) AS BIGINT)",
+        k=min(nlist, n_hist),
     )
-    c1_rows = cent1.collect()
 
     eng = _temp_engine(spark)
-    with eng.node_context("annidx", outputs={"cent": "ann_centroids", "idx": "ann_index"}):
+    with eng.node_context(
+        "annidx",
+        outputs={"cent": "ann_centroids", "sup": "ann_super", "idx": "ann_index"},
+    ):
         cent_t = Table("cent", "w")
+        sup_t = Table("sup", "w")
         idx_t = Table("idx", "w")
         idx_t.init(partition_by="cid")
-        cent_t.replace(
+        # the fine model is persisted as a DATAFRAME write — the k x 64
+        # rows never pass through the driver; only the sqrt(k)-row
+        # SUPER-seed table is driver-materialized state
+        cent_t.replace(cent1.coalesce(1))
+        cent_t.flush()
+        sup_t.replace(
             spark.createDataFrame(
-                [(int(r["cid"]), int(r["d"]), int(r["c"])) for r in c1_rows],
-                "cid long, d int, c long",
+                [(int(g), [int(x) for x in row]) for g, row in zip(sgids.tolist(), SC.tolist())],
+                "gid long, ei array<long>",
             ).coalesce(1)
         )
-        cent_t.flush()
+        sup_t.flush()
 
-        # frozen codebooks come BACK off the table for every encode
-        stored = cent_t.read_spark().collect()
-        live = sorted({r["cid"] for r in stored})
-        cmap = {cid: i for i, cid in enumerate(live)}
-        dimn = 1 + max(r["d"] for r in stored)
-        C1 = np.zeros((len(live), dimn), dtype="int64")
-        for r in stored:
-            C1[cmap[r["cid"]], r["d"]] = r["c"]
-        lv = np.array(live, dtype="int64")
-        idx_t.append(dh._gemm_assign(e_hist, C1, lv))
+        # frozen codebooks come BACK off the tables for every encode:
+        # the super seeds (sqrt(k) rows) are the only collect; the fine
+        # centroids are re-read as a DataFrame and re-routed through
+        # them — the identical two-level assignment the oracle replays
+        sup_rows = sorted(sup_t.read_spark().collect(), key=lambda r: r["gid"])
+        SC2 = np.array([r["ei"] for r in sup_rows], dtype="int64")
+        g2 = np.array([r["gid"] for r in sup_rows], dtype="int64")
+        cent_read = cent_t.read_spark()
+        cent_arr = cent_read.groupBy("cid").agg(
+            F.expr("transform(array_sort(collect_list(struct(d, c))), x -> x.c)").alias("ei")
+        )
+        ga = dh._gemm_route(cent_arr, SC2, g2).localCheckpoint()
+        live = sorted(r["g"] for r in ga.select("g").distinct().collect())
+        lidx = [i for i, g in enumerate(g2.tolist()) if g in set(live)]
+
+        def frozen_encode(vecs):
+            routed = dh._gemm_route(vecs, SC2[lidx], np.asarray(live, dtype="int64"))
+            return dh._cell_assign(routed, ga)
+
+        idx_t.append(frozen_encode(e_hist))
         idx_t.flush()
-        idx_t.append(dh._gemm_assign(e_batch, C1, lv))
+        idx_t.append(frozen_encode(e_batch))
         idx_t.flush()
 
         cent_local = F.broadcast(cent_t.read_spark())
