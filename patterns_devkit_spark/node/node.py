@@ -3896,6 +3896,7 @@ class Engine:
         phys = info["table"]
         with self.node_context("__branch__", outputs={"b": phys, "m": table}):
             bt, mt = Table("b", "w"), Table("m", "w")
+            self._check_branch_schemas("merge_branch", table, branch, mt, bt)
             feed = bt.change_feed(info["fork_branch"], key_cols=list(keys))
             # echo suppression: I/U rows whose content EQUALS main's row
             # at the fork point are not branch edits — they are the fork
@@ -3995,6 +3996,7 @@ class Engine:
         n_changes = 0
         with self.node_context("__branch__", outputs={"b": phys, "m": table}):
             bt, mt = Table("b", "w"), Table("m", "w")
+            self._check_branch_schemas("sync_branch", table, branch, mt, bt)
             feed = mt.change_feed(info["fork_main"], synced_to, key_cols=list(keys))
             n_changes = feed.count()
             if n_changes:
@@ -4038,6 +4040,23 @@ class Engine:
                 branches={**branches, branch: {**info, "fork_main": synced_to}},
             )
         return int(n_changes)
+
+    @staticmethod
+    def _check_branch_schemas(op: str, table: str, branch: str, mt: "Table", bt: "Table") -> None:
+        """Merging/syncing across DIVERGED SCHEMAS would fail deep
+        inside apply_cdc's column resolution (or worse, null-fill) —
+        refuse up front naming the drift. The supported path: apply
+        the same ALTER to both sides before crossing the feed over."""
+        ms = {f.name: f.dataType.simpleString() for f in mt.read_spark().schema.fields}
+        bs = {f.name: f.dataType.simpleString() for f in bt.read_spark().schema.fields}
+        if ms != bs:
+            only_m = sorted(set(ms.items()) - set(bs.items()))
+            only_b = sorted(set(bs.items()) - set(ms.items()))
+            raise ValueError(
+                f"{op}: schemas of table {table!r} and branch {branch!r} diverged — "
+                f"main-only: {only_m or '[]'}, branch-only: {only_b or '[]'}; "
+                "apply the same ALTER TABLE to both sides before merging/syncing"
+            )
 
     def drop_branch(self, table: str, branch: str) -> None:
         """Delete a branch: its table (files ref-counted across other

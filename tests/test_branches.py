@@ -280,3 +280,23 @@ def test_sync_then_main_rewrites_synced_key_conflicts_at_merge(engine):
         engine.merge_branch("base", "stale")
     assert engine.merge_branch("base", "stale", on_conflict="main_wins") == 0
     assert _vals(engine, "base")[5] == 777
+
+
+def test_branch_schema_divergence_refused_by_name(engine):
+    """ALTER on the branch only: merge and sync both refuse up front
+    naming the drifted columns, instead of failing inside apply_cdc."""
+    _mk_main(engine)
+    engine.create_branch("base", "alt")
+    with engine.node_context("b", outputs={"out": "base__br_alt"}):
+        t = Table("out", "w")
+        t.execute_sql("ALTER TABLE {{ this }} ADD COLUMN note string")
+        t.upsert([{"id": 1, "v": -1, "note": "x"}])
+        t.flush()
+    with pytest.raises(ValueError, match="branch-only: \\[\\('note'"):
+        engine.merge_branch("base", "alt")
+    with pytest.raises(ValueError, match="schemas .* diverged"):
+        engine.sync_branch("base", "alt")
+    # the supported path: the SAME alter on main unblocks the merge
+    with engine.node_context("m", outputs={"out": "base"}):
+        Table("out", "w").execute_sql("ALTER TABLE {{ this }} ADD COLUMN note string")
+    assert engine.merge_branch("base", "alt") >= 1

@@ -17,7 +17,8 @@ WRITE_PATH_SUITES="tests/test_catalog_backends.py tests/test_snapshot_isolation.
 tests/test_optimistic_concurrency.py tests/test_wap.py tests/test_table_sdk.py \
 tests/test_delete_update.py tests/test_schema_evolution.py tests/test_stream_state.py \
 tests/test_deletion_vectors.py tests/test_time_travel.py tests/test_merge_on_read.py \
-tests/test_branches.py tests/test_mor_model.py"
+tests/test_branches.py tests/test_mor_model.py tests/test_change_feed.py \
+tests/test_sql_merge.py"
 
 echo "== [1/4] full suite, default backend =="
 python -m pytest tests/ -q
