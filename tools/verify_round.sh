@@ -30,13 +30,17 @@ else
   PDS_CATALOG_BACKEND=sqlite python -m pytest tests/ -q
 fi
 
-echo "== [3/4] reference-link-mode (object storage) sweep =="
+echo "== [3/5] reference-link-mode (object storage files) sweep =="
 PDS_LINK_MODE=reference python -m pytest $WRITE_PATH_SUITES \
   tests/test_extensions.py tests/test_pipeline_ops.py \
   tests/test_import_export.py tests/test_manifest_versions.py \
-  tests/test_matview.py tests/test_concurrency_fuzz.py -q
+  tests/test_matview.py tests/test_matview_lineage.py \
+  tests/test_concurrency_fuzz.py -q
 
-echo "== [4/4] oracle parity at sf0.01 =="
+echo "== [4/5] objectstore-backend (lock-less conditional-put metastore) sweep =="
+PDS_CATALOG_BACKEND=objectstore python -m pytest $WRITE_PATH_SUITES -q
+
+echo "== [5/5] oracle parity at sf0.01 =="
 PYTHONPATH=. python tools/parity.py /root/testdata/sf0.01
 
 echo "ALL GATES GREEN"
