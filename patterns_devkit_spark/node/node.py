@@ -3923,7 +3923,11 @@ class Engine:
                 dels = feed.filter(F.col("op") == "D").join(
                     base.select(*keys), on=list(keys), how="left_semi"
                 )
-                feed = iu.unionByName(dels)
+                # ONE evaluation: count, the conflict probe, and
+                # apply_cdc all consume this O(change) frame — without
+                # the checkpoint each re-runs the feed diff AND the
+                # fork-point fingerprint scan (3x the merge cost)
+                feed = iu.unionByName(dels).localCheckpoint()
             n_changes = feed.count()
             if n_changes:
                 main_changed = (
@@ -3997,7 +4001,12 @@ class Engine:
         with self.node_context("__branch__", outputs={"b": phys, "m": table}):
             bt, mt = Table("b", "w"), Table("m", "w")
             self._check_branch_schemas("sync_branch", table, branch, mt, bt)
-            feed = mt.change_feed(info["fork_main"], synced_to, key_cols=list(keys))
+            # ONE evaluation of the O(change) feed: count, the conflict
+            # probe, and apply_cdc all consume it (same reasoning as
+            # merge_branch's checkpoint)
+            feed = mt.change_feed(
+                info["fork_main"], synced_to, key_cols=list(keys)
+            ).localCheckpoint()
             n_changes = feed.count()
             if n_changes:
                 branch_changed = (
