@@ -4036,6 +4036,10 @@ class Engine:
             # Tag first (pins synced_to against GC), then drop the old
             # marker — never a moment where no fork version is pinned.
             if synced_to != info["fork_main"]:
+                try:  # leftover from a crash mid-dance: harmless pin, clear it
+                    cat.drop_tag(table, f"fork.{branch}.sync")
+                except Exception:
+                    pass
                 mt.tag(f"fork.{branch}.sync", synced_to)
                 try:
                     cat.drop_tag(table, f"fork.{branch}")
