@@ -428,13 +428,24 @@ class ObjectStoreBackend:
         for fn in sorted(os.listdir(self._events)):
             if not fn.endswith(".json") or fn <= str(offset):
                 continue
+            path = os.path.join(self._events, fn)
             try:
-                with open(os.path.join(self._events, fn)) as f:
+                with open(path) as f:
                     out.append(json.load(f))
                 last = fn
             except (ValueError, OSError):
-                break  # in-flight event object: stop so the offset
-                # never advances past it (re-read next poll)
+                # unparseable: in-flight (stop — never advance past it)
+                # or a crashed writer's permanently-empty object, which
+                # must not wedge the log forever: past the grace window
+                # it is BURNED — skip it, and a later good event's name
+                # advances the offset past it
+                try:
+                    age = time.time() - os.path.getmtime(path)
+                except OSError:
+                    age = 0.0
+                if age < 2.0:
+                    break
+                continue
         return out, last
 
     def remove_store(self) -> None:

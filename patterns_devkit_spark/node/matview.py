@@ -507,7 +507,15 @@ class MaterializedView:
         with cat.commit_batch():
             _mf.record(cat, self.name, vid)  # MV versions are always own-dir
             cat.set_record_count(self.name, vid, n_rows)
-            cat.update_table_meta(self.name, schema_ddl=ddl)
+            # hidden_columns: the support/non-null counters are stored
+            # bookkeeping, NOT the view's read contract — generic read
+            # paths (read_spark / SQL views) project them out
+            # (node.py _drop_hidden)
+            cat.update_table_meta(
+                self.name,
+                schema_ddl=ddl,
+                hidden_columns=_hidden_names(self.spec.get("measures") or {}),
+            )
             cat.set_matview_cursor(self.name, vid, new_cursor)
             cat.set_matview_applied(self.name, vid, applied)
             cat.set_active_version(self.name, vid)

@@ -284,9 +284,12 @@ class TableVersion:
     @property
     def sql_name(self) -> str:
         """Quoted name resolvable in SQL — a temp view pinned to this
-        version (node.py:240-246 maps fully-qualified DB names to this)."""
+        version (node.py:240-246 maps fully-qualified DB names to this).
+        Internal bookkeeping columns (table meta ``hidden_columns``,
+        e.g. the materialized-view support/non-null counters) are
+        projected OUT: SQL consumers see the declared contract."""
         view = f"{self.table_name}__{self.version_id}"
-        df = self.as_dataframe()
+        df = _drop_hidden(self._engine, self.table_name, self.as_dataframe())
         df.createOrReplaceTempView(view)
         return f"`{view}`"
 
@@ -356,6 +359,21 @@ class TableVersion:
             except Exception:
                 pass
         return df
+
+
+def _drop_hidden(engine: "Engine", table: str, df: DataFrame | None) -> DataFrame | None:
+    """Project out the table's declared ``hidden_columns`` (internal
+    bookkeeping a store carries but its READ contract excludes — the
+    materialized-view support/non-null counters are the instance).
+    Applied at the USER-FACING read boundaries only (read/read_spark/
+    SQL views); engine write paths (upsert/compact/rewrite) keep the
+    full physical row, or a maintenance op would silently destroy the
+    bookkeeping."""
+    if df is None:
+        return None
+    hid = (engine.catalog.table_meta(table) or {}).get("hidden_columns") or []
+    drop = [c for c in hid if c in df.columns]
+    return df.drop(*drop) if drop else df
 
 
 def _read_version_files(
@@ -972,7 +990,7 @@ class Table:
         av = self.get_active_version()
         if av is None or not av.exists:
             return None
-        return av.as_dataframe()
+        return _drop_hidden(self._engine, self.store_name, av.as_dataframe())
 
     def read(self, as_format: str = "records", chunksize: int | None = None):
         """Full scan of the active version (node.py:141-154). 'records'
@@ -1011,7 +1029,7 @@ class Table:
         if df is None:
             schema = self.schema or T.StructType([])
             return self._engine.spark.createDataFrame([], schema)
-        return df
+        return _drop_hidden(self._engine, self.store_name, df)
 
     # -- file-level data skipping (engine extension; node/skipping.py) ----
     def _ensure_file_stats(self, version_id: str, cols: list[str]) -> dict | None:
@@ -2103,6 +2121,18 @@ class Table:
             return
 
         tcols = tgt.columns
+        # a typo'd or source-alias-qualified SET/INSERT column would
+        # otherwise be silently skipped by the row builders below —
+        # the MERGE would "succeed" while losing the user's assignment
+        for what, d in (("UPDATE SET", upd_sets), ("INSERT", ins_vals)):
+            if isinstance(d, dict):
+                unknown = [c for c in d if c not in tcols]
+                if unknown:
+                    raise ValueError(
+                        f"MERGE INTO: {what} references non-target column(s) "
+                        f"{unknown}; target columns: {tcols} "
+                        f"(qualify assignment targets with {t_alias}.<col> or leave bare)"
+                    )
         t_df, s_df = tgt.alias(t_alias), src.alias(s_alias)
         join_cond = None
         for tc, sc in on_pairs.items():
@@ -3898,36 +3928,17 @@ class Engine:
             bt, mt = Table("b", "w"), Table("m", "w")
             self._check_branch_schemas("merge_branch", table, branch, mt, bt)
             feed = bt.change_feed(info["fork_branch"], key_cols=list(keys))
-            # echo suppression: I/U rows whose content EQUALS main's row
-            # at the fork point are not branch edits — they are the fork
+            # echo suppression: rows whose content EQUALS main's row at
+            # the fork point are not branch edits — they are the fork
             # snapshot (or a sync_branch catch-up) echoing back. Without
             # this, every main->branch sync would re-merge main's own
             # rows and flag false conflicts against main's later
-            # changes. Null-safe via the change_feed fingerprint.
+            # changes. ONE evaluation (localCheckpoint): count, the
+            # conflict probe, and apply_cdc all consume this O(change)
+            # frame — without it each re-runs the feed diff AND the
+            # fork-point fingerprint scan (3x the merge cost).
             base = mt.read_spark(version=info["fork_main"])
-            val_cols = [c for c in base.columns if c not in keys]
-            if val_cols:
-                fpx = lambda cols: F.md5(  # noqa: E731 - mirrors change_feed's fp
-                    F.concat_ws(
-                        "\x1f",
-                        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols],
-                    )
-                )
-                base_fp = base.select(*keys, fpx(val_cols).alias("__fp"))
-                iu = feed.filter(F.col("op") != "D").withColumn("__fp", fpx(val_cols))
-                iu = iu.join(base_fp, on=list(keys) + ["__fp"], how="left_anti").drop("__fp")
-                # a D row whose key is ALREADY absent at the fork point
-                # is main's own delete echoing back (synced into the
-                # branch); a genuine branch delete removes a key main
-                # still has
-                dels = feed.filter(F.col("op") == "D").join(
-                    base.select(*keys), on=list(keys), how="left_semi"
-                )
-                # ONE evaluation: count, the conflict probe, and
-                # apply_cdc all consume this O(change) frame — without
-                # the checkpoint each re-runs the feed diff AND the
-                # fork-point fingerprint scan (3x the merge cost)
-                feed = iu.unionByName(dels).localCheckpoint()
+            feed = self._suppress_echoes(feed, base, list(keys)).localCheckpoint()
             n_changes = feed.count()
             if n_changes:
                 main_changed = (
@@ -4009,8 +4020,19 @@ class Engine:
             ).localCheckpoint()
             n_changes = feed.count()
             if n_changes:
+                # the branch's GENUINE edits: its raw feed since the
+                # never-moving fork_branch also contains rows an earlier
+                # sync applied (echoes of main@fork_main) — counting
+                # those as branch edits would flag a spurious conflict
+                # on every key main changes TWICE across two syncs (and
+                # under branch_wins silently freeze the first synced
+                # value). Same suppression as merge_branch.
                 branch_changed = (
-                    bt.change_feed(info["fork_branch"], key_cols=list(keys))
+                    self._suppress_echoes(
+                        bt.change_feed(info["fork_branch"], key_cols=list(keys)),
+                        mt.read_spark(version=info["fork_main"]),
+                        list(keys),
+                    )
                     .select(*keys)
                     .distinct()
                 )
@@ -4033,26 +4055,56 @@ class Engine:
                 if n_changes:
                     bt.apply_cdc(feed)
             # move the fork point: future merges/syncs window from here.
-            # Tag first (pins synced_to against GC), then drop the old
-            # marker — never a moment where no fork version is pinned.
+            # Order keeps BOTH invariants through any crash point: the
+            # version meta['fork_main'] references is ALWAYS tag-pinned
+            # (pin the new point first, move the pointer, only then
+            # drop the old pin), and a kill between steps leaves at
+            # worst a harmless extra tag the next sync/drop clears.
             if synced_to != info["fork_main"]:
                 try:  # leftover from a crash mid-dance: harmless pin, clear it
                     cat.drop_tag(table, f"fork.{branch}.sync")
                 except Exception:
                     pass
-                mt.tag(f"fork.{branch}.sync", synced_to)
-                try:
+                mt.tag(f"fork.{branch}.sync", synced_to)  # 1. pin the new point
+                cat.update_table_meta(                    # 2. move the pointer
+                    table,
+                    branches={**branches, branch: {**info, "fork_main": synced_to}},
+                )
+                try:                                      # 3. re-home the main marker
                     cat.drop_tag(table, f"fork.{branch}")
                 except Exception:
                     pass
                 mt.tag(f"fork.{branch}", synced_to)
-                cat.drop_tag(table, f"fork.{branch}.sync")
-        if synced_to != info["fork_main"]:
-            cat.update_table_meta(
-                table,
-                branches={**branches, branch: {**info, "fork_main": synced_to}},
-            )
+                cat.drop_tag(table, f"fork.{branch}.sync")  # 4. release the transition pin
         return int(n_changes)
+
+    @staticmethod
+    def _suppress_echoes(feed: DataFrame, base: DataFrame, keys: list[str]) -> DataFrame:
+        """Drop feed rows that are not EDITS relative to ``base`` (the
+        fork-point snapshot): an I/U row whose content equals base's
+        row for the key (null-safe via the change_feed fingerprint —
+        with ZERO value columns the fingerprint is a constant and the
+        test degrades to key presence, which is exactly right for
+        keys-only membership tables), and a D row whose key is already
+        absent from base (main's own delete echoing back). What
+        survives is the genuine divergence from the fork point."""
+        val_cols = [c for c in base.columns if c not in keys]
+
+        def fpx(cols):
+            return F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols],
+                )
+            )
+
+        base_fp = base.select(*keys, fpx(val_cols).alias("__fp"))
+        iu = feed.filter(F.col("op") != "D").withColumn("__fp", fpx(val_cols))
+        iu = iu.join(base_fp, on=list(keys) + ["__fp"], how="left_anti").drop("__fp")
+        dels = feed.filter(F.col("op") == "D").join(
+            base.select(*keys), on=list(keys), how="left_semi"
+        )
+        return iu.unionByName(dels)
 
     @staticmethod
     def _check_branch_schemas(op: str, table: str, branch: str, mt: "Table", bt: "Table") -> None:
@@ -4082,10 +4134,11 @@ class Engine:
         if info is None:
             raise ValueError(f"unknown branch {branch!r} of table {table!r}")
         cat.drop_table(info["table"])
-        try:
-            cat.drop_tag(table, f"fork.{branch}")
-        except Exception:
-            pass  # marker already gone (e.g. manual tag surgery)
+        for tag in (f"fork.{branch}", f"fork.{branch}.sync"):
+            try:
+                cat.drop_tag(table, tag)
+            except Exception:
+                pass  # marker already gone (manual surgery / crashed sync)
         cat.update_table_meta(table, branches=branches)
 
     def list_branches(self, table: str) -> dict[str, dict]:
@@ -4177,20 +4230,24 @@ class Engine:
                                 f"no retained state of table {store!r} at {want!r} in template"
                             )
                         view = f"{store}__asof_{int(ts_ao * 1_000_000)}"
-                        df_ao.createOrReplaceTempView(view)
+                        _drop_hidden(self, store, df_ao).createOrReplaceTempView(view)
                         return f"`{view}`"
                     vid = self.catalog.resolve_version(store, want)
                     if vid is None:
                         raise KeyError(f"unknown version {want!r} of table {store!r} in template")
                     view = f"{store}__{vid}"
-                    TableVersion(self, store, vid).as_dataframe().createOrReplaceTempView(view)
+                    _drop_hidden(
+                        self, store, TableVersion(self, store, vid).as_dataframe()
+                    ).createOrReplaceTempView(view)
                     return f"`{view}`"
             meta = self.catalog.table_meta(ref)
             if meta is not None:
                 av = self.catalog.get_active_version(ref)
                 if av and self.catalog.version_has_data(ref, av):
                     view = f"{ref}__{av}"
-                    TableVersion(self, ref, av).as_dataframe().createOrReplaceTempView(view)
+                    _drop_hidden(
+                        self, ref, TableVersion(self, ref, av).as_dataframe()
+                    ).createOrReplaceTempView(view)
                     return f"`{view}`"
                 return ref
             vsql = self.catalog.get_view(ref)

@@ -300,3 +300,54 @@ def test_branch_schema_divergence_refused_by_name(engine):
     with engine.node_context("m", outputs={"out": "base"}):
         Table("out", "w").execute_sql("ALTER TABLE {{ this }} ADD COLUMN note string")
     assert engine.merge_branch("base", "alt") >= 1
+
+
+def test_sync_twice_same_key_no_spurious_conflict(engine):
+    """Review r6: the sync conflict probe must not count rows an
+    EARLIER sync applied as branch edits. Main changes key 5 (sync #1),
+    then changes 5 again — sync #2 under the default 'error' mode must
+    apply cleanly (the branch never edited 5), and merge must land
+    nothing (the branch has no edits of its own)."""
+    _mk_main(engine)
+    engine.create_branch("base", "tw")
+    with engine.node_context("m", outputs={"out": "base"}):
+        t = Table("out", "w")
+        t.upsert([{"id": 5, "v": 501}])
+        t.flush()
+    assert engine.sync_branch("base", "tw") == 1
+    with engine.node_context("m", outputs={"out": "base"}):
+        t = Table("out", "w")
+        t.upsert([{"id": 5, "v": 502}])
+        t.flush()
+    assert engine.sync_branch("base", "tw") == 1  # no BranchMergeConflict
+    assert _vals(engine, "base__br_tw")[5] == 502
+    assert engine.merge_branch("base", "tw") == 0
+    assert _vals(engine, "base")[5] == 502  # never reverted to 501
+
+
+def test_sync_merge_keys_only_table(engine):
+    """Review r6: echo suppression must also work on a table whose
+    unique key IS the whole row (zero value columns) — membership
+    sets. Main inserts/deletes members, sync applies them, merge must
+    see no branch edits and raise no spurious conflict."""
+    with engine.node_context("mk", outputs={"out": "members"}):
+        t = Table("out", "w")
+        t.init(unique_on=["id"], merge_on_read=True)
+        t.append(engine.spark.createDataFrame([(i,) for i in range(6)], "id long").coalesce(1))
+        t.flush()
+    engine.create_branch("members", "mm")
+    with engine.node_context("b", outputs={"out": "members__br_mm"}):
+        bt = Table("out", "w")
+        bt.upsert([{"id": 100}])  # genuine branch insert
+        bt.flush()
+    with engine.node_context("m", outputs={"out": "members"}):
+        mt = Table("out", "w")
+        mt.upsert([{"id": 50}])
+        mt.flush()
+        mt.delete_where("id = 2", vectorized=True)
+    assert engine.sync_branch("members", "mm") == 2  # I(50), D(2)
+    n = engine.merge_branch("members", "mm")
+    assert n == 1  # only the branch's own insert
+    with engine.node_context("r", outputs={"out": "members"}):
+        ids = {r["id"] for r in Table("out", "w").read_spark().collect()}
+    assert ids == {0, 1, 3, 4, 5, 50, 100}

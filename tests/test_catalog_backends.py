@@ -339,3 +339,25 @@ def test_objectstore_no_rename_no_lock_primitives(tmp_path):
     src = inspect.getsource(backends.ObjectStoreBackend)
     for banned in ("os.replace(", "os.rename(", "import fcntl", "flock("):
         assert banned not in src, f"ObjectStoreBackend uses {banned}"
+
+
+def test_objectstore_event_log_survives_crashed_append(tmp_path):
+    """Review r6: a writer killed between event-object create and write
+    leaves a permanently empty object; past the grace window readers
+    must skip it (burned) instead of wedging the log forever."""
+    import os as _os
+    import time as _time
+
+    from patterns_devkit_spark.catalog.backends import ObjectStoreBackend
+
+    b = ObjectStoreBackend(str(tmp_path / "w"))
+    b.append_event({"e": 1})
+    # crashed append: created, never written — and aged past the grace
+    _os.makedirs(b._events, exist_ok=True)
+    ghost = _os.path.join(b._events, f"{_time.time_ns():025d}-0-dead.json")
+    open(ghost, "x").close()
+    _os.utime(ghost, (1, 1))
+    b.append_event({"e": 2})
+    evs, off = b.read_events()
+    assert [e["e"] for e in evs] == [1, 2]
+    assert b.read_events(off)[0] == []

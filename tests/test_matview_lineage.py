@@ -343,3 +343,32 @@ def test_reserved_prefix_rejected(engine):
             "badmv", source="x", order_by="mid", dims=["g"],
             measures={"__mv_support": ("sum", "v")},
         )
+
+
+def test_mv_hidden_columns_invisible_to_generic_reads(engine):
+    """Review r6: the support/non-null counters are stored bookkeeping,
+    not the view's contract — engine.sql over {{ mv }}, Table.read_spark,
+    and Table.read must all serve only the declared columns, while the
+    fold keeps using them internally (version-dir reads)."""
+    from patterns_devkit_spark import Table
+
+    with engine.node_context("n", outputs={"out": "hsrc"}):
+        t = Table("out", "w")
+        t.init()
+        t.append([{"grp": "a", "amt": 1, "mid": 1}, {"grp": "b", "amt": 2, "mid": 2}])
+        t.flush()
+    mv = engine.create_materialized_view(
+        "hsrc_mv", source="hsrc", order_by="mid", dims=["grp"], measures={"t": ("sum", "amt")}
+    )
+    mv.refresh()
+    assert engine.sql("SELECT * FROM {{ hsrc_mv }}").columns == ["grp", "t"]
+    with engine.node_context("r", inputs={"in": "hsrc_mv"}):
+        tr = Table("in", "r")
+        assert tr.read_spark().columns == ["grp", "t"]
+        assert all(set(r) == {"grp", "t"} for r in tr.read())
+    # the hidden columns still exist physically and keep the fold exact
+    with engine.node_context("n", outputs={"out": "hsrc"}):
+        Table("out", "w").append([{"grp": "a", "amt": 10, "mid": 3}])
+        Table("out", "w").flush()
+    mv.refresh()
+    assert sorted((r["grp"], r["t"]) for r in mv.read_spark().collect()) == [("a", 11), ("b", 2)]

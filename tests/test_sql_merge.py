@@ -179,3 +179,23 @@ def test_merge_validation_errors(engine):
                 "MERGE INTO {{ this }} AS t USING {{ mg8_src }} AS s ON t.v = s.id "
                 "WHEN MATCHED THEN DELETE"
             )
+
+
+def test_merge_rejects_unknown_set_and_insert_columns(engine):
+    """Review r6: a typo'd or source-alias-qualified assignment target
+    must raise naming the column — never be silently skipped."""
+    with engine.node_context("n", outputs={"out": "mg9", "src": "mg9_src"}):
+        t = _mk(engine, "mg9")
+        s = Table("src", "w")
+        s.append([{"id": 1, "v": -1, "tag": "x"}])
+        s.flush()
+        with pytest.raises(ValueError, match="non-target column.*s.v"):
+            t.execute_sql(
+                "MERGE INTO {{ this }} AS t USING {{ mg9_src }} AS s ON t.id = s.id "
+                "WHEN MATCHED THEN UPDATE SET s.v = t.v + 1"
+            )
+        with pytest.raises(ValueError, match="non-target column.*vz"):
+            t.execute_sql(
+                "MERGE INTO {{ this }} AS t USING {{ mg9_src }} AS s ON t.id = s.id "
+                "WHEN NOT MATCHED THEN INSERT (id, vz) VALUES (s.id, s.v)"
+            )
