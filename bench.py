@@ -3,8 +3,18 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is fully materialized (count + collect of the final result)
-so the number reflects scan+shuffle+compute, not lazy plan building.
+Each query is fully materialized via the built-in noop sink
+(`df.write.format("noop")` — computes every column of every row,
+discards the result; spark_optimization_guide §1.4), so the number
+reflects scan+shuffle+compute exactly once. r6 measurement fix,
+documented in OPTIMIZATION_r06.md: the previous timed action was
+`df.count()` followed by `df.limit(10).collect()`, which executed the
+whole physical plan TWICE per timed rep (the collect re-runs
+everything below the final operator) and additionally let count()
+prune columns the real query computes. Set SPARK_GRAFT_BENCH_LEGACY=1
+to reproduce the old count+collect timing for round-over-round
+comparison (plans/r06/bench_before.json is the legacy-method
+recording on the r6 host).
 """
 from __future__ import annotations
 
@@ -133,6 +143,7 @@ def main() -> None:
     # queries, not first-touch JIT
     QUERIES["q18_topk"](spark, sf_dir).collect()
 
+    legacy = os.environ.get("SPARK_GRAFT_BENCH_LEGACY") == "1"
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
@@ -141,16 +152,21 @@ def main() -> None:
         # inflated on this host (codegen JIT + shuffle-service warm-up,
         # quantified SCALE.md) and best-of-N without it manufactured the
         # r5 round-over-round scare (VERDICT r5 what's-wrong 3)
+        spark.sparkContext.setJobDescription(f"bench:{name}")
         df = fn(spark, sf_dir)
-        df.count()
+        n = df.count()
         df.limit(10).collect()
         for _ in range(3):  # steady-state: best of 3 (JIT warm; robust to CPU-contention noise)
             t0 = time.time()
             df = fn(spark, sf_dir)
-            n = df.count()
-            df.limit(10).collect()
+            if legacy:
+                n = df.count()
+                df.limit(10).collect()
+            else:
+                df.write.format("noop").mode("overwrite").save()
             elapsed = time.time() - t0
             best = elapsed if best is None else min(best, elapsed)
+        spark.sparkContext.setJobDescription(None)
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
