@@ -545,22 +545,26 @@ def _cell_partials(vecs: DataFrame, cents: DataFrame, dim: int) -> DataFrame:
     )
 
 
-def _cell_assign(vecs: DataFrame, cents: DataFrame, emit_residuals: bool = False) -> DataFrame:
+def _cell_assign(
+    vecs: DataFrame, cents: DataFrame, emit_residuals: bool = False, emit_vectors: bool = False
+) -> DataFrame:
     """Fine assignment per super cell (cogrouped Arrow GEMM): (id, cid)
     or — for IVF-PQ — (id, cid, ei) with ei the RESIDUAL vector minus
-    its cell centroid. cid-sorted centroid rows keep the first-min
+    its cell centroid (emit_vectors instead carries the RAW vector
+    through, so consumers that need (vector, cid) skip a join back to
+    the source frame). cid-sorted centroid rows keep the first-min
     argmin identical to the oracle's ORDER BY dist, cid."""
     import numpy as np
     import pandas as pd
 
-    if emit_residuals:
+    if emit_residuals or emit_vectors:
         schema = "id long, cid long, ei array<long>"
     else:
         schema = "id long, cid long"
 
     def f(l, r):  # noqa: E741
         if not len(l) or not len(r):
-            if emit_residuals:
+            if emit_residuals or emit_vectors:
                 return pd.DataFrame({"id": [], "cid": [], "ei": []})
             return pd.DataFrame({"id": [], "cid": []}).astype("int64")
         r = r.sort_values("cid")
@@ -572,6 +576,8 @@ def _cell_assign(vecs: DataFrame, cents: DataFrame, emit_residuals: bool = False
         out = {"id": l["id"].to_numpy(), "cid": cids[j]}
         if emit_residuals:
             out["ei"] = list(V - C[j])
+        elif emit_vectors:
+            out["ei"] = list(V)
         return pd.DataFrame(out)
 
     return vecs.groupby("g").cogroup(cents.groupby("g")).applyInPandas(f, schema)
@@ -586,17 +592,23 @@ def _route_np(V, SC, gids):
     return gids[D.argmin(axis=1)]
 
 
-def _twolevel_small(e, seeds, super_C, super_gids, *, mean_sql, dim, emit_residuals):
+def _twolevel_small(
+    e, seeds, super_C, super_gids, *, mean_sql, dim, emit_residuals,
+    emit_vectors=False, seed_rows=None,
+):
     """Bounded-k fast path of twolevel_coarse: the SAME two-level
     routing/assignment arithmetic, but with the ≤4096-row fine matrix
     in the task closure — pass 1 fuses vector-routing + fine
     assignment + mean partials, pass 2 fuses routing + assignment
-    (+ residuals). Bit-identical to the distributed path."""
+    (+ residuals / raw vectors). Bit-identical to the distributed
+    path. ``seed_rows`` lets the caller pass the already-collected
+    seed rows (the super seeds are their prefix — one collect job
+    serves both, r6 opt)."""
     import numpy as np
     import pandas as pd
 
     spark = e.sparkSession
-    rows = sorted(seeds.collect(), key=lambda r: r["cid"])
+    rows = sorted(seed_rows if seed_rows is not None else seeds.collect(), key=lambda r: r["cid"])
     cids0 = np.array([r["cid"] for r in rows], dtype="int64")
     C0 = np.array([r["ei"] for r in rows], dtype="int64")
 
@@ -629,6 +641,8 @@ def _twolevel_small(e, seeds, super_C, super_gids, *, mean_sql, dim, emit_residu
                         o_cid.extend(cids_g[j].tolist())
                         if emit_residuals:
                             o_res.extend(list(V - C_g[j]))
+                        elif emit_vectors:
+                            o_res.extend(list(V))
                     else:
                         for ci in np.unique(j):
                             rws = V[j == ci]
@@ -638,7 +652,7 @@ def _twolevel_small(e, seeds, super_C, super_gids, *, mean_sql, dim, emit_residu
                             p_n.extend([int(rws.shape[0])] * dim)
                 if assign_mode:
                     out = {"id": o_id, "cid": o_cid}
-                    if emit_residuals:
+                    if emit_residuals or emit_vectors:
                         out["ei"] = o_res
                     yield pd.DataFrame(out)
                 else:
@@ -657,7 +671,11 @@ def _twolevel_small(e, seeds, super_C, super_gids, *, mean_sql, dim, emit_residu
     C1 = np.array(
         [[c1_map[c][d] for d in range(dim)] for c in cids1.tolist()], dtype="int64"
     )
-    schema = "id long, cid long, ei array<long>" if emit_residuals else "id long, cid long"
+    schema = (
+        "id long, cid long, ei array<long>"
+        if (emit_residuals or emit_vectors)
+        else "id long, cid long"
+    )
     a2 = e.mapInPandas(_passes(C1, cids1, True), schema)
     cent1 = spark.createDataFrame(
         [(int(r["cid"]), int(r["d"]), int(r["c"])) for r in c1_rows],
@@ -677,6 +695,8 @@ def twolevel_coarse(
     emit_residuals: bool = False,
     k: int | None = None,
     small_k: int = 4096,
+    emit_vectors: bool = False,
+    seed_rows=None,
 ):
     """The shared corpus-scaled coarse quantizer behind q66 IVF, q264
     IVF-PQ and q197 SemDeDup: seeds (cid = the seed row's own id under
@@ -709,6 +729,7 @@ def twolevel_coarse(
         return _twolevel_small(
             e, seeds, super_C, super_gids,
             mean_sql=mean_sql, dim=dim, emit_residuals=emit_residuals,
+            emit_vectors=emit_vectors, seed_rows=seed_rows,
         )
     seeds = seeds.repartition(
         _ann_partitions(e.sparkSession.sparkContext, k or 100_000)
@@ -730,7 +751,7 @@ def twolevel_coarse(
     gset1 = set(live1)
     idx1 = [i for i, g in enumerate(super_gids) if g in gset1]
     vga1 = _gemm_route(e, super_C[idx1], np.asarray(live1, dtype="int64"))
-    a2 = _cell_assign(vga1, ga1, emit_residuals=emit_residuals)
+    a2 = _cell_assign(vga1, ga1, emit_residuals=emit_residuals, emit_vectors=emit_vectors)
     return a2, cent1
 
 
@@ -890,16 +911,28 @@ def ivf_topk(
     # tie-break order as the old 0..k-1 ranks — ranks are id-ordered);
     # kept distributed, repartitioned off the single-task global limit
     seeds = e.orderBy("id").limit(n_clusters).select(F.col("id").alias("cid"), "ei")
-    super_rows = e.orderBy("id").limit(_isqrt_super(n_clusters)).collect()
-    SC = np.array([r["ei"] for r in super_rows], dtype="int64")
-    sgids = np.array([r["id"] for r in super_rows], dtype="int64")
+    k_eff = min(n_clusters, n)
+    seed_rows = None
+    if k_eff <= 4096:
+        # small-k path: ONE collect serves both the fine seed matrix
+        # and its super-seed prefix (the first s ids) — the separate
+        # super collect was a second identical job (r6 opt)
+        seed_rows = sorted(seeds.collect(), key=lambda r: r["cid"])
+        super_src = seed_rows[: _isqrt_super(n_clusters)]
+        SC = np.array([r["ei"] for r in super_src], dtype="int64")
+        sgids = np.array([r["cid"] for r in super_src], dtype="int64")
+    else:
+        super_rows = e.orderBy("id").limit(_isqrt_super(n_clusters)).collect()
+        SC = np.array([r["ei"] for r in super_rows], dtype="int64")
+        sgids = np.array([r["id"] for r in super_rows], dtype="int64")
     a2, cent1 = twolevel_coarse(
         e,
         seeds,
         SC,
         sgids,
         mean_sql="CAST(floor(sum(s) / sum(n)) AS BIGINT)",
-        k=min(n_clusters, n),
+        k=k_eff,
+        seed_rows=seed_rows,
     )
 
     # probe distances against the DISTRIBUTED fine model (cent1 is
@@ -1068,6 +1101,52 @@ def _pq_encode(e: DataFrame, books) -> DataFrame:
     return e.mapInPandas(f, schema)
 
 
+def _pq_partials(e: DataFrame, books) -> DataFrame:
+    """Round-1 PQ encode FUSED with the codebook-update partial sums
+    (the _cell_partials pattern): one Arrow pass per batch computes the
+    per-subspace argmin against ``books`` AND emits per-(s, code, j)
+    (sum, count) partials — m·codes·dsub tiny rows per batch instead of
+    a posexplode of N·dim rows joined back against the assignment
+    (guide §2.3: aggregate before the shuffle). The final mean is
+    floor(sum(sm)/sum(n)) over the partials — the same two totals the
+    exploded join aggregated, so the update is bit-identical."""
+    import numpy as np
+    import pandas as pd
+
+    mats = [
+        (np.asarray(cids, dtype="int64"), np.asarray(C, dtype="int64"))
+        for cids, C in books
+    ]
+    dsub = mats[0][1].shape[1]
+
+    def f(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf["ei"].to_numpy()).astype("int64")
+            out_s, out_code, out_j, out_sm, out_n = [], [], [], [], []
+            for s, (cids, C) in enumerate(mats):
+                Es = E[:, s * dsub:(s + 1) * dsub]
+                d = (
+                    (Es * Es).sum(axis=1)[:, None]
+                    - 2 * (Es @ C.T)
+                    + (C * C).sum(axis=1)[None, :]
+                )
+                a = d.argmin(axis=1)
+                for ci in np.unique(a):
+                    rows = Es[a == ci]
+                    out_s.extend([s] * dsub)
+                    out_code.extend([int(cids[ci])] * dsub)
+                    out_j.extend(range(dsub))
+                    out_sm.extend(int(x) for x in rows.sum(axis=0))
+                    out_n.extend([int(rows.shape[0])] * dsub)
+            yield pd.DataFrame(
+                {"s": out_s, "code": out_code, "j": out_j, "sm": out_sm, "n": out_n}
+            )
+
+    return e.mapInPandas(f, "s int, code long, j int, sm long, n long")
+
+
 def pq_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -1122,18 +1201,14 @@ def pq_topk(
     S = np.array([r["ei"] for r in seed_rows], dtype="int64")
     ids0 = np.arange(len(seed_rows), dtype="int64")
     books0 = [(ids0, S[:, s * dsub:(s + 1) * dsub]) for s in range(m)]
-    a1 = _pq_encode(e, books0)
-
-    e_sub = e.select("id", F.posexplode("ei").alias("d", "v")).select(
-        "id",
-        (F.col("d") / dsub).cast("int").alias("s"),
-        (F.col("d") % dsub).cast("int").alias("j"),
-        "v",
-    )
+    # round-1 encode fused with the mean partials (one Arrow pass, no
+    # posexplode/join of N·dim rows — r6 opt, see _pq_partials);
+    # floor(sum/sum) over the partials equals the old floor(sum/count)
+    # over the exploded join bit-for-bit
     cent1 = (
-        e_sub.join(a1, ["id", "s"])
+        _pq_partials(e, books0)
         .groupBy("s", "code", "j")
-        .agg(F.floor(F.sum("v") / F.count(F.lit(1))).cast("long").alias("c"))
+        .agg(F.floor(F.sum("sm") / F.sum("n")).cast("long").alias("c"))
     )
     c1_rows = cent1.collect()  # <= m * n_codes * dsub rows (16k max)
     books1 = []
@@ -1352,9 +1427,18 @@ def ivfpq_topk(
     # s = isqrt(nlist) super-seeds route vectors and fine centroids;
     # the fine model never reaches the driver) ---
     seeds = e.orderBy("id").limit(nlist).select(F.col("id").alias("cid"), "ei")
-    super_rows = e.orderBy("id").limit(_isqrt_super(nlist)).collect()
-    SC = np.array([r["ei"] for r in super_rows], dtype="int64")
-    sgids = np.array([r["id"] for r in super_rows], dtype="int64")
+    k_eff = min(nlist, n)
+    seed_rows = None
+    if k_eff <= 4096:
+        # one collect serves fine seeds + their super prefix (r6 opt)
+        seed_rows = sorted(seeds.collect(), key=lambda r: r["cid"])
+        super_src = seed_rows[: _isqrt_super(nlist)]
+        SC = np.array([r["ei"] for r in super_src], dtype="int64")
+        sgids = np.array([r["cid"] for r in super_src], dtype="int64")
+    else:
+        super_rows = e.orderBy("id").limit(_isqrt_super(nlist)).collect()
+        SC = np.array([r["ei"] for r in super_rows], dtype="int64")
+        sgids = np.array([r["id"] for r in super_rows], dtype="int64")
     a2c, cent1 = twolevel_coarse(
         e,
         seeds,
@@ -1362,7 +1446,8 @@ def ivfpq_topk(
         sgids,
         mean_sql="CAST(floor(sum(s) / sum(n)) AS BIGINT)",
         emit_residuals=True,
-        k=min(nlist, n),
+        k=k_eff,
+        seed_rows=seed_rows,
     )
 
     # --- residuals + PQ codebooks on residuals (codebook size is
@@ -1372,17 +1457,14 @@ def ivfpq_topk(
     S = np.array([r["ei"] for r in rseed_rows], dtype="int64")
     ids0 = np.arange(len(rseed_rows), dtype="int64")
     books0 = [(ids0, S[:, s * dsub:(s + 1) * dsub]) for s in range(m)]
-    p1 = _pq_encode(res, books0)
-    r_sub = res.select("id", F.posexplode("ei").alias("d", "v")).select(
-        "id",
-        (F.col("d") / dsub).cast("int").alias("s"),
-        (F.col("d") % dsub).cast("int").alias("j"),
-        "v",
-    )
+    # round-1 encode fused with the mean partials: one Arrow pass
+    # replaces the separate encode pass PLUS the posexplode/join of
+    # N·dim residual rows (r6 opt, see _pq_partials); floor(sum/sum)
+    # over partials equals the old floor(sum/count) bit-for-bit
     pcent1 = (
-        r_sub.join(p1, ["id", "s"])
+        _pq_partials(res, books0)
         .groupBy("s", "code", "j")
-        .agg(F.floor(F.sum("v") / F.count(F.lit(1))).cast("long").alias("c"))
+        .agg(F.floor(F.sum("sm") / F.sum("n")).cast("long").alias("c"))
     )
     pc_rows = pcent1.collect()
     books1 = []

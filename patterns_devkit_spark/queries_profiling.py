@@ -91,17 +91,31 @@ def q209(spark, sf_dir):
             md5_long(F.concat_ws(" ", F.slice("toks", F.col("s"), n))).alias("h"),
         )
     )
-    dup = occ.groupBy("h").agg(F.count(F.lit(1)).alias("occ_n")).filter(F.col("occ_n") >= 2).select("h")
-    docc = occ.join(dup, "h").select("doc_id", "s")
-    cov = docc.select(
-        "doc_id", F.explode(F.sequence(F.col("s"), F.col("s") + F.lit(n - 1))).alias("p")
-    ).distinct()
-    perdoc = cov.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("covered_tokens"))
-    ndup = docc.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dup_occurrences"))
+    from pyspark.sql import Window
+
+    # >=2 marking as a window over the occurrence hash: identical rows
+    # to the old groupBy(h)-then-join-back form, but the explode+hash
+    # subtree is evaluated ONCE and shuffles once on h (the agg+join
+    # form evaluated it twice — r6 opt)
+    w_h = Window.partitionBy("h")
+    docc = (
+        occ.withColumn("occ_n", F.count(F.lit(1)).over(w_h))
+        .filter(F.col("occ_n") >= 2)
+        .select("doc_id", "s")
+    )
+    # one aggregation computes BOTH per-doc measures: start positions s
+    # are distinct within a doc by construction (one n-gram per
+    # position), so countDistinct(s) == the old count of docc rows,
+    # and countDistinct(p) == the old distinct-then-count coverage
+    per = docc.select(
+        "doc_id", "s", F.explode(F.sequence(F.col("s"), F.col("s") + F.lit(n - 1))).alias("p")
+    ).groupBy("doc_id").agg(
+        F.countDistinct("s").cast("long").alias("dup_occurrences"),
+        F.countDistinct("p").cast("long").alias("covered_tokens"),
+    )
     out = (
         base.select("doc_id", "n_tokens")
-        .join(perdoc, "doc_id", "left")
-        .join(ndup, "doc_id", "left")
+        .join(per, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
@@ -992,18 +1006,20 @@ def q220(spark, sf_dir):
     c = global_prefix_sum(flow, "ts_us", True, order, "f", out_col="cum")
     r = global_running_max(c, "ts_us", True, order, "cum", out_col="peak")
     d = r.select("event_id", (F.col("peak") - F.col("cum")).alias("dd"))
-    mx = d.agg(F.max("dd").alias("mdd"))
-    at = (
-        d.join(F.broadcast(mx), d["dd"] == mx["mdd"])
-        .agg(F.min("event_id").cast("long").alias("at_event_id"))
+    # argmax in ONE aggregation: max(struct(dd, -event_id)) = deepest
+    # drawdown, earliest event among ties — the previous max-then-join
+    # form evaluated the whole two-pass window subtree twice per
+    # execution (once under the broadcast mdd, once in the join probe)
+    mx = d.agg(F.max(F.struct(F.col("dd"), (-F.col("event_id")).alias("ne"))).alias("m")).select(
+        F.col("m.dd").cast("long").alias("max_drawdown_cents"),
+        (-F.col("m.ne")).cast("long").alias("at_event_id"),
     )
     stats = flow.agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum("f").cast("long").alias("final_cum"),
     )
     return (
-        stats.crossJoin(F.broadcast(mx.select(F.col("mdd").cast("long").alias("max_drawdown_cents"))))
-        .crossJoin(F.broadcast(at))
+        stats.crossJoin(F.broadcast(mx))
         .select("n_events", "final_cum", "max_drawdown_cents", "at_event_id")
     )
 

@@ -322,19 +322,46 @@ def q197(spark, sf_dir):
         .limit(k)
         .select("cid", "ei")
     )
-    super_rows = sorted(
-        e.select(h.alias("h"), "vec_id", "ei").orderBy("h", "vec_id").limit(_isqrt_super(k)).collect(),
-        key=lambda r: r["vec_id"],  # gid-ascending rows: argmin first-min = smallest gid
-    )
-    SC = np.array([r["ei"] for r in super_rows], dtype="int64")
-    sgids = np.array([r["vec_id"] for r in super_rows], dtype="int64")
+    k_eff = min(k, n)
+    seed_rows = None
+    if k_eff <= 4096:
+        # small-k path: ONE collect (with the seed-order hash kept so
+        # the prefix is well-defined) serves both the fine seed matrix
+        # and the super-seed prefix — the separate super collect was a
+        # second identical job (r6 opt)
+        seed_rows = sorted(
+            e.select(h.alias("h"), F.col("vec_id").alias("cid"), "ei")
+            .orderBy("h", "cid")
+            .limit(k)
+            .collect(),
+            key=lambda r: (r["h"], r["cid"]),
+        )
+        super_rows = sorted(
+            seed_rows[: _isqrt_super(k)],
+            key=lambda r: r["cid"],  # gid-ascending rows: argmin first-min = smallest gid
+        )
+        SC = np.array([r["ei"] for r in super_rows], dtype="int64")
+        sgids = np.array([r["cid"] for r in super_rows], dtype="int64")
+    else:
+        super_rows = sorted(
+            e.select(h.alias("h"), "vec_id", "ei").orderBy("h", "vec_id").limit(_isqrt_super(k)).collect(),
+            key=lambda r: r["vec_id"],  # gid-ascending rows: argmin first-min = smallest gid
+        )
+        SC = np.array([r["ei"] for r in super_rows], dtype="int64")
+        sgids = np.array([r["vec_id"] for r in super_rows], dtype="int64")
     a2, _cent1 = twolevel_coarse(
         e.select(F.col("vec_id").alias("id"), "ei"),
         seeds,
         SC,
         sgids,
         mean_sql="CAST((sum(s) - pmod(sum(s), sum(n))) DIV sum(n) AS BIGINT)",
-        k=min(k, n),
+        k=k_eff,
+        seed_rows=seed_rows,
+        # carry the raw vector through the assignment pass: the
+        # pairwise stage below then groups a2 directly instead of
+        # joining the assignment back onto `e` (one join + shuffle
+        # fewer per evaluation, r6 opt)
+        emit_vectors=True,
     )
     assign = a2.select(F.col("id").alias("vec_id"), "cid")
     # Pairwise stage as a per-cluster integer GEMM (applyInPandas):
@@ -367,7 +394,7 @@ def q197(spark, sf_dir):
                 rids.append(int(ids[j]))
         return pd.DataFrame({"lid": lids, "rid": rids}, dtype="int64")
 
-    vecs = e.select("vec_id", "ei").join(assign, "vec_id")
+    vecs = a2.select(F.col("id").alias("vec_id"), "ei", "cid")
     pairs = vecs.groupBy("cid").applyInPandas(
         lambda _key, pdf: _cluster_pairs(pdf), schema="lid long, rid long"
     )
@@ -884,13 +911,23 @@ def sdk15(spark, sf_dir):
     # — same trainer as q66/q264/q197, so sdk15 no longer collects a
     # k-proportional seed/centroid set to the driver)
     seeds = e_hist.orderBy("id").limit(nlist).select(F.col("id").alias("cid"), "ei")
-    super_rows = e_hist.orderBy("id").limit(dh._isqrt_super(nlist)).collect()
-    SC = np.array([r["ei"] for r in super_rows], dtype="int64")
-    sgids = np.array([r["id"] for r in super_rows], dtype="int64")
+    k_eff = min(nlist, n_hist)
+    seed_rows = None
+    if k_eff <= 4096:
+        # one collect serves fine seeds + their super prefix (r6 opt)
+        seed_rows = sorted(seeds.collect(), key=lambda r: r["cid"])
+        super_src = seed_rows[: dh._isqrt_super(nlist)]
+        SC = np.array([r["ei"] for r in super_src], dtype="int64")
+        sgids = np.array([r["cid"] for r in super_src], dtype="int64")
+    else:
+        super_rows = e_hist.orderBy("id").limit(dh._isqrt_super(nlist)).collect()
+        SC = np.array([r["ei"] for r in super_rows], dtype="int64")
+        sgids = np.array([r["id"] for r in super_rows], dtype="int64")
     _a2h, cent1 = dh.twolevel_coarse(
         e_hist, seeds, SC, sgids,
         mean_sql="CAST(floor(sum(s) / sum(n)) AS BIGINT)",
-        k=min(nlist, n_hist),
+        k=k_eff,
+        seed_rows=seed_rows,
     )
 
     eng = _temp_engine(spark)

@@ -228,20 +228,22 @@ def q248(spark, sf_dir):
             "abs(CAST(cum_a AS DECIMAL(38,0)) * n_b - CAST(cum_b AS DECIMAL(38,0)) * n_a)"
         ).alias("d"),
     )
-    mx = diff.agg(F.max("d").alias("d_max"))
-    return (
-        diff.crossJoin(F.broadcast(mx))
-        .where(F.col("d") == F.col("d_max"))
-        .groupBy("n_a", "n_b", "d_max")
-        .agg(F.min("v").cast("long").alias("ks_at_cents"))
-        .select(
-            "n_a",
-            "n_b",
-            "ks_at_cents",
-            F.expr(
-                "round(CAST(d_max AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b), 6)"
-            ).alias("ks_stat"),
-        )
+    # argmax in ONE aggregation: max(struct(d, -v)) picks the largest d
+    # and, among ties, the smallest v (struct max compares fields in
+    # order) — identical to the previous max-then-filter-then-min form,
+    # which evaluated the whole window-sweep subtree TWICE per
+    # execution (once under the broadcast d_max, once under the filter)
+    return diff.agg(
+        F.max("n_a").alias("n_a"),  # constant on every row (broadcast tot)
+        F.max("n_b").alias("n_b"),
+        F.max(F.struct(F.col("d"), (-F.col("v")).alias("nv"))).alias("m"),
+    ).select(
+        "n_a",
+        "n_b",
+        (-F.col("m.nv")).cast("long").alias("ks_at_cents"),
+        F.expr(
+            "round(CAST(m.d AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b), 6)"
+        ).alias("ks_stat"),
     )
 
 
