@@ -157,6 +157,15 @@ def main() -> None:
         n = df.count()
         df.limit(10).collect()
         for _ in range(3):  # steady-state: best of 3 (JIT warm; robust to CPU-contention noise)
+            # drop DataFrame caches from the warm-up/previous reps:
+            # several operators persist() intermediate frames, and
+            # Spark's CacheManager substitutes a cached relation into
+            # ANY later plan with the same canonical subtree — without
+            # this, reps 2-3 (and rep 1, via the warm-up) would read
+            # the expensive subtree from cache instead of computing it,
+            # i.e. result reuse across timed runs (r6 measurement fix;
+            # every timed rep must compute from the parquet inputs)
+            spark.catalog.clearCache()
             t0 = time.time()
             df = fn(spark, sf_dir)
             if legacy:

@@ -77,10 +77,14 @@ def ngram_jaccard_pairs(
     sh_rows = positions.select(
         "id", F.xxhash64(F.concat_ws(" ", F.slice("toks", F.col("i"), n))).alias("sh")
     )
-    # the self-join + sizes + hot-filter all reference this subtree;
-    # persist so tokenize+distinct run once (same pattern Spark ML uses
-    # inside approxSimilarityJoin)
+    # the self-join + sizes + hot-filter all reference this subtree
+    # (four plan branches); persist + EAGER fill so tokenize+distinct
+    # run once (same pattern Spark ML uses inside approxSimilarityJoin;
+    # the count() barrier matters — with a lazy persist the concurrent
+    # consumer stages of one job race to fill the cache, each
+    # computing its own copy — r6 opt)
     distinct_sh = sh_rows.distinct().persist()
+    distinct_sh.count()
     # per-doc distinct-shingle counts: tiny (one row per doc) — joined
     # onto the pair AGGREGATE (not carried through the explode join via
     # a window, which costs an extra shuffle+sort on the widest data).

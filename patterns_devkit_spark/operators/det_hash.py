@@ -130,7 +130,12 @@ def minhash_lsh_pairs_det(
     (minhash_oracle_sql shares this function's literals)."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
+    # persist + EAGER fill: the signature feeds the banding explode and
+    # BOTH sides of the agreement join-back; a lazy persist lets those
+    # concurrent consumer stages race to fill the cache, each
+    # re-running the shingle+minhash aggregation (r6 opt)
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed).persist()
+    sig.count()
     band_structs = [
         F.struct(
             F.lit(j).alias("band"),

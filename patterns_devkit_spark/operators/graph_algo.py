@@ -114,23 +114,27 @@ def pagerank(
     released. Returns (node, rank_scaled).
     """
     base = scale * (1000 - damping_permille) // 1000
-    outw = edges.groupBy(src).agg(F.sum(weight).alias("__ow"))
+    # materialize the EDGE LIST itself before fanning out: outw, the
+    # per-edge join and the node union all re-reference `edges`, and
+    # persisting only the derived frames still evaluated the (often
+    # expensive) upstream edge-building subtree once per derived cache
+    # fill — the nodes union alone re-ran it twice, its two branches
+    # pruning different columns so ReusedExchange never fired; a LAZY
+    # persist is not enough either (concurrent consumer stages race to
+    # fill it, each computing its own copy). The eager localCheckpoint
+    # runs the build exactly once and truncates the iteration plans'
+    # lineage (r6 opt).
+    edges = edges.select(
+        F.col(src).alias("__src"), F.col(dst).alias("__dst"), F.col(weight).alias("__w")
+    ).localCheckpoint(eager=True)
+    outw = edges.groupBy("__src").agg(F.sum("__w").alias("__ow"))
     # the edge list and node set are re-read every iteration (each
     # localCheckpoint is an action): persist them once or the upstream
     # edge-building joins re-execute O(iterations) times
-    e = (
-        edges.join(outw, src)
-        .select(
-            F.col(src).alias("__src"),
-            F.col(dst).alias("__dst"),
-            F.col(weight).alias("__w"),
-            "__ow",
-        )
-        .persist()
-    )
+    e = edges.join(outw, "__src").persist()
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
+        edges.select(F.col("__src").alias("node"))
+        .unionByName(edges.select(F.col("__dst").alias("node")))
         .distinct()
         .persist()
     )

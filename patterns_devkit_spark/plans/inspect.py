@@ -57,6 +57,32 @@ def assert_pushed(df: DataFrame, *fragments: str) -> None:
         assert frag in joined, f"expected pushed filter {frag!r}, got {joined!r}"
 
 
+def executed_exchanges(df: DataFrame) -> int:
+    """Exchange nodes that will actually EXECUTE: the simple-mode tree
+    reprints every cached relation's child plan inline under its
+    InMemoryRelation node (once per reference), but those subtrees run
+    at most once to fill the cache — and not at all when the cache was
+    filled eagerly — so exchanges inside them must not count toward a
+    re-evaluation gate. Skips any line nested deeper than an
+    InMemoryRelation marker (tree depth = the +-/:- connector column)."""
+    lines = explain_str(df, "simple").splitlines()
+    n = 0
+    skip_depth: int | None = None
+    for line in lines:
+        m = re.search(r"(\+-|:-) ", line)
+        depth = m.start() if m else 0
+        if skip_depth is not None:
+            if depth > skip_depth or m is None:
+                continue
+            skip_depth = None
+        if "InMemoryRelation" in line:
+            skip_depth = depth
+            continue
+        if re.search(r"Exchange (?:hash|range|Single)", line):
+            n += 1
+    return n
+
+
 def single_partition_windows(df: DataFrame) -> int:
     """Number of Window nodes fed by an Exchange SinglePartition — the
     unpartitioned-global-window anti-pattern (one task sorts ALL

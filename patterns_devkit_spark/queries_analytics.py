@@ -141,7 +141,16 @@ def q91(spark, sf_dir):
     the DuckDB oracle replays byte-identically; dup ratio is emitted as
     integer permille (DIV) to avoid float division drift."""
     docs = t(spark, sf_dir, "documents")
-    sh = distinct_shingles(docs, "doc_id", "text", _SPAN_N)
+    # persist + EAGER fill: the shingle set feeds the shared-window agg
+    # AND the join-back probe; without the cache (or with a lazy one —
+    # concurrent consumer stages race to fill it, each computing its
+    # own copy) the tokenize/explode/distinct subtree executes twice
+    # per run (same fix as q189 — a count WINDOW over sh would
+    # evaluate it once without a cache, but pays a full sort shuffle
+    # of the 8-word shingle STRINGS, measured slower than caching +
+    # the broadcast join this form keeps)
+    sh = distinct_shingles(docs, "doc_id", "text", _SPAN_N).persist()
+    sh.count()
     shared = sh.groupBy("sh").agg(F.countDistinct("id").alias("nd")).filter(F.col("nd") >= 2).select("sh")
     per_doc = (
         sh.join(shared.withColumn("__shared", F.lit(1)), "sh", "left")

@@ -81,27 +81,36 @@ def q201(spark, sf_dir):
         .filter(F.col("token") != "")
         .select("doc_id", "source", (md5_long("token") % _DSIR_B).alias("b"))
     )
-    ct = tokb.filter(F.col("source") == "src0").groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("ct"))
-    cr = tokb.filter(F.col("source") != "src0").groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cr"))
+    # ONE conditional aggregation builds both sides of the 4096-row
+    # weight table (the bucket set — buckets with any token — and the
+    # per-side counts are identical to the old two-filtered-agg +
+    # full_outer join, with 0 standing in for the old NULL-coalesce),
+    # so the tokenize/explode pass for the table runs once, not twice
+    # (r6 opt); the target/raw split rides a when() inside the agg
     wt = (
-        ct.join(cr, "b", "full_outer")
+        tokb.groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).cast("long").alias("ct"),
+            F.sum(F.when(F.col("source") != "src0", 1).otherwise(0)).cast("long").alias("cr"),
+        )
         .select(
             "b",
             (
-                F.length(F.expr("bin(coalesce(ct, 0) + 1)")).cast("long")
-                - F.length(F.expr("bin(coalesce(cr, 0) + 1)")).cast("long")
+                F.length(F.expr("bin(ct + 1)")).cast("long")
+                - F.length(F.expr("bin(cr + 1)")).cast("long")
             ).alias("lam"),
         )
     )
+    # source rides the scoring groupBy (doc_id -> source is functional,
+    # same groups) instead of a join back onto the documents scan
     score = (
         tokb.filter(F.col("source") != "src0")
         .join(F.broadcast(wt), "b")
-        .groupBy("doc_id")
+        .groupBy("doc_id", "source")
         .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"), F.sum("lam").cast("long").alias("score"))
     )
     return (
-        score.join(docs.select("doc_id", "source"), "doc_id")
-        .select("doc_id", "source", "n_tokens", "score")
+        score.select("doc_id", "source", "n_tokens", "score")
         .orderBy(F.desc("score"), "doc_id")
         .limit(50)
     )

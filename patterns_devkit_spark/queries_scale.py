@@ -1938,7 +1938,15 @@ def q189(spark, sf_dir):
     (q106)."""
     d = t(spark, sf_dir, "documents")
     pairs = det_ops.minhash_lsh_pairs_det(d)
-    sh = det_ops.distinct_shingles(d, "doc_id", "text", 3)
+    # persist + EAGER fill: the shingle set feeds THREE plan branches
+    # (size agg + both sides of the intersection join) whose differing
+    # pruning/aliases defeat ReusedExchange — and a lazy persist alone
+    # still lets the three consumer stages of one job race to fill the
+    # cache, each computing its own copy (measured: lazy flat, eager
+    # 3.8 -> 3.2 s). The count() barrier guarantees the tokenize/
+    # explode/distinct subtree executes exactly once (r6 opt).
+    sh = det_ops.distinct_shingles(d, "doc_id", "text", 3).persist()
+    sh.count()
     sza = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sza")).withColumnRenamed("id", "id_a")
     szb = sza.select(F.col("id_a").alias("id_b"), F.col("sza").alias("szb"))
     sh_a = sh.select(F.col("id").alias("id_a"), "sh")

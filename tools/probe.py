@@ -1,8 +1,7 @@
-"""Per-query phase probe: construction (driver actions inside the query
-function) vs final-plan execution (noop sink, guide §1.4), warm.
-
-Usage: PYTHONPATH=. python tools/probe.py q264_ivfpq_ann [reps=3] [sf_dir]
-"""
+"""Standalone query timing probe: one untimed warm-up then best-of-N
+noop materializations per named query (bench.py methodology, isolated).
+Usage: PYTHONPATH=. python tools/probe.py q01_pricing_summary [more...]
+Env: SPARK_GRAFT_SF_DIR (default sf0.1), PROBE_REPS (default 3)."""
 from __future__ import annotations
 
 import os
@@ -16,32 +15,24 @@ from patterns_devkit_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
-    name = sys.argv[1]
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    sf_dir = sys.argv[3] if len(sys.argv) > 3 else os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
-    )
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = int(os.environ.get("PROBE_REPS", "3"))
     spark = get_spark("probe")
     spark.sparkContext.setLogLevel("ERROR")
-    fn = QUERIES[name]
-    # warm-up (untimed)
-    df = fn(spark, sf_dir)
-    df.count()
-    df.limit(10).collect()
-    for i in range(reps):
-        t0 = time.time()
+    QUERIES["q18_topk"](spark, sf_dir).collect()
+    for name in sys.argv[1:]:
+        fn = QUERIES[name]
+        spark.sparkContext.setJobDescription(f"probe:{name}")
         df = fn(spark, sf_dir)
-        t1 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        t2 = time.time()
-        n = df.count()
-        t3 = time.time()
-        df.limit(10).collect()
-        t4 = time.time()
-        print(
-            f"rep{i}: construct={t1-t0:.3f}s noop={t2-t1:.3f}s "
-            f"count={t3-t2:.3f}s collect10={t4-t3:.3f}s total_benchlike={(t1-t0)+(t3-t2)+(t4-t3):.3f}s rows={n}"
-        )
+        df.write.format("noop").mode("overwrite").save()  # warm-up
+        times = []
+        for _ in range(reps):
+            spark.catalog.clearCache()  # same honesty rule as bench.py: no cross-rep cache reuse
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times.append(time.time() - t0)
+        spark.sparkContext.setJobDescription(None)
+        print(f"{name}: best={min(times):.3f}s all={[round(x, 3) for x in times]}")
 
 
 if __name__ == "__main__":
