@@ -356,7 +356,12 @@ def bigram_lm_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
         F.explode(F.sequence(F.lit(1), F.length(text_col) - F.lit(1))).alias("i"),
         F.col(text_col).alias("__t"),
     ).filter(F.length("__t") >= 2)
+    # persist + EAGER fill: the gram stream feeds the frequency agg AND
+    # the score join-back; a lazy persist lets those concurrent
+    # consumer stages race to fill the cache, each computing its own
+    # explode (r6 opt, same fix as the dedup/minhash operators)
     grams = pos.select("id", F.col("__t").substr(F.col("i"), F.lit(2)).alias("bg")).persist()
+    grams.count()
     freq = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("freq"))
     out = (
         grams.join(F.broadcast(freq), "bg")

@@ -27,11 +27,17 @@ def connected_components(
     """Returns (id, component) where component = min node id reachable.
     Nodes appearing only as isolated points must be unioned by the
     caller if they need rows."""
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    )
+    # materialize the raw edge list BEFORE the symmetrizing union: its
+    # two branches prune different columns, so without this the (often
+    # expensive) upstream edge-building subtree is evaluated twice in
+    # the same action — and the old lazy persist of `sym` additionally
+    # let the label seed and the first iteration race to fill the
+    # cache (r6 opt, same fix as pagerank)
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(eager=True)
+    sym = e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.filter(F.col("a") != F.col("b")).distinct()
     sym = sym.persist()
+    sym.count()
     labels = sym.select(F.col("a").alias("id")).distinct().withColumn("component", F.col("id"))
     for _ in range(max_iter):
         neigh = (

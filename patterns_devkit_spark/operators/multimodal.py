@@ -125,7 +125,12 @@ def frame_sample(
                     out["frame_bytes"].append(len(chunk))
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(run, FRAME_SCHEMA)
+    # ship ONLY the columns the function reads across the Python
+    # boundary — Spark cannot see inside an opaque mapInPandas, so an
+    # unprojected frame would move (and defeat scan pruning for) every
+    # other column, e.g. binarize's meta struct (optimization guide
+    # §4.1; r6 opt)
+    return df.select("media_id", "payload").mapInPandas(run, FRAME_SCHEMA)
 
 
 def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
@@ -152,7 +157,9 @@ def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
             )
             yield out
 
-    return df.mapInPandas(run, FEATURE_SCHEMA)
+    # explicit projection: this op DOES read meta (mime/n_bytes), but
+    # callers may pass wider frames — name the boundary columns (§4.1)
+    return df.select("media_id", "payload", "meta").mapInPandas(run, FEATURE_SCHEMA)
 
 
 THUMB_SCHEMA = T.StructType(
@@ -195,7 +202,8 @@ def thumbnail(df: DataFrame, stride: int = 7, decode_stub: bool = True) -> DataF
                 out["thumb_md5"].append(hashlib.md5(th).hexdigest())
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(run, THUMB_SCHEMA)
+    # boundary projection, same reasoning as frame_sample (§4.1)
+    return df.select("media_id", "payload").mapInPandas(run, THUMB_SCHEMA)
 
 
 ENERGY_SCHEMA = T.StructType(
@@ -241,4 +249,5 @@ def windowed_energy(
                     out["energy"].append(int(sum(chunk)))
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(run, ENERGY_SCHEMA)
+    # boundary projection, same reasoning as frame_sample (§4.1)
+    return df.select("media_id", "payload").mapInPandas(run, ENERGY_SCHEMA)
