@@ -607,11 +607,16 @@ def q215(spark, sf_dir):
     vals = t(spark, sf_dir, "lineitem").select(
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("v")
     )
+    # eager checkpoint: this 1-row aggregate is broadcast into FOUR
+    # consumer branches (ks twice, binned twice) and each broadcast
+    # re-evaluates the full lineitem scan+agg otherwise — the
+    # two-pass selection algorithm needs exactly 3 scans (meta, bins,
+    # in-bin), not 6 (r6 opt, guide §2.4)
     meta = vals.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.min("v").alias("vmin"),
         (F.max("v") - F.min("v") + 1).alias("w"),
-    )
+    ).localCheckpoint(eager=True)
     qs = spark.createDataFrame([("p50", 50), ("p90", 90)], "qname string, pct int")
     ks = qs.crossJoin(F.broadcast(meta)).select(
         "qname", "n", "vmin", "w", F.expr("((n - 1) * pct) DIV 100 + 1").alias("k")
@@ -1508,11 +1513,13 @@ def q226(spark, sf_dir):
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
         F.col("l_quantity").cast("long").alias("wt"),
     )
+    # eager checkpoint of the 1-row meta aggregate — same multi-branch
+    # re-evaluation defect and same fix as q215 (r6 opt, guide §2.4)
     meta = vals.agg(
         F.sum("wt").cast("long").alias("tw"),
         F.min("v").alias("vmin"),
         (F.max("v") - F.min("v") + 1).alias("w"),
-    )
+    ).localCheckpoint(eager=True)
     qs = spark.createDataFrame([("p50", 50), ("p90", 90)], "qname string, pct int")
     ks = qs.crossJoin(F.broadcast(meta)).select(
         "qname", "tw", "vmin", "w", F.expr("((tw - 1) * pct) DIV 100 + 1").alias("k")
