@@ -87,7 +87,14 @@ def skew_profile(df: DataFrame, key_cols: Sequence[str], top_n: int = 10) -> Dat
     would otherwise sort every key in one partition)."""
     from pyspark.sql.window import Window
 
-    cnt = df.groupBy(*key_cols).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    # eager checkpoint: the key-count aggregate feeds BOTH the 3-number
+    # stats branch and the top-N branch; without it each branch re-runs
+    # the full input scan+agg (r6 opt — the q215 defect class). The
+    # frame is key-grain (already aggregated), so materializing it is
+    # bounded by key cardinality, not input rows.
+    cnt = df.groupBy(*key_cols).agg(F.count(F.lit(1)).cast("long").alias("cnt")).localCheckpoint(
+        eager=True
+    )
     stats = cnt.agg(
         F.count(F.lit(1)).cast("long").alias("n_keys"),
         F.sum("cnt").cast("long").alias("total"),

@@ -73,7 +73,15 @@ def q195(spark, sf_dir):
     (SURVEY.md §2.9); this is the engine-side mergeable form."""
     docs = t(spark, sf_dir, "documents")
     tok = docs.select(F.explode(tokens("text")).alias("token")).filter(F.col("token") != "")
-    tf = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    # eager checkpoint: tf (the one corpus-wide shuffle) feeds BOTH the
+    # sketch build and the estimate lookup — without it the
+    # tokenize+explode+groupBy subtree runs twice per execution (r6
+    # opt, the q215 defect class; frame is vocab-grain, so bounded)
+    tf = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     sketch = sk.cms_build(tf, key_col="token", weight_col="tf")
     est = sk.cms_estimate(tf, sketch, key_col="token", weight_col="tf")
     return (
