@@ -216,9 +216,18 @@ def q210(spark, sf_dir):
     joins. A cluster left empty by a seed tie drops out (inner-join
     semantics) — deterministic on both engines."""
     emb = t(spark, sf_dir, "embeddings")
-    ep = emb.select(
-        "vec_id", F.posexplode(quantized_embedding("embedding")).alias("d0", "v")
-    ).select("vec_id", (F.col("d0") + 1).cast("int").alias("d"), "v")
+    # cache the exploded points ONCE (eager fill): the seed join, both
+    # assignment passes and the recompute all re-read them — without
+    # the cache each consumer re-ran the scan+posexplode, and nested
+    # iteration lineage multiplied that to 16 parquet scans in the
+    # final plan (r6 opt). Caching the points is the canonical Lloyd
+    # layout at any scale.
+    ep = (
+        emb.select("vec_id", F.posexplode(quantized_embedding("embedding")).alias("d0", "v"))
+        .select("vec_id", (F.col("d0") + 1).cast("int").alias("d"), "v")
+        .persist()
+    )
+    ep.count()
     seed = (
         emb.select("vec_id", md5_long(F.col("vec_id").cast("string")).alias("h"))
         .orderBy("h", "vec_id")
@@ -236,12 +245,18 @@ def q210(spark, sf_dir):
             .groupBy("vec_id", "cluster")
             .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("dist"))
         )
-        md = dist.groupBy("vec_id").agg(F.min("dist").alias("md"))
+        # argmin as ONE aggregation: min(struct(dist, cluster)) =
+        # smallest distance, ties to the smallest cluster — exactly the
+        # old min + join-back + filter + min rule, which evaluated the
+        # dist subtree twice per assignment (r6 opt, the q248 trick)
         return (
-            dist.join(md, "vec_id")
-            .filter(F.col("dist") == F.col("md"))
-            .groupBy("vec_id")
-            .agg(F.min("cluster").alias("cluster"), F.min("dist").alias("dist"))
+            dist.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cluster")).alias("__best"))
+            .select(
+                "vec_id",
+                F.col("__best.cluster").alias("cluster"),
+                F.col("__best.dist").alias("dist"),
+            )
         )
 
     def recompute(a_df):
@@ -253,7 +268,9 @@ def q210(spark, sf_dir):
         )
 
     a1 = assign(cent)
-    cent1 = recompute(a1)
+    # checkpoint the K x dim iteration-1 centroids (tiny): the second
+    # assignment otherwise nests the whole first iteration's lineage
+    cent1 = recompute(a1).localCheckpoint(eager=True)
     a2 = assign(cent1)
     return (
         a2.groupBy("cluster")
@@ -458,17 +475,27 @@ def q213(spark, sf_dir):
     already-tiny orphan set."""
     dfs = {name: t(spark, sf_dir, name) for name in
            {"lineitem", "orders", "part", "supplier", "customer", "nation", "region", "events"}}
+    # ONE pass per edge: the old form ran a BLOCKING driver count()
+    # per edge (8 sequential jobs at query construction) plus a second
+    # anti-join pass per edge — 16 table scans and 8 job barriers.
+    # A left join against the distinct parent keys marks orphans
+    # (non-null FK, no parent hit) and one conditional aggregation
+    # emits all three measures; the 8 edges fuse into one lazy job
+    # (r6 opt, guide §5 "no driver actions in query paths").
     out = None
     for edge, child, ck, parent, pk in _FK_EDGES:
         c = dfs[child]
-        p = dfs[parent].select(F.col(pk).alias(ck)).distinct()
-        child_rows = c.count()
-        orphans = c.select(ck).filter(F.col(ck).isNotNull()).join(p, ck, "left_anti")
-        row = orphans.agg(
-            F.lit(edge).alias("edge"),
-            F.lit(child_rows).cast("long").alias("child_rows"),
-            F.count(F.lit(1)).cast("long").alias("orphan_rows"),
-            F.countDistinct(ck).cast("long").alias("orphan_keys"),
+        p = dfs[parent].select(F.col(pk).alias(ck)).distinct().withColumn("__hit", F.lit(1))
+        orphan = F.col(ck).isNotNull() & F.col("__hit").isNull()
+        row = (
+            c.select(ck)
+            .join(p, ck, "left")  # planner picks broadcast vs shuffle per parent size
+            .agg(
+                F.lit(edge).alias("edge"),
+                F.count(F.lit(1)).cast("long").alias("child_rows"),
+                F.coalesce(F.sum(orphan.cast("long")), F.lit(0)).cast("long").alias("orphan_rows"),
+                F.countDistinct(F.when(orphan, F.col(ck))).cast("long").alias("orphan_keys"),
+            )
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("edge")
@@ -1177,10 +1204,17 @@ def q222(spark, sf_dir):
     into the 300-row pair table. Top-50 by lift is a TakeOrdered."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # eager checkpoint of the distinct (order, brand) basket frame: the
+    # basket total, the singleton counts (joined twice downstream) and
+    # BOTH sides of the pairwise self-join re-read it — without the
+    # barrier the lineitem x part build ran 6x per execution (10
+    # parquet scans in the final plan; r6 opt). Brand grain bounds the
+    # frame at orders x |brands|.
     basket = (
         li.join(part, li["l_partkey"] == part["p_partkey"])
         .select(F.col("l_orderkey").alias("oid"), F.col("p_brand").alias("item"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     nb = basket.agg(F.countDistinct("oid").cast("long").alias("n_baskets"))
     ia = basket.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n"))
@@ -1271,7 +1305,15 @@ def q223(spark, sf_dir):
         .filter(F.col("n") >= 2)
         .select("u", "v")
     )
-    e = e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # eager checkpoint of the sparsified edge list (q165's trick): the
+    # expensive build (distinct + self-join + groupBy + symmetrize) is
+    # referenced by the source pick AND by every hop, and each hop's
+    # frontier lineage nests the previous hops' — without the barrier
+    # the final plan expanded the edge build into 160 parquet scans
+    # (r6 opt; the edge set is support-sparsified and bounded)
+    e = e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v"))).localCheckpoint(
+        eager=True
+    )
     src = e.agg(F.min("u").alias("node"))
     frontiers = [src]
     visited = src
@@ -1696,6 +1738,11 @@ def q227(spark, sf_dir):
         .filter(F.col("n") >= 2)
         .select("u", "v")
     )
+    # eager checkpoint of the sparsified edge list (q165/q223 trick):
+    # the degree union reads it twice and the oriented triangle join
+    # three more times — without the barrier the li self-join build
+    # expanded into 22 parquet scans in the final plan (r6 opt)
+    e = e.localCheckpoint(eager=True)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -2173,13 +2220,26 @@ def q233(spark, sf_dir):
     of funnel queries that window-function PATTERN matching cannot
     partition."""
     ev = t(spark, sf_dir, "events")
-    s1 = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    # eager checkpoints per funnel stage: s1 feeds s2 + a latency join
+    # + its count, s2 feeds s3 + two latency joins + its count, and the
+    # stage lineage NESTS (s3 contains s2 contains s1) — without the
+    # barriers the final plan re-expanded the chain into 14 events
+    # scans where the k-step funnel needs exactly k (r6 opt). Each
+    # stage frame is user-grain (monotonically shrinking), so the
+    # materialization is bounded.
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+        .localCheckpoint(eager=True)
+    )
     s2 = (
         ev.filter(F.col("event_type") == "click")
         .join(s1, "user_id")
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .localCheckpoint(eager=True)
     )
     s3 = (
         ev.filter(F.col("event_type") == "purchase")
@@ -2187,6 +2247,7 @@ def q233(spark, sf_dir):
         .filter(F.col("ts") > F.col("t2"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
+        .localCheckpoint(eager=True)
     )
     lat12 = (
         s2.join(s1, "user_id")
@@ -2388,9 +2449,14 @@ def q236(spark, sf_dir):
     from .operators.det_hash import quantized_embedding
 
     emb = t(spark, sf_dir, "embeddings")
-    ep = emb.select(
-        "vec_id", "label", F.posexplode(quantized_embedding("embedding")).alias("d0", "v")
-    ).select("vec_id", "label", (F.col("d0") + 1).cast("int").alias("d"), "v")
+    # cache the exploded points once (eager fill): the centroid agg and
+    # the distance pass both re-read them (r6 opt, q210's layout)
+    ep = (
+        emb.select("vec_id", "label", F.posexplode(quantized_embedding("embedding")).alias("d0", "v"))
+        .select("vec_id", "label", (F.col("d0") + 1).cast("int").alias("d"), "v")
+        .persist()
+    )
+    ep.count()
     cent = ep.groupBy(F.col("label").alias("clabel"), "d").agg(
         F.expr("CAST((sum(v) - pmod(sum(v), count(*))) DIV count(*) AS BIGINT)").alias("c")
     )
@@ -2399,14 +2465,28 @@ def q236(spark, sf_dir):
         .groupBy("vec_id", "label", "clabel")
         .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("dist"))
     )
-    md = dist.groupBy("vec_id").agg(F.min("dist").alias("m"))
+    # argmin as ONE aggregation (the q248/q210 trick): min(struct(dist,
+    # clabel)) = smallest distance, ties to the smallest clabel —
+    # identical to the old min + join-back + filter + min rule, which
+    # evaluated the whole distance subtree twice. `label` is constant
+    # per vec_id (the row's true label), so min(label) rides along
+    # unchanged.
     pred = (
-        dist.join(md, "vec_id")
-        .filter(F.col("dist") == F.col("m"))
-        .groupBy("vec_id")
-        .agg(F.min("label").alias("true_label"), F.min("clabel").alias("pred_label"))
+        dist.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("dist", "clabel")).alias("__best"),
+            F.min("label").alias("true_label"),
+        )
+        .select("vec_id", "true_label", F.col("__best.clabel").alias("pred_label"))
     )
-    cm = pred.groupBy("true_label", "pred_label").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # eager checkpoint of the k x k confusion matrix: tp / pred_n /
+    # true_n each re-aggregate it, and its lineage contains the whole
+    # classifier — 3 consumers x full re-evaluation otherwise
+    cm = (
+        pred.groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
     labels = emb.select(F.col("label").alias("lbl")).distinct()
     tp = cm.filter(F.col("true_label") == F.col("pred_label")).select(
         F.col("true_label").alias("lbl"), F.col("n").alias("tp")
