@@ -35,8 +35,8 @@ class Check:
     ref_col: str | None = None
 
 
-def _agg_audit(df: DataFrame, check: Check) -> DataFrame:
-    n_rows = F.count(F.lit(1)).cast("long")
+def _viol_expr(check: Check):
+    """The violation-count aggregate expression for a non-ref check."""
     if check.kind == "unique":
         # violations = surplus rows beyond one per distinct key
         viol = (F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in check.cols])).cast("long")
@@ -49,36 +49,66 @@ def _agg_audit(df: DataFrame, check: Check) -> DataFrame:
         viol = F.sum(((c < F.lit(check.lo)) | (c > F.lit(check.hi))).cast("long")).cast("long")
     else:
         raise ValueError(f"unknown check kind {check.kind}")
-    return df.agg(
-        F.lit(check.name).alias("check_name"),
-        n_rows.alias("n_rows"),
-        F.coalesce(viol, F.lit(0)).alias("n_violations"),
-    )
+    return viol
 
 
 def _ref_audit(child: DataFrame, parent: DataFrame, check: Check) -> DataFrame:
-    orphans = child.join(
-        parent.select(F.col(check.ref_col).alias("__pk")).distinct(),
-        child[check.cols[0]] == F.col("__pk"),
-        "left_anti",
+    # ONE pass over the child: a left join against the distinct parent
+    # keys marks orphans (non-null FK with no parent hit) and a single
+    # conditional aggregation emits total + violation counts — the old
+    # shape ran a separate total-count scan plus an anti-join scan per
+    # ref rule (r6 opt; parent side's broadcast decision left to the
+    # planner, which matters when the parent is itself a fact table)
+    p = (
+        parent.select(F.col(check.ref_col).alias("__pk"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    total = child.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
-    bad = orphans.agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
-    return total.crossJoin(bad).select(
-        F.lit(check.name).alias("check_name"), "n_rows", "n_violations"
+    j = child.select(F.col(check.cols[0]).alias("__ck")).join(
+        p, F.col("__ck") == F.col("__pk"), "left"
+    )
+    orphan = F.col("__ck").isNotNull() & F.col("__hit").isNull()
+    return j.agg(
+        F.lit(check.name).alias("check_name"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.coalesce(F.sum(orphan.cast("long")), F.lit(0)).cast("long").alias("n_violations"),
     )
 
 
 def constraint_audit(tables: dict[str, DataFrame], checks: list[Check]) -> DataFrame:
     """Evaluate every check and return one row per constraint with
-    ``passed = (n_violations == 0)`` as 0/1."""
+    ``passed = (n_violations == 0)`` as 0/1.
+
+    All non-ref checks against the SAME table fold into ONE
+    aggregation pass (their violation counts become columns of a
+    single agg, unpivoted back to rows with ``stack``), so auditing a
+    100 TB table costs one scan regardless of how many value checks it
+    carries — the old per-check aggregates relied on Catalyst to
+    collapse them and it never did (q120 planned 8 scans for 6
+    checks; r6 opt). Row order follows table grouping, not the input
+    check list (callers compare content, not order)."""
     parts = []
+    by_table: dict[str, list[Check]] = {}
     for ck in checks:
-        df = tables[ck.table]
         if ck.kind == "ref":
-            parts.append(_ref_audit(df, tables[ck.ref_table], ck))
+            parts.append(_ref_audit(tables[ck.table], tables[ck.ref_table], ck))
         else:
-            parts.append(_agg_audit(df, ck))
+            by_table.setdefault(ck.table, []).append(ck)
+    for tbl, cks in by_table.items():
+        df = tables[tbl]
+        aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+        for i, ck in enumerate(cks):
+            aggs.append(F.coalesce(_viol_expr(ck), F.lit(0)).cast("long").alias(f"__v{i}"))
+        one = df.agg(*aggs)
+        stack_args = ", ".join(f"'{ck.name}', __v{i}" for i, ck in enumerate(cks))
+        parts.append(
+            one.select(
+                F.expr(
+                    f"stack({len(cks)}, {stack_args}) AS (check_name, n_violations)"
+                ),
+                F.col("__n").alias("n_rows"),
+            ).select("check_name", "n_rows", "n_violations")
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

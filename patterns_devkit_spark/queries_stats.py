@@ -525,16 +525,27 @@ def q251(spark, sf_dir):
     o = t(spark, sf_dir, "orders").select(
         "o_custkey", F.col("o_orderdate").cast("date").alias("day")
     )
-    horizon = o.agg(F.max("day").alias("maxday"))
-    firsts = o.groupBy("o_custkey").agg(F.min("day").alias("d1"))
+    # ONE customer-grain pass feeds everything (r6 opt — the plan ran
+    # 5 orders scans): the per-customer agg also carries max(day), so
+    # the dataset horizon is an agg over the (checkpointed) firsts
+    # frame instead of its own scan; the eager checkpoint stops the
+    # seconds join and the subject build re-running the aggregate.
+    firsts = (
+        o.groupBy("o_custkey")
+        .agg(F.min("day").alias("d1"), F.max("day").alias("dmax"))
+        .localCheckpoint(eager=True)
+    )
+    horizon = firsts.agg(F.max("dmax").alias("maxday"))
     seconds = (
-        firsts.join(o, "o_custkey")
+        firsts.select("o_custkey", "d1")
+        .join(o, "o_custkey")
         .where(F.col("day") > F.col("d1"))
         .groupBy("o_custkey")
         .agg(F.min("day").alias("d2"))
     )
     subj = (
-        firsts.join(seconds, "o_custkey", "left")
+        firsts.select("o_custkey", "d1")
+        .join(seconds, "o_custkey", "left")
         .crossJoin(F.broadcast(horizon))
         .select(
             F.when(
@@ -550,16 +561,15 @@ def q251(spark, sf_dir):
         F.sum("ev").cast("long").alias("d_events"),
         F.sum(1 - F.col("ev")).cast("long").alias("c_censored"),
     )
-    total = subj.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
-    w = Window.orderBy("t")
-    risk = (
-        tg.crossJoin(F.broadcast(total))
-        .withColumn(
-            "n_risk",
-            F.col("n_total")
-            - F.sum(F.col("d_events") + F.col("c_censored")).over(w).cast("long")
-            + (F.col("d_events") + F.col("c_censored")),
-        )
+    # n_risk = customers still unresolved at t = sum over t' >= t of
+    # (events + censored): a REVERSE running sum over the bounded
+    # duration-grain frame — replaces the separate n_total aggregate
+    # (which re-ran the whole subject pipeline) and the
+    # total-minus-prefix arithmetic; same single bounded window.
+    w = Window.orderBy(F.col("t").desc())
+    risk = tg.withColumn(
+        "n_risk",
+        F.sum(F.col("d_events") + F.col("c_censored")).over(w).cast("long"),
     )
     return (
         risk.select(
