@@ -509,8 +509,22 @@ def q18(spark, sf_dir):
     """,
 )
 def q19(spark, sf_dir):
-    cn = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
-    sn = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    # eager checkpoint: each distinct key set feeds the union, the
+    # intersect AND the except — without the barrier each set-op branch
+    # re-scanned its base table (6 scans -> 2; r6 opt). The sets are
+    # nation-key grain (25 rows).
+    cn = (
+        t(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nk"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sn = (
+        t(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("nk"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     return (
         cn.union(sn).distinct().select(F.lit("union").alias("op"), "nk")
         .unionAll(cn.intersect(sn).select(F.lit("intersect").alias("op"), "nk"))

@@ -2579,9 +2579,15 @@ def q237(spark, sf_dir):
         (md5_long(F.col("vec_id").cast("string")) % _CV_K).alias("fold"),
         quantized_embedding("embedding").alias("ei"),
     )
-    ep = e.select(
-        "vec_id", "label", "fold", F.posexplode("ei").alias("d0", "v")
-    ).select("vec_id", "label", "fold", (F.col("d0") + 1).cast("int").alias("d"), "v")
+    # cache the exploded points once (eager fill): the fold-crossed
+    # centroid training and the distance pass both re-read them (r6
+    # opt, the q210/q236 layout)
+    ep = (
+        e.select("vec_id", "label", "fold", F.posexplode("ei").alias("d0", "v"))
+        .select("vec_id", "label", "fold", (F.col("d0") + 1).cast("int").alias("d"), "v")
+        .persist()
+    )
+    ep.count()
     folds = spark.range(_CV_K).select(F.col("id").alias("f"))
     cent = (
         ep.crossJoin(F.broadcast(folds))
@@ -2598,15 +2604,20 @@ def q237(spark, sf_dir):
         .groupBy("vec_id", "label", "clabel")
         .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("dist"))
     )
-    md = dist.groupBy("vec_id").agg(F.min("dist").alias("m"))
+    # argmin as ONE aggregation (q236's fix — the old min + join-back
+    # evaluated the distance pass twice); the fold rides along as the
+    # same md5 expression instead of a join back onto the embeddings
+    # scan (identical value by construction)
     pred = (
-        dist.join(md, "vec_id")
-        .filter(F.col("dist") == F.col("m"))
-        .groupBy("vec_id")
-        .agg(F.min("label").alias("true_label"), F.min("clabel").alias("pred_label"))
+        dist.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("dist", "clabel")).alias("__best"),
+            F.min("label").alias("true_label"),
+        )
+        .select("vec_id", "true_label", F.col("__best.clabel").alias("pred_label"))
     )
     return (
-        pred.join(e.select("vec_id", "fold"), "vec_id")
+        pred.withColumn("fold", md5_long(F.col("vec_id").cast("string")) % _CV_K)
         .groupBy("fold")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_test"),

@@ -158,14 +158,24 @@ def q196(spark, sf_dir):
     the oracle pins the algorithm, not a tolerance. Complements q54
     (Spark-native approx_count_distinct, error-bound-gated) with a
     cross-engine mergeable construction."""
+    # eager checkpoint: the joined customer frame feeds the register
+    # build AND the exact-count comparison, and the merged registers
+    # feed the estimate AND the checksum — each branch re-ran the
+    # 3-table join otherwise (9 parquet scans in the final plan -> 3,
+    # all in the fill job; r6 opt)
     cust = (
         t(spark, sf_dir, "customer")
         .join(t(spark, sf_dir, "nation"), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(t(spark, sf_dir, "region"), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("r_name", "n_nationkey", "c_custkey")
+        .localCheckpoint(eager=True)
     )
     nreg = sk.hll_registers(cust, "c_custkey", ["r_name", "n_nationkey"])
-    merged = nreg.groupBy("r_name", "reg").agg(F.max("rho").alias("rho"))
+    merged = (
+        nreg.groupBy("r_name", "reg")
+        .agg(F.max("rho").alias("rho"))
+        .localCheckpoint(eager=True)
+    )
     est = sk.hll_estimate(merged, ["r_name"])
     checksum = merged.groupBy("r_name").agg(
         F.sum((F.col("reg") + 1) * F.col("rho")).cast("long").alias("register_checksum")
@@ -480,19 +490,29 @@ def q198(spark, sf_dir):
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("token")).filter(
         F.col("token") != ""
     )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
-    corpus = dl.agg(
+    # ONE tokenize pass (r6 opt — the plan ran it 4x): a wide per-doc
+    # aggregation computes dl AND the per-query-term tfs together,
+    # checkpointed for its consumers; the term rows are stacked back
+    # out (tf > 0 keeps exactly the old (doc, term) set) and carry dl,
+    # eliminating the doc-grain dl join as well.
+    aggs = [F.count(F.lit(1)).cast("long").alias("dl")]
+    for i, term in enumerate(_BM25_QUERY):
+        aggs.append(
+            F.sum((F.col("token") == term).cast("long")).cast("long").alias(f"__tf{i}")
+        )
+    wide = tok.groupBy("doc_id").agg(*aggs).localCheckpoint(eager=True)
+    corpus = wide.agg(
         F.sum("dl").cast("long").alias("t"), F.count(F.lit(1)).cast("long").alias("n")
     )
-    tf = (
-        tok.filter(F.col("token").isin(_BM25_QUERY))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    )
+    stack_args = ", ".join(f"'{term}', __tf{i}" for i, term in enumerate(_BM25_QUERY))
+    tf = wide.select(
+        "doc_id",
+        "dl",
+        F.expr(f"stack({len(_BM25_QUERY)}, {stack_args}) AS (token, tf)"),
+    ).filter(F.col("tf") > 0)
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
     scored = (
         tf.join(F.broadcast(dfreq), "token")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(corpus))
         .select(
             "doc_id",
@@ -607,19 +627,27 @@ def q199(spark, sf_dir):
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("token")).filter(
         F.col("token") != ""
     )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
-    corpus = dl.agg(
+    # same one-tokenize-pass rewrite as q198 (r6 opt): wide per-doc agg
+    # (dl + per-term tfs) checkpointed, term rows stacked back out
+    # carrying dl — the dl join disappears with the duplicate passes
+    aggs = [F.count(F.lit(1)).cast("long").alias("dl")]
+    for i, term in enumerate(_BM25_QUERY):
+        aggs.append(
+            F.sum((F.col("token") == term).cast("long")).cast("long").alias(f"__tf{i}")
+        )
+    wide = tok.groupBy("doc_id").agg(*aggs).localCheckpoint(eager=True)
+    corpus = wide.agg(
         F.sum("dl").cast("long").alias("t"), F.count(F.lit(1)).cast("long").alias("n")
     )
-    tf = (
-        tok.filter(F.col("token").isin(_BM25_QUERY))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    )
+    stack_args = ", ".join(f"'{term}', __tf{i}" for i, term in enumerate(_BM25_QUERY))
+    tf = wide.select(
+        "doc_id",
+        "dl",
+        F.expr(f"stack({len(_BM25_QUERY)}, {stack_args}) AS (token, tf)"),
+    ).filter(F.col("tf") > 0)
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
     bm25 = (
         tf.join(F.broadcast(dfreq), "token")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(corpus))
         .groupBy("doc_id")
         .agg(
