@@ -593,3 +593,46 @@ def test_registry_wide_no_row_grain_global_windows(spark, sf_dir):
         f"row-grain single-partition windows (not whitelisted): {offenders} — "
         "rebase onto operators/windows.global_* or whitelist with a bounded-grain justification"
     )
+
+
+def test_r6_shared_subtree_scan_ceilings(spark, sf_dir):
+    """Round-6 optimization gates: queries whose shared subtrees were
+    re-evaluated once per consumer branch (up to 160 parquet scans of
+    one table in q223's final plan) are now materialized once via
+    eager localCheckpoint / cached points. Pin the FINAL-plan parquet
+    scan count so a refactor cannot silently reintroduce the
+    multiplication — the checkpoint fill jobs add at most the second
+    number of construction-time scans, which this gate does not see.
+    Ceilings are the post-fix counts + 0 slack."""
+    import re as _re
+
+    from patterns_devkit_spark.plans.inspect import explain_str
+
+    CEILINGS = {
+        "q223_bfs_khop": 0,               # was 160 (edge build per hop)
+        "q256_fdr_screen": 0,             # was 48 (tot/obs/ranked re-runs)
+        "q227_node_graph_features": 0,    # was 22 (edge build x5)
+        "q210_kmeans_lloyd": 1,           # was 16 (points + argmin join-back)
+        "q233_ordered_funnel": 0,         # was 14 (nested funnel stages)
+        "q236_classifier_eval": 1,        # was 13 (points/argmin/confusion)
+        "q222_association_rules": 0,      # was 10 (basket x6)
+        "q196_hll_mergeable_distinct": 0, # was 9 (cust/merged x2 each)
+        "q19_set_ops": 0,                 # was 6 (key sets x3 each)
+        "q251_survival_hazard": 1,        # was 6 (firsts/horizon/n_total)
+        "q215_exact_quantile_select": 2,  # was 6 (meta per broadcast branch)
+        "q226_weighted_median": 2,        # was 6 (same)
+        "q198_bm25_retrieval": 0,         # was 4 tokenize passes
+        "q195_countmin_heavy_hitters": 0, # was 2 tf evaluations
+        "q124_skew_profile": 0,           # was 2 key-count evaluations
+        "q120_constraint_audit": 4,       # was 8 (per-check scans)
+    }
+    offenders = {}
+    for name, ceiling in CEILINGS.items():
+        df = QUERIES[name](spark, sf_dir)
+        n = len(_re.findall(r"\(\d+\) Scan parquet", explain_str(df)))
+        if n > ceiling:
+            offenders[name] = (n, ceiling)
+    assert not offenders, (
+        f"final-plan parquet scans exceed the r6 single-evaluation ceilings: {offenders} "
+        "(a shared subtree is being re-evaluated per consumer again)"
+    )
