@@ -597,6 +597,186 @@ def _route_np(V, SC, gids):
     return gids[D.argmin(axis=1)]
 
 
+def _books_from_rows(pc_rows, m: int, dsub: int):
+    """Per-subspace (live code ids asc, codeword matrix) from collected
+    (s, code, j, c) centroid rows — shared by the encode passes and the
+    fused query-side ADC pass."""
+    import numpy as np
+
+    books = []
+    for s in range(m):
+        rows_s = [r for r in pc_rows if r["s"] == s]
+        live = sorted({r["code"] for r in rows_s})
+        cmap = {c: i for i, c in enumerate(live)}
+        C = np.zeros((len(live), dsub), dtype="int64")
+        for r in rows_s:
+            C[cmap[r["code"]], r["j"]] = r["c"]
+        books.append((np.array(live, dtype="int64"), C))
+    return books
+
+
+def _c1_matrix(c1_rows):
+    """(cids asc, centroid matrix) from collected (cid, d, c) rows
+    (d is 0-based and dense — every dimension has a mean row)."""
+    import numpy as np
+
+    c1_map: dict[int, dict[int, int]] = {}
+    for r in c1_rows:
+        c1_map.setdefault(r["cid"], {})[r["d"]] = r["c"]
+    dim = max(r["d"] for r in c1_rows) + 1
+    cids = np.array(sorted(c1_map), dtype="int64")
+    C = np.array([[c1_map[c][d] for d in range(dim)] for c in cids.tolist()], dtype="int64")
+    return cids, C
+
+
+def _probe_small(q: DataFrame, c1_rows, n_probe: int) -> DataFrame:
+    """(query_id, cid) probe pairs in ONE Arrow pass with the bounded
+    (≤ small_k x dim) local fine model in the task closure — replaces
+    the posexplode → broadcast-join → hash-agg → window chain, i.e.
+    three tiny shuffle stages whose per-job overhead dominated at the
+    0.1-0.15 s floor (r7 opt, guide §1.2/§4.2). numpy stable argsort
+    over int64 distances with cid-ascending columns == the SQL
+    row_number() OVER (ORDER BY dist, cid) tie rule, bit-identically."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    cids, C = _c1_matrix(c1_rows)
+    c_sq = (C * C).sum(axis=1)
+
+    def f(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf["ei"].to_numpy()).astype("int64")
+            D = (E * E).sum(axis=1)[:, None] - 2 * (E @ C.T) + c_sq[None, :]
+            order = np.argsort(D, axis=1, kind="stable")[:, :n_probe]
+            nq, w = order.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf["id"].to_numpy(), w),
+                    "cid": cids[order.ravel()],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", q.schema["id"].dataType),
+            T.StructField("cid", T.LongType()),
+        ]
+    )
+    return q.mapInPandas(f, schema)
+
+
+def _pq_qtab_small(q: DataFrame, books, dsub: int) -> DataFrame:
+    """Flat-PQ ADC tables (query_id, s, code, pd) in ONE Arrow pass
+    with the bounded codebooks in the closure — replaces the
+    posexplode → broadcast-join → hash-agg chain (r7 opt). Same int64
+    (v - c)^2 sums the SQL aggregation computed."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    def f(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf["ei"].to_numpy()).astype("int64")
+            ids = pdf["id"].to_numpy()
+            out = []
+            for s, (codes, C) in enumerate(books):
+                Qs = E[:, s * dsub:(s + 1) * dsub]
+                D = (Qs * Qs).sum(axis=1)[:, None] - 2 * (Qs @ C.T) + (C * C).sum(axis=1)[None, :]
+                nq, nc = D.shape
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.repeat(ids, nc),
+                            "s": np.full(nq * nc, s, dtype="int32"),
+                            "code": np.tile(codes, nq),
+                            "pd": D.ravel(),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", q.schema["id"].dataType),
+            T.StructField("s", T.IntegerType()),
+            T.StructField("code", T.LongType()),
+            T.StructField("pd", T.LongType()),
+        ]
+    )
+    return q.mapInPandas(f, schema)
+
+
+def _ivfpq_qtab_small(
+    q: DataFrame, c1_rows, books, n_probe: int, dsub: int
+) -> DataFrame:
+    """IVF-PQ residual ADC tables (query_id, cid, s, code, pd) in ONE
+    Arrow pass: probe the n_probe nearest cells (same stable-argsort
+    tie rule as _probe_small), subtract the cell centroid, build the
+    per-(query, cell) residual tables against the PQ codebooks — all
+    driver-bounded models in the closure. Replaces the five-stage
+    qd → probe-window → qres-join → qtab-agg chain AND makes the probe
+    frame itself unnecessary downstream (the adist join on (cid, s,
+    code) implies the probed-cell restriction), r7 opt."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    cids, C1 = _c1_matrix(c1_rows)
+    c_sq = (C1 * C1).sum(axis=1)
+
+    def f(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf["ei"].to_numpy()).astype("int64")
+            ids = pdf["id"].to_numpy()
+            D = (E * E).sum(axis=1)[:, None] - 2 * (E @ C1.T) + c_sq[None, :]
+            order = np.argsort(D, axis=1, kind="stable")[:, :n_probe]
+            out = []
+            for qi in range(len(ids)):
+                R = E[qi][None, :] - C1[order[qi]]  # [n_probe, dim] residuals
+                pc = cids[order[qi]]
+                for s, (codes, Cb) in enumerate(books):
+                    Rs = R[:, s * dsub:(s + 1) * dsub]
+                    Ds = (
+                        (Rs * Rs).sum(axis=1)[:, None]
+                        - 2 * (Rs @ Cb.T)
+                        + (Cb * Cb).sum(axis=1)[None, :]
+                    )
+                    npb, nc = Ds.shape
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.repeat(ids[qi], npb * nc),
+                                "cid": np.repeat(pc, nc),
+                                "s": np.full(npb * nc, s, dtype="int32"),
+                                "code": np.tile(codes, npb),
+                                "pd": Ds.ravel(),
+                            }
+                        )
+                    )
+            yield pd.concat(out, ignore_index=True)
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", q.schema["id"].dataType),
+            T.StructField("cid", T.LongType()),
+            T.StructField("s", T.IntegerType()),
+            T.StructField("code", T.LongType()),
+            T.StructField("pd", T.LongType()),
+        ]
+    )
+    return q.mapInPandas(f, schema)
+
+
 def _twolevel_small(
     e, seeds, super_C, super_gids, *, mean_sql, dim, emit_residuals,
     emit_vectors=False, seed_rows=None,
@@ -686,7 +866,7 @@ def _twolevel_small(
         [(int(r["cid"]), int(r["d"]), int(r["c"])) for r in c1_rows],
         "cid long, d int, c long",
     )
-    return a2, cent1
+    return a2, cent1, c1_rows
 
 
 def twolevel_coarse(
@@ -716,10 +896,13 @@ def twolevel_coarse(
          exact historical arithmetic so the oracle replays it);
       4. re-route the UPDATED centroids, re-route vectors, fine-assign.
 
-    Returns (assignment_df, cent1_exploded) where assignment is
-    (id, cid[, ei residual]) and cent1 is the localCheckpoint'd
-    (cid, d, c) model — still distributed; only super-seed vectors and
-    the ≤s live-gid lists ever reach the driver.
+    Returns (assignment_df, cent1_exploded, c1_local) where assignment
+    is (id, cid[, ei residual]), cent1 the (cid, d, c) model DataFrame
+    (localCheckpoint'd on the distributed path), and c1_local the
+    collected (cid, d, c) rows on the small-k path (None on the
+    distributed path — there the fine model never reaches the driver;
+    small-k callers use it to fuse the query-side probe/ADC chain into
+    one Arrow pass, r7 opt).
 
     Below ``small_k`` cells (default 4096 — the model fits one task
     closure) the IDENTICAL two-level arithmetic runs as two fused
@@ -757,7 +940,7 @@ def twolevel_coarse(
     idx1 = [i for i, g in enumerate(super_gids) if g in gset1]
     vga1 = _gemm_route(e, super_C[idx1], np.asarray(live1, dtype="int64"))
     a2 = _cell_assign(vga1, ga1, emit_residuals=emit_residuals, emit_vectors=emit_vectors)
-    return a2, cent1
+    return a2, cent1, None
 
 
 def twolevel_coarse_sql(
@@ -901,10 +1084,16 @@ def ivf_topk(
     partition-based (vs hash-based) ANN family."""
     sc = candidates.sparkSession.sparkContext
     n = candidates.count()
+    # eager persist via the seed-collect job below (r7 opt): the old
+    # localCheckpoint paid a dedicated materialization job BEFORE the
+    # seed collect — persist() lets the TakeOrderedAndProject seed job
+    # itself fill the cache (it evaluates every partition), dropping
+    # one driver-sequenced action from the training chain (guide §1.2:
+    # at the per-job floor the sequential action count IS the latency)
     e = (
         candidates.select(F.col(id_col).alias("id"), quantized_embedding(vec_col).alias("ei"))
         .repartition(_ann_partitions(sc, n))
-        .localCheckpoint()
+        .persist()
     )
     if n_clusters is None:
         n_clusters = max(16, n // 256)
@@ -921,7 +1110,8 @@ def ivf_topk(
     if k_eff <= 4096:
         # small-k path: ONE collect serves both the fine seed matrix
         # and its super-seed prefix (the first s ids) — the separate
-        # super collect was a second identical job (r6 opt)
+        # super collect was a second identical job (r6 opt); this job
+        # also fills e's cache (r7 opt)
         seed_rows = sorted(seeds.collect(), key=lambda r: r["cid"])
         super_src = seed_rows[: _isqrt_super(n_clusters)]
         SC = np.array([r["ei"] for r in super_src], dtype="int64")
@@ -930,7 +1120,7 @@ def ivf_topk(
         super_rows = e.orderBy("id").limit(_isqrt_super(n_clusters)).collect()
         SC = np.array([r["ei"] for r in super_rows], dtype="int64")
         sgids = np.array([r["id"] for r in super_rows], dtype="int64")
-    a2, cent1 = twolevel_coarse(
+    a2, cent1, c1_local = twolevel_coarse(
         e,
         seeds,
         SC,
@@ -940,21 +1130,27 @@ def ivf_topk(
         seed_rows=seed_rows,
     )
 
-    # probe distances against the DISTRIBUTED fine model (cent1 is
-    # localCheckpoint'd — never re-evaluated; broadcast: k·d rows)
     q = queries.select(F.col(id_col).alias("id"), quantized_embedding(vec_col).alias("ei"))
-    q_pos = q.select("id", F.posexplode("ei").alias("d", "v"))
-    qd = (
-        q_pos.join(F.broadcast(cent1), "d")
-        .groupBy("id", "cid")
-        .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("dist"))
-    )
-    w_probe = Window.partitionBy("id").orderBy(F.col("dist").asc(), F.col("cid").asc())
-    probe = (
-        qd.withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= n_probe)
-        .select(F.col("id").alias("query_id"), "cid")
-    )
+    if c1_local is not None:
+        # small-k path: the fine model is already local — ONE Arrow
+        # pass computes distances AND the top-n_probe selection with
+        # the model in the closure (r7 opt; _probe_small docstring)
+        probe = _probe_small(q, c1_local, n_probe)
+    else:
+        # probe distances against the DISTRIBUTED fine model (cent1 is
+        # localCheckpoint'd — never re-evaluated; broadcast: k·d rows)
+        q_pos = q.select("id", F.posexplode("ei").alias("d", "v"))
+        qd = (
+            q_pos.join(F.broadcast(cent1), "d")
+            .groupBy("id", "cid")
+            .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("dist"))
+        )
+        w_probe = Window.partitionBy("id").orderBy(F.col("dist").asc(), F.col("cid").asc())
+        probe = (
+            qd.withColumn("rn", F.row_number().over(w_probe))
+            .filter(F.col("rn") <= n_probe)
+            .select(F.col("id").alias("query_id"), "cid")
+        )
     pairs = (
         probe.join(a2.select(F.col("id").alias("neighbor_id"), "cid"), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1056,13 +1252,15 @@ def ivf_oracle_sql(
 # PQ (product-quantization) ANN — deterministic codebooks + ADC
 # ---------------------------------------------------------------------
 
-def _pq_encode(e: DataFrame, books) -> DataFrame:
-    """(id, s, code): per-subspace nearest codeword by INTEGER squared
-    L2 (numpy first-minimum == smallest code id — books keep code ids
-    ascending). ONE Arrow pass computes all m argmins per batch with
-    the codebooks broadcast in the closure (one int64 GEMM per
-    subspace): linear in N, zero shuffle, never a (vec, dim) x codeword
-    exploded join."""
+def _pq_encode(e: DataFrame, books, carry: tuple[str, ...] = ()) -> DataFrame:
+    """(id[, *carry], s, code): per-subspace nearest codeword by
+    INTEGER squared L2 (numpy first-minimum == smallest code id —
+    books keep code ids ascending). ONE Arrow pass computes all m
+    argmins per batch with the codebooks broadcast in the closure (one
+    int64 GEMM per subspace): linear in N, zero shuffle, never a
+    (vec, dim) x codeword exploded join. ``carry`` columns of ``e``
+    ride through unchanged — ivfpq carries ``cid`` so the downstream
+    ADC join needs no join back to the assignment frame (r7 opt)."""
     import numpy as np
     import pandas as pd
 
@@ -1089,16 +1287,18 @@ def _pq_encode(e: DataFrame, books) -> DataFrame:
                     + (C * C).sum(axis=1)[None, :]
                 )
                 a = d.argmin(axis=1)
-                out.append(
-                    pd.DataFrame(
-                        {"id": ids, "s": np.full(len(ids), s, dtype="int32"), "code": cids[a]}
-                    )
-                )
+                cols = {"id": ids}
+                for c in carry:
+                    cols[c] = pdf[c].to_numpy()
+                cols["s"] = np.full(len(ids), s, dtype="int32")
+                cols["code"] = cids[a]
+                out.append(pd.DataFrame(cols))
             yield pd.concat(out, ignore_index=True)
 
     schema = T.StructType(
-        [
-            T.StructField("id", e.schema["id"].dataType),
+        [T.StructField("id", e.schema["id"].dataType)]
+        + [T.StructField(c, e.schema[c].dataType) for c in carry]
+        + [
             T.StructField("s", T.IntegerType()),
             T.StructField("code", T.LongType()),
         ]
@@ -1191,10 +1391,12 @@ def pq_topk(
     sc = candidates.sparkSession.sparkContext
     spark = candidates.sparkSession
     n = candidates.count()
+    # persist, filled by the seed-collect job below (r7 opt — see
+    # ivf_topk: one driver-sequenced job instead of checkpoint+collect)
     e = (
         candidates.select(F.col(id_col).alias("id"), quantized_embedding(vec_col).alias("ei"))
         .repartition(_ann_partitions(sc, n))
-        .localCheckpoint()
+        .persist()
     )
     import numpy as np
 
@@ -1216,41 +1418,15 @@ def pq_topk(
         .agg(F.floor(F.sum("sm") / F.sum("n")).cast("long").alias("c"))
     )
     c1_rows = cent1.collect()  # <= m * n_codes * dsub rows (16k max)
-    books1 = []
-    for s in range(m):
-        rows_s = [r for r in c1_rows if r["s"] == s]
-        live = sorted({r["code"] for r in rows_s})
-        cmap = {c: i for i, c in enumerate(live)}
-        C = np.zeros((len(live), dsub), dtype="int64")
-        for r in rows_s:
-            C[cmap[r["code"]], r["j"]] = r["c"]
-        books1.append((np.array(live, dtype="int64"), C))
+    books1 = _books_from_rows(c1_rows, m, dsub)
     a2 = _pq_encode(e, books1)
 
-    # ADC tables against the COLLECTED centroids (tiny, broadcast) —
-    # the cent1 subtree never evaluates a second time.
-    cent1_local = F.broadcast(
-        spark.createDataFrame(
-            [(int(r["s"]), int(r["code"]), int(r["j"]), int(r["c"])) for r in c1_rows],
-            "s int, code long, j int, c long",
-        )
-    )
-    q_sub = (
-        queries.select(F.col(id_col).alias("id"), quantized_embedding(vec_col).alias("ei"))
-        .select("id", F.posexplode("ei").alias("d", "v"))
-        .select(
-            "id",
-            (F.col("d") / dsub).cast("int").alias("s"),
-            (F.col("d") % dsub).cast("int").alias("j"),
-            "v",
-        )
-    )
-    qtab = (
-        q_sub.join(cent1_local, ["s", "j"])
-        .groupBy("id", "s", "code")
-        .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("pd"))
-        .select(F.col("id").alias("query_id"), "s", "code", "pd")
-    )
+    # ADC tables in ONE Arrow pass over the queries with the bounded
+    # codebooks in the closure (r7 opt; _pq_qtab_small docstring) —
+    # replaces the posexplode → broadcast-join → hash-agg chain whose
+    # tiny shuffle stages each paid the per-job floor.
+    q = queries.select(F.col(id_col).alias("id"), quantized_embedding(vec_col).alias("ei"))
+    qtab = _pq_qtab_small(q, books1, dsub)
     adist = (
         a2.select(F.col("id").alias("neighbor_id"), "s", "code")
         .join(F.broadcast(qtab), ["s", "code"])
@@ -1415,10 +1591,12 @@ def ivfpq_topk(
     sc = candidates.sparkSession.sparkContext
     spark = candidates.sparkSession
     n = candidates.count()
+    # persist, filled by the seed-collect job below (r7 opt — see
+    # ivf_topk: one driver-sequenced job instead of checkpoint+collect)
     e = (
         candidates.select(F.col(id_col).alias("id"), quantized_embedding(vec_col).alias("ei"))
         .repartition(_ann_partitions(sc, n))
-        .localCheckpoint()
+        .persist()
     )
     import numpy as np
 
@@ -1444,7 +1622,7 @@ def ivfpq_topk(
         super_rows = e.orderBy("id").limit(_isqrt_super(nlist)).collect()
         SC = np.array([r["ei"] for r in super_rows], dtype="int64")
         sgids = np.array([r["id"] for r in super_rows], dtype="int64")
-    a2c, cent1 = twolevel_coarse(
+    a2c, cent1, c1_local = twolevel_coarse(
         e,
         seeds,
         SC,
@@ -1457,7 +1635,10 @@ def ivfpq_topk(
 
     # --- residuals + PQ codebooks on residuals (codebook size is
     # BOUNDED at 256 — the collects below are constant, not ∝ N) ---
-    res = a2c.localCheckpoint()
+    # persist instead of localCheckpoint: the rseed TakeOrdered job
+    # right below evaluates every partition of the assign pass and
+    # fills the cache in the same action (r7 opt, one job not two)
+    res = a2c.persist()
     rseed_rows = res.orderBy("id").limit(n_codes).collect()
     S = np.array([r["ei"] for r in rseed_rows], dtype="int64")
     ids0 = np.arange(len(rseed_rows), dtype="int64")
@@ -1472,68 +1653,65 @@ def ivfpq_topk(
         .agg(F.floor(F.sum("sm") / F.sum("n")).cast("long").alias("c"))
     )
     pc_rows = pcent1.collect()
-    books1 = []
-    for s in range(m):
-        rows_s = [r for r in pc_rows if r["s"] == s]
-        plive = sorted({r["code"] for r in rows_s})
-        pmap = {c: i for i, c in enumerate(plive)}
-        C = np.zeros((len(plive), dsub), dtype="int64")
-        for r in rows_s:
-            C[pmap[r["code"]], r["j"]] = r["c"]
-        books1.append((np.array(plive, dtype="int64"), C))
-    codes = _pq_encode(res, books1)
-    cells = res.select("id", "cid")
+    books1 = _books_from_rows(pc_rows, m, dsub)
+    # carry cid through the encode pass: the downstream ADC join keys
+    # on (cid, s, code) directly, so the old cells⋈codes join on id —
+    # the one non-broadcast join of this pipeline — disappears (r7 opt)
+    codes = _pq_encode(res, books1, carry=("cid",))
 
     # --- query side: probe cells, per-(query, cell) residual ADC ---
-    # the coarse model stays DISTRIBUTED (checkpointed; broadcast into
-    # the few-query probe joins) — only the bounded PQ books collect
-    cent1_local = F.broadcast(cent1)
-    pcent1_local = F.broadcast(
-        spark.createDataFrame(
-            [(int(r["s"]), int(r["code"]), int(r["j"]), int(r["c"])) for r in pc_rows],
-            "s int, code long, j int, c long",
+    q = queries.select(F.col(id_col).alias("id"), quantized_embedding(vec_col).alias("ei"))
+    if c1_local is not None:
+        # small-k path: coarse model and PQ books are already local —
+        # ONE Arrow pass probes cells and builds the residual ADC
+        # tables with both models in the closure (r7 opt;
+        # _ivfpq_qtab_small docstring). The probed-cell restriction is
+        # implied by qtab's (query_id, cid) domain, so no probe frame
+        # or cells join is needed downstream.
+        qtab = _ivfpq_qtab_small(q, c1_local, books1, npb, dsub)
+    else:
+        # distributed coarse model (checkpointed; broadcast into the
+        # few-query probe joins) — only the bounded PQ books collect
+        cent1_local = F.broadcast(cent1)
+        pcent1_local = F.broadcast(
+            spark.createDataFrame(
+                [(int(r["s"]), int(r["code"]), int(r["j"]), int(r["c"])) for r in pc_rows],
+                "s int, code long, j int, c long",
+            )
         )
-    )
-    q_pos = (
-        queries.select(F.col(id_col).alias("id"), quantized_embedding(vec_col).alias("ei"))
-        .select("id", F.posexplode("ei").alias("d", "v"))
-    )
-    qd = (
-        q_pos.join(cent1_local, "d")
-        .groupBy("id", "cid")
-        .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("dist"))
-    )
-    w_probe = Window.partitionBy("id").orderBy(F.col("dist").asc(), F.col("cid").asc())
-    probe = (
-        qd.withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= npb)
-        .select(F.col("id").alias("query_id"), "cid")
-    )
-    qres_sub = (
-        q_pos.withColumnRenamed("id", "query_id")
-        .join(cent1_local, "d")
-        .join(F.broadcast(probe), ["query_id", "cid"])
-        .select(
-            "query_id",
-            "cid",
-            (F.col("d") / dsub).cast("int").alias("s"),
-            (F.col("d") % dsub).cast("int").alias("j"),
-            (F.col("v") - F.col("c")).alias("rv"),
+        q_pos = q.select("id", F.posexplode("ei").alias("d", "v"))
+        qd = (
+            q_pos.join(cent1_local, "d")
+            .groupBy("id", "cid")
+            .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("dist"))
         )
-    )
-    qtab = (
-        qres_sub.join(pcent1_local, ["s", "j"])
-        .groupBy("query_id", "cid", "s", "code")
-        .agg(F.sum((F.col("rv") - F.col("c")) * (F.col("rv") - F.col("c"))).alias("pd"))
-    )
-    cand = (
-        cells.withColumnRenamed("id", "neighbor_id")
-        .join(F.broadcast(probe), "cid")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-    )
+        w_probe = Window.partitionBy("id").orderBy(F.col("dist").asc(), F.col("cid").asc())
+        probe = (
+            qd.withColumn("rn", F.row_number().over(w_probe))
+            .filter(F.col("rn") <= npb)
+            .select(F.col("id").alias("query_id"), "cid")
+        )
+        qres_sub = (
+            q_pos.withColumnRenamed("id", "query_id")
+            .join(cent1_local, "d")
+            .join(F.broadcast(probe), ["query_id", "cid"])
+            .select(
+                "query_id",
+                "cid",
+                (F.col("d") / dsub).cast("int").alias("s"),
+                (F.col("d") % dsub).cast("int").alias("j"),
+                (F.col("v") - F.col("c")).alias("rv"),
+            )
+        )
+        qtab = (
+            qres_sub.join(pcent1_local, ["s", "j"])
+            .groupBy("query_id", "cid", "s", "code")
+            .agg(F.sum((F.col("rv") - F.col("c")) * (F.col("rv") - F.col("c"))).alias("pd"))
+        )
     adist = (
-        cand.join(codes.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
-        .join(F.broadcast(qtab), ["query_id", "cid", "s", "code"])
+        codes.withColumnRenamed("id", "neighbor_id")
+        .join(F.broadcast(qtab), ["cid", "s", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("pd").alias("adist"))
     )

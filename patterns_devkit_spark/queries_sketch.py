@@ -322,10 +322,14 @@ def q197(spark, sf_dir):
     # repartition BEFORE the checkpoint: a single-file parquet scans as
     # ONE partition, and the checkpoint would freeze that for every
     # downstream GEMM/groupBy task (CLAUDE.md trap)
+    # persist + count: ONE job both fills the cache and returns n —
+    # the old localCheckpoint paid a dedicated materialization job and
+    # then a second count job over the checkpointed blocks (r7 opt,
+    # guide §1.2: the driver's sequential action count is the floor)
     e = (
         emb.select("vec_id", quantized_embedding("embedding").alias("ei"))
         .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint()
+        .persist()
     )
     n = e.count()
     k = max(_SEM_KMIN, n // _SEM_PER)
@@ -367,7 +371,7 @@ def q197(spark, sf_dir):
         )
         SC = np.array([r["ei"] for r in super_rows], dtype="int64")
         sgids = np.array([r["vec_id"] for r in super_rows], dtype="int64")
-    a2, _cent1 = twolevel_coarse(
+    a2, _cent1, _c1_local = twolevel_coarse(
         e.select(F.col("vec_id").alias("id"), "ei"),
         seeds,
         SC,
@@ -959,7 +963,7 @@ def sdk15(spark, sf_dir):
         super_rows = e_hist.orderBy("id").limit(dh._isqrt_super(nlist)).collect()
         SC = np.array([r["ei"] for r in super_rows], dtype="int64")
         sgids = np.array([r["id"] for r in super_rows], dtype="int64")
-    _a2h, cent1 = dh.twolevel_coarse(
+    _a2h, cent1, _c1h = dh.twolevel_coarse(
         e_hist, seeds, SC, sgids,
         mean_sql="CAST(floor(sum(s) / sum(n)) AS BIGINT)",
         k=k_eff,

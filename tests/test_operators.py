@@ -285,7 +285,7 @@ def test_twolevel_paths_bit_identical(spark, sf_dir):
     mean = "CAST(floor(sum(s) / sum(n)) AS BIGINT)"
     outs = []
     for small_k in (k, 0):  # force each path
-        a2, cent1 = twolevel_coarse(
+        a2, cent1, _c1_local = twolevel_coarse(
             e, seeds, SC, sgids, mean_sql=mean, k=k, small_k=small_k,
             emit_residuals=True,
         )
