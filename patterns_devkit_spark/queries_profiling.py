@@ -189,7 +189,7 @@ def _km_oracle_sql(k: int) -> str:
     SELECT a.cluster,
            CAST(count(*) AS BIGINT) AS n_vecs,
            CAST(sum(a.dist) AS BIGINT) AS inertia,
-           CAST(sum(a.dist * a.vec_id) % 1000000007 AS BIGINT) AS assign_checksum
+           CAST(sum(((a.dist % 1000000007) * (a.vec_id % 1000000007)) % 1000000007) % 1000000007 AS BIGINT) AS assign_checksum
     FROM a2_ a
     GROUP BY a.cluster
     ORDER BY a.cluster
@@ -277,7 +277,15 @@ def q210(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vecs"),
             F.sum("dist").cast("long").alias("inertia"),
-            (F.sum(F.col("dist") * F.col("vec_id")) % F.lit(1000000007)).cast("long").alias("assign_checksum"),
+            # modular reduction INSIDE the sum: dist*vec_id overflows
+            # int64 at sf1 id magnitudes (SCALE.md §1245); each reduced
+            # term is < 1e9 so the sum is overflow-safe to ~9e9 rows,
+            # and (Σx) % M ≡ (Σ(x % M)) % M for non-negative terms —
+            # identical values at every SF where the old form was valid
+            (
+                F.sum(((F.col("dist") % F.lit(1000000007)) * (F.col("vec_id") % F.lit(1000000007))) % F.lit(1000000007))
+                % F.lit(1000000007)
+            ).cast("long").alias("assign_checksum"),
         )
         .orderBy("cluster")
     )
