@@ -1661,6 +1661,8 @@ class Table:
         keys: list[str],
         existing_schema,
         mask_keys: DataFrame | None = None,
+        batch_n: int | None = None,
+        mask_n: int | None = None,
     ) -> bool:
         """Deletion-vector MERGE (init(merge_on_read=...)): carry every
         file of the parent version, mask the OLD images of keys present
@@ -1683,20 +1685,39 @@ class Table:
         if any(k not in (self.schema or T.StructType([])).fieldNames() for k in keys):
             return False  # batch introduces the key column: plain merge
         refs = _mf.version_refs(catalog, self.store_name, av.version_id)
-        batch_n = df.count()  # Spark job: before any catalog section
+        if batch_n is None:
+            batch_n = df.count()  # Spark job: before any catalog section
         mkdf = df if mask_keys is None else mask_keys
-        mk_n = batch_n if mask_keys is None else mask_keys.count()
+        if mask_n is not None:
+            mk_n = mask_n
+        elif mask_keys is None:
+            mk_n = batch_n
+        else:
+            mk_n = mask_keys.count()
         # file skipping on the key: probe only files whose min/max (and
         # Bloom bitmap, if declared) can contain batch keys — an upsert
         # of key-localized batches (time-ordered ids, recent partitions)
         # probes O(touched files), not the table. Stats-missing or
         # all-files-kept degrades to the full probe; files skipped here
         # provably hold no matching key, so the DV result is identical.
+        # The small-batch key set is collected ONCE and reused by both
+        # the file probe and the doomed scan's pushed-down IN predicate
+        # (r7 opt — previously the probe collected it and the doomed
+        # scan rebuilt it as a broadcast join build side).
         probe_refs = refs
+        key_vals = None
         if len(keys) == 1:
-            kept = self._key_probe_files(mkdf, keys[0], mk_n, av.version_id)
-            if kept is not None:
-                probe_refs = kept
+            vals = None
+            if mk_n <= 10_000:
+                vals = [r[0] for r in mkdf.select(keys[0]).distinct().collect()]
+                if vals and not any(v is None for v in vals):
+                    key_vals = vals
+            if vals is None or key_vals is not None:
+                kept = self._key_probe_files(
+                    mkdf, keys[0], mk_n, av.version_id, precollected=key_vals
+                )
+                if kept is not None:
+                    probe_refs = kept
         base = _read_version_files(
             self._engine, self.store_name, av.version_id, probe_refs, with_meta=True
         )
@@ -1707,6 +1728,12 @@ class Table:
                 ["__dv_ref", "__dv_idx"],
                 "left_anti",
             )
+        # NOTE (r7, measured and rejected): replacing this broadcast
+        # semi-join with an isin() over the already-collected key set
+        # looked like a free job save, but a ~3k-literal In predicate
+        # cost ~1.5-2 s of driver-side planning per apply — 2.5x SLOWER
+        # end to end than the broadcast build job it removed. Keep the
+        # semi-join.
         batch_keys = mkdf.select(
             *[F.col(k).cast(base.schema[k].dataType).alias(k) for k in keys]
         ).distinct()
@@ -1768,16 +1795,23 @@ class Table:
         return True
 
     def _key_probe_files(
-        self, df: DataFrame, key: str, batch_n: int, version_id: str
+        self, df: DataFrame, key: str, batch_n: int, version_id: str,
+        precollected: list | None = None,
     ) -> list[str] | None:
         """File subset that can contain the batch's key values, from
         the catalog's per-file stats (min/max + Bloom bitmaps when
         declared): small batches probe by the exact value set ('in' —
         Bloom-prunable), large ones by key range. None = no pruning
-        possible (stats missing, or every file kept)."""
+        possible (stats missing, or every file kept). ``precollected``
+        passes an already-collected null-free small-batch value set so
+        the caller's collect is not repeated (r7 opt)."""
         try:
             if batch_n <= 10_000:
-                vals = [r[0] for r in df.select(key).distinct().collect()]
+                vals = (
+                    precollected
+                    if precollected is not None
+                    else [r[0] for r in df.select(key).distinct().collect()]
+                )
                 if not vals or any(v is None for v in vals):
                     return None
                 preds = [(key, "in", vals)]
@@ -2948,37 +2982,55 @@ class Table:
             raise ValueError(f"apply_cdc batch needs an {op_col!r} column with I/U/D values")
         order = [F.col(seq_col).desc()] if seq_col else [F.col(op_col).asc()]
         w = Window.partitionBy(*keys).orderBy(*order)
+        # persist: survivors, the mask keys, the MoR counts/probes and
+        # the write all derive from this one O(change) frame — without
+        # the cache each consumer re-ran the dedup window (r7 opt)
         latest = (
             batch.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") == 1)
             .drop("__rk")
+            .persist()
         )
         survivors = latest.filter(F.upper(F.col(op_col)) != "D").drop(
             op_col, *([seq_col] if seq_col else [])
         )
         touched_keys = latest.select(*keys)
-        if meta.get("merge_on_read") and self.exists and self.schema is not None:
-            # DV-shaped CDC apply: mask the old images of EVERY touched
-            # key ('D' included — they mask without re-appending) and
-            # append only the surviving I/U images. A replica chain
-            # becomes O(change) on the write side too — change_feed
-            # reads the change, apply_cdc writes the change, and the
-            # replica's own feeds stay on the metadata fast path.
-            av = self.get_active_version()
-            if av is not None and av.exists:
-                surv = conform_to_schema(survivors, self.schema)
-                if self._upsert_merge_on_read(
-                    surv, meta, av, list(keys), self.schema, mask_keys=touched_keys
-                ):
-                    return
-        old = self.read_spark()
-        if self.exists and self.schema is not None:
-            survivors = conform_to_schema(survivors, self.schema)
-            kept_old = old.join(touched_keys, on=list(keys), how="left_anti")
-            new_df = kept_old.unionByName(survivors, allowMissingColumns=True)
-        else:
-            new_df = survivors
-        self.write_dataframe_as_new_version(new_df)
+        try:
+            if meta.get("merge_on_read") and self.exists and self.schema is not None:
+                # DV-shaped CDC apply: mask the old images of EVERY touched
+                # key ('D' included — they mask without re-appending) and
+                # append only the surviving I/U images. A replica chain
+                # becomes O(change) on the write side too — change_feed
+                # reads the change, apply_cdc writes the change, and the
+                # replica's own feeds stay on the metadata fast path.
+                av = self.get_active_version()
+                if av is not None and av.exists:
+                    # ONE job fills the cache AND returns both counts the
+                    # MoR path needs — it previously ran two count jobs,
+                    # each re-evaluating the window (r7 opt, guide §1.2)
+                    agg = latest.agg(
+                        F.count(F.lit(1)).alias("__n"),
+                        F.count(
+                            F.when(F.upper(F.col(op_col)) != "D", F.lit(1))
+                        ).alias("__ns"),
+                    ).collect()[0]
+                    surv = conform_to_schema(survivors, self.schema)
+                    if self._upsert_merge_on_read(
+                        surv, meta, av, list(keys), self.schema,
+                        mask_keys=touched_keys,
+                        batch_n=int(agg["__ns"]), mask_n=int(agg["__n"]),
+                    ):
+                        return
+            old = self.read_spark()
+            if self.exists and self.schema is not None:
+                survivors = conform_to_schema(survivors, self.schema)
+                kept_old = old.join(touched_keys, on=list(keys), how="left_anti")
+                new_df = kept_old.unionByName(survivors, allowMissingColumns=True)
+            else:
+                new_df = survivors
+            self.write_dataframe_as_new_version(new_df)
+        finally:
+            latest.unpersist()
 
     def restore(self, version_id: str) -> "TableVersion | None":
         """Time-travel WRITE (Delta-style RESTORE): make a retained
@@ -3168,33 +3220,43 @@ class Table:
         val_cols = [c for c in b_cols if c not in keys]
         # Both sides are O(change) rows and unique per key (version_a
         # is keyed; intra-window churn is mask-filtered out of the new
-        # images), so ONE full-outer join of full rows decides op AND
-        # carries the output columns. The earlier fingerprint-join +
-        # join-back form — right for the slow path, where the sides
-        # are full table versions — evaluated each image subtree twice
-        # here, i.e. two scans of the masked base files per feed
-        # evaluation (r6 opt: merge_branch feed eval ~2x).
-        a_side = old_images.select(
-            *keys, fp(val_cols).alias("__fa"),
-            *[F.col(c).alias(f"__a_{c}") for c in val_cols],
+        # images), so ONE union + hash-aggregation decides op AND
+        # carries the output columns: each key group holds ≤ 1 row per
+        # side and max() ignores the other side's NULL struct. The
+        # earlier full-outer join sort-merged the two tiny sides — TWO
+        # shuffle exchanges plus two sorts where one map-side-combined
+        # exchange suffices (r7 opt, guide §2.3/§2.4; the r6
+        # fingerprint-join note still applies vs the slow path).
+        def side_struct() -> Column:
+            return F.struct(
+                fp(val_cols).alias("__f"),
+                *[F.col(c).alias(f"__v_{c}") for c in val_cols],
+            )
+
+        a_tag = old_images.select(*keys, F.lit(0).alias("__side"), side_struct().alias("__row"))
+        b_tag = new_images.select(*keys, F.lit(1).alias("__side"), side_struct().alias("__row"))
+        g = (
+            a_tag.unionByName(b_tag)
+            .groupBy(*keys)
+            .agg(
+                F.max(F.when(F.col("__side") == 0, F.col("__row"))).alias("__a"),
+                F.max(F.when(F.col("__side") == 1, F.col("__row"))).alias("__b"),
+            )
+            .withColumn(
+                "op",
+                F.when(F.col("__a").isNull(), F.lit("I"))
+                .when(F.col("__b").isNull(), F.lit("D"))
+                .when(F.col("__a").getField("__f") != F.col("__b").getField("__f"), F.lit("U")),
+            )
+            .filter(F.col("op").isNotNull())
         )
-        b_side = new_images.select(
-            *keys, fp(val_cols).alias("__fb"),
-            *[F.col(c).alias(f"__b_{c}") for c in val_cols],
-        )
-        j = b_side.join(a_side, on=keys, how="full_outer").withColumn(
-            "op",
-            F.when(F.col("__fa").isNull(), F.lit("I"))
-            .when(F.col("__fb").isNull(), F.lit("D"))
-            .when(F.col("__fa") != F.col("__fb"), F.lit("U")),
-        ).filter(F.col("op").isNotNull())
-        return j.select(
+        return g.select(
             "op",
             *[
                 F.col(c)
                 if c in keys
-                else F.when(F.col("op") == "D", F.col(f"__a_{c}"))
-                .otherwise(F.col(f"__b_{c}"))
+                else F.when(F.col("op") == "D", F.col("__a").getField(f"__v_{c}"))
+                .otherwise(F.col("__b").getField(f"__v_{c}"))
                 .alias(c)
                 for c in b_cols
             ],
@@ -3959,8 +4021,13 @@ class Engine:
             # conflict probe, and apply_cdc all consume this O(change)
             # frame — without it each re-runs the feed diff AND the
             # fork-point fingerprint scan (3x the merge cost).
+            # persist + count (r7 opt): the count job itself fills the
+            # cache — the old localCheckpoint paid a dedicated
+            # materialization job first (guide §1.2). Recompute on
+            # eviction is safe: the branch's version files outlive
+            # every consumer (drop_branch runs after apply_cdc).
             base = mt.read_spark(version=info["fork_main"])
-            feed = self._suppress_echoes(feed, base, list(keys)).localCheckpoint()
+            feed = self._suppress_echoes(feed, base, list(keys)).persist()
             n_changes = feed.count()
             if n_changes:
                 main_changed = (
@@ -3986,6 +4053,7 @@ class Engine:
                     n_changes = feed.count()
                 if n_changes:
                     mt.apply_cdc(feed)
+            feed.unpersist()
         if drop:
             self.drop_branch(table, branch)
         return int(n_changes)
@@ -4037,9 +4105,11 @@ class Engine:
             # ONE evaluation of the O(change) feed: count, the conflict
             # probe, and apply_cdc all consume it (same reasoning as
             # merge_branch's checkpoint)
+            # persist + count fills the cache in one job (r7 opt — same
+            # reasoning as merge_branch's feed)
             feed = mt.change_feed(
                 info["fork_main"], synced_to, key_cols=list(keys)
-            ).localCheckpoint()
+            ).persist()
             n_changes = feed.count()
             if n_changes:
                 # the branch's GENUINE edits: its raw feed since the
@@ -4076,6 +4146,7 @@ class Engine:
                     n_changes = feed.count()
                 if n_changes:
                     bt.apply_cdc(feed)
+            feed.unpersist()
             # move the fork point: future merges/syncs window from here.
             # Order keeps BOTH invariants through any crash point: the
             # version meta['fork_main'] references is ALWAYS tag-pinned
