@@ -74,9 +74,10 @@ def md5_long(col: Column | str, hex_digits: int = 15) -> Column:
     return F.conv(F.substring(F.md5(c), 1, hex_digits), 16, 10).cast("long")
 
 
-def distinct_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, sh): each doc's DISTINCT n-word shingles, built with the
-    codegen-friendly explode-positions pattern (see dedup.py notes)."""
+def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, sh): each doc's n-word shingles WITH multiplicity, built
+    with the codegen-friendly explode-positions pattern (see dedup.py
+    notes). Callers that need set semantics add .distinct()."""
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
     toks = src.select("id", tokens("__text").alias("toks")).filter(F.size("toks") >= n)
     positions = toks.select(
@@ -84,7 +85,12 @@ def distinct_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> Data
     )
     return positions.select(
         "id", F.concat_ws(" ", F.slice("toks", F.col("i"), n)).alias("sh")
-    ).distinct()
+    )
+
+
+def distinct_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, sh): each doc's DISTINCT n-word shingles."""
+    return _shingles(df, id_col, text_col, n).distinct()
 
 
 # ---------------------------------------------------------------------
@@ -98,11 +104,23 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 32,
     seed: int = 7,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, m0..m{H-1}): per-doc MinHash signature. One explode + one
-    hash-aggregate shuffle on id — scales like exact dedup."""
+    hash-aggregate shuffle on id — scales like exact dedup.
+
+    The default path hashes the shingle MULTISET: min over duplicate
+    shingles equals min over the distinct set, so the dedup exchange
+    distinct_shingles would pay (a full shuffle of every shingle
+    string) is unnecessary — the min aggregation combines map-side and
+    shuffles ~num_hashes longs per (doc, map partition) instead (r7
+    opt, guide §2.3; the oracle keeps its DISTINCT form, values are
+    identical). Callers that already materialized a shingle frame for
+    other consumers pass it via ``shingles`` (q189 shares ONE
+    tokenize+explode pass between the signature and the exact-Jaccard
+    verify)."""
     params = minhash_params(num_hashes, seed)
-    sh = distinct_shingles(df, id_col, text_col, n)
+    sh = _shingles(df, id_col, text_col, n) if shingles is None else shingles
     h = sh.select("id", (md5_long("sh") % F.lit(MINHASH_PRIME)).alias("hv"))
     aggs = [
         F.min((F.lit(a) * F.col("hv") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"m{i}")
@@ -119,6 +137,7 @@ def minhash_lsh_pairs_det(
     num_hashes: int = 32,
     bands: int = 8,
     seed: int = 7,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic MinHash+LSH candidate pairs: band the signature,
     equi-join on (band, key) — candidates are bucket collisions, never
@@ -127,14 +146,15 @@ def minhash_lsh_pairs_det(
     Output (id_a, id_b, n_sig_agree): id_a < id_b, n_sig_agree in
     [0, num_hashes] = #matching minhashes (E[agree/H] = Jaccard).
     Pure-integer output -> bit-identical in the DuckDB oracle
-    (minhash_oracle_sql shares this function's literals)."""
+    (minhash_oracle_sql shares this function's literals). ``shingles``
+    is handed through to minhash_signatures (see its docstring)."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     # persist + EAGER fill: the signature feeds the banding explode and
     # BOTH sides of the agreement join-back; a lazy persist lets those
     # concurrent consumer stages race to fill the cache, each
     # re-running the shingle+minhash aggregation (r6 opt)
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed).persist()
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed, shingles=shingles).persist()
     sig.count()
     band_structs = [
         F.struct(

@@ -58,29 +58,19 @@ def assert_pushed(df: DataFrame, *fragments: str) -> None:
 
 
 def executed_exchanges(df: DataFrame) -> int:
-    """Exchange nodes that will actually EXECUTE: the simple-mode tree
-    reprints every cached relation's child plan inline under its
-    InMemoryRelation node (once per reference), but those subtrees run
-    at most once to fill the cache — and not at all when the cache was
-    filled eagerly — so exchanges inside them must not count toward a
-    re-evaluation gate. Skips any line nested deeper than an
-    InMemoryRelation marker (tree depth = the +-/:- connector column)."""
-    lines = explain_str(df, "simple").splitlines()
-    n = 0
-    skip_depth: int | None = None
-    for line in lines:
-        m = re.search(r"(\+-|:-) ", line)
-        depth = m.start() if m else 0
-        if skip_depth is not None:
-            if depth > skip_depth or m is None:
-                continue
-            skip_depth = None
-        if "InMemoryRelation" in line:
-            skip_depth = depth
-            continue
-        if re.search(r"Exchange (?:hash|range|Single)", line):
-            n += 1
-    return n
+    """DISTINCT Exchange nodes in the plan DAG: the simple-mode tree
+    reprints every cached relation's build plan inline under each of
+    its InMemoryRelation references (nested caches expand
+    recursively), but every reprint of one physical node carries the
+    SAME [plan_id=N] while a genuinely re-evaluated subtree plans
+    fresh nodes with fresh ids — so the unique-plan_id count is the
+    number of exchanges that can execute (cached builds count once;
+    they fill the cache at most once). The r6 depth-skip heuristic
+    under-/over-counted nested cache expansions, whose block
+    indentation restarts shallower than the InMemoryRelation line
+    (r7 fix)."""
+    plan = explain_str(df, "simple")
+    return len(set(re.findall(r"Exchange (?:hash|range|Single)[^\[]*\[plan_id=(\d+)\]", plan)))
 
 
 def single_partition_windows(df: DataFrame) -> int:

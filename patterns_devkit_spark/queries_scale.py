@@ -1937,42 +1937,41 @@ def q189(spark, sf_dir):
     shingles/doc), the same bound as the generate-then-verify dedup
     (q106)."""
     d = t(spark, sf_dir, "documents")
-    pairs = det_ops.minhash_lsh_pairs_det(d)
-    # persist + EAGER fill: the shingle set feeds THREE plan branches
-    # (size agg + both sides of the intersection join) whose differing
-    # pruning/aliases defeat ReusedExchange — and a lazy persist alone
-    # still lets the three consumer stages of one job race to fill the
-    # cache, each computing its own copy (measured: lazy flat, eager
-    # 3.8 -> 3.2 s). The count() barrier guarantees the tokenize/
-    # explode/distinct subtree executes exactly once (r6 opt).
+    # ONE tokenize+explode+distinct pass serves BOTH stages (r7 opt,
+    # guide §2.2): the signature pipeline consumes the persisted
+    # distinct-shingle frame (min over the distinct set == min over
+    # the multiset, so sharing is value-preserving) and the exact-
+    # Jaccard verify aggregates the same frame into per-doc sorted
+    # arrays — previously each stage re-ran its own shingle pass over
+    # the documents scan. The count() barrier fills the cache before
+    # the consumers race for it (r6 lesson).
     sh = det_ops.distinct_shingles(d, "doc_id", "text", 3).persist()
     sh.count()
-    sza = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sza")).withColumnRenamed("id", "id_a")
-    szb = sza.select(F.col("id_a").alias("id_b"), F.col("sza").alias("szb"))
-    sh_a = sh.select(F.col("id").alias("id_a"), "sh")
-    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    # n_sig_agree rides THROUGH the intersection join (it is
-    # functionally dependent on the pair key), so the expensive
-    # signature+banding subtree appears exactly ONCE in the plan —
-    # the earlier pairs-join-back form evaluated it twice (different
-    # column pruning on the two uses defeated ReusedExchange).
-    left = pairs.select("id_a", "id_b", "n_sig_agree").join(sh_a, "id_a").alias("L")
-    inter = (
-        left.join(
-            sh_b.alias("R"),
-            (F.col("R.id_b") == F.col("L.id_b")) & (F.col("R.sh_b") == F.col("L.sh")),
-            "left",
-        )
-        .groupBy(
-            F.col("L.id_a").alias("id_a"),
-            F.col("L.id_b").alias("id_b"),
-            F.col("L.n_sig_agree").alias("n_sig_agree"),
-        )
-        .agg(F.count(F.col("R.sh_b")).alias("inter"))
+    pairs = det_ops.minhash_lsh_pairs_det(d, shingles=sh)
+    # verification at CANDIDATE grain (r7 opt, the q259/q206 shape):
+    # per-doc sorted shingle arrays + ONE array_intersect per pair —
+    # |candidates| is tiny next to |shingle rows|, so two broadcast
+    # joins replace the old (pairs ⋈ sh_a) ⋈ sh_b left join that
+    # shuffled the FULL shingle frame on (id, sh) plus a separate
+    # size aggregate and its two join-backs. Sizes ride in the same
+    # groupBy. size(array_intersect) over distinct per-doc sets ==
+    # the old per-pair match count, zero-intersection pairs included
+    # (empty intersect -> 0, same as the left join's count of NULLs).
+    docsh = sh.groupBy("id").agg(
+        F.sort_array(F.collect_list("sh")).alias("shl"),
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+    da = docsh.select(
+        F.col("id").alias("id_a"), F.col("shl").alias("sha"), F.col("n_sh").alias("sza")
+    )
+    db = docsh.select(
+        F.col("id").alias("id_b"), F.col("shl").alias("shb"), F.col("n_sh").alias("szb")
     )
     calib = (
-        inter.join(sza, "id_a")
-        .join(szb, "id_b")
+        pairs.select("id_a", "id_b", "n_sig_agree")
+        .join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sha", "shb")).cast("long"))
         .withColumn("est_millis", F.expr("(1000 * n_sig_agree) DIV 32"))
         .withColumn("exact_millis", F.expr("(1000 * inter) DIV (sza + szb - inter)"))
     )

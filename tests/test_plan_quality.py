@@ -89,19 +89,22 @@ def test_corpus_batch_plans(spark, sf_dir):
 
 def test_q189_signature_subtree_single_evaluation(spark, sf_dir):
     """The MinHash signature+banding pipeline must appear ONCE in
-    q189's plan (n_sig_agree rides through the intersection join): the
-    re-join form evaluated the whole pipeline twice and planned 26
-    exchanges; the single-evaluation form plans 13. Gate with slack so
-    AQE/version drift doesn't flake, but a re-introduced double
-    evaluation (+13) trips it. Counted via executed_exchanges: the r6
-    persist of the signature/shingle frames makes the tree REPRINT the
-    cached build plan under every InMemoryRelation reference — those
-    exchanges fill once (eagerly) and must not read as re-evaluation."""
+    q189's plan (n_sig_agree rides through the intersection join; the
+    r7 rewrite additionally shares ONE shingle pass between the
+    signature and the exact-Jaccard verify and verifies candidates by
+    array_intersect over two broadcast joins). Counted via
+    executed_exchanges (unique plan_ids — cached-build reprints share
+    an id, genuine re-evaluations plan fresh nodes): the r7 plan holds
+    8 distinct exchanges (sh build 2, sig build 2, docsh aggregate 2 —
+    the one remaining 2x-tier duplication, cheap over the cached
+    shingles — and the final bucket agg + sort). Gate with slack so
+    AQE/version drift doesn't flake, but a re-introduced signature or
+    shingle re-evaluation (+2 or more) trips it."""
     from patterns_devkit_spark.plans.inspect import executed_exchanges
 
     df = QUERIES["q189_minhash_calibration"](spark, sf_dir)
     n_exchanges = executed_exchanges(df)
-    assert n_exchanges <= 17, f"q189 plans {n_exchanges} executing exchanges (subtree re-evaluation?)"
+    assert n_exchanges <= 9, f"q189 plans {n_exchanges} distinct exchanges (subtree re-evaluation?)"
 
 
 def test_topk_uses_take_ordered(spark, sf_dir):
