@@ -572,24 +572,44 @@ def q206(spark, sf_dir):
     cap = max(20, n_docs // 250)
     # single evaluation: the shingle set feeds df/sizes/prefix and both
     # verification arrays (q189 lesson — without this each consumer
-    # re-runs the explode+distinct)
+    # re-runs the explode+distinct). localCheckpoint, NOT persist
+    # (r7, measured): the EAGER checkpoint hands the planner a
+    # materialized RDD with real size stats, so the dfreq/sizes joins
+    # broadcast — a lazy persist left unfilled-cache estimates and the
+    # whole chain degraded to sort-merge joins (q206 6.8 -> 24.8 s,
+    # q259 2.9 -> 7.2 s)
     sh = distinct_shingles(docs, "doc_id", "text", 3).localCheckpoint()
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).cast("long").alias("df"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     w = Window.partitionBy("id").orderBy("df", "sh")
     ordered = sh.join(dfreq, "sh").withColumn("pos", F.row_number().over(w))
+    # n_sh rides on the prefix rows so the PPJoin size filter runs
+    # INSIDE the candidate self-join, before the distinct (r7 opt —
+    # same rebase as q259: shrink the pair set before the shuffle,
+    # two join-backs gone; same predicate on the same sizes, so the
+    # surviving pairs and na/nb values are identical)
     prefix = (
         ordered.join(sizes, "id")
         .filter(
             (F.col("pos") <= F.col("n_sh") - F.expr("(n_sh + 1) DIV 2") + 1)
             & (F.col("df") <= F.lit(cap))
         )
-        .select("id", "sh")
+        .select("id", "sh", "n_sh")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (2 * F.least("a.n_sh", "b.n_sh") >= F.greatest("a.n_sh", "b.n_sh")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
         .distinct()
     )
     # verification at CANDIDATE grain, not (candidate x shingle):
@@ -598,17 +618,12 @@ def q206(spark, sf_dir):
     # shuffles |cand| x |doc shingles| rows and is what actually
     # melts on bounded-vocabulary corpora (48.5M candidates at the
     # 100x tier). The PPJoin size filter (2*min >= max for t=1/2)
-    # drops provably-failing pairs before the intersect.
+    # dropped provably-failing pairs inside the candidate join above.
     docsh = sh.groupBy("id").agg(F.sort_array(F.collect_list("sh")).alias("shl"))
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
     da = docsh.select(F.col("id").alias("id_a"), F.col("shl").alias("sha"))
     db = docsh.select(F.col("id").alias("id_b"), F.col("shl").alias("shb"))
     inter = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(2 * F.least("na", "nb") >= F.greatest("na", "nb"))
-        .join(da, "id_a")
+        cand.join(da, "id_a")
         .join(db, "id_b")
         .select(
             "id_a",
@@ -700,41 +715,59 @@ def q259(spark, sf_dir):
     # the shingle set feeds FIVE consumers (df, sizes, prefix ordering,
     # both verification sides) with different prunings — without a
     # single evaluation each consumer re-runs the explode+distinct
-    # (q189 lesson: 10 scans / 19 exchanges; rebased: 0 / 12)
+    # (q189 lesson: 10 scans / 19 exchanges; rebased: 0 / 12).
+    # localCheckpoint, NOT persist (r7, measured — see q206): the
+    # eager checkpoint's real size stats keep the dfreq/sizes joins
+    # broadcast; a lazy persist degraded the chain to sort-merge
+    # joins (2.9 -> 7.2 s)
     sh = distinct_shingles(docs, "doc_id", "text", 3).localCheckpoint()
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).cast("long").alias("df"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     w = Window.partitionBy("id").orderBy("df", "sh")
     ordered = sh.join(dfreq, "sh").withColumn("pos", F.row_number().over(w))
+    # n_sh RIDES on the prefix rows (the cutoff join already pays for
+    # it), so the PPJoin size filter runs INSIDE the candidate
+    # self-join — before the distinct — instead of via two join-backs
+    # after it (r7 opt, guide §2.3: shrink the pair set before the
+    # shuffle). Measured at sf0.1: 122k raw / 119k distinct pairs
+    # unfiltered vs 46k raw / 43.5k distinct with the filter pushed
+    # down — a 60% smaller distinct exchange and two joins gone; the
+    # filter is the SAME predicate on the same sizes, so the surviving
+    # pairs (and na/nb values) are identical.
     prefix = (
         ordered.join(sizes, "id")
         .filter(F.col("pos") <= F.col("n_sh") - F.expr("(4 * n_sh + 4) DIV 5") + 1)
-        .select("id", "sh")
+        .select("id", "sh", "n_sh")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (5 * F.least("a.n_sh", "b.n_sh") >= 4 * F.greatest("a.n_sh", "b.n_sh")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
         .distinct()
     )
     # verification at CANDIDATE grain (same rebase as q206): per-doc
     # shingle arrays ride to each pair for ONE array_intersect — the
     # (cand JOIN sh JOIN sh) form shuffles |cand| x |doc shingles|
     # rows (the sf1 sweep measured it at 226s vs q206's 119s). The
-    # t=0.8 size filter (5*min >= 4*max; J <= min/max) drops provably-
-    # failing pairs before the intersect; a zero-intersection pair
-    # cannot pass 9*0 >= 4*(na+nb), so output matches the oracle's
+    # t=0.8 size filter (5*min >= 4*max; J <= min/max) dropped the
+    # provably-failing pairs above; a zero-intersection pair cannot
+    # pass 9*0 >= 4*(na+nb), so output matches the oracle's
     # inner-join form exactly.
     docsh = sh.groupBy("id").agg(F.sort_array(F.collect_list("sh")).alias("shl"))
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
     da = docsh.select(F.col("id").alias("id_a"), F.col("shl").alias("sha"))
     db = docsh.select(F.col("id").alias("id_b"), F.col("shl").alias("shb"))
     inter = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(5 * F.least("na", "nb") >= 4 * F.greatest("na", "nb"))
-        .join(da, "id_a")
+        cand.join(da, "id_a")
         .join(db, "id_b")
         .select(
             "id_a",
