@@ -151,7 +151,23 @@ def test_crash_fuzz_multi_writer(tmp_path, backend):
     logs = [str(tmp_path / f"w{i}.log") for i in range(N_WORKERS)]
     procs = [_spawn(wh, i, logs[i]) for i in range(N_WORKERS)]
     rng = random.Random(42)
+
+    def _n_created() -> int:
+        n = 0
+        for lp in logs:
+            if os.path.exists(lp):
+                with open(lp) as fh:
+                    n += sum(1 for line in fh if line.startswith("created"))
+        return n
+
     try:
+        # under heavy host load the workers' python+pyarrow startup can
+        # exceed the whole kill window, leaving created == 0 and the
+        # "too little work" guard tripping spuriously — wait until the
+        # fleet has actually produced work before the first kill
+        deadline = time.time() + 120
+        while _n_created() < 5 and time.time() < deadline:
+            time.sleep(0.2)
         for _ in range(KILL_ROUNDS):
             time.sleep(0.4)
             i = rng.randrange(N_WORKERS)
