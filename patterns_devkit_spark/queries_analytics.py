@@ -134,12 +134,16 @@ def q91(spark, sf_dir):
     document — the measurement pass behind substring-level corpus
     dedup (windows shared across docs are the spans an exact-substring
     deduper would cut). Built on the same explode-positions shingle
-    pattern as MinHash (det_hash.distinct_shingles); the only shuffles
-    are the window hash-agg and the per-doc rollup. At 100 TB the
-    window strings would be xxhash64'd before the agg (grouping 8-word
-    strings moves ~9x the bytes of a long) — here they stay strings so
-    the DuckDB oracle replays byte-identically; dup ratio is emitted as
-    integer permille (DIV) to avoid float division drift."""
+    pattern as MinHash (det_hash.distinct_shingles), with the window
+    strings xxhash64'd BEFORE the dedup exchange (hashed=True): every
+    shuffle — the distinct, the shared-window agg, the join-back —
+    keys on 8-byte longs instead of the ~50-byte 8-word string (guide
+    §2.3; grouping the strings moves ~9x the bytes). The DuckDB oracle
+    keeps the string form — only equality is ever tested, so results
+    are identical (a 64-bit collision needs ~2^32 distinct windows;
+    the q63 inverted-index join documents the same accepted trade).
+    Dup ratio is emitted as integer permille (DIV) to avoid float
+    division drift."""
     docs = t(spark, sf_dir, "documents")
     # persist + EAGER fill: the shingle set feeds the shared-window agg
     # AND the join-back probe; without the cache (or with a lazy one —
@@ -147,9 +151,9 @@ def q91(spark, sf_dir):
     # own copy) the tokenize/explode/distinct subtree executes twice
     # per run (same fix as q189 — a count WINDOW over sh would
     # evaluate it once without a cache, but pays a full sort shuffle
-    # of the 8-word shingle STRINGS, measured slower than caching +
-    # the broadcast join this form keeps)
-    sh = distinct_shingles(docs, "doc_id", "text", _SPAN_N).persist()
+    # of the shingle keys, measured slower than caching + the
+    # broadcast join this form keeps)
+    sh = distinct_shingles(docs, "doc_id", "text", _SPAN_N, hashed=True).persist()
     sh.count()
     shared = sh.groupBy("sh").agg(F.countDistinct("id").alias("nd")).filter(F.col("nd") >= 2).select("sh")
     per_doc = (

@@ -1043,7 +1043,15 @@ def q220(spark, sf_dir):
         ).otherwise(-F.round(F.col("value") * 100).cast("long")).alias("f"),
     )
     order = [F.col("ts_us").asc(), F.col("event_id").asc()]
-    c = global_prefix_sum(flow, "ts_us", True, order, "f", out_col="cum")
+    # Checkpoint the balance frame: global_running_max makes THREE passes
+    # over its input (quantile boundaries, per-bucket maxima, the window
+    # itself) and `c` contains the full prefix-sum window subtree — uncached,
+    # each pass re-ran the scan + bucket shuffle + window (3x the sweep).
+    # Eager localCheckpoint materializes it once; q165/q248 precedent
+    # (persist() is unsafe here only in join-strategy-sensitive chains —
+    # the offset attachments are explicit broadcasts, but localCheckpoint
+    # also truncates the lineage the 3 consumers would each replan).
+    c = global_prefix_sum(flow, "ts_us", True, order, "f", out_col="cum").localCheckpoint()
     r = global_running_max(c, "ts_us", True, order, "cum", out_col="peak")
     d = r.select("event_id", (F.col("peak") - F.col("cum")).alias("dd"))
     # argmax in ONE aggregation: max(struct(dd, -event_id)) = deepest

@@ -85,6 +85,37 @@ def test_word_shingles_short_doc(spark):
     assert out == []  # shorter than n -> empty, not a descending-sequence bug
 
 
+def test_distinct_shingles_hashed_same_sets(spark):
+    """hashed=True keys shingles by xxhash64 long instead of the n-word
+    string (r7 opt: shuffle 8 bytes, not ~50). Equality structure must
+    be preserved: identical per-doc distinct counts and identical
+    cross-doc sharing relations (collisions are ~2^-32-improbable and
+    would fail this test's exact-count asserts)."""
+    from patterns_devkit_spark.operators.det_hash import distinct_shingles
+
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b c d e"),  # exact dup of 1
+        (3, "x y z a b c"),  # shares 'a b c' with 1/2
+        (4, "p q r s"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    s = distinct_shingles(df, "doc_id", "text", 3)
+    h = distinct_shingles(df, "doc_id", "text", 3, hashed=True)
+    assert dict(h.dtypes)["sh"] == "bigint"
+    per_doc_s = {r["id"]: r["n"] for r in s.groupBy("id").count().withColumnRenamed("count", "n").collect()}
+    per_doc_h = {r["id"]: r["n"] for r in h.groupBy("id").count().withColumnRenamed("count", "n").collect()}
+    assert per_doc_s == per_doc_h
+    # shared-window relation (the q91 shape): same (per-doc shared counts)
+    def shared_counts(frame):
+        from pyspark.sql import functions as F
+        shared = frame.groupBy("sh").count().filter("count >= 2").select("sh")
+        j = frame.join(shared, "sh", "left_semi").groupBy("id").count()
+        return {r["id"]: r["count"] for r in j.collect()}
+
+    assert shared_counts(s) == shared_counts(h)
+
+
 def test_multimodal_binarize_extract(spark):
     df = spark.createDataFrame([(1, "abc", "s1"), (2, "", "s2")], ["doc_id", "text", "source"])
     media = mm_ops.binarize(df, "doc_id", "text", "source", mime="text/plain")
